@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship condensed pipeline; ``queries()``
+exposes every implemented operator from SURVEY.md §2 (plus the
+north-star LLM-pipeline operators) as named callables;
+``oracle_sql()`` returns the matching DuckDB SQL for the
+hash-compared correctness gate.
 """
 
 from __future__ import annotations
@@ -12,27 +12,53 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_scraping_spark.functions.checksum import row_checksum
+from datapipeline_scraping_spark.functions.numeric import exact_sum
+from datapipeline_scraping_spark.operators.dedup import first_wins
+from datapipeline_scraping_spark.operators.delta import delta_split
+from datapipeline_scraping_spark.queries import REGISTRY
+from datapipeline_scraping_spark.session import prepare
+from datapipeline_scraping_spark.sources.tables import load_table
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001 (SURVEY §7.1 step 1):
+    a condensation of the reference's whole pipeline — scan → canonical
+    checksum (H1) → delta split against a simulated prior-scan ledger
+    (H2) → first-wins dedup (H4) → rollup aggregation."""
+    prepare(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    l = load_table(spark, sf_dir, "lineitem")
+
+    hashed = l.withColumn(
+        "row_hash",
+        row_checksum(["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]),
+    )
+    # simulated prior-scan state: everything except keys ≡3 (mod 10)
+    state = hashed.filter(F.col("l_orderkey") % 10 != 3).select(
+        F.col("l_orderkey").alias("k"), F.col("row_hash")
+    )
+    changed, _bypass = delta_split(
+        hashed, state.withColumnRenamed("k", "l_orderkey"), "l_orderkey"
+    )
+    deduped = first_wins(changed, ["l_orderkey"], ["l_linenumber", "l_partkey"])
+    return deduped.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        exact_sum("l_quantity", 18, 2).alias("sum_qty"),
+        exact_sum("l_extendedprice", 18, 2).alias("sum_price"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; omitted keys (streaming /
+    float-bucket-boundary ops) get the driver's rows-only check."""
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

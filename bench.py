@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of all benchmark queries (each
+executed to completion via a count-collapsing action so the full plan
+runs but the driver doesn't pay collect-to-python cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q07_first_wins_dedup",
+    "q08_customer_order_analytics",
+    "q12_delta_detection",
+    "q17_event_daily_rollup",
+    "q19_minhash_lsh_pairs",
+    "q20_jaccard_neardup",
+    "q21_cosine_topk",
+    "q22_simhash",
+    "q23_text_metrics",
+    "q27_classify_backend",
+    "q32_sessionization",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from datapipeline_scraping_spark.queries import REGISTRY
+    from datapipeline_scraping_spark.session import build_spark
+
+    spark = build_spark(app_name="dps-bench")
+    # warm the JVM + parquet footers with a trivial action
+    spark.range(1).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""Sector classification — ordered regex rules, then a pluggable batch
+backend for the remainder, then closed-domain validation (C1/C2/C3 in
+SURVEY.md §2.4).
+
+The reference classifies with a compiled (pattern, category) list —
+first case-insensitive match wins, '' if none
+(``src/classifier.py:52-72``) — then sends unresolved rows to Gemini in
+batches of 20 (``src/classifier.py:75-120``, ``configs/classifier.yml:4``)
+and coerces out-of-domain labels to 'otros' (``src/classifier.py:147-154``).
+
+Engine design (SURVEY.md §4): the *rules-before-expensive-UDF* ordering
+is encoded structurally — the rule chain is a pure Catalyst expression;
+only rows it leaves unresolved enter the ``mapInPandas`` backend seam.
+The backend is an injected callable (the reference's own test precedent:
+``tests/test_classifier.py:103-105`` stubs ``_call_gemini``), so tests
+and oracles use a deterministic stub while production plugs an LLM
+client; batching comes from Arrow record batches, mirroring the
+reference's batch_size semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class ClassifierConfig:
+    """Mirrors the shape of the reference's ``configs/classifier.yml``:
+    closed category set, ordered first-match rules, fallback label."""
+
+    categories: tuple[str, ...]
+    rules: tuple[tuple[str, str], ...]  # (regex, category), ordered
+    fallback: str = "otros"
+    title_col: str = "title"
+    detail_col: str = "detail"
+    batch_size: int = 20
+
+
+# Engine default config, tuned to the synthetic ``documents`` corpus
+# (same structure as the reference's 14-category Spanish config).
+DEFAULT_CONFIG = ClassifierConfig(
+    categories=(
+        "joins",
+        "aggregation",
+        "storage",
+        "streaming",
+        "indexing",
+        "query_opt",
+        "otros",
+    ),
+    rules=(
+        (r"\bjoin\b|\bmerge\b", "joins"),
+        (r"\bagg\b|\bgroup\b|\bwindow\b", "aggregation"),
+        (r"\btable\b|\bcolumn\b|\brow\b", "storage"),
+        (r"\bstream\b|\bbatch\b", "streaming"),
+        (r"\bhash\b|\bsort\b|\bkey\b", "indexing"),
+        (r"\bscan\b|\bfilter\b|\bquery\b", "query_opt"),
+    ),
+)
+
+
+def rule_expr(text: Column, cfg: ClassifierConfig) -> Column:
+    """C1: ordered first-match regex chain as one Catalyst expression.
+    Case-insensitive via inline (?i); no match -> '' (the reference's
+    sentinel for 'send to the LLM')."""
+    expr = None
+    for pattern, category in cfg.rules:
+        cond = text.rlike(f"(?i){pattern}")
+        expr = (
+            F.when(cond, F.lit(category))
+            if expr is None
+            else expr.when(cond, F.lit(category))
+        )
+    return (expr.otherwise(F.lit("")) if expr is not None else F.lit("")).alias(
+        "sector"
+    )
+
+
+def validate_domain(sector: Column, cfg: ClassifierConfig) -> Column:
+    """C3: closed-domain coercion — anything outside the category set
+    becomes the fallback (reference ``src/classifier.py:147-154``)."""
+    return F.when(sector.isin(*cfg.categories), sector).otherwise(F.lit(cfg.fallback))
+
+
+def stub_backend_label(categories: tuple[str, ...]):
+    """Deterministic 'LLM' stub: label = categories[md5(id) % n].
+    Cross-engine reproducible (DuckDB:
+    ``categories[('0x'||substr(md5(id::VARCHAR),1,4))::INT % n]``)."""
+    import hashlib
+
+    cats = list(categories)
+
+    def label(key: str) -> str:
+        return cats[int(hashlib.md5(str(key).encode()).hexdigest()[:4], 16) % len(cats)]
+
+    return label
+
+
+def make_stub_backend(cfg: ClassifierConfig, id_col: str):
+    """Backend callable for :func:`classify`: pandas-batch in,
+    label series out — the seam where a real LLM client plugs in."""
+    label = stub_backend_label(cfg.categories)
+
+    def backend(pdf):
+        return pdf[id_col].map(lambda k: label(str(k)))
+
+    return backend
+
+
+def classify(
+    df: DataFrame,
+    cfg: ClassifierConfig,
+    id_col: str,
+    text_cols: tuple[str, str],
+    backend: Callable | None = None,
+) -> DataFrame:
+    """Full C1 -> C2 -> C3 composition.
+
+    1. rule chain over ``concat_ws(' ', title, detail)`` (cheap, JVM);
+    2. rows left at '' go through the batch backend (``mapInPandas``,
+       Arrow-batched — the expensive path sees only the remainder);
+    3. closed-domain validation.
+    """
+    text = F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols])
+    ruled = df.withColumn("sector", rule_expr(text, cfg))
+
+    resolved = ruled.filter(F.col("sector") != "")
+    unresolved = ruled.filter(F.col("sector") == "")
+
+    if backend is None:
+        backend = make_stub_backend(cfg, id_col)
+
+    schema = unresolved.schema
+
+    def apply_backend(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.copy()
+                # chunk to the configured batch size, mirroring the
+                # reference's per-call batching (configs/classifier.yml:4)
+                out = []
+                for start in range(0, len(pdf), cfg.batch_size):
+                    chunk = pdf.iloc[start : start + cfg.batch_size]
+                    out.append(backend(chunk))
+                import pandas as pd
+
+                pdf["sector"] = pd.concat(out).values if out else pdf["sector"]
+            yield pdf
+
+    backed = unresolved.mapInPandas(apply_backend, schema=schema)
+    merged = resolved.unionByName(backed)
+    return merged.withColumn("sector", validate_domain(F.col("sector"), cfg))
+
+
+def classify_rules_only(
+    df: DataFrame, cfg: ClassifierConfig, text_cols: tuple[str, str]
+) -> DataFrame:
+    """C1 + C3 without the backend ('' -> fallback directly)."""
+    text = F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols])
+    ruled = df.withColumn("sector", rule_expr(text, cfg))
+    return ruled.withColumn(
+        "sector",
+        F.when(F.col("sector") == "", F.lit(cfg.fallback)).otherwise(F.col("sector")),
+    ).withColumn("sector", validate_domain(F.col("sector"), cfg))
+
+
+def load_config(path: str) -> ClassifierConfig:
+    """Load a ClassifierConfig from YAML with the same key shape as the
+    reference's ``configs/classifier.yml`` (categories / rules /
+    gemini.batch_size)."""
+    import yaml
+
+    with open(path) as fh:
+        raw = yaml.safe_load(fh)
+    return ClassifierConfig(
+        categories=tuple(raw["categories"]),
+        rules=tuple((r["pattern"], r["category"]) for r in raw["rules"]),
+        fallback=raw.get("fallback", "otros"),
+        batch_size=int(raw.get("gemini", {}).get("batch_size", 20)),
+    )

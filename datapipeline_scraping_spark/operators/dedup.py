@@ -1,0 +1,259 @@
+"""Deduplication operators — exact, first-wins, MinHash+LSH, SimHash,
+n-gram Jaccard (H4 in SURVEY.md §2.3 + the north-star LLM-pipeline
+dedup surface).
+
+The reference's only dedup is batch-local first-wins by primary key
+(``src/storage.py:108-117``), needed because ``ON CONFLICT`` cannot
+touch the same row twice. The engine generalizes to the dedup family a
+training-data pipeline needs at 100 TB.
+
+Scale design:
+- Exact/first-wins: key-partitioned window/groupBy — shards by key,
+  one shuffle, no driver state.
+- MinHash signatures are computed with ARRAY HIGHER-ORDER FUNCTIONS
+  entirely within a row (no shuffle, no explode, whole-stage codegen):
+  ``sig[s] = array_min(transform(shingles, x -> md5(s || ':' || x)))``.
+  Lexicographic min over md5 hex strings is a uniform min-hash.
+- LSH banding: each doc emits ``n_bands`` (band, bucket) rows; the
+  candidate-pair self-join shuffles on the bucket key only. Bucket
+  skew (giant near-dup clusters) is handled by AQE skew-join.
+- Verification (n-gram Jaccard) runs only on candidate pairs via the
+  shared-shingle join formulation — never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# exact / first-wins
+# --------------------------------------------------------------------------
+
+def first_wins(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
+    """Deterministic first-wins dedup (H4). The reference keeps the
+    first record per ``row_hash`` in list order
+    (``src/storage.py:108-117``); list order does not survive a
+    shuffle, so the engine requires an explicit tiebreak order and uses
+    a ranking window (SURVEY.md §7.3). ``dropDuplicates`` is the lax,
+    nondeterministic version — intentionally not used."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, content_hash: Column, id_col: str) -> DataFrame:
+    """Exact-duplicate grouping by content hash: every row annotated
+    with its group size and the keeper (min id). Filter
+    ``group_size > 1`` for the duplicates themselves."""
+    out = df.withColumn("content_hash", content_hash)
+    w = Window.partitionBy("content_hash")
+    return out.withColumn("group_size", F.count("*").over(w)).withColumn(
+        "keeper_id", F.min(id_col).over(w)
+    )
+
+
+# --------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# --------------------------------------------------------------------------
+
+def shingles(text: Column | str, k: int = 3, sep: str = " ") -> Column:
+    """Word k-shingles as an array column, computed row-locally:
+    tokens[i..i+k-1] joined by ``sep`` for i in 1..max(1, n-k+1)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    n = F.greatest(F.lit(1), F.size(toks) - F.lit(k - 1))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.concat_ws(sep, F.slice(toks, i, k))
+    )
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 8) -> list[Column]:
+    """One min-hash per seed: lexicographic min of seed-salted md5 over
+    the shingle set. min() over a multiset equals min() over the
+    distinct set, so no dedup pass is needed.
+
+    WARNING — do not use on hot paths: evaluating ``md5`` inside
+    ``transform`` over a ``concat_ws(slice(...))``-built array returns
+    NONDETERMINISTIC garbage on Spark 4.1 (observed: different wrong
+    hashes every run — unsafe string buffer reuse inside nested HOF
+    codegen). Kept for documentation/regression; the engine path is
+    :func:`minhash_signatures` (explode + map-side-combinable min
+    aggregate), which is verified against DuckDB and pure Python."""
+    return [
+        F.array_min(
+            F.transform(shingle_col, lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x)))
+        ).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 3, n_hashes: int = 8
+) -> DataFrame:
+    """Per-doc MinHash signature table via explode + grouped min.
+
+    One explode (k-shingles) then ``n_hashes`` parallel MIN aggregates
+    — all map-side combinable, so the shuffle carries only one
+    partially-aggregated signature row per doc per map task."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("s")))).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_buckets(
+    sig_df: DataFrame, id_col: str, n_hashes: int = 8, n_bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows per doc = n_bands) and hash each band
+    to a bucket id. Docs sharing any band bucket are candidates."""
+    rows_per_band = n_hashes // n_bands
+    entries = []
+    for b in range(n_bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket")
+            )
+        )
+    return (
+        sig_df.select(id_col, F.explode(F.array(*entries)).alias("e"))
+        .select(id_col, F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs (a < b) from any shared band bucket.
+    The self-join shuffles on (band, bucket) only."""
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """End-to-end near-dup candidate pairs over a text column."""
+    sig = minhash_signatures(df, id_col, text_col, k=k, n_hashes=n_hashes)
+    return lsh_candidate_pairs(lsh_buckets(sig, id_col, n_hashes, n_bands), id_col)
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard verification (runs on candidate pairs only)
+# --------------------------------------------------------------------------
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact k-shingle Jaccard for each candidate pair via the
+    shared-shingle join formulation:
+
+        J(a,b) = |A ∩ B| / (|A| + |B| - |A ∩ B|)
+
+    computed from distinct-shingle counts — scalable because only
+    candidate docs are exploded, and the intersection is a join on the
+    shingle value, never an all-pairs comparison."""
+    sh = (
+        df.join(
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select("id_b"))
+            .distinct(),
+            on=id_col,
+            how="left_semi",
+        )
+        .select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    shared = (
+        pairs.join(a, on="id_a")
+        .join(b, on=["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    # NB: the ratio is emitted unrounded — int/int division is the
+    # same double on every engine, while round(x, 6) is NOT (Java
+    # rounds the shortest decimal repr, C rounds the binary value;
+    # they disagree on exact .xxxxxx5 boundaries).
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def _hex32(c: Column) -> Column:
+    """First 8 hex chars of md5 as a non-negative 32-bit value in a
+    LongType — cross-engine reproducible (DuckDB:
+    ``('0x' || substr(md5(x),1,8))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document: each token votes ±1 on every bit of
+    its 32-bit hash; the signature sets bits with positive vote sums.
+    Implemented as one explode + ``bits`` parallel conditional sums —
+    a single map-side-combinable aggregation, no per-bit explode."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", _hex32(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(bits):
+        term = F.when(
+            F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.alias("simhash"))

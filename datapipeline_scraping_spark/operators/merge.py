@@ -1,0 +1,66 @@
+"""Upsert/MERGE and union-of-accreted-schemas operators
+(S10/S11, U1/U2 in SURVEY.md §2).
+
+The reference upserts with ``INSERT ... ON CONFLICT (pk) DO UPDATE``
+(``src/storage.py:41-53,90-131``) and merges detail columns over list
+records with ``dict.update`` (``src/scrapers/scraper.py:104-107``).
+Without a transactional table format the engine emulates MERGE as
+
+    result = source UNION ALL (target ANTI-JOIN source ON pk)
+
+which is idempotent and SQL-expressible (SURVEY.md §7.3). On a real
+deployment the same API swaps in Delta/Iceberg ``MERGE INTO``.
+
+Scale notes: the anti join shards by pk; sinks should be written
+partitioned (e.g. by date) so the rewrite touches only affected
+partitions (partition-overwrite-dynamic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, pk: str) -> DataFrame:
+    """S10: source rows win on pk conflict; unmatched target rows kept."""
+    cols = target.columns
+    kept = target.join(source.select(pk), on=pk, how="left_anti")
+    return source.select(*cols).unionByName(kept)
+
+
+def union_accreted(detailed: DataFrame, bypass: DataFrame) -> DataFrame:
+    """U1: union streams whose schemas accreted differently mid-pipeline
+    (detailed rows carry extra detail columns; reference
+    ``dags/scraping_etl.py:108-114``)."""
+    return detailed.unionByName(bypass, allowMissingColumns=True)
+
+
+def overlay_merge(
+    base: DataFrame, detail: DataFrame, on: str, *, detail_wins: bool = True
+) -> DataFrame:
+    """U2: detail columns overlay the base record for the same key
+    (``b['meta'].update(detail)``, reference
+    ``src/scrapers/scraper.py:104-107``); rows with no detail match
+    pass through untouched (S2 pass-through semantics)."""
+    overlap = [c for c in detail.columns if c in base.columns and c != on]
+    d = detail
+    for c in overlap:
+        d = d.withColumnRenamed(c, f"__d_{c}")
+    out = base.join(d, on=on, how="left")
+    for c in overlap:
+        winner = (
+            F.coalesce(F.col(f"__d_{c}"), F.col(c))
+            if detail_wins
+            else F.coalesce(F.col(c), F.col(f"__d_{c}"))
+        )
+        out = out.withColumn(c, winner).drop(f"__d_{c}")
+    return out
+
+
+def keyed_multi_get(df: DataFrame, key: str, ids: list) -> DataFrame:
+    """S8: ``WHERE lookup_key = ANY(%s)`` (reference
+    ``src/storage.py:76-88``). For huge id lists pass a DataFrame and
+    use a semi join instead; ``isin`` keeps it a pushed-down scan
+    filter for small lists."""
+    return df.where(F.col(key).isin(ids))

@@ -1,0 +1,87 @@
+"""Multimodal column pattern — opaque binary payloads + typed metadata
+(north-star surface).
+
+Images/audio/video ride through the pipeline as ``binary`` columns
+with a metadata struct alongside; decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas functions over
+``mapInPandas``. Media codecs are not available in this container, so
+the decode step is STUBBED (clearly marked below): the Spark-side
+plumbing — schema, batch shape, partitioning — is real and tested,
+and the deterministic fake keeps results oracle-checkable.
+
+Scale notes: binary payloads make rows wide — keep
+``spark.sql.files.maxPartitionBytes`` moderate, project the blob away
+as soon as metadata is extracted, and never pass blobs through a
+shuffle you don't need (extract first, then join on the id).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def attach_blob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Pack a payload column as binary + a metadata struct — the
+    multimodal carrier shape. (Here the payload is UTF-8 text; in
+    production it is image/audio bytes from object storage.)"""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").alias("blob"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(F.col(text_col)).cast("long").alias("declared_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_image(blob: bytes):
+    """Real image decode — requires an imaging library not present in
+    this container. STUB: see :func:`extract_media_meta` for the
+    deterministic fake used by tests/oracles."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv, not available in this environment; "
+        "use extract_media_meta (deterministic fake) for plumbing tests"
+    )
+
+
+_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+
+def extract_media_meta(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched metadata extraction over binary payloads.
+
+    The decode itself is a DETERMINISTIC FAKE (byte-length arithmetic
+    standing in for a real header parse) so the Spark plumbing —
+    mapInPandas signature, batch shape, output schema — is exercised
+    and the result stays oracle-checkable:
+
+        n_bytes = len(blob); width = n_bytes % 640;
+        height = (n_bytes * 7) % 480
+    """
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            n = pdf["blob"].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": n,
+                    "width": n % 640,
+                    "height": (n * 7) % 480,
+                }
+            )
+
+    return blobs.mapInPandas(extract, schema=_META_SCHEMA)

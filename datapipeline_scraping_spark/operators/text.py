@@ -1,0 +1,107 @@
+"""Text-analysis operators (north-star surface over ``documents``):
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. All built-in expressions — per-row, shuffle-free,
+codegen-friendly; safe at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer regex: runs of alphanumerics, or single
+# non-alphanumeric-non-space marks. ASCII-explicit so Java (Spark) and
+# RE2 (DuckDB) agree.
+TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny function-word list for the quality score (vocabulary of the
+# synthetic corpus is English-ish).
+STOPWORDS = ("the", "a", "of", "and", "in", "on", "to", "is")
+
+# Marker tokens per language for the n-gram/keyword language-ID
+# heuristic. Deterministic and cross-engine; tuned to the synthetic
+# vocabulary (real deployments swap in char-trigram profiles).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "fast", "slow", "small", "big"),
+    "es": ("data", "vector", "columna", "linea", "grande"),
+    "de": ("und", "der", "die", "das", "gross"),
+    "fr": ("le", "la", "les", "des", "petit"),
+    "zh": ("zh1", "zh2", "zh3", "zh4", "zh5"),
+}
+
+
+def ws_tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count_regex(text: Column | str, pattern: str = TOKEN_RE) -> Column:
+    """Token count under the BPE-ish regex tokenizer."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def n_tokens(text: Column | str) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def n_unique_tokens(text: Column | str) -> Column:
+    return F.size(F.array_distinct(ws_tokens(text)))
+
+
+def stopword_count(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = ws_tokens(text)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic quality score in [0, 1]:
+
+        min(1, n_tokens/50) * (0.25 + 0.75 * unique_ratio)
+          * (1 - 0.5 * stopword_ratio)
+
+    Length credit, repetition penalty, boilerplate penalty — the same
+    shape as production quality filters (e.g. Gopher rules), kept
+    SQL-expressible for oracle checking.
+
+    Computed as ONE exact integer rational, then a single double
+    division:
+
+        min(nt,50) * (nt + 3*uniq) * (2*nt - sw)  /  (400 * nt^2)
+
+    — algebraically identical to the float formula but bit-stable
+    across engines (float chains land on .xxx5 rounding boundaries
+    where Java's round() and C's round() disagree)."""
+    nt = n_tokens(text).cast("long")
+    uniq = n_unique_tokens(text).cast("long")
+    sw = stopword_count(text).cast("long")
+    numer = F.least(nt, F.lit(50)) * (nt + F.lit(3) * uniq) * (F.lit(2) * nt - sw)
+    denom = F.lit(400) * nt * nt
+    return numer / denom
+
+
+def lang_id(text: Column | str) -> Column:
+    """Keyword-overlap language-ID: argmax over per-language marker-hit
+    counts, ties broken by language code order, 'und' when no marker
+    hits at all."""
+    toks = F.array_distinct(ws_tokens(text))
+    scores = {}
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reversed so earlier language codes win ties
+    for lang in sorted(scores, reverse=True):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Key-collapse fingerprint: md5 of the sorted distinct lowercase
+    token set — whitespace/order/duplication-insensitive identity, the
+    standard clustering key for near-identical records."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.array_sort(F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+")))
+    return F.md5(F.concat_ws(" ", toks))

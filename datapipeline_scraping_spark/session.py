@@ -1,0 +1,83 @@
+"""SparkSession factory + per-session runtime preparation.
+
+The reference runs one Airflow LocalExecutor process per task with
+asyncio concurrency (reference: ``docker-compose.yml:9``,
+``src/scrapers/scraper.py:90-91``); here the execution substrate is a
+Spark cluster. Everything performance-relevant is delegated to
+Tungsten/AQE — the factory only turns the right knobs on.
+
+Scale notes (100 TB): AQE handles skew joins and post-shuffle
+coalescing; shuffle partition count here is a local-mode default —
+on a real cluster set ``spark.sql.shuffle.partitions`` ≈ 2-3× total
+cores and rely on AQE coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session (including a
+# driver-provided one) before running engine queries. Keeping the
+# session timezone pinned to UTC makes date_trunc/to_date behavior
+# identical to the (naive-timestamp) DuckDB oracle.
+_RUNTIME_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an existing session.
+
+    Safe to call repeatedly; used at the top of every registry query so
+    correctness does not depend on who built the SparkSession.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # non-runtime-settable in this build — ignore
+            pass
+    return spark
+
+
+def build_spark(
+    app_name: str = "datapipeline-scraping-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a tuned local/cluster SparkSession.
+
+    Local parallelism follows ``SPARK_GRAFT_CPUS`` (driver contract);
+    on a real cluster pass ``master=None`` with external spark-submit
+    conf and only the SQL conf below applies.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return prepare(builder.getOrCreate())

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Driver simulator: exercises the __spark_entry__ contract exactly the
+way the round driver does — a PLAIN SparkSession (none of the engine's
+tuned conf), entry() smoke at sf0.001, then every queries() entry at
+sf0.01 compared against oracle_sql() via DuckDB (row count + sorted
+column names + order-insensitive value multiset)."""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as E  # noqa: E402
+
+SF_CORRECT = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+def main():
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        # deliberately hostile: a non-UTC session timezone, to prove
+        # the engine's prepare() takes over
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .getOrCreate()
+    )
+
+    df = E.entry(spark)
+    rows = df.collect()
+    print(f"entry(): {len(rows)} rows, schema={df.columns}")
+    assert len(rows) > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_CORRECT}/{t}.parquet'")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    n_pass = n_fail = 0
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        sdf = qs[name](spark, SF_CORRECT)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        dt = time.perf_counter() - t0
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows in {dt:.1f}s")
+            continue
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        ok = sorted(scols) == sorted(dcols) and len(srows) == len(drows)
+        if ok:
+            ns, nd = norm(srows, scols), norm(drows, dcols)
+            ok = ns == nd
+        status = "PASS" if ok else "FAIL"
+        if ok:
+            n_pass += 1
+        else:
+            n_fail += 1
+        print(f"{status} {name}: {len(srows)} rows in {dt:.1f}s")
+        if not ok:
+            print(f"  spark cols={scols} rows={len(srows)}; duck cols={dcols} rows={len(drows)}")
+            ns, nd = norm(srows, scols), norm(drows, dcols)
+            bad = [(a, b) for a, b in zip(ns, nd) if a != b][:2]
+            for a, b in bad:
+                print(f"  spark={a}\n  duck ={b}")
+    print(f"TOTAL: {n_pass} pass, {n_fail} fail, {len(qs) - len(oracles)} rows-only")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
