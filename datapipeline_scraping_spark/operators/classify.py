@@ -151,7 +151,14 @@ def classify(
                 pdf["sector"] = pd.concat(out).values if out else pdf["sector"]
             yield pdf
 
-    backed = unresolved.mapInPandas(apply_backend, schema=schema)
+    # repartition before the pandas stage: a single-file source would
+    # otherwise funnel every row through one Python worker (mirrors
+    # the reference's batched-parallel LLM calls)
+    backed = unresolved.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).mapInPandas(
+        apply_backend, schema=schema
+    )
     merged = resolved.unionByName(backed)
     return merged.withColumn("sector", validate_domain(F.col("sector"), cfg))
 

@@ -99,8 +99,20 @@ def minhash_signatures(
 
     One explode (k-shingles) then ``n_hashes`` parallel MIN aggregates
     — all map-side combinable, so the shuffle carries only one
-    partially-aggregated signature row per doc per map task."""
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s"))
+    partially-aggregated signature row per doc per map task.
+
+    The input is repartitioned by id first: a small corpus often
+    arrives as one parquet file = one task, which would serialize the
+    md5 work; at 100 TB the scan is already many-partitioned and the
+    repartition collapses into the existing exchange."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.select(F.col(id_col), F.col(text_col))
+        # explicit partition count: AQE would coalesce a column-only
+        # repartition of a small corpus back to one task
+        .repartition(n_part, F.col(id_col))
+        .select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s"))
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("s")))).alias(f"mh{s}")
         for s in range(n_hashes)
@@ -131,6 +143,9 @@ def lsh_buckets(
 def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
     """Distinct candidate pairs (a < b) from any shared band bucket.
     The self-join shuffles on (band, bucket) only."""
+    # the self-join consumes the bucket table twice; persist so the
+    # signature chain upstream executes once
+    buckets = buckets.persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -192,8 +207,12 @@ def jaccard_verify(
             on=id_col,
             how="left_semi",
         )
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
         .select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
         .distinct()
+        # reused three ways below (a-side, b-side, sizes): persist the
+        # candidate shingle table instead of recomputing the explode
+        .persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
@@ -238,9 +257,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     its 32-bit hash; the signature sets bits with positive vote sums.
     Implemented as one explode + ``bits`` parallel conditional sums —
     a single map-side-combinable aggregation, no per-bit explode."""
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).withColumn("h", _hex32(F.col("tok")))
+    toks = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .withColumn("h", _hex32(F.col("tok")))
+    )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(

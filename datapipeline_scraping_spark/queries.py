@@ -277,7 +277,7 @@ def q06_revenue_forecast(spark, sf_dir):
 SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
 FROM (
   SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
-    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
+    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
   FROM lineitem
 ) WHERE rn = 1
 """,
@@ -290,7 +290,7 @@ def q07_first_wins_dedup(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
     )
-    return D.first_wins(l, ["l_orderkey"], ["l_linenumber", "l_partkey"])
+    return D.first_wins(l, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_quantity"])
 
 
 @q(
@@ -616,3 +616,4 @@ def q31_row_checksum(spark, sf_dir):
 # ---------------------------------------------------------------------------
 from . import queries_text  # noqa: E402,F401
 from . import queries_llm  # noqa: E402,F401
+from . import queries_ext  # noqa: E402,F401

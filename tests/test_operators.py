@@ -1,0 +1,120 @@
+"""Operator-level unit tests: delta split routing, first-wins
+determinism, merge/upsert, overlay, scrape source, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datapipeline_scraping_spark.operators.delta import delta_split, ledger_records
+from datapipeline_scraping_spark.operators.dedup import first_wins, minhash_lsh_pairs
+from datapipeline_scraping_spark.operators.merge import (
+    keyed_multi_get,
+    merge_upsert,
+    overlay_merge,
+    union_accreted,
+)
+from datapipeline_scraping_spark.operators.multimodal import (
+    attach_blob,
+    extract_media_meta,
+)
+from datapipeline_scraping_spark.sources.scrape import (
+    fake_fetcher,
+    paginated_list_scan,
+    with_retry,
+)
+
+
+def test_delta_split_routing(spark):
+    incoming = spark.createDataFrame(
+        [("k1", "h1"), ("k2", "h2-new"), ("k3", "h3")],
+        "k string, row_hash string",
+    )
+    state = spark.createDataFrame(
+        [("k1", "h1"), ("k2", "h2-old"), ("k9", "h9")],
+        "k string, row_hash string",
+    )
+    changed, bypass = delta_split(incoming, state, "k")
+    assert {r["k"] for r in changed.collect()} == {"k2", "k3"}  # changed + new
+    assert {r["k"] for r in bypass.collect()} == {"k1"}  # unchanged
+
+
+def test_ledger_records_shape(spark):
+    df = spark.createDataFrame([("a", "h")], "k string, row_hash string")
+    out = ledger_records(df, "k")
+    assert out.columns == ["lookup_key", "row_hash"]
+
+
+def test_first_wins_deterministic_under_shuffle(spark):
+    rows = [("k", i, f"v{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, ord int, v string").repartition(8)
+    for _ in range(3):
+        out = first_wins(df, ["k"], ["ord"]).collect()
+        assert len(out) == 1 and out[0]["v"] == "v0"
+
+
+def test_merge_upsert_source_wins(spark):
+    target = spark.createDataFrame([(1, "old"), (2, "keep")], "pk int, v string")
+    source = spark.createDataFrame([(1, "new"), (3, "ins")], "pk int, v string")
+    out = {r["pk"]: r["v"] for r in merge_upsert(target, source, "pk").collect()}
+    assert out == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_union_accreted_fills_missing(spark):
+    det = spark.createDataFrame([(1, "a", "extra")], "k int, v string, d string")
+    byp = spark.createDataFrame([(2, "b")], "k int, v string")
+    out = union_accreted(det, byp).orderBy("k").collect()
+    assert out[1]["d"] is None
+
+
+def test_overlay_detail_wins_and_passthrough(spark):
+    base = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    detail = spark.createDataFrame([(1, "X", "n1")], "k int, v string, note string")
+    out = {r["k"]: (r["v"], r["note"]) for r in overlay_merge(base, detail, "k").collect()}
+    assert out == {1: ("X", "n1"), 2: ("y", None)}
+
+
+def test_keyed_multi_get(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "k int")
+    assert keyed_multi_get(df, "k", [1, 5]).count() == 2
+
+
+def test_scrape_source_shape_and_retry(spark):
+    out = paginated_list_scan(spark, max_pages=3).collect()
+    assert len(out) == 30
+    assert {r["page"] for r in out} == {0, 1, 2}
+
+    attempts = []
+
+    def flaky(page):
+        attempts.append(page)
+        if len(attempts) < 3:
+            raise OSError("transient")
+        return fake_fetcher(page)
+
+    wrapped = with_retry(flaky, attempts=5, base_delay=0.001)
+    assert "p7-r0" in wrapped(7)
+    assert len(attempts) == 3
+
+
+def test_multimodal_blob_roundtrip(spark):
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    blobs = attach_blob(docs, "doc_id", "text")
+    meta = extract_media_meta(blobs, "doc_id").collect()[0]
+    assert meta["n_bytes"] == 11
+    assert meta["width"] == 11 % 640 and meta["height"] == (11 * 7) % 480
+
+
+def test_minhash_finds_planted_neardups(spark):
+    base = "a b c d e f g h i j k l m n o p q r s t"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),  # near-dup of 1
+            (3, "completely different tokens x y z w v u q9 q8 q7 q6"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
