@@ -46,8 +46,13 @@ def main() -> None:
     from datapipeline_scraping_spark.session import build_spark
 
     spark = build_spark(app_name="dps-bench")
-    # warm the JVM + parquet footers with a trivial action
+    # warm the JVM + parquet footers with a trivial action, and pre-spawn
+    # the Python worker pool (pandas/pyarrow import storm) so the first
+    # pandas-UDF query isn't charged the one-time worker startup
     spark.range(1).count()
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, schema="id long").count()
 
     per_query: dict[str, float] = {}
     total = 0.0
@@ -59,6 +64,9 @@ def main() -> None:
         dt = time.perf_counter() - t0
         per_query[name] = round(dt, 3)
         total += dt
+        # release intra-query persisted intermediates (LSH bucket/shingle
+        # tables) so one query's cache doesn't skew the next one's timing
+        spark.catalog.clearCache()
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
     print(
