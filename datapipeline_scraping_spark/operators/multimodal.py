@@ -85,3 +85,50 @@ def extract_media_meta(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return blobs.mapInPandas(extract, schema=_META_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_hash", T.StringType()),
+    ]
+)
+
+
+def sample_frames(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling over binary media payloads — the UDTF-shaped
+    multimodal op: one input row fans out to n_frames output rows via
+    ``mapInPandas`` (variable-arity output is exactly what mapInPandas
+    is for; a scalar pandas_udf could not change cardinality).
+
+    The frame decode is a DETERMINISTIC FAKE (real codecs are not in
+    this container): n_frames = n_bytes % 5 + 1, frames evenly strided,
+    frame content stood in by md5(doc_id:frame_idx). The Spark
+    plumbing — fan-out schema, Arrow batching, blob projected away
+    before any shuffle — is the real pattern."""
+
+    def explode_frames(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_hash": []}
+            for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
+                n = len(blob)
+                n_frames = n % 5 + 1
+                stride = n // n_frames
+                for i in range(n_frames):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(i * stride)
+                    out["frame_hash"].append(
+                        hashlib.md5(f"{int(doc_id)}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return blobs.select(F.col(id_col), F.col("blob")).mapInPandas(
+        explode_frames, schema=_FRAME_SCHEMA
+    )

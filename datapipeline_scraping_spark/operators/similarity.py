@@ -110,6 +110,139 @@ def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     return bucket
 
 
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.99,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs kernel).
+
+    Output: (id_a, id_b, cosine) with id_a < id_b and
+    round(cosine, round_to) >= threshold.
+
+    Scale note: all-pairs is the VERIFICATION kernel — at 100 TB run it
+    only on candidate pairs from an SRP-bucket join (:func:`srp_bucket`,
+    same composition as MinHash->Jaccard in operators/dedup.py). The
+    exact form here is what the oracle can replicate bit-for-bit;
+    the bucketed variant is exercised rows-only by q35."""
+    a = vectors.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (norm(F.col("va")) * norm(F.col("vb"))),
+                round_to,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str = "v",
+    *,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF list assignment: each vector goes to its max-cosine centroid
+    (rounded before argmax, centroid-id tiebreak => deterministic).
+    The centroid table is broadcast — it is small by construction —
+    so assignment is a map-only stage at any corpus size."""
+    c = centroids.select(F.col("cid"), F.col("cv"))
+    scored = vectors.join(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cid"),
+        F.round(
+            dot(F.col(vec_col), F.col("cv"))
+            / (norm(F.col(vec_col)) * norm(F.col("cv"))),
+            round_to,
+        ).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "csim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_every: int = 100,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-style approximate nearest neighbor: the corpus is
+    partitioned into inverted lists by nearest centroid; each query
+    scores only the lists of its ``nprobe`` nearest centroids.
+
+    Centroids are chosen deterministically (every ``centroid_every``-th
+    vector id) instead of k-means — the ANN *structure* (coarse
+    quantize -> probe subset -> exact rerank) is identical, and
+    determinism is what makes the result oracle-checkable. Swap the
+    centroid table for trained k-means centroids in production.
+
+    Scale: centroids broadcast (map-only assignment); the probe join
+    shuffles corpus rows on cid only; per-query work drops from
+    |corpus| to nprobe/|centroids| of it."""
+    cent = corpus.filter((F.col(id_col) % centroid_every) == 0).select(
+        F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
+    )
+    corp = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    assigned = ivf_assign(corp, cent, id_col, "v", round_to=round_to)
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    qscored = qv.join(F.broadcast(cent)).select(
+        "query_id",
+        "qv",
+        "cid",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv"))),
+            round_to,
+        ).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    probes = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+
+    scored = (
+        probes.join(assigned, on="cid")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (norm(F.col("qv")) * norm(F.col("v"))),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

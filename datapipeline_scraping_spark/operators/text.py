@@ -105,3 +105,57 @@ def fingerprint(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     toks = F.array_sort(F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+")))
     return F.md5(F.concat_ws(" ", toks))
+
+
+def tfidf_topk(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    top: int = 5,
+):
+    """Per-document top-k terms by TF-IDF.
+
+    IDF uses the BM25-style rational form
+    ``(N - df + 0.5) / (df + 0.5)`` instead of a logarithm: the score is
+    then built purely from IEEE add/mul/div on exact integer counts, so
+    Spark and DuckDB agree bit-for-bit (libm ``log`` implementations
+    may differ in the last ulp; a rational idf removes libm entirely
+    while preserving the ranking).
+
+    Scale: one explode, two key-partitioned aggregations (doc-term TF,
+    term DF), one broadcast-size scalar (N), one join on the term —
+    every stage map-side combinable; no all-pairs, no driver state."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        toks.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = df.agg(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            (
+                F.col("tf")
+                * (F.col("n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top)
+    )

@@ -617,3 +617,5 @@ def q31_row_checksum(spark, sf_dir):
 from . import queries_text  # noqa: E402,F401
 from . import queries_llm  # noqa: E402,F401
 from . import queries_ext  # noqa: E402,F401
+from . import queries_stream  # noqa: E402,F401
+from . import queries_ml  # noqa: E402,F401

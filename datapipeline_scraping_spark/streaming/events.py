@@ -41,6 +41,11 @@ def _stage_events_us(spark: SparkSession, sf_dir: str) -> str:
         batch = load_table(spark, sf_dir, "events")
         (
             batch.withColumn("ts", F.col("ts").cast("timestamp"))
+            # one file => AvailableNow replays exactly one micro-batch,
+            # making stateful-op output deterministic for the oracle
+            # comparison (production equivalent: a partitioned bronze
+            # table replayed with maxFilesPerTrigger batching)
+            .coalesce(1)
             .write.mode("overwrite")
             .parquet(out)
         )
@@ -129,7 +134,12 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` (30-min gap) streaming aggregation —
-    the stateful twin of batch ``q32_sessionization``."""
+    the stateful twin of batch ``q32_sessionization``.
+
+    Boundary semantics (matters for the oracle): two events exactly
+    ``gap`` apart do NOT merge — a session window is ``[t, t+gap)`` and
+    merging requires overlap, so the batch twin must flag
+    ``diff >= gap`` as a new session (q32 uses ``>``)."""
     sdf = events_stream(spark, sf_dir)
     agg = (
         sdf.withWatermark("ts", "2 days")
@@ -143,3 +153,97 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg)
+
+
+def stream_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup under real re-delivery: the stream
+    unioned with itself (every event delivered twice), then
+    ``dropDuplicatesWithinWatermark`` on the event key, then a stateful
+    count — streaming H2/H4. The watermark horizon is set far past the
+    data range so no event can be dropped as late (the single staged
+    file already guarantees one micro-batch); at production scale the
+    horizon is the real re-delivery window so state is purged."""
+    sdf = events_stream(spark, sf_dir)
+    doubled = sdf.unionByName(sdf)
+    deduped = (
+        doubled.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return run_available_now(deduped)
+
+
+def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running stats (event count, min/max value, last event type by time)
+    maintained in explicit GroupState — the engine form of the
+    reference's incremental keyed state table (SURVEY §1.4: the raw
+    ledger is the state store).
+
+    Only order-independent/exact stats are kept (count, min, max,
+    argmax-by-timestamp) so the result is reproducible cross-engine —
+    no floating-point accumulation order dependence."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sdf = events_stream(spark, sf_dir)
+
+    out_schema = (
+        "user_id long, n_events long, min_value double, max_value double, "
+        "last_event_type string"
+    )
+    state_schema = (
+        "n long, mn double, mx double, last_us long, last_id long, "
+        "last_type string"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, mn, mx, last_us, last_id, last_type = (
+            state.get if state.exists else (0, None, None, -1, -1, None)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            vmin = float(pdf["value"].min())
+            vmax = float(pdf["value"].max())
+            mn = vmin if mn is None else min(mn, vmin)
+            mx = vmax if mx is None else max(mx, vmax)
+            # deterministic "last": lexicographic max of (ts, event_id)
+            us = (pdf["ts"].astype("int64") // 1000).astype("int64")
+            pos = (
+                pdf.assign(__us=us)
+                .sort_values(["__us", "event_id"])
+                .index[-1]
+            )
+            cand = (int(us.loc[pos]), int(pdf["event_id"].loc[pos]))
+            if cand > (last_us, last_id):
+                last_us, last_id = cand
+                last_type = str(pdf["event_type"].loc[pos])
+        state.update((n, mn, mx, last_us, last_id, last_type))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_events": n,
+                    "min_value": mn,
+                    "max_value": mx,
+                    "last_event_type": last_type,
+                }
+            ]
+        )
+
+    result = (
+        sdf.withWatermark("ts", "3650 days")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_available_now(result, output_mode="update")
