@@ -619,3 +619,4 @@ from . import queries_llm  # noqa: E402,F401
 from . import queries_ext  # noqa: E402,F401
 from . import queries_stream  # noqa: E402,F401
 from . import queries_ml  # noqa: E402,F401
+from . import queries_scale  # noqa: E402,F401

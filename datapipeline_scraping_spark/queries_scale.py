@@ -1,0 +1,229 @@
+"""Registry part 6 — scale-tier operators: sketch aggregates, null
+normalization, vector stats, the as-of join, and a bucketed co-located
+join (shuffle-free join demonstration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.numeric import exact_sum, sql_exact_sum
+from .operators.asof import asof_join
+from .queries import _t, q
+
+# ===========================================================================
+# sketch tier: approximate aggregates (the 100 TB defaults)
+# ===========================================================================
+
+@q("q58_approx_sketches")  # rows-only: sketches are engine-specific by nature
+def q58_approx_sketches(spark, sf_dir):
+    """Approximate aggregation tier: HyperLogLog distinct counts and
+    t-digest percentiles per event_type. These are the operators you
+    actually run at 100 TB (map-side-combinable, fixed-size state, one
+    shuffle of sketch bytes); the exact twins (countDistinct, q55
+    percentile) are the correctness oracles at test scale. Rows-only
+    check: sketch estimates are engine-specific by design."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("approx_percentile(value, array(0.5, 0.99), 10000)").alias("value_pcts"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ===========================================================================
+# null normalization (P12/P13/P15 generalized)
+# ===========================================================================
+
+@q(
+    "q59_null_handling",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+    nullif(trim(source), '') AS source,
+    nullif(trim(lang), '') AS lang,
+    CASE WHEN n_chars <= 0 THEN NULL ELSE n_chars END AS n_chars
+  FROM documents
+),
+filled AS (
+  SELECT doc_id,
+    coalesce(source, 'unknown') AS source,
+    coalesce(lang, 'und') AS lang,
+    coalesce(n_chars, 0) AS n_chars
+  FROM raw
+  WHERE doc_id IS NOT NULL
+)
+SELECT source, lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM filled GROUP BY source, lang
+""",
+)
+def q59_null_handling(spark, sf_dir):
+    """Null-normalization suite — the reference's empty-string->NULL
+    boundary discipline (P15, ``src/storage.py:149-152``) plus the
+    na.fill / dropna family, rolled into one oracle-checked pass."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.nullif(F.trim("source"), F.lit("")).alias("source"),
+        F.nullif(F.trim("lang"), F.lit("")).alias("lang"),
+        F.when(F.col("n_chars") <= 0, None).otherwise(F.col("n_chars")).alias(
+            "n_chars"
+        ),
+    )
+    filled = raw.dropna(subset=["doc_id"]).fillna(
+        {"source": "unknown", "lang": "und", "n_chars": 0}
+    )
+    return filled.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# ===========================================================================
+# vector column stats (array HOFs over embeddings)
+# ===========================================================================
+
+@q(
+    "q60_vector_stats",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+  CAST(len(v) AS BIGINT) AS dim,
+  CAST(list_min(v) AS DOUBLE) AS v_min,
+  CAST(list_max(v) AS DOUBLE) AS v_max,
+  round(list_reduce(v, (acc, x) -> acc + x), 4) AS v_sum,
+  round(sqrt(list_dot_product(v, v)), 4) AS l2_norm
+FROM e
+""",
+)
+def q60_vector_stats(spark, sf_dir):
+    """Per-vector stats via array higher-order functions — all row-
+    local, no explode, no shuffle (the multimodal 'typed metadata over
+    an opaque payload' pattern applied to embeddings). Sums/norms use
+    the same left-to-right fold in both engines, rounded before
+    comparison."""
+    from .operators.similarity import as_double, norm
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    return e.select(
+        "vec_id",
+        F.size("v").cast("long").alias("dim"),
+        F.array_min("v").alias("v_min"),
+        F.array_max("v").alias("v_max"),
+        F.round(
+            F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("v_sum"),
+        F.round(norm(F.col("v")), 4).alias("l2_norm"),
+    )
+
+
+# ===========================================================================
+# as-of join
+# ===========================================================================
+
+@q(
+    "q61_asof_join",
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+  epoch_us(p.ts) AS ts_us,
+  epoch_us(c.ts) AS click_ts_us,
+  c.event_id AS click_event_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def q61_asof_join(spark, sf_dir):
+    """As-of join: each purchase annotated with the user's most recent
+    click at-or-before it (union + single running-window sweep — see
+    operators/asof.py for why this beats a range join at scale).
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", ts="ts", right_cols=["ts", "event_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("click_ts_us"),
+        F.col("asof_event_id").alias("click_event_id"),
+    )
+
+
+# ===========================================================================
+# bucketed co-located join (shuffle-free join at scale)
+# ===========================================================================
+
+_BUCKETS = 8
+
+
+@q(
+    "q62_bucketed_join",
+    oracle=f"""
+SELECT o_orderstatus,
+  COUNT(*) AS n_items,
+  {sql_exact_sum("l_extendedprice * (1 - l_discount)", 18, 4)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def q62_bucketed_join(spark, sf_dir):
+    """Co-located join via bucketed tables: both sides bucketed+sorted
+    by the join key at write time, so the sort-merge join needs NO
+    exchange and NO sort at read time — the key 100 TB join strategy
+    for repeatedly-joined fact tables (amortize one shuffle at ingest
+    across every downstream join). The test suite asserts the plan is
+    exchange-free upstream of the join; the oracle checks the values
+    equal a plain join."""
+    key = sf_dir.rstrip("/").replace("/", "_").lstrip("_").replace(".", "_")
+    db = "dps_buckets"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    lt, ot = f"{db}.lineitem_{key}", f"{db}.orders_{key}"
+
+    def ensure(table: str, src: str, cols: list[str], bucket_col: str) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        # the default catalog is session-scoped but table LOCATIONS are
+        # not — a previous session's managed dir would fail the write,
+        # so clear any orphaned location first
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        orphan = f"{wh}/{db}.db/{table.split('.')[1]}"
+        shutil.rmtree(orphan, ignore_errors=True)
+        (
+            _t(spark, sf_dir, src)
+            .select(*cols)
+            .write.bucketBy(_BUCKETS, bucket_col)
+            .sortBy(bucket_col)
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+
+    ensure(lt, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"], "l_orderkey")
+    ensure(ot, "orders", ["o_orderkey", "o_orderstatus"], "o_orderkey")
+    l = spark.table(lt)
+    o = spark.table(ot)
+    joined = l.hint("merge").join(o, l.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4).alias(
+            "revenue"
+        ),
+    )
