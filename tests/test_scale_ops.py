@@ -1,0 +1,111 @@
+"""Unit tests for the scale-tier operators: as-of join boundary
+semantics, tf-idf ranking, IVF probe behavior, frame fan-out, and the
+bucketed-join plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from datapipeline_scraping_spark.operators.asof import asof_join
+from datapipeline_scraping_spark.operators.text import tfidf_topk
+from tests.conftest import SF_SMOKE
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_boundary_and_missing(spark):
+    """<= boundary: a right row at exactly left.ts matches; a left row
+    before any right row gets nulls; matches never look forward."""
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00"), "early"),   # before any click
+            (1, _ts("2024-01-01T10:00:00"), "exact"),   # == right ts
+            (1, _ts("2024-01-01T11:00:00"), "after"),
+            (2, _ts("2024-01-01T05:00:00"), "otherkey"),
+        ],
+        "key long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100),
+            (1, _ts("2024-01-01T10:30:00"), 101),
+            (2, _ts("2024-01-01T09:00:00"), 200),  # after key-2 left row
+        ],
+        "key long, ts timestamp, val long",
+    )
+    out = {
+        r["tag"]: r["asof_val"]
+        for r in asof_join(
+            left, right, key="key", ts="ts", right_cols=["val"]
+        ).collect()
+    }
+    assert out == {"early": None, "exact": 100, "after": 101, "otherkey": None}
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    df = spark.createDataFrame(
+        [(1, "common rare common"), (2, "common common"), (3, "common other")],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(df, "doc_id", "text", top=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'rare' (df=1) must beat 'common' (df=3) for doc 1 despite tf 1 < 2
+    assert top[1] == "rare"
+    assert out[0]["rank"] == 1
+
+
+def test_ivf_probes_restrict_candidates(spark):
+    """With nprobe < n_centroids, neighbors must come only from probed
+    lists (approximation is structural, not a bug)."""
+    from datapipeline_scraping_spark.operators.similarity import ivf_assign, as_double
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cent = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
+    )
+    corp = emb.select("vec_id", as_double("embedding").alias("v"))
+    assigned = ivf_assign(corp, cent, "vec_id", "v")
+    # every vector lands in exactly one list
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+
+
+def test_frame_fanout_counts(spark):
+    from datapipeline_scraping_spark.operators.multimodal import (
+        attach_blob,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abc")], "doc_id long, text string"
+    )
+    out = sample_frames(attach_blob(docs, "doc_id", "text"), "doc_id").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # len 10 -> 10 % 5 + 1 = 1 frame; len 3 -> 3 % 5 + 1 = 4 frames
+    assert len(by_doc[1]) == 1
+    assert len(by_doc[2]) == 4
+    # offsets evenly strided by n // n_frames
+    assert [r["frame_offset"] for r in sorted(by_doc[2], key=lambda r: r["frame_idx"])] == [
+        0,
+        0,
+        0,
+        0,
+    ]  # 3 // 4 == 0 stride
+
+
+def test_bucketed_join_plan_has_no_extra_exchange(spark):
+    from datapipeline_scraping_spark.queries import REGISTRY
+
+    df = REGISTRY["q62_bucketed_join"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    # the only exchange is the final groupBy aggregation; the join
+    # itself reads pre-bucketed, pre-sorted tables
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort (") == 0
