@@ -92,14 +92,28 @@ def minhash_signature(shingle_col: Column, n_hashes: int = 8) -> list[Column]:
     ]
 
 
+# Universal-hash family for MinHash seeds: h_s(x) = (A[s]*x + B[s]) mod P
+# over the md5-derived 32-bit shingle hash x. One md5 per shingle (the
+# expensive part) + n_hashes cheap integer affine maps, instead of
+# n_hashes md5 calls — ~8x less hashing on the hot path, and every op
+# (multiply/add/mod on int64) is replicable bit-for-bit in DuckDB.
+# A[s] < 2^20 and x < 2^32 keep A*x + B < 2^52: exact in int64 (and in
+# a double, should an engine route through one).
+MINHASH_P = 4294967291  # largest prime < 2^32
+MINHASH_A = (999983, 999979, 999961, 999959, 999953, 999931, 999917, 999907)
+MINHASH_B = (2147483647, 2147483629, 2147483587, 2147483579,
+             2147483563, 2147483549, 2147483543, 2147483497)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, *, k: int = 3, n_hashes: int = 8
 ) -> DataFrame:
     """Per-doc MinHash signature table via explode + grouped min.
 
-    One explode (k-shingles) then ``n_hashes`` parallel MIN aggregates
-    — all map-side combinable, so the shuffle carries only one
-    partially-aggregated signature row per doc per map task.
+    One explode (k-shingles), ONE md5 per shingle reduced to a 32-bit
+    int, then ``n_hashes`` parallel MIN aggregates over cheap affine
+    derived hashes — all map-side combinable, so the shuffle carries
+    only one partially-aggregated signature row per doc per map task.
 
     The input is repartitioned by id first: a small corpus often
     arrives as one parquet file = one task, which would serialize the
@@ -112,9 +126,18 @@ def minhash_signatures(
         # repartition of a small corpus back to one task
         .repartition(n_part, F.col(id_col))
         .select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s"))
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("hx"),
+        )
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("s")))).alias(f"mh{s}")
+        F.min(
+            (F.lit(MINHASH_A[s]) * F.col("hx") + F.lit(MINHASH_B[s]))
+            % F.lit(MINHASH_P)
+        ).alias(f"mh{s}")
         for s in range(n_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -199,6 +222,9 @@ def jaccard_verify(
     computed from distinct-shingle counts — scalable because only
     candidate docs are exploded, and the intersection is a join on the
     shingle value, never an all-pairs comparison."""
+    # pairs is consumed three times (candidate-id semi join, a-side,
+    # b-side); persist so the LSH candidate pipeline runs once
+    pairs = pairs.persist()
     sh = (
         df.join(
             pairs.select(F.col("id_a").alias(id_col))

@@ -61,9 +61,12 @@ def q13_exact_dedup(spark, sf_dir):
 
 def _minhash_cte(k: int = 3, n_hashes: int = 8) -> str:
     """Shared CTE prefix: shingles + per-seed min-hash signature,
-    formula-identical to operators.dedup.{shingles,minhash_signature}."""
+    formula-identical to operators.dedup.minhash_signatures (one md5
+    per shingle -> 32-bit int -> affine universal hashes mod P)."""
     mins = ",\n    ".join(
-        f"min(md5('{s}:' || s)) AS mh{s}" for s in range(n_hashes)
+        f"min(({D.MINHASH_A[s]} * hx + {D.MINHASH_B[s]}) % {D.MINHASH_P})"
+        f" AS mh{s}"
+        for s in range(n_hashes)
     )
     return f"""
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -71,16 +74,19 @@ sh AS (
   SELECT doc_id, array_to_string(list_slice(t, i, i + {k - 1}), ' ') AS s
   FROM toks, UNNEST(generate_series(1, greatest(1, len(t) - {k - 1}))) AS u(i)
 ),
+shx AS (
+  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS hx FROM sh
+),
 sig AS (
   SELECT doc_id,
     {mins}
-  FROM sh GROUP BY doc_id
+  FROM shx GROUP BY doc_id
 ),
 bkt AS (
-  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket FROM sig
-  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
-  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
-  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+  SELECT doc_id, 0 AS band, md5(concat_ws('|', mh0, mh1)) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(concat_ws('|', mh2, mh3)) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(concat_ws('|', mh4, mh5)) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(concat_ws('|', mh6, mh7)) FROM sig
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
