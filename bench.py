@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "q23_text_metrics",
     "q27_classify_backend",
     "q32_sessionization",
+    "q53_tfidf_topterms",
+    "q61_asof_join",
+    "q62_bucketed_join",
 ]
 
 

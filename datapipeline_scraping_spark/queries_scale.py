@@ -194,18 +194,29 @@ def q62_bucketed_join(spark, sf_dir):
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     lt, ot = f"{db}.lineitem_{key}", f"{db}.orders_{key}"
 
-    def ensure(table: str, src: str, cols: list[str], bucket_col: str) -> None:
+    def ensure(table: str, src: str, cols: dict[str, str], bucket_col: str) -> None:
         if spark.catalog.tableExists(table):
             return
         # the default catalog is session-scoped but table LOCATIONS are
-        # not — a previous session's managed dir would fail the write,
-        # so clear any orphaned location first
+        # not: a completed write from a previous session can be adopted
+        # (bucket ids live in the file names, so a CREATE TABLE with the
+        # same bucket spec over the same location is exact); an
+        # incomplete/orphaned one is cleared and rewritten
+        import os
         import shutil
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        orphan = f"{wh}/{db}.db/{table.split('.')[1]}"
-        shutil.rmtree(orphan, ignore_errors=True)
+        loc = f"{wh}/{db}.db/{table.split('.')[1]}"
+        if os.path.exists(os.path.join(loc, "_SUCCESS")):
+            col_ddl = ", ".join(f"{c} {t}" for c, t in cols.items())
+            spark.sql(
+                f"CREATE TABLE {table} ({col_ddl}) USING parquet "
+                f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+                f"INTO {_BUCKETS} BUCKETS LOCATION '{loc}'"
+            )
+            return
+        shutil.rmtree(loc, ignore_errors=True)
         (
             _t(spark, sf_dir, src)
             .select(*cols)
@@ -213,11 +224,17 @@ def q62_bucketed_join(spark, sf_dir):
             .sortBy(bucket_col)
             .format("parquet")
             .mode("overwrite")
+            .option("path", loc)
             .saveAsTable(table)
         )
 
-    ensure(lt, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"], "l_orderkey")
-    ensure(ot, "orders", ["o_orderkey", "o_orderstatus"], "o_orderkey")
+    ensure(
+        lt,
+        "lineitem",
+        {"l_orderkey": "BIGINT", "l_extendedprice": "DOUBLE", "l_discount": "DOUBLE"},
+        "l_orderkey",
+    )
+    ensure(ot, "orders", {"o_orderkey": "BIGINT", "o_orderstatus": "STRING"}, "o_orderkey")
     l = spark.table(lt)
     o = spark.table(ot)
     joined = l.hint("merge").join(o, l.l_orderkey == o.o_orderkey)
