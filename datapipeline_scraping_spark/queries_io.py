@@ -1,0 +1,201 @@
+"""Registry part 7 — source/sink surface: the two-round incremental
+ledger runner (the reference's daily micro-batch made literal), a
+partitioned sink with partition-pruned reads, and CSV/JSON round-trips.
+
+All scratch writes go under the repo-local ``.scratch`` dir keyed by
+sf_dir and are idempotent (overwrite) so repeated driver/test runs are
+deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from .functions.checksum import row_checksum
+from .operators.delta import delta_split
+from .queries import _t, q
+from .streaming.events import SCRATCH
+
+
+def _key(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").replace("/", "_").lstrip("_").replace(".", "_")
+
+
+# ===========================================================================
+# two-round incremental ledger (SURVEY §1.4 made literal)
+# ===========================================================================
+
+@q(
+    "q63_incremental_ledger",
+    oracle="""
+WITH incoming AS (
+  SELECT doc_id, 'd' || CAST(doc_id AS VARCHAR) AS lookup_key,
+    CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents
+),
+hashed AS (
+  SELECT *, md5(concat_ws(chr(31), coalesce(lookup_key, ''), coalesce(text, '')))
+    AS row_hash
+  FROM incoming
+),
+ledger AS (
+  SELECT 'd' || CAST(doc_id AS VARCHAR) AS lookup_key,
+    md5(concat_ws(chr(31), 'd' || CAST(doc_id AS VARCHAR), coalesce(text, '')))
+      AS row_hash
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT
+  CASE
+    WHEN NOT EXISTS (SELECT 1 FROM ledger l WHERE l.lookup_key = h.lookup_key)
+      THEN 'new'
+    ELSE 'changed'
+  END AS change_type,
+  COUNT(*) AS n_rows
+FROM hashed h
+WHERE NOT EXISTS (SELECT 1 FROM ledger l
+  WHERE l.lookup_key = h.lookup_key AND l.row_hash = h.row_hash)
+GROUP BY 1
+""",
+)
+def q63_incremental_ledger(spark, sf_dir):
+    """The reference's daily incremental run as two literal rounds with
+    a PERSISTED parquet ledger (the raw state table, SURVEY §1.4):
+
+    round 1 scans a partial corpus and writes the (lookup_key,
+    row_hash) ledger; round 2 re-scans the full corpus with 10% of
+    rows mutated, reads the ledger BACK FROM DISK, and routes rows via
+    the H2 anti-join delta — new keys vs changed content classified by
+    a ledger-key probe. At 100 TB the ledger is a keyed table; both
+    the write and the probe shard by lookup_key."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lk = F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("lookup_key")
+
+    # --- round 1: partial corpus -> ledger on disk
+    r1 = docs.filter(F.col("doc_id") % 3 != 0).select(lk, "text")
+    r1 = r1.withColumn("row_hash", row_checksum(["lookup_key", "text"]))
+    ledger_path = os.path.join(SCRATCH, f"ledger_{_key(sf_dir)}")
+    r1.select("lookup_key", "row_hash").write.mode("overwrite").parquet(ledger_path)
+
+    # --- round 2: full corpus, 10% mutated, delta vs the disk ledger
+    incoming = docs.select(
+        "doc_id",
+        lk,
+        F.when(F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).withColumn("row_hash", row_checksum(["lookup_key", "text"]))
+    state = spark.read.parquet(ledger_path)
+    changed, _bypass = delta_split(incoming, state, "lookup_key")
+
+    known_keys = state.select("lookup_key").distinct()
+    return (
+        changed.join(known_keys, on="lookup_key", how="left_anti")
+        .select(F.lit("new").alias("change_type"))
+        .unionByName(
+            changed.join(known_keys, on="lookup_key", how="left_semi").select(
+                F.lit("changed").alias("change_type")
+            )
+        )
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+# ===========================================================================
+# partitioned sink + partition-pruned scan
+# ===========================================================================
+
+@q(
+    "q64_partitioned_sink",
+    oracle="""
+SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def q64_partitioned_sink(spark, sf_dir):
+    """Hive-partitioned sink + pruned re-scan: events written
+    partitioned by event_type, then read back filtered to one
+    partition — the scan touches 1/5 of the files (PartitionFilters,
+    asserted in tests). This is the layout contract for 100 TB sinks:
+    partition by the dominant filter column, never by a high-
+    cardinality key."""
+    ev = _t(spark, sf_dir, "events")
+    out = os.path.join(SCRATCH, f"events_by_type_{_key(sf_dir)}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            ev.select("event_id", "user_id", F.col("ts").cast("timestamp"), "event_type")
+            .write.partitionBy("event_type")
+            .mode("overwrite")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    return back.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ===========================================================================
+# CSV / JSON round-trips
+# ===========================================================================
+
+@q(
+    "q65_json_roundtrip",
+    oracle="""
+SELECT lang, source, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang, source
+""",
+)
+def q65_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink + schema-explicit source: documents written as
+    JSONL and read back with the declared schema (never inferSchema at
+    scale — it is a full extra pass), aggregated to prove value
+    fidelity against the parquet original."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    out = os.path.join(SCRATCH, f"docs_jsonl_{_key(sf_dir)}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "doc_id long, lang string, source string, n_chars long"
+    ).json(out)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@q(
+    "q66_csv_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+  COUNT(*) AS n_orders,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS DOUBLE)
+    AS total
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q66_csv_roundtrip(spark, sf_dir):
+    """CSV sink + typed source round-trip on orders (doubles cross the
+    text boundary via shortest-round-trip repr, so the decimal-funneled
+    sum still matches the parquet original exactly)."""
+    from .functions.numeric import exact_sum
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    out = os.path.join(SCRATCH, f"orders_csv_{_key(sf_dir)}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        o.write.mode("overwrite").option("header", "true").csv(out)
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).option("header", "true").csv(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        exact_sum("o_totalprice", 18, 2).alias("total"),
+    )

@@ -109,3 +109,25 @@ def test_bucketed_join_plan_has_no_extra_exchange(spark):
     # itself reads pre-bucketed, pre-sorted tables
     assert plan.count("Exchange") == 1
     assert plan.count("Sort (") == 0
+
+
+def test_partitioned_sink_scan_is_pruned(spark):
+    from datapipeline_scraping_spark.queries import REGISTRY
+
+    df = REGISTRY["q64_partitioned_sink"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_incremental_ledger_two_rounds(spark):
+    """Round 2 must classify unseen keys as new and mutated-content
+    keys as changed — the H2 semantics across a persisted ledger."""
+    from datapipeline_scraping_spark.queries import REGISTRY
+
+    rows = {
+        r["change_type"]: r["n_rows"]
+        for r in REGISTRY["q63_incremental_ledger"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {"new", "changed"}
+    assert rows["new"] > 0 and rows["changed"] > 0
