@@ -1,0 +1,207 @@
+"""Registry part 8 — advanced execution patterns: salted skew join,
+the SQL entry surface, co-grouped pandas, and the streaming
+foreachBatch upsert sink (the reference's storage phase as a streaming
+writer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from .functions.numeric import exact_sum, sql_exact_sum
+from .operators.skew import salted_join
+from .queries import _t, q
+
+
+def _key(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").replace("/", "_").lstrip("_").replace(".", "_")
+
+
+# ===========================================================================
+# salted skew join
+# ===========================================================================
+
+@q(
+    "q67_salted_join",
+    oracle=f"""
+SELECT o_orderpriority,
+  COUNT(*) AS n_items,
+  {sql_exact_sum("l_extendedprice", 18, 2)} AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def q67_salted_join(spark, sf_dir):
+    """Salted equi-join (skew fallback): probe side salted from
+    l_linenumber, build side replicated n_salt times, join on
+    (key, salt) — each hot key spreads over n_salt reducers. Result
+    identical to the plain join (the oracle). First resort at scale is
+    AQE skew splitting (on in session.py); salting is for the one-key-
+    bigger-than-an-executor case — see operators/skew.py."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(l, o, "l_orderkey", salt_from="l_linenumber", n_salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        exact_sum("l_extendedprice", 18, 2).alias("total_price"),
+    )
+
+
+# ===========================================================================
+# SQL entry surface
+# ===========================================================================
+
+_SQL_QUERY = """
+WITH r AS (
+  SELECT l_orderkey,
+    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+  FROM {lineitem} GROUP BY l_orderkey
+)
+SELECT o.o_orderstatus,
+  COUNT(*) AS n_orders,
+  CAST(CAST(SUM(r.rev) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+  CAST(CAST(MAX(r.rev) AS DECIMAL(38,6)) AS DOUBLE) AS top_order_revenue
+FROM r JOIN {orders} o ON o.o_orderkey = r.l_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+@q(
+    "q68_sql_interface",
+    oracle=_SQL_QUERY.format(lineitem="lineitem", orders="orders"),
+)
+def q68_sql_interface(spark, sf_dir):
+    """The engine's SQL surface: tables registered as temp views, the
+    query submitted as ANSI SQL through ``spark.sql`` — byte-for-byte
+    the same text DuckDB runs (only the view registration differs).
+    Proves the DataFrame registry and the SQL surface are the same
+    engine."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("sql_lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sql_orders")
+    return spark.sql(_SQL_QUERY.format(lineitem="sql_lineitem", orders="sql_orders"))
+
+
+# ===========================================================================
+# co-grouped pandas (cogroup applyInPandas)
+# ===========================================================================
+
+@q(
+    "q69_cogroup_purchase_click",
+    oracle="""
+WITH p AS (
+  SELECT user_id, COUNT(*) AS n_purchases FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+c AS (
+  SELECT user_id, COUNT(*) AS n_clicks FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+)
+SELECT coalesce(p.user_id, c.user_id) AS user_id,
+  CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+  CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks
+FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+""",
+)
+def q69_cogroup_purchase_click(spark, sf_dir):
+    """Co-grouped pandas (``groupBy().cogroup().applyInPandas``): the
+    two event streams meet per user-key in one Python function — the
+    seam for per-key reconciliation logic too gnarly for joins (here
+    deliberately simple counts so the full-outer-join oracle is exact).
+    Both sides shuffle once on the key; the pandas function sees
+    exactly one key's slice of each side."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id")
+
+    def reconcile(key, left, right):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_purchases": [len(left)],
+                "n_clicks": [len(right)],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            reconcile, schema="user_id long, n_purchases long, n_clicks long"
+        )
+    )
+
+
+# ===========================================================================
+# streaming foreachBatch upsert sink (S10/S11 as a streaming writer)
+# ===========================================================================
+
+@q(
+    "q70_stream_upsert_sink",
+    oracle="""
+WITH fresh AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+),
+stale(user_id, n_events) AS (VALUES (-1, 111), (-2, 222), (-3, 333))
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events FROM fresh
+UNION ALL
+SELECT user_id, n_events FROM stale
+""",
+)
+def q70_stream_upsert_sink(spark, sf_dir):
+    """The reference's storage phase as a streaming sink: per micro-
+    batch, ``foreachBatch`` MERGE-upserts the batch's per-user counts
+    into a persisted parquet target seeded with stale rows (stale keys
+    not touched by the stream survive; streamed keys are replaced) —
+    S10's ON CONFLICT DO UPDATE, incremental and idempotent. At scale
+    the target is a transactional table (Delta/Iceberg MERGE) — the
+    operator composition is identical."""
+    from .operators.merge import merge_upsert
+    from .streaming.events import SCRATCH as _SC, events_stream
+
+    target_path = os.path.join(_SC, f"upsert_target_{_key(sf_dir)}")
+    seed = spark.createDataFrame(
+        [(-1, 111), (-2, 222), (-3, 333)], "user_id long, n_events long"
+    )
+    seed.write.mode("overwrite").parquet(target_path)
+
+    sdf = events_stream(spark, sf_dir)
+    agg = sdf.groupBy("user_id").agg(F.count("*").alias("n_events"))
+
+    def upsert_batch(batch_df, batch_id):
+        target = batch_df.sparkSession.read.parquet(target_path)
+        merged = merge_upsert(target, batch_df, "user_id")
+        # parquet has no transactional overwrite-while-reading; stage
+        # then swap (Delta/Iceberg MERGE at scale)
+        tmp = target_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(target_path)
+        os.rename(tmp, target_path)
+
+    import uuid
+
+    q_ = (
+        agg.writeStream.foreachBatch(upsert_batch)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation",
+            os.path.join(_SC, "ckpt", f"upsert_{uuid.uuid4().hex[:12]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return spark.read.parquet(target_path).select(
+        "user_id", F.col("n_events").cast("long").alias("n_events")
+    )
