@@ -205,3 +205,50 @@ def q70_stream_upsert_sink(spark, sf_dir):
     return spark.read.parquet(target_path).select(
         "user_id", F.col("n_events").cast("long").alias("n_events")
     )
+
+
+# ===========================================================================
+# Python UDTF (Spark 4 table function) via LATERAL join
+# ===========================================================================
+
+@q(
+    "q71_python_udtf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents WHERE text IS NOT NULL AND text <> ''
+),
+ranked AS (
+  SELECT doc_id, token, CAST(length(token) AS INT) AS tok_len,
+    ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY length(token) DESC, token) AS rn
+  FROM toks
+)
+SELECT doc_id, token, tok_len FROM ranked WHERE rn <= 3
+""",
+)
+def q71_python_udtf(spark, sf_dir):
+    """Native Python UDTF (Spark 4 ``@udtf``) applied with a LATERAL
+    join: each document row fans out to its top-3 longest distinct
+    tokens. The UDTF is the row-to-table seam for logic that neither a
+    scalar UDF (wrong arity) nor explode (needs a precomputed array)
+    expresses; for heavy throughput prefer the Arrow-batched
+    mapInPandas shape (q57) — a plain UDTF is row-at-a-time."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, tok_len int")
+    class TopTokens:
+        def eval(self, text: str):
+            if text:
+                toks = sorted(set(text.split(" ")), key=lambda t: (-len(t), t))[:3]
+                for t in toks:
+                    yield t, len(t)
+
+    docs = _t(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("dps_top_tokens", TopTokens)
+    return spark.sql(
+        "SELECT d.doc_id, t.token, t.tok_len "
+        "FROM udtf_docs d, LATERAL dps_top_tokens(text) t "
+        "WHERE d.text IS NOT NULL AND d.text <> ''"
+    )

@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) for the engine's determinism
+invariants — the contracts every oracle comparison leans on:
+
+- the canonical checksum is a pure function of the configured field
+  subset (field order, extra fields, and row order never matter);
+- first-wins dedup is a deterministic function of (keys, order), not
+  of physical row order;
+- the salted join equals the plain join for any salt fan-out.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from datapipeline_scraping_spark.functions.checksum import row_checksum
+from datapipeline_scraping_spark.operators.dedup import first_wins
+from datapipeline_scraping_spark.operators.skew import salted_join
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_text = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F),
+    max_size=12,
+)
+
+
+@given(rows=st.lists(st.tuples(_text, _text, _text), min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_checksum_ignores_row_and_field_order(spark, rows):
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    h1 = df.select(row_checksum(["a", "b"]).alias("h")).collect()
+    # field list given in any order, extra column never consulted
+    h2 = df.select(row_checksum(["b", "a"]).alias("h")).collect()
+    assert sorted(r["h"] for r in h1) == sorted(r["h"] for r in h2)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), _text),
+        min_size=1,
+        max_size=20,
+    ),
+    seed=st.integers(0, 2**16),
+)
+@settings(**_SETTINGS)
+def test_first_wins_is_physical_order_independent(spark, rows, seed):
+    shuffled = list(rows)
+    random.Random(seed).shuffle(shuffled)
+    a = spark.createDataFrame(rows, "k long, o long, v string").repartition(4)
+    b = spark.createDataFrame(shuffled, "k long, o long, v string").repartition(3)
+    ra = sorted(map(tuple, first_wins(a, ["k"], ["o", "v"]).collect()))
+    rb = sorted(map(tuple, first_wins(b, ["k"], ["o", "v"]).collect()))
+    assert ra == rb
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 1000)), min_size=1, max_size=20
+    ),
+    right=st.lists(st.tuples(st.integers(0, 4), _text), min_size=1, max_size=6),
+    n_salt=st.integers(1, 5),
+)
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain_join(spark, left, right, n_salt):
+    # unique right keys (build side of an upsert-style dim join)
+    right = list({k: v for k, v in right}.items())
+    l = spark.createDataFrame(left, "k long, uid long")
+    r = spark.createDataFrame(right, "k long, payload string")
+    plain = sorted(map(tuple, l.join(r, on="k").collect()))
+    salted = sorted(
+        map(tuple, salted_join(l, r, "k", salt_from="uid", n_salt=n_salt).collect())
+    )
+    assert plain == salted
