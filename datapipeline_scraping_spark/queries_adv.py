@@ -252,3 +252,56 @@ def q71_python_udtf(spark, sf_dir):
         "FROM udtf_docs d, LATERAL dps_top_tokens(text) t "
         "WHERE d.text IS NOT NULL AND d.text <> ''"
     )
+
+
+# ===========================================================================
+# RANGE window frame (value-based sliding frame)
+# ===========================================================================
+
+@q(
+    "q72_range_frame",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, CAST(day_num AS BIGINT) AS day_num,
+  CAST(CAST(SUM(price) OVER (
+    PARTITION BY o_custkey ORDER BY day_num
+    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+  ) AS DECIMAL(38,6)) AS DOUBLE) AS rev_30d
+FROM o
+""",
+)
+def q72_range_frame(spark, sf_dir):
+    """Value-based RANGE window frame: per customer, the trailing
+    30-day revenue at each order. Unlike ROWS frames, RANGE bounds are
+    in the ORDER-BY value's units and include peers — deterministic
+    under ties by construction (every peer sees the same frame), so no
+    tiebreak column is needed. Partitioned by customer; frame state is
+    a sliding aggregate, O(1) per row."""
+    from pyspark.sql import Window
+
+    from .functions.numeric import dec, to_double
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_num"),
+        dec("o_totalprice", 18, 2).alias("price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_num",
+        to_double(F.sum("price").over(w)).alias("rev_30d"),
+    )
