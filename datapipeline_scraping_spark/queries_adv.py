@@ -305,3 +305,172 @@ def q72_range_frame(spark, sf_dir):
         "day_num",
         to_double(F.sum("price").over(w)).alias("rev_30d"),
     )
+
+
+# ===========================================================================
+# SCD2 history upsert
+# ===========================================================================
+
+@q(
+    "q73_scd2_history",
+    oracle="""
+WITH cur AS (
+  SELECT c_custkey, c_mktsegment, DATE '2020-01-01' AS valid_from,
+    CAST(NULL AS DATE) AS valid_to
+  FROM customer
+),
+chg AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment ELSE 'PROMO' END
+      AS new_seg,
+    DATE '2024-06-01' AS eff
+  FROM customer WHERE c_custkey % 7 = 0
+),
+matched AS (
+  SELECT cur.*, chg.new_seg, chg.eff,
+    chg.eff IS NOT NULL AND chg.new_seg IS DISTINCT FROM cur.c_mktsegment
+      AS real_change
+  FROM cur LEFT JOIN chg USING (c_custkey)
+)
+SELECT c_custkey, c_mktsegment, valid_from, eff AS valid_to
+FROM matched WHERE real_change
+UNION ALL
+SELECT c_custkey, c_mktsegment, valid_from, valid_to
+FROM matched WHERE NOT real_change OR eff IS NULL
+UNION ALL
+SELECT c_custkey, new_seg, eff, CAST(NULL AS DATE)
+FROM matched WHERE real_change
+""",
+)
+def q73_scd2_history(spark, sf_dir):
+    """SCD type-2 upsert-with-history (operators/scd.py): a change
+    batch (every 7th customer re-segmented to PROMO, every 14th a
+    deliberate NO-OP change carrying its current value) closes current
+    rows at the effective date and opens new current rows; no-ops and
+    unknown-key rows behave per the operator contract. Pairs with the
+    as-of join for time-travel dimension probes."""
+    from .operators.scd import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    target = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    changes = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 14 == 0, F.col("c_mktsegment"))
+        .otherwise(F.lit("PROMO"))
+        .alias("c_mktsegment"),
+        F.lit("2024-06-01").cast("date").alias("valid_from"),
+    )
+    return scd2_apply(
+        target, changes, key="c_custkey", attrs=["c_mktsegment"]
+    )
+
+
+# ===========================================================================
+# MLlib-backed production paths (trained models => rows-only checks;
+# the deterministic twins q19/q52 carry the oracles)
+# ===========================================================================
+
+@q("q74_ml_minhash_lsh")  # rows-only: hash family is seeded per engine
+def q74_ml_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH via pyspark.ml (``MinHashLSH.approxSimilarityJoin``)
+    over binary HashingTF shingle vectors — the library-grade
+    production path for near-dup detection (tuned band/hash-table
+    internals, trained once, broadcast to executors). The
+    formula-deterministic twin with the DuckDB oracle is q19; this one
+    is rows-only because the hash family is seed-derived inside Spark.
+    Planted re-ingest duplicates (the q13 model) must be found."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rescan = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = docs.unionByName(rescan)
+    feats = HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=1 << 14, binary=True
+    ).transform(
+        Tokenizer(inputCol="text", outputCol="toks").transform(corpus)
+    )
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=4, seed=42
+    ).fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.05, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )
+
+
+@q("q75_kmeans_ivf_topk")  # rows-only: k-means centers are engine-trained
+def q75_kmeans_ivf_topk(spark, sf_dir):
+    """IVF ANN with TRAINED coarse centroids (pyspark.ml KMeans, fixed
+    seed) instead of q52's deterministic id-derived ones: fit k
+    centers, assign inverted lists via the model, probe the 2 nearest
+    lists per query, exact cosine rerank top-5. Same dataflow as q52
+    (broadcast centroids, cid-sharded probe join) — which carries the
+    oracle; training is engine-internal so this is rows-only."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.sql import Window
+
+    from .operators.similarity import as_double, dot, norm as l2norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+    feats = emb.select(
+        "vec_id", as_double("embedding").alias("v"), to_vec("embedding").alias("features")
+    )
+    k = max(2, min(16, feats.count() // 100))
+    model = KMeans(k=k, seed=7, featuresCol="features").fit(feats)
+    assigned = model.transform(feats).select(
+        "vec_id", "v", F.col("prediction").alias("cid")
+    )
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid int, cv array<double>",
+    )
+    qv = assigned.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qscore = qv.join(F.broadcast(centers)).select(
+        "query_id",
+        "qv",
+        "cid",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (l2norm(F.col("qv")) * l2norm(F.col("cv"))),
+            4,
+        ).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    probes = (
+        qscore.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= 2)
+        .select("query_id", "qv", "cid")
+    )
+    scored = (
+        probes.join(assigned, on="cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (l2norm(F.col("qv")) * l2norm(F.col("v"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
