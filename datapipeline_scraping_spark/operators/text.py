@@ -159,3 +159,60 @@ def tfidf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= top)
     )
+
+
+def _trigram_profiles() -> list[tuple[str, str]]:
+    """(trigram, lang) profile rows derived deterministically from the
+    per-language marker vocabulary — the toy stand-in for real
+    frequency-ranked trigram profiles; swap the table, keep the plan."""
+    rows = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        tgs = set()
+        for m in markers:
+            padded = f" {m} "
+            for i in range(len(padded) - 2):
+                tgs.add(padded[i : i + 3])
+        rows.extend((tg, lang) for tg in sorted(tgs))
+    return rows
+
+
+def lang_id_trigram(df, id_col: str, text_col: str):
+    """Char-trigram language ID — the scale path (real deployments use
+    frequency profiles; marker-token q24 is the toy twin).
+
+    Plan: explode padded-text trigram positions (explode, NOT a
+    substring-inside-transform HOF — nested HOFs miscompute on Spark
+    4.1, see operators/dedup.py::minhash_signature), distinct doc-
+    trigrams, broadcast-join the profile table, count hits per
+    language, argmax with language-code tiebreak, 'und' on zero hits.
+    Everything shards by doc; the profile table is constant-sized."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    profile = spark.createDataFrame(_trigram_profiles(), "tg string, plang string")
+
+    padded = F.concat(F.lit(" "), F.lower(F.trim(F.col(text_col))), F.lit(" "))
+    tgs = (
+        df.select(F.col(id_col), padded.alias("t"))
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("t") - 2))).alias("i"),
+            F.col("t"),
+        )
+        .select(F.col(id_col), F.substr("t", F.col("i"), F.lit(3)).alias("tg"))
+        .distinct()
+    )
+    scores = (
+        tgs.join(F.broadcast(profile), on="tg")
+        .groupBy(id_col, "plang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("plang"))
+    best = (
+        scores.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("hits") > 0))
+        .select(F.col(id_col), F.col("plang").alias("predicted"))
+    )
+    return df.select(id_col).join(best, on=id_col, how="left").select(
+        F.col(id_col), F.coalesce("predicted", F.lit("und")).alias("predicted")
+    )

@@ -474,3 +474,162 @@ def q75_kmeans_ivf_topk(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
     )
+
+
+# ===========================================================================
+# ROWS frames with negative offsets (moving aggregates)
+# ===========================================================================
+
+@q(
+    "q76_moving_frames",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+    CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id,
+  CAST(CAST(SUM(v) OVER w3 AS DECIMAL(38,6)) AS DOUBLE) AS prev3_sum,
+  CAST(COUNT(*) OVER w3 AS BIGINT) AS prev3_n,
+  CAST(CAST(MAX(v) OVER wfwd AS DECIMAL(38,6)) AS DOUBLE) AS next2_max,
+  CAST(CAST(SUM(v) OVER wall AS DECIMAL(38,6)) AS DOUBLE) AS running_total
+FROM e
+WINDOW
+  w3 AS (PARTITION BY user_id ORDER BY us, event_id
+         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+  wfwd AS (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING),
+  wall AS (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q76_moving_frames(spark, sf_dir):
+    """ROWS frames with negative and forward offsets: trailing
+    3-purchase sum EXCLUDING the current row, leading 2-purchase max,
+    and the running total — the moving-aggregate family (frames are
+    O(1)-state sliding windows; always key-partitioned). Unique
+    (ts, event_id) ordering makes ROWS frames deterministic."""
+    from pyspark.sql import Window
+
+    from .functions.numeric import dec, to_double
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        dec("value", 18, 2).alias("v"),
+    )
+    base = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w3 = base.rowsBetween(-3, -1)
+    wfwd = base.rowsBetween(1, 2)
+    wall = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        to_double(F.sum("v").over(w3)).alias("prev3_sum"),
+        F.count("*").over(w3).cast("long").alias("prev3_n"),
+        to_double(F.max("v").over(wfwd)).alias("next2_max"),
+        to_double(F.sum("v").over(wall)).alias("running_total"),
+    )
+
+
+# ===========================================================================
+# map-function suite (MapType surface)
+# ===========================================================================
+
+@q(
+    "q77_map_functions",
+    oracle="""
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS chars_entry,
+  CAST(doc_id % 100 AS BIGINT) AS bucket_entry,
+  CAST(n_chars + doc_id % 100 AS BIGINT) AS merged_total,
+  CAST(2 AS BIGINT) AS n_keys,
+  'bucket,chars' AS key_csv
+FROM documents
+""",
+)
+def q77_map_functions(spark, sf_dir):
+    """MapType surface: create_map / map_concat / transform_values /
+    map_filter / map_keys — built and consumed entirely JVM-side, then
+    flattened to scalar columns the oracle reproduces arithmetically
+    (DuckDB's MAP type and Spark's diverge in literal syntax, so parity
+    is checked on the flattened values)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.map_concat(
+        F.create_map(F.lit("chars"), F.col("n_chars").cast("long")),
+        F.create_map(F.lit("bucket"), (F.col("doc_id") % 100).cast("long")),
+    )
+    out = docs.select("doc_id", m.alias("m"))
+    doubled = F.transform_values(F.col("m"), lambda k, v: v * 2)
+    halved = F.transform_values(doubled, lambda k, v: v / F.lit(2))
+    return out.select(
+        "doc_id",
+        F.element_at(F.col("m"), "chars").alias("chars_entry"),
+        F.element_at(F.col("m"), "bucket").alias("bucket_entry"),
+        F.aggregate(
+            F.map_values(halved.cast("map<string,long>")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("merged_total"),
+        F.size(F.map_filter(F.col("m"), lambda k, v: v >= 0)).cast("long").alias(
+            "n_keys"
+        ),
+        F.array_join(F.array_sort(F.map_keys(F.col("m"))), ",").alias("key_csv"),
+    )
+
+
+# ===========================================================================
+# char-trigram language ID (scale path; q24 is the marker-token toy)
+# ===========================================================================
+
+def _trigram_lang_sql() -> str:
+    from .operators.text import _trigram_profiles
+
+    values = ", ".join(
+        f"('{tg.replace(chr(39), chr(39) * 2)}', '{lang}')"
+        for tg, lang in _trigram_profiles()
+    )
+    return f"""
+WITH profile(tg, plang) AS (VALUES {values}),
+padded AS (
+  SELECT doc_id, lang, ' ' || lower(trim(text)) || ' ' AS t FROM documents
+),
+tgs AS (
+  SELECT DISTINCT doc_id, lang, substr(t, i, 3) AS tg
+  FROM padded,
+    UNNEST(generate_series(1, greatest(1, length(t) - 2))) AS u(i)
+),
+scores AS (
+  SELECT doc_id, lang, plang, COUNT(*) AS hits
+  FROM tgs JOIN profile USING (tg)
+  GROUP BY doc_id, lang, plang
+),
+best AS (
+  SELECT doc_id, lang, plang AS predicted,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) AS rn
+  FROM scores WHERE hits > 0
+)
+SELECT d.lang, coalesce(b.predicted, 'und') AS predicted,
+  COUNT(*) AS n_docs
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+GROUP BY 1, 2
+"""
+
+
+@q("q78_lang_id_trigram", oracle=_trigram_lang_sql())
+def q78_lang_id_trigram(spark, sf_dir):
+    """Char-trigram language ID (operators/text.py::lang_id_trigram):
+    padded-text trigrams, broadcast profile join, per-language hit
+    argmax — confusion counts of declared vs predicted language. The
+    realistic scale path next to q24's marker-token heuristic."""
+    from .operators.text import lang_id_trigram
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = lang_id_trigram(docs, "doc_id", "text")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, on="doc_id")
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -131,3 +131,13 @@ def test_incremental_ledger_two_rounds(spark):
     }
     assert set(rows) == {"new", "changed"}
     assert rows["new"] > 0 and rows["changed"] > 0
+
+
+def test_delta_state_probe_broadcasts(spark):
+    """H5: the small ledger side of the delta anti-join must be planned
+    as a broadcast hash join (SCALE.md's claim for q12)."""
+    from datapipeline_scraping_spark.queries import REGISTRY
+
+    df = REGISTRY["q12_delta_detection"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
