@@ -199,3 +199,139 @@ def q66_csv_roundtrip(spark, sf_dir):
         F.count("*").alias("n_orders"),
         exact_sum("o_totalprice", 18, 2).alias("total"),
     )
+
+
+# ===========================================================================
+# multi-round incremental runner with short-circuit (F1/F2 literal)
+# ===========================================================================
+
+@q(
+    "q79_incremental_rounds",
+    oracle="""
+WITH r1 AS (
+  SELECT COUNT(*) AS n FROM documents WHERE doc_id % 3 <> 0
+),
+r2 AS (
+  SELECT COUNT(*) AS n FROM documents
+  WHERE doc_id % 3 = 0 OR doc_id % 10 = 0
+)
+SELECT CAST(1 AS BIGINT) AS round, CAST(r1.n AS BIGINT) AS n_changed,
+  false AS short_circuited FROM r1
+UNION ALL
+SELECT 2, r2.n, false FROM r2
+UNION ALL
+SELECT 3, 0, true
+""",
+)
+def q79_incremental_rounds(spark, sf_dir):
+    """Three literal incremental rounds against one persisted ledger —
+    the reference's daily loop with its empty-delta short-circuit
+    (F1/F2 ShortCircuitOperator) as a driver-side count gate:
+
+    round 1: partial corpus vs empty ledger (everything is new);
+    round 2: full corpus, 10% mutated -> new keys + changed content;
+    round 3: identical re-scan -> EMPTY delta -> downstream (upsert)
+    is SKIPPED entirely — the only driver-side data access is the
+    gate count, per the no-collect rule."""
+    from .operators.merge import merge_upsert
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lk = F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("lookup_key")
+    ledger_path = os.path.join(SCRATCH, f"ledger3_{_key(sf_dir)}")
+
+    def hashed(df):
+        return df.withColumn("row_hash", row_checksum(["lookup_key", "text"]))
+
+    r1 = hashed(docs.filter(F.col("doc_id") % 3 != 0).select(lk, "text"))
+    r2full = hashed(
+        docs.select(
+            "doc_id",
+            lk,
+            F.when(F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        ).select("lookup_key", "text")
+    )
+
+    results = []
+    # round 1: empty ledger — every row is a change
+    n1 = r1.count()
+    r1.select("lookup_key", "row_hash").write.mode("overwrite").parquet(ledger_path)
+    results.append((1, n1, False))
+
+    # rounds 2 and 3 share the same incoming batch; round 3's delta is
+    # empty and short-circuits the ledger upsert
+    for rnd in (2, 3):
+        state = spark.read.parquet(ledger_path)
+        changed, _ = delta_split(r2full, state, "lookup_key")
+        n = changed.count()  # the F1/F2 gate — counts only, no collect
+        if n == 0:
+            results.append((rnd, 0, True))
+            continue
+        merged = merge_upsert(
+            state, changed.select("lookup_key", "row_hash"), "lookup_key"
+        )
+        tmp = ledger_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(ledger_path)
+        os.rename(tmp, ledger_path)
+        results.append((rnd, n, False))
+
+    return spark.createDataFrame(
+        results, "round long, n_changed long, short_circuited boolean"
+    )
+
+
+# ===========================================================================
+# corrupt-record quarantine routing
+# ===========================================================================
+
+@q(
+    "q80_quarantine_routing",
+    oracle="""
+WITH tagged AS (
+  SELECT event_id,
+    CASE WHEN event_id % 97 = 0 THEN '{bad' ELSE props END AS props
+  FROM events
+),
+parsed AS (
+  SELECT event_id,
+    CASE WHEN json_valid(props)
+      THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+  FROM tagged
+)
+SELECT CASE WHEN k IS NULL THEN 'quarantine' ELSE 'valid' END AS route,
+  COUNT(*) AS n_rows,
+  CAST(coalesce(SUM(k), 0) AS BIGINT) AS sum_k
+FROM parsed GROUP BY 1
+""",
+)
+def q80_quarantine_routing(spark, sf_dir):
+    """Bad-record quarantine — the error-routing half of any 100 TB
+    ingest: a planted corruption (1/97th of props made invalid JSON)
+    is parsed with from_json (null on malformed input, the PERMISSIVE
+    contract), rows split into valid vs quarantine routes, and both
+    routes aggregated. At scale the quarantine route is a dead-letter
+    sink, never an abort — one poisoned record must not kill a
+    multi-hour job."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    tagged = ev.withColumn(
+        "props",
+        F.when(F.col("event_id") % 97 == 0, F.lit("{bad")).otherwise(F.col("props")),
+    )
+    parsed = tagged.withColumn(
+        "k", F.from_json("props", "struct<k:long>").getField("k")
+    )
+    return (
+        parsed.withColumn(
+            "route",
+            F.when(F.col("k").isNull(), F.lit("quarantine")).otherwise(F.lit("valid")),
+        )
+        .groupBy("route")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sum_k"),
+        )
+    )
