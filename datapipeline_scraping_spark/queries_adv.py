@@ -633,3 +633,105 @@ def q78_lang_id_trigram(spark, sf_dir):
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ===========================================================================
+# deterministic hash sampling (resumable sampling at scale)
+# ===========================================================================
+
+@q(
+    "q81_hash_sampling",
+    oracle="""
+WITH sampled AS (
+  SELECT doc_id, lang, n_chars
+  FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+    % 100 < 20
+)
+SELECT lang, COUNT(*) AS n_sampled,
+  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM sampled GROUP BY lang
+""",
+)
+def q81_hash_sampling(spark, sf_dir):
+    """Deterministic 20% sample by key-hash bucket (md5-derived, NOT
+    ``df.sample``): the sampling contract a 100 TB pipeline needs —
+    reproducible across runs/engines/retries, stable under
+    repartitioning, and consistent per key (the same doc is always in
+    or out, so downstream joins against the sample stay aligned).
+    ``df.sample``'s seeded Bernoulli is partition-order-dependent and
+    cross-engine unportable — fine for stats, wrong for pipelines."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        docs.filter(bucket < 20)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+        )
+    )
+
+
+# ===========================================================================
+# symmetric table diff (anti-entropy reconciliation)
+# ===========================================================================
+
+@q(
+    "q82_table_diff",
+    oracle="""
+WITH a AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0
+),
+b AS (
+  SELECT doc_id,
+    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' drift' ELSE text END) AS h
+  FROM documents WHERE doc_id % 17 <> 0
+)
+SELECT
+  CASE
+    WHEN a.doc_id IS NULL THEN 'added'
+    WHEN b.doc_id IS NULL THEN 'removed'
+    WHEN a.h <> b.h THEN 'changed'
+    ELSE 'same'
+  END AS status,
+  COUNT(*) AS n_rows
+FROM a FULL OUTER JOIN b USING (doc_id)
+GROUP BY 1
+""",
+)
+def q82_table_diff(spark, sf_dir):
+    """Symmetric snapshot diff (anti-entropy reconciliation): two
+    derived snapshots with disjoint planted drift (rows missing from
+    either side, content drift on a third set) are full-outer-joined
+    on the key and every row classified added / removed / changed /
+    same — the bidirectional generalization of the H2 one-way delta,
+    and the standard replica-reconciliation sweep. One keyed shuffle;
+    content comparison by hash so wide rows never cross the exchange
+    twice."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.md5("text").alias("h_a")
+    )
+    b = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" drift"))
+            ).otherwise(F.col("text"))
+        ).alias("h_b"),
+    )
+    joined = a.join(b, on="doc_id", how="full_outer")
+    status = (
+        F.when(F.col("h_a").isNull(), F.lit("added"))
+        .when(F.col("h_b").isNull(), F.lit("removed"))
+        .when(F.col("h_a") != F.col("h_b"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return joined.select(status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n_rows")
+    )
