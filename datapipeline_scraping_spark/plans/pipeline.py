@@ -108,3 +108,17 @@ def build_pipeline(
             sym[stage["out"]] = out
 
     return cur
+
+
+def load_pipeline_config(path: str) -> dict:
+    """Load a pipeline config from YAML — the reference's
+    config-loading seam (``src/scrapers/config_loader.py:10-21``)
+    pointed at the engine's stage vocabulary. Ships with
+    ``configs/etl_documents.yml`` as the worked example."""
+    import yaml
+
+    with open(path) as fh:
+        cfg = yaml.safe_load(fh)
+    if "stages" not in cfg:
+        raise ValueError(f"pipeline config {path!r} has no 'stages' list")
+    return cfg

@@ -735,3 +735,54 @@ def q82_table_diff(spark, sf_dir):
     return joined.select(status.alias("status")).groupBy("status").agg(
         F.count("*").alias("n_rows")
     )
+
+
+# ===========================================================================
+# YAML-configured pipeline (the reference's config-is-the-plan UX)
+# ===========================================================================
+
+def _yaml_oracle() -> str:
+    from .operators.classify import DEFAULT_CONFIG
+    from .queries_llm import _TEXT_EXPR, _rules_sql
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, 'd' || CAST(doc_id AS VARCHAR) AS lookup_key,
+    trim(text) AS text, lang, source
+  FROM documents WHERE trim(text) <> ''
+),
+hashed AS (
+  SELECT *,
+    md5(concat_ws(chr(31), coalesce(lookup_key, ''), coalesce(text, '')))
+      AS row_hash
+  FROM base
+),
+ruled AS (
+  SELECT *, {_rules_sql(DEFAULT_CONFIG, _TEXT_EXPR)} AS sector0 FROM hashed
+)
+SELECT CASE WHEN sector0 = '' THEN 'otros' ELSE sector0 END AS sector,
+  lang, COUNT(*) AS n_docs,
+  COUNT(DISTINCT row_hash) AS n_hashes
+FROM ruled GROUP BY 1, 2
+"""
+
+
+@q("q83_yaml_pipeline", oracle=_yaml_oracle())
+def q83_yaml_pipeline(spark, sf_dir):
+    """A pipeline declared entirely in YAML (``configs/
+    etl_documents.yml`` — scan → filter → project → H1 checksum → C1
+    rule classify → P15 null normalization → final projection),
+    executed through plans/pipeline.py. The reference's config-driven
+    UX: swap the YAML, keep the engine."""
+    import os as _os
+
+    from .plans.pipeline import build_pipeline, load_pipeline_config
+
+    cfg_path = _os.path.join(
+        _os.path.dirname(__file__), "configs", "etl_documents.yml"
+    )
+    out = build_pipeline(spark, load_pipeline_config(cfg_path), sf_dir)
+    return out.groupBy("sector", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("row_hash").alias("n_hashes"),
+    )
