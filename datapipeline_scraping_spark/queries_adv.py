@@ -786,3 +786,102 @@ def q83_yaml_pipeline(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.countDistinct("row_hash").alias("n_hashes"),
     )
+
+
+# ===========================================================================
+# TPC-H-shaped multi-join analytics (Q7/Q9 shapes)
+# ===========================================================================
+
+@q(
+    "q84_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+  {sql_exact_sum("l.l_extendedprice * (1 - l.l_discount)", 18, 4)} AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+""",
+)
+def q84_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: 6-way join with the nation dimension in TWO
+    roles (supplier side and customer side), cross-nation trade volume
+    by ship year. The fact-fact lineitem⋈orders join shuffles on the
+    orderkey; all four dimension hops broadcast — the canonical
+    star-with-two-role-dimensions plan."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), on="s_nationkey")
+        .join(F.broadcast(n2), on="c_nationkey")
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4).alias(
+            "revenue"
+        )
+    )
+
+
+@q(
+    "q85_product_profit",
+    oracle=f"""
+SELECT n.n_name AS nation,
+  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+  {sql_exact_sum(
+      "l.l_extendedprice * (1 - l.l_discount) - 0.6 * p.p_retailprice * l.l_quantity",
+      18, 4)} AS profit
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%a%'
+GROUP BY 1, 2
+""",
+)
+def q85_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: per-nation yearly product profit over a 5-way
+    join with a LIKE part filter (supply cost stood in by
+    0.6 × retail price — the testdata ships no partsupp table). The
+    part filter pushes into the scan; part/supplier/nation broadcast;
+    the only shuffles are lineitem⋈orders and the final rollup."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(exact_sum(profit, 18, 4).alias("profit"))
