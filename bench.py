@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "q53_tfidf_topterms",
     "q61_asof_join",
     "q62_bucketed_join",
+    "q84_volume_shipping",
+    "q85_product_profit",
 ]
 
 

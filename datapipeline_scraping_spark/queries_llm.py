@@ -95,12 +95,23 @@ pairs AS (
 )"""
 
 
+def _no_wholestage(spark):
+    """The minhash shingle-explode aggregate codegens pathologically
+    (measured 3-4x slower than interpreted eval on Spark 4.1 — the
+    fused explode(transform(sequence…)) + 8-aggregate stage); these
+    queries opt out of whole-stage codegen. ``prepare()`` (called at
+    the top of every query via ``_t``) restores the default, so the
+    override only covers the query that asked for it."""
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+
+
 @q("q19_minhash_lsh_pairs", oracle=f"WITH {_minhash_cte()}\nSELECT id_a, id_b FROM pairs")
 def q19_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-duplicate candidate pairs: per-row array-HOF
     signatures (no shuffle), 4 bands × 2 rows, candidate self-join on
     the band bucket only (see operators/dedup.py scale notes)."""
     docs = _t(spark, sf_dir, "documents")
+    _no_wholestage(spark)
     return D.minhash_lsh_pairs(docs, "doc_id", "text", k=3, n_hashes=8, n_bands=4)
 
 
@@ -130,6 +141,7 @@ def q20_jaccard_neardup(spark, sf_dir):
     """n-gram Jaccard verification of the LSH candidates (shared-
     shingle join formulation — never all-pairs)."""
     docs = _t(spark, sf_dir, "documents")
+    _no_wholestage(spark)
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", k=3, n_hashes=8, n_bands=4)
     return D.jaccard_verify(docs, pairs, "doc_id", "text", k=3, threshold=0.7)
 
