@@ -141,3 +141,21 @@ def test_delta_state_probe_broadcasts(spark):
     df = REGISTRY["q12_delta_detection"].fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_cli_list_and_oracle():
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "datapipeline_scraping_spark", "list"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 0
+    assert "q01_pricing_summary" in out.stdout
+    out = subprocess.run(
+        [sys.executable, "-m", "datapipeline_scraping_spark", "oracle",
+         "q01_pricing_summary"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 0 and "SELECT" in out.stdout.upper()
