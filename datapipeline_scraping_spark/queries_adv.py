@@ -394,12 +394,16 @@ def q74_ml_minhash_lsh(spark, sf_dir):
     feats = HashingTF(
         inputCol="toks", outputCol="features", numFeatures=1 << 14, binary=True
     ).transform(
-        Tokenizer(inputCol="text", outputCol="toks").transform(corpus)
+        Tokenizer(inputCol="text", outputCol="toks").transform(
+            # single-file source => 1-2 partitions; the LSH self-join
+            # parallelism follows the input partitioning
+            corpus.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        )
     )
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=4, seed=42
     ).fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.05, distCol="jaccard_dist")
+    pairs = model.approxSimilarityJoin(feats, feats, 0.02, distCol="jaccard_dist")
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
