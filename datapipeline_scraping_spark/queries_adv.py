@@ -889,3 +889,75 @@ def q85_product_profit(spark, sf_dir):
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").cast("long").alias("o_year"),
     ).agg(exact_sum(profit, 18, 4).alias("profit"))
+
+
+# ===========================================================================
+# exact statistical profiling (describe() twin, deterministic)
+# ===========================================================================
+
+@q(
+    "q86_exact_moments",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6))
+      AS DOUBLE) AS sx,
+    SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      AS HUGEINT)) AS sxc,
+    SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      AS HUGEINT)
+      * CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      AS HUGEINT)) AS sx2c
+  FROM lineitem GROUP BY l_returnflag
+),
+v AS (
+  SELECT l_returnflag, n, sx,
+    (n * sx2c - sxc * sxc) // (n * (n - 1)) AS varc2
+  FROM m
+)
+SELECT l_returnflag,
+  CAST(n AS BIGINT) AS n,
+  sx / CAST(n AS BIGINT) AS mean,
+  CAST(varc2 AS DOUBLE) / 10000.0 AS variance,
+  sqrt(CAST(varc2 AS DOUBLE) / 10000.0) AS stddev
+FROM v
+""",
+)
+def q86_exact_moments(spark, sf_dir):
+    """Deterministic describe(): per-group mean/variance/stddev from
+    EXACT integer-cents moments (sum x, sum x^2 as int64, the cross
+    term in DECIMAL(38,0)/HUGEINT), with the sample variance floored
+    at cents^2 granularity via an exactly-divisible decimal division —
+    no big-int -> double conversion anywhere near the 2^53 cliff.
+    Spark's built-in stddev/var_samp accumulate doubles in shuffle
+    order (nondeterministic under an exact oracle); and the naive
+    decimal-funnel sum-of-squares exceeds the 2^53-exact range, so the
+    moment arithmetic stays integral until the final small division.
+    Map-side combinable, one aggregation pass, same as describe()."""
+    from pyspark.sql import types as T
+
+    from .functions.numeric import dec, to_double
+
+    l = _t(spark, sf_dir, "lineitem")
+    xc = (dec("l_extendedprice", 18, 2) * 100).cast("long")
+    m = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        to_double(F.sum(dec("l_extendedprice", 18, 2))).alias("sx"),
+        F.sum(xc).alias("sxc"),
+        F.sum(xc * xc).alias("sx2c"),
+    )
+    d38 = T.DecimalType(38, 0)
+    num = (
+        m["n"].cast(d38) * m["sx2c"].cast(d38)
+        - m["sxc"].cast(d38) * m["sxc"].cast(d38)
+    )
+    den = (m["n"] * (m["n"] - 1)).cast(d38)
+    varc2 = ((num - F.pmod(num, den)) / den).cast("long")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (F.col("sx") / F.col("n")).alias("mean"),
+        (varc2 / F.lit(10000.0)).alias("variance"),
+        F.sqrt(varc2 / F.lit(10000.0)).alias("stddev"),
+    )
