@@ -961,3 +961,90 @@ def q86_exact_moments(spark, sf_dir):
         (varc2 / F.lit(10000.0)).alias("variance"),
         F.sqrt(varc2 / F.lit(10000.0)).alias("stddev"),
     )
+
+
+# ===========================================================================
+# winnowing fingerprints (rolling-hash document fingerprinting)
+# ===========================================================================
+
+_WINNOW_K = 8  # char-gram width
+_WINNOW_W = 4  # winnowing window (grams per window)
+
+
+@q(
+    "q87_winnowing_fingerprints",
+    oracle=f"""
+WITH padded AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents
+  WHERE length(trim(text)) >= {_WINNOW_K}
+),
+grams AS (
+  SELECT doc_id, i,
+    CAST('0x' || substr(md5(substr(t, i, {_WINNOW_K})), 1, 8) AS BIGINT) AS gh
+  FROM padded,
+    UNNEST(generate_series(1, length(t) - {_WINNOW_K} + 1)) AS u(i)
+),
+wmins AS (
+  SELECT doc_id,
+    MIN(gh) OVER (PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp
+  FROM grams
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wmins)
+SELECT doc_id, COUNT(*) AS n_fingerprints,
+  MIN(fp) AS min_fp, MAX(fp) AS max_fp
+FROM fps GROUP BY doc_id
+""",
+)
+def q87_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every char k-gram, take the min hash of each sliding window
+    of w grams, keep the distinct window-mins as the doc's
+    fingerprints. Guarantees any shared substring of length >= k+w-1
+    yields a shared fingerprint — the plagiarism/near-dup primitive
+    that survives local edits, unlike q25's whole-set hash.
+
+    Plan shape: position explode (the parallel form of the sequential
+    rolling scan), one md5 per gram reduced to 32-bit ints, per-doc
+    ROWS-frame window min, distinct — everything shards by doc_id;
+    no cross-doc shuffle until fingerprints are joined for matching."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    padded = docs.select(
+        "doc_id", F.lower(F.trim("text")).alias("t")
+    ).filter(F.length("t") >= _WINNOW_K)
+    grams = (
+        padded.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - F.lit(_WINNOW_K - 1))
+            ).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.conv(
+                F.substring(F.md5(F.substr("t", F.col("i"), F.lit(_WINNOW_K))), 1, 8),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("gh"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    fps = (
+        grams.select("doc_id", F.min("gh").over(w).alias("fp"))
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
