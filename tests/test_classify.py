@@ -126,3 +126,98 @@ gemini:
     assert cfg.categories == ("a", "b", "otros")
     assert cfg.rules[0] == ("foo", "a")
     assert cfg.batch_size == 7
+
+
+# ---------------------------------------------------------------------------
+# production-shaped batch LLM backend (C2 error semantics)
+# ---------------------------------------------------------------------------
+
+def test_llm_backend_applies_mapping_by_id(spark):
+    import json
+
+    from datapipeline_scraping_spark.operators.classify import (
+        ClassifierConfig,
+        classify,
+    )
+    from datapipeline_scraping_spark.operators.llm_backend import BatchLLMBackend
+
+    cfg = ClassifierConfig(
+        categories=("a_cat", "b_cat", "otros"),
+        rules=((r"\bnevermatch\b", "a_cat"),),
+    )
+
+    def transport(prompt):
+        # echo-ish fake: label every listed id by parity, out of order
+        ids = [ln.split(":")[0] for ln in prompt.splitlines() if ln[:1].isdigit()]
+        resp = [
+            {"id": i, "label": "a_cat" if int(i) % 2 == 0 else "b_cat"}
+            for i in reversed(ids)
+        ]
+        return json.dumps(resp)
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", f"d{i}") for i in range(10)],
+        "doc_id long, title string, detail string",
+    )
+    backend = BatchLLMBackend(
+        cfg.categories, transport, id_col="doc_id",
+        title_col="title", detail_col="detail",
+    )
+    out = {
+        r["doc_id"]: r["sector"]
+        for r in classify(df, cfg, "doc_id", ("title", "detail"), backend).collect()
+    }
+    assert out == {i: ("a_cat" if i % 2 == 0 else "b_cat") for i in range(10)}
+
+
+def test_llm_backend_malformed_response_falls_back(spark):
+    from datapipeline_scraping_spark.operators.classify import (
+        ClassifierConfig,
+        classify,
+    )
+    from datapipeline_scraping_spark.operators.llm_backend import BatchLLMBackend
+
+    cfg = ClassifierConfig(
+        categories=("a_cat", "otros"), rules=((r"\bnevermatch\b", "a_cat"),)
+    )
+    df = spark.createDataFrame(
+        [(1, "x", "y"), (2, "p", "q")], "doc_id long, title string, detail string"
+    )
+    for transport in (
+        lambda p: "NOT JSON AT ALL",
+        lambda p: '{"id": 1}',            # wrong shape (not a list)
+        lambda p: (_ for _ in ()).throw(RuntimeError("api down")),
+    ):
+        backend = BatchLLMBackend(
+            cfg.categories, transport, id_col="doc_id",
+            title_col="title", detail_col="detail",
+        )
+        out = classify(df, cfg, "doc_id", ("title", "detail"), backend).collect()
+        assert {r["sector"] for r in out} == {"otros"}
+
+
+def test_llm_backend_missing_ids_get_fallback(spark):
+    import json
+
+    from datapipeline_scraping_spark.operators.classify import (
+        ClassifierConfig,
+        classify,
+    )
+    from datapipeline_scraping_spark.operators.llm_backend import BatchLLMBackend
+
+    cfg = ClassifierConfig(
+        categories=("a_cat", "otros"), rules=((r"\bnevermatch\b", "a_cat"),)
+    )
+    df = spark.createDataFrame(
+        [(1, "x", "y"), (2, "p", "q")], "doc_id long, title string, detail string"
+    )
+    backend = BatchLLMBackend(
+        cfg.categories,
+        lambda p: json.dumps([{"id": "1", "label": "a_cat"}]),
+        id_col="doc_id", title_col="title", detail_col="detail",
+    )
+    out = {
+        r["doc_id"]: r["sector"]
+        for r in classify(df, cfg, "doc_id", ("title", "detail"), backend).collect()
+    }
+    assert out == {1: "a_cat", 2: "otros"}
