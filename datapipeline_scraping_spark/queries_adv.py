@@ -1048,3 +1048,46 @@ def q87_winnowing_fingerprints(spark, sf_dir):
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
     )
+
+
+# ===========================================================================
+# unpivot / melt (wide -> long, the inverse of q54)
+# ===========================================================================
+
+@q(
+    "q88_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT l_returnflag,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6))
+      AS DOUBLE) AS qty,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6))
+      AS DOUBLE) AS price,
+    CAST(CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(38,6))
+      AS DOUBLE) AS tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'qty' AS measure, qty AS total FROM wide
+UNION ALL SELECT l_returnflag, 'price', price FROM wide
+UNION ALL SELECT l_returnflag, 'tax', tax FROM wide
+""",
+)
+def q88_unpivot(spark, sf_dir):
+    """Unpivot/melt (wide -> long, the inverse of q54's pivot) via the
+    native ``DataFrame.unpivot`` — a zero-shuffle row expansion
+    (Catalyst Expand node), never an explode-over-struct workaround.
+    Long-form measures are what downstream chart/metric sinks want."""
+    from .functions.numeric import exact_sum
+
+    l = _t(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        exact_sum("l_quantity", 18, 2).alias("qty"),
+        exact_sum("l_extendedprice", 18, 2).alias("price"),
+        exact_sum("l_tax", 18, 2).alias("tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "tax"],
+        variableColumnName="measure",
+        valueColumnName="total",
+    )
