@@ -105,8 +105,51 @@ MINHASH_B = (2147483647, 2147483629, 2147483587, 2147483579,
              2147483563, 2147483549, 2147483543, 2147483497)
 
 
+def shingle_relation(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 3
+) -> DataFrame:
+    """Exploded k-shingle occurrence relation ``[id, s, hx]`` — the ONE
+    relation both the MinHash signature aggregation and the Jaccard
+    verification derive from.  ``s`` is the shingle string (Jaccard
+    joins on it exactly; a 32-bit hash join would admit collisions),
+    ``hx`` its md5-derived 32-bit integer hash (what MinHash minimizes).
+
+    When one query feeds both consumers (q20), ``persist()`` this and
+    pass it via their ``shingle_rel`` parameter so the explode + md5 —
+    the dominant cost of the whole near-dup pipeline — runs once.
+    Persist contract: the caller materializes its result before
+    releasing the cache (``df.unpersist()`` or
+    ``spark.catalog.clearCache()``); ``persist()`` defaults to
+    MEMORY_AND_DISK so an exploded 100 TB corpus spills rather than
+    OOMs, but recomputing (no persist) is the better trade when the
+    two consumers run in separate jobs anyway.
+
+    The input is repartitioned by id first: a small corpus often
+    arrives as one parquet file = one task, which would serialize the
+    md5 work; at 100 TB the scan is already many-partitioned and the
+    repartition collapses into the existing exchange."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        # explicit partition count: AQE would coalesce a column-only
+        # repartition of a small corpus back to one task
+        .repartition(n_part, F.col(id_col))
+        .select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s"))
+        .withColumn(
+            "hx",
+            F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long"),
+        )
+    )
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, *, k: int = 3, n_hashes: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    n_hashes: int = 8,
+    shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature table via explode + grouped min.
 
@@ -114,25 +157,16 @@ def minhash_signatures(
     int, then ``n_hashes`` parallel MIN aggregates over cheap affine
     derived hashes — all map-side combinable, so the shuffle carries
     only one partially-aggregated signature row per doc per map task.
+    min() over the occurrence multiset equals min() over the distinct
+    shingle set, so no dedup pass is needed.
 
-    The input is repartitioned by id first: a small corpus often
-    arrives as one parquet file = one task, which would serialize the
-    md5 work; at 100 TB the scan is already many-partitioned and the
-    repartition collapses into the existing exchange."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism
+    Pass ``shingle_rel`` (a persisted :func:`shingle_relation`) to
+    share the explode with a downstream Jaccard verification."""
     sh = (
-        df.select(F.col(id_col), F.col(text_col))
-        # explicit partition count: AQE would coalesce a column-only
-        # repartition of a small corpus back to one task
-        .repartition(n_part, F.col(id_col))
-        .select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s"))
-        .select(
-            F.col(id_col),
-            F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10)
-            .cast("long")
-            .alias("hx"),
-        )
-    )
+        shingle_rel
+        if shingle_rel is not None
+        else shingle_relation(df, id_col, text_col, k=k)
+    ).select(F.col(id_col), F.col("hx"))
     aggs = [
         F.min(
             (F.lit(MINHASH_A[s]) * F.col("hx") + F.lit(MINHASH_B[s]))
@@ -195,9 +229,12 @@ def minhash_lsh_pairs(
     k: int = 3,
     n_hashes: int = 8,
     n_bands: int = 4,
+    shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-dup candidate pairs over a text column."""
-    sig = minhash_signatures(df, id_col, text_col, k=k, n_hashes=n_hashes)
+    sig = minhash_signatures(
+        df, id_col, text_col, k=k, n_hashes=n_hashes, shingle_rel=shingle_rel
+    )
     return lsh_candidate_pairs(lsh_buckets(sig, id_col, n_hashes, n_bands), id_col)
 
 
@@ -213,6 +250,7 @@ def jaccard_verify(
     *,
     k: int = 3,
     threshold: float = 0.7,
+    shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Exact k-shingle Jaccard for each candidate pair via the
     shared-shingle join formulation:
@@ -221,21 +259,39 @@ def jaccard_verify(
 
     computed from distinct-shingle counts — scalable because only
     candidate docs are exploded, and the intersection is a join on the
-    shingle value, never an all-pairs comparison."""
+    shingle value, never an all-pairs comparison.
+
+    Pass ``shingle_rel`` (a persisted :func:`shingle_relation`, already
+    exploded over ALL docs) to reuse the explode the MinHash signature
+    pass already paid for; the candidate semi-join then filters the
+    cached relation instead of re-exploding.  Persist contract: see
+    :func:`shingle_relation`."""
     # pairs is consumed three times (candidate-id semi join, a-side,
     # b-side); persist so the LSH candidate pipeline runs once
     pairs = pairs.persist()
-    sh = (
-        df.join(
-            pairs.select(F.col("id_a").alias(id_col))
-            .union(pairs.select("id_b"))
-            .distinct(),
-            on=id_col,
-            how="left_semi",
-        )
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-        .select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select("id_b"))
         .distinct()
+    )
+    if shingle_rel is not None:
+        # already-exploded (and typically persisted) relation: filter
+        # the cached rows to candidates — no second explode
+        base = shingle_rel.join(cand_ids, on=id_col, how="left_semi").select(
+            F.col(id_col), F.col("s").alias("sh")
+        )
+    else:
+        # standalone path: filter docs to candidates FIRST, then pay
+        # the explode only for candidate docs
+        base = (
+            df.join(cand_ids, on=id_col, how="left_semi")
+            .repartition(
+                df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+            )
+            .select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
+        )
+    sh = (
+        base.distinct()
         # reused three ways below (a-side, b-side, sizes): persist the
         # candidate shingle table instead of recomputing the explode
         .persist()

@@ -39,7 +39,18 @@ def salted_join(
     ``salt_from`` must name a left column that VARIES WITHIN a join
     key (a line number, an event id) — salting from the key itself
     would put every row of the hot key in one salt bucket and spread
-    nothing. Hash-derived, so results are deterministic."""
+    nothing. Hash-derived, so results are deterministic.
+
+    Only ``inner`` and ``left`` joins are supported: replicating the
+    build side ``n_salt`` times preserves plain-join semantics for
+    those, but a right/full outer join would emit every unmatched
+    build-side row ``n_salt`` times (once per replica)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the replicated build side would duplicate unmatched right rows "
+            f"{n_salt}x under right/full outer semantics"
+        )
     l = left.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salt)))
     r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))

@@ -423,18 +423,22 @@ def q75_kmeans_ivf_topk(spark, sf_dir):
     (broadcast centroids, cid-sharded probe join) — which carries the
     oracle; training is engine-internal so this is rows-only."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import vector_to_array
-    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
     from .operators.similarity import as_double, dot, norm as l2norm
 
     emb = _t(spark, sf_dir, "embeddings")
-    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+    # array_to_vector is the JVM-side builtin (no Python row UDF), and k
+    # is a fixed constant — sizing it from a mid-plan .count() would put
+    # a driver-side action in the query body (at 100 TB, k comes from
+    # config / table statistics, never from counting the fact table).
     feats = emb.select(
-        "vec_id", as_double("embedding").alias("v"), to_vec("embedding").alias("features")
+        "vec_id",
+        as_double("embedding").alias("v"),
+        array_to_vector(as_double("embedding")).alias("features"),
     )
-    k = max(2, min(16, feats.count() // 100))
+    k = 5
     model = KMeans(k=k, seed=7, featuresCol="features").fit(feats)
     assigned = model.transform(feats).select(
         "vec_id", "v", F.col("prediction").alias("cid")

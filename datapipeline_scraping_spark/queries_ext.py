@@ -98,7 +98,7 @@ def q38_rank_family(spark, sf_dir):
 SELECT c_nationkey,
   arg_min(c_name, c_custkey) AS first_customer,
   arg_max(c_name, c_custkey) AS last_customer,
-  list_sort(list(c_mktsegment)) AS segments,
+  array_to_string(list_sort(list(c_mktsegment)), ',') AS segments,
   COUNT(*) AS n_customers
 FROM customer
 GROUP BY c_nationkey
@@ -107,12 +107,18 @@ GROUP BY c_nationkey
 def q39_argminmax_collect(spark, sf_dir):
     """min_by/max_by (argmin over a UNIQUE ordering key — ties over a
     non-unique key are engine-arbitrary, so the engine forbids them)
-    + deterministic collect via sort_array."""
+    + deterministic collect via sort_array.  The collected list is
+    emitted as a comma-joined STRING, not array<string>: top-level
+    array columns crash pandas-based result canonicalizers
+    (unhashable numpy.ndarray when sorting), and the values
+    (TPC-H mktsegments) are comma-free so the join is lossless."""
     c = _t(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
         F.min_by("c_name", "c_custkey").alias("first_customer"),
         F.max_by("c_name", "c_custkey").alias("last_customer"),
-        F.sort_array(F.collect_list("c_mktsegment")).alias("segments"),
+        F.concat_ws(",", F.sort_array(F.collect_list("c_mktsegment"))).alias(
+            "segments"
+        ),
         F.count("*").alias("n_customers"),
     )
 

@@ -139,11 +139,19 @@ WHERE s.shared / (x.n + y.n - s.shared) >= 0.7
 )
 def q20_jaccard_neardup(spark, sf_dir):
     """n-gram Jaccard verification of the LSH candidates (shared-
-    shingle join formulation — never all-pairs)."""
+    shingle join formulation — never all-pairs).  One persisted shingle
+    relation feeds BOTH the MinHash signature pass and the Jaccard
+    verification, so the explode + md5 (the dominant cost) runs once;
+    bench.py's clearCache() between queries releases it."""
     docs = _t(spark, sf_dir, "documents")
     _no_wholestage(spark)
-    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", k=3, n_hashes=8, n_bands=4)
-    return D.jaccard_verify(docs, pairs, "doc_id", "text", k=3, threshold=0.7)
+    sh_rel = D.shingle_relation(docs, "doc_id", "text", k=3).persist()
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=8, n_bands=4, shingle_rel=sh_rel
+    )
+    return D.jaccard_verify(
+        docs, pairs, "doc_id", "text", k=3, threshold=0.7, shingle_rel=sh_rel
+    )
 
 
 def _simhash_sql(bits: int = 32) -> str:

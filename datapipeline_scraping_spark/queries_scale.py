@@ -22,11 +22,15 @@ def q58_approx_sketches(spark, sf_dir):
     actually run at 100 TB (map-side-combinable, fixed-size state, one
     shuffle of sketch bytes); the exact twins (countDistinct, q55
     percentile) are the correctness oracles at test scale. Rows-only
-    check: sketch estimates are engine-specific by design."""
+    check: sketch estimates are engine-specific by design.  The two
+    percentiles are emitted as scalar columns (not array<double>):
+    top-level arrays crash pandas-based result canonicalizers."""
     ev = _t(spark, sf_dir, "events")
+    pcts = F.expr("approx_percentile(value, array(0.5, 0.99), 10000)")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.expr("approx_percentile(value, array(0.5, 0.99), 10000)").alias("value_pcts"),
+        F.get(pcts, 0).alias("value_p50"),
+        F.get(pcts, 1).alias("value_p99"),
         F.count("*").alias("n_events"),
     )
 

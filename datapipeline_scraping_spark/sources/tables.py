@@ -40,13 +40,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-            )
+        # scope the legacy conf to this read: left set session-wide it
+        # would silently map OTHER nanosecond-timestamp parquet reads
+        # to LongType instead of failing loudly
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(path)
+            # force schema resolution (footer read) while the conf is on;
+            # execution later replays the read with the plan's resolved
+            # schema, so restoring the conf afterwards is safe
+            if isinstance(df.schema["ts"].dataType, T.LongType):
+                df = df.withColumn(
+                    "ts",
+                    F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+                )
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
         return df
     return spark.read.parquet(path)
 
