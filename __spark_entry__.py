@@ -82,7 +82,9 @@ _ROUND2_FIRST = [
     "q39_argminmax_collect", "q19_minhash_lsh_pairs", "q20_jaccard_neardup",
     "q12_delta_detection", "q45_master_etl_replay", "q46_scrape_source",
     "q28_merge_upsert", "q26_classify_rules", "q27_classify_backend",
-    "q44_overlay_merge", "q07_first_wins_dedup", "q31_row_checksum",
+    "q44_overlay_merge",
+    # -- new this round (no prior evidence by definition)
+    "q89_merge_conditions", "q90_xpath_extract",
 ]
 
 

@@ -18,7 +18,7 @@ partitions (partition-overwrite-dynamic).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -27,6 +27,57 @@ def merge_upsert(target: DataFrame, source: DataFrame, pk: str) -> DataFrame:
     cols = target.columns
     kept = target.join(source.select(pk), on=pk, how="left_anti")
     return source.select(*cols).unionByName(kept)
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    pk: str,
+    *,
+    matched_delete: Column | None = None,
+    matched_update: Column | None = None,
+) -> DataFrame:
+    """Full conditional MERGE semantics (ANSI `MERGE INTO` / Delta-style)
+    as ONE full-outer join + CASE routing — the relational rewrite of
+    the reference's ``INSERT ... ON CONFLICT DO UPDATE``
+    (``src/storage.py:41-53``) generalized with conditions:
+
+    - matched  + ``matched_delete``  → row dropped
+    - matched  + ``matched_update``  → source values win
+    - matched  otherwise             → target row kept unchanged
+    - source-only (NOT MATCHED)      → inserted
+    - target-only                    → kept
+
+    Conditions are Columns over the prefixed views ``t`` (target) and
+    ``s`` (source) — reference them as ``F.col("t.x")`` /
+    ``F.col("s.x")``.  Omitted conditions default to the classic upsert
+    (update every match, delete nothing), making ``merge_upsert`` the
+    degenerate case.
+
+    Scale: one shuffle on pk (the full-outer join); both sides shard by
+    the merge key, no driver state.  On a transactional table format
+    (Delta/Iceberg) the same call maps 1:1 onto ``MERGE INTO``'s
+    WHEN MATCHED [AND cond] THEN DELETE/UPDATE clauses — this rewrite
+    produces the new table contents for a non-transactional sink
+    (overwrite of the affected partitions)."""
+    cols = target.columns
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, on=F.col(f"t.{pk}") == F.col(f"s.{pk}"), how="full_outer")
+    is_matched = F.col(f"t.{pk}").isNotNull() & F.col(f"s.{pk}").isNotNull()
+    src_only = F.col(f"t.{pk}").isNull()
+    delete_cond = (
+        is_matched & matched_delete if matched_delete is not None else F.lit(False)
+    )
+    update_cond = (
+        is_matched & matched_update if matched_update is not None else is_matched
+    )
+    take_source = src_only | (update_cond & ~delete_cond)
+    out_cols = [
+        F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in cols
+    ]
+    return joined.filter(~delete_cond).select(*out_cols)
 
 
 def union_accreted(detailed: DataFrame, bypass: DataFrame) -> DataFrame:

@@ -82,32 +82,65 @@ def cosine_topk(
     )
 
 
-def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
-    """Sign-random-projection bucket id: bit p = sign(v · h_p) where
-    hyperplane h_p[i] = ±1 derived from md5(p:i) — deterministic,
-    data-independent, reproducible on any engine."""
+# SRP integer scale: vectors are float32 read as double; v * 2^20 is an
+# EXACT product (power-of-two scaling never rounds), floor() of it is an
+# exact integer, and with dim=64, |v|<~10 the signed sum stays far below
+# 2^53 — so the projection is the same number on every engine in every
+# addition order, and bucket assignment is oracle-stable.  (A raw float
+# dot product flips sign near 0 depending on summation order, which is
+# why a float-SRP bucket cannot carry a cross-engine oracle.)
+SRP_SCALE = 1 << 20
+
+
+def srp_signs(p: int, dim: int) -> list[int]:
+    """±1 hyperplane components for plane ``p``: md5(p:i) parity —
+    deterministic, data-independent, replicable in any engine (the
+    constants are baked into generated oracle SQL as literals)."""
     import hashlib
 
+    return [
+        1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+        else -1
+        for i in range(dim)
+    ]
+
+
+def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Sign-random-projection bucket id: bit p = sign(v · h_p) with the
+    dot product computed over ``floor(v[i] * 2^20)`` integers (see
+    SRP_SCALE) so the bit pattern is bit-for-bit reproducible across
+    engines and partitionings."""
     bucket = None
     for p in range(n_planes):
-        signs = [
-            1.0
-            if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0
-            else -1.0
-            for i in range(dim)
-        ]
+        signs = srp_signs(p, dim)
         proj = F.aggregate(
             F.zip_with(
                 vec,
                 F.array(*[F.lit(s) for s in signs]),
-                lambda x, s: x * s,
+                lambda x, s: F.floor(x * F.lit(float(SRP_SCALE))) * s,
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         bit = F.when(proj >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket
+
+
+def srp_bucket_sql(vec_expr: str, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB expression computing the SAME bucket id as
+    :func:`srp_bucket` over a ``DOUBLE[]`` SQL expression: the signed
+    integer projection is a list_dot_product of exact integer-valued
+    doubles (< 2^53, so double arithmetic is exact too)."""
+    scaled = f"list_transform({vec_expr}, x -> floor(x * {float(SRP_SCALE)}))"
+    bits = []
+    for p in range(n_planes):
+        signs = ", ".join(f"{s}.0" for s in srp_signs(p, dim))
+        bits.append(
+            f"(CASE WHEN list_dot_product({scaled}, [{signs}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
 
 
 def cosine_neardup_pairs(

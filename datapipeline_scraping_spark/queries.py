@@ -622,3 +622,4 @@ from . import queries_ml  # noqa: E402,F401
 from . import queries_scale  # noqa: E402,F401
 from . import queries_io  # noqa: E402,F401
 from . import queries_adv  # noqa: E402,F401
+from . import queries_r2  # noqa: E402,F401

@@ -223,12 +223,35 @@ def q21_cosine_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@q("q35_lsh_cosine_topk")  # rows-only: bucket-boundary float sensitivity
+def _q35_oracle() -> str:
+    bucket = SIM.srp_bucket_sql("v", n_planes=6, dim=64)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(q.qv, c.v)
+      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))),
+      4) AS cosine
+  FROM q JOIN b c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+@q("q35_lsh_cosine_topk", oracle=_q35_oracle())
 def q35_lsh_cosine_topk(spark, sf_dir):
     """Approximate top-k via sign-random-projection buckets — the
     100 TB path: scores only same-bucket pairs (|corpus|/2^8 per
-    bucket). Rows-only check: SRP bucket bits flip on float sign
-    boundaries, so a SQL oracle cannot be made bit-stable."""
+    bucket).  Oracle-stable since the bucket bits come from EXACT
+    integer-scaled projections (operators/similarity.py::SRP_SCALE):
+    floor(v*2^20) integers summed in int64 give the same sign on every
+    engine, unlike a float dot product whose near-zero sign depends on
+    summation order."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     out = SIM.lsh_cosine_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=6)

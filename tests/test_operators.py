@@ -118,3 +118,88 @@ def test_minhash_finds_planted_neardups(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_merge_into_routes_all_four_ways(spark):
+    from datapipeline_scraping_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "keep", 10.0), (2, "update", 20.0), (3, "delete", 30.0)],
+        "pk long, tag string, val double",
+    )
+    source = spark.createDataFrame(
+        [(2, "updated", 99.0), (3, "gone", 0.0), (4, "inserted", 40.0)],
+        "pk long, tag string, val double",
+    )
+    out = {
+        r["pk"]: (r["tag"], r["val"])
+        for r in merge_into(
+            target,
+            source,
+            "pk",
+            matched_delete=F.col("s.tag") == "gone",
+            matched_update=F.col("s.tag") == "updated",
+        ).collect()
+    }
+    assert out == {
+        1: ("keep", 10.0),       # target-only: kept
+        2: ("updated", 99.0),    # matched + update cond: source wins
+        4: ("inserted", 40.0),   # source-only: inserted
+    }                            # 3: matched + delete cond: dropped
+
+
+def test_merge_into_defaults_are_plain_upsert(spark):
+    from datapipeline_scraping_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "pk long, v string")
+    source = spark.createDataFrame([(2, "B"), (3, "C")], "pk long, v string")
+    got = {r["pk"]: r["v"] for r in merge_into(target, source, "pk").collect()}
+    want = {
+        r["pk"]: r["v"] for r in merge_upsert(target, source, "pk").collect()
+    }
+    assert got == want == {1: "a", 2: "B", 3: "C"}
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from datapipeline_scraping_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, 1)], "k long, seq long")
+    right = spark.createDataFrame([(1, "x")], "k long, v string")
+    with _pytest.raises(ValueError, match="inner"):
+        salted_join(left, right, "k", salt_from="seq", how="full")
+
+
+def test_srp_bucket_matches_pure_python(spark):
+    import math
+
+    from datapipeline_scraping_spark.operators.similarity import (
+        SRP_SCALE,
+        as_double,
+        srp_bucket,
+        srp_signs,
+    )
+
+    vecs = [
+        (1, [0.5, -0.25, 0.125, 1.0]),
+        (2, [-0.1, -0.2, 0.3, -0.4]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero projection ties -> bit set
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", srp_bucket(as_double("embedding"), 4, 4).alias("b")
+        ).collect()
+    }
+    for vid, v in vecs:
+        b = 0
+        for p in range(4):
+            proj = sum(
+                s * math.floor(x * SRP_SCALE)
+                for s, x in zip(srp_signs(p, 4), v)
+            )
+            if proj >= 0:
+                b += 1 << p
+        assert got[vid] == b, f"vec {vid}: spark {got[vid]} != python {b}"
