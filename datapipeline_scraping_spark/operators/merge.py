@@ -36,6 +36,7 @@ def merge_into(
     *,
     matched_delete: Column | None = None,
     matched_update: Column | None = None,
+    check_unique_source: bool = False,
 ) -> DataFrame:
     """Full conditional MERGE semantics (ANSI `MERGE INTO` / Delta-style)
     as ONE full-outer join + CASE routing — the relational rewrite of
@@ -54,6 +55,23 @@ def merge_into(
     (update every match, delete nothing), making ``merge_upsert`` the
     degenerate case.
 
+    ANSI/Delta clause semantics are honoured precisely:
+
+    - A clause condition that evaluates to SQL NULL does **not** fire
+      (``WHEN MATCHED AND cond`` requires cond = TRUE); conditions are
+      null-protected with ``coalesce(cond, FALSE)`` so a NULL
+      ``matched_delete`` falls through to update/keep rather than
+      silently deleting under three-valued logic.
+    - Matched / source-only routing uses per-side presence markers
+      (a ``lit(True)`` flag added before the join), NOT pk nullness —
+      a target row whose own pk is NULL is correctly kept as
+      target-only instead of being misrouted as an insert.
+    - ANSI MERGE errors when multiple source rows match one target row;
+      like Delta's default we require a unique source pk.  Duplicate
+      source pks would fan matched target rows out — call
+      ``merge_into(..., check_unique_source=True)`` to add a
+      plan-side guard that fails the job on the first duplicate.
+
     Scale: one shuffle on pk (the full-outer join); both sides shard by
     the merge key, no driver state.  On a transactional table format
     (Delta/Iceberg) the same call maps 1:1 onto ``MERGE INTO``'s
@@ -61,16 +79,41 @@ def merge_into(
     produces the new table contents for a non-transactional sink
     (overwrite of the affected partitions)."""
     cols = target.columns
-    t = target.alias("t")
-    s = source.alias("s")
+    if check_unique_source:
+        # Distributed guard, no driver action: count per pk and raise
+        # inside the row pipeline on the first duplicate.  raise_error
+        # is codegen'd JVM-side; the window shares the join's pk shuffle.
+        from pyspark.sql import Window
+
+        n = F.count("*").over(Window.partitionBy(pk))
+        # Embed the guard in the pk column the join must evaluate, so
+        # column pruning can't eliminate it.
+        source = source.withColumn(
+            pk,
+            F.when(
+                n > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit("merge_into: duplicate source pk "),
+                        F.col(pk).cast("string"),
+                    )
+                ).cast(source.schema[pk].dataType),
+            ).otherwise(F.col(pk)),
+        )
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
+    s = source.withColumn("__s_present", F.lit(True)).alias("s")
     joined = t.join(s, on=F.col(f"t.{pk}") == F.col(f"s.{pk}"), how="full_outer")
-    is_matched = F.col(f"t.{pk}").isNotNull() & F.col(f"s.{pk}").isNotNull()
-    src_only = F.col(f"t.{pk}").isNull()
+    is_matched = F.col("t.__t_present").isNotNull() & F.col("s.__s_present").isNotNull()
+    src_only = F.col("t.__t_present").isNull()
     delete_cond = (
-        is_matched & matched_delete if matched_delete is not None else F.lit(False)
+        is_matched & F.coalesce(matched_delete, F.lit(False))
+        if matched_delete is not None
+        else F.lit(False)
     )
     update_cond = (
-        is_matched & matched_update if matched_update is not None else is_matched
+        is_matched & F.coalesce(matched_update, F.lit(False))
+        if matched_update is not None
+        else is_matched
     )
     take_source = src_only | (update_cond & ~delete_cond)
     out_cols = [

@@ -68,7 +68,15 @@ def main():
     if "--json" in sys.argv:
         json_path = sys.argv[sys.argv.index("--json") + 1]
 
+    # --only q12,q35: run just the queries whose name starts with one of
+    # the given prefixes (fast targeted re-verification after a change).
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+
     qs = E.queries()
+    if only:
+        qs = {n: f for n, f in qs.items() if any(n.startswith(p) for p in only)}
     oracles = E.oracle_sql()
     n_pass = n_fail = 0
     report: dict[str, dict] = {}
@@ -123,7 +131,8 @@ def main():
             bad = [(a, b) for a, b in zip(ns, nd) if a != b][:2]
             for a, b in bad:
                 print(f"  spark={a}\n  duck ={b}")
-    print(f"TOTAL: {n_pass} pass, {n_fail} fail, {len(qs) - len(oracles)} rows-only")
+    n_rows_only = sum(1 for n in qs if n not in oracles)
+    print(f"TOTAL: {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     if json_path:
         with open(json_path, "w") as fh:
             json.dump(report, fh, indent=2)

@@ -148,6 +148,70 @@ def test_merge_into_routes_all_four_ways(spark):
     }                            # 3: matched + delete cond: dropped
 
 
+def test_merge_into_null_condition_does_not_fire(spark):
+    """ANSI/Delta: WHEN MATCHED AND cond THEN DELETE fires only when
+    cond = TRUE; a NULL cond must fall through to update/keep (the
+    round-2 ADVICE finding: (2,'nullcond') vs source tag NULL used to
+    vanish under three-valued logic)."""
+    from datapipeline_scraping_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "keep"), (2, "nullcond")], "pk long, tag string"
+    )
+    source = spark.createDataFrame([(2, None)], "pk long, tag string")
+    out = {
+        r["pk"]: r["tag"]
+        for r in merge_into(
+            target,
+            source,
+            "pk",
+            matched_delete=F.col("s.tag") == "gone",  # NULL == 'gone' → NULL
+            matched_update=F.col("s.tag").isNotNull(),
+        ).collect()
+    }
+    # delete must NOT fire; update cond is FALSE → target row kept as-is
+    assert out == {1: "keep", 2: "nullcond"}
+
+
+def test_merge_into_null_pk_target_row_is_kept(spark):
+    """A target row whose own pk is NULL is target-only, not a source
+    insert: presence markers, not pk nullness, drive the routing."""
+    from datapipeline_scraping_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(None, "orphan"), (1, "one")], "pk long, tag string"
+    )
+    source = spark.createDataFrame([(2, "two")], "pk long, tag string")
+    rows = sorted(
+        merge_into(target, source, "pk").collect(),
+        key=lambda r: (r["pk"] is None, r["pk"]),
+    )
+    got = [(r["pk"], r["tag"]) for r in rows]
+    assert got == [(1, "one"), (2, "two"), (None, "orphan")]
+
+
+def test_merge_into_duplicate_source_pk_guard(spark):
+    """check_unique_source=True fails the job on a duplicate source pk
+    (ANSI MERGE's multiple-matched-rows error, Delta's default)."""
+    import pytest as _pytest
+    from datapipeline_scraping_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, "a")], "pk long, v string")
+    dup_source = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "pk long, v string"
+    )
+    with _pytest.raises(Exception, match="duplicate source pk"):
+        merge_into(target, dup_source, "pk", check_unique_source=True).collect()
+    # unique source passes through the guard untouched
+    ok = merge_into(
+        target,
+        spark.createDataFrame([(1, "x"), (2, "z")], "pk long, v string"),
+        "pk",
+        check_unique_source=True,
+    ).collect()
+    assert {r["pk"]: r["v"] for r in ok} == {1: "x", 2: "z"}
+
+
 def test_merge_into_defaults_are_plain_upsert(spark):
     from datapipeline_scraping_spark.operators.merge import merge_into
 
