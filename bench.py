@@ -59,20 +59,31 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, schema="id long").count()
 
+    # best-of-N timing: the sandboxed VM shows occasional multi-second
+    # CPU-steal stalls (the same plan measured 1 s and 12 s back to
+    # back), so a single cold sample conflates engine cost with host
+    # noise and JIT warmup.  Each query runs N_RUNS times; the reported
+    # number is the fastest complete execution (caches cleared between
+    # runs, so every run recomputes the full plan).
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     per_query: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
-        # release intra-query persisted intermediates (LSH bucket/shingle
-        # tables) so one query's cache doesn't skew the next one's timing
-        spark.catalog.clearCache()
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        best = float("inf")
+        n = -1
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+            # release intra-query persisted intermediates (LSH bucket/
+            # shingle tables) so every run recomputes the full plan and
+            # one query's cache doesn't skew the next one's timing
+            spark.catalog.clearCache()
+        per_query[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     print(
         json.dumps(

@@ -127,14 +127,35 @@ def shingle_relation(
     The input is repartitioned by id first: a small corpus often
     arrives as one parquet file = one task, which would serialize the
     md5 work; at 100 TB the scan is already many-partitioned and the
-    repartition collapses into the existing exchange."""
+    repartition collapses into the existing exchange.
+
+    Codegen note: the naive ``explode(transform(sequence, i ->
+    concat_ws(slice(toks, i, k))))`` nests higher-order functions,
+    which whole-stage codegen MISCOMPILES on Spark 4.1 (see
+    :func:`minhash_signature`) and evaluates pathologically slowly in
+    interpreted mode (JIT-cold paths: 1-10 s run-to-run variance on
+    the same 5k-doc input).  This formulation explodes the start index
+    FIRST (one plain generator) and builds each shingle with flat
+    ``slice``/``concat_ws`` projections — no nested HOF, so it stays
+    inside whole-stage codegen and needs no per-query conf opt-out."""
     n_part = df.sparkSession.sparkContext.defaultParallelism
+    toks = F.split(F.col(text_col), " ")
+    n = F.greatest(F.lit(1), F.size(F.col("__toks")) - F.lit(k - 1))
     return (
         df.select(F.col(id_col), F.col(text_col))
         # explicit partition count: AQE would coalesce a column-only
         # repartition of a small corpus back to one task
         .repartition(n_part, F.col(id_col))
-        .select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s"))
+        .select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(F.sequence(F.lit(1), n)).alias("__i"),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i"), F.lit(k))).alias("s"),
+        )
         .withColumn(
             "hx",
             F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long"),
@@ -282,14 +303,11 @@ def jaccard_verify(
         )
     else:
         # standalone path: filter docs to candidates FIRST, then pay
-        # the explode only for candidate docs
-        base = (
-            df.join(cand_ids, on=id_col, how="left_semi")
-            .repartition(
-                df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-            )
-            .select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
-        )
+        # the explode only for candidate docs (codegen-safe index
+        # explode via shingle_relation; the unused hx column is pruned)
+        base = shingle_relation(
+            df.join(cand_ids, on=id_col, how="left_semi"), id_col, text_col, k=k
+        ).select(F.col(id_col), F.col("s").alias("sh"))
     sh = (
         base.distinct()
         # reused three ways below (a-side, b-side, sizes): persist the

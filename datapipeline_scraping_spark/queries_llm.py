@@ -95,23 +95,22 @@ pairs AS (
 )"""
 
 
-def _no_wholestage(spark):
-    """The minhash shingle-explode aggregate codegens pathologically
-    (measured 3-4x slower than interpreted eval on Spark 4.1 — the
-    fused explode(transform(sequence…)) + 8-aggregate stage); these
-    queries opt out of whole-stage codegen. ``prepare()`` (called at
-    the top of every query via ``_t``) restores the default, so the
-    override only covers the query that asked for it."""
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+# History note: rounds 1-2 disabled whole-stage codegen for q19/q20
+# because the then-current shingle explode nested higher-order
+# functions (explode(transform(sequence…))), which Spark 4.1 codegen
+# miscompiles (operators/dedup.py::minhash_signature) and interpreted
+# eval ran with 1-10 s JIT-cold variance.  shingle_relation now
+# explodes the start index first and builds shingles with flat
+# slice/concat_ws projections — codegen-safe, so the opt-out is gone.
 
 
 @q("q19_minhash_lsh_pairs", oracle=f"WITH {_minhash_cte()}\nSELECT id_a, id_b FROM pairs")
 def q19_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH near-duplicate candidate pairs: per-row array-HOF
-    signatures (no shuffle), 4 bands × 2 rows, candidate self-join on
-    the band bucket only (see operators/dedup.py scale notes)."""
+    """MinHash+LSH near-duplicate candidate pairs: one index-explode
+    shingle relation, map-side-combinable min aggregates, 4 bands × 2
+    rows, candidate self-join on the band bucket only (see
+    operators/dedup.py scale notes)."""
     docs = _t(spark, sf_dir, "documents")
-    _no_wholestage(spark)
     return D.minhash_lsh_pairs(docs, "doc_id", "text", k=3, n_hashes=8, n_bands=4)
 
 
@@ -141,10 +140,12 @@ def q20_jaccard_neardup(spark, sf_dir):
     """n-gram Jaccard verification of the LSH candidates (shared-
     shingle join formulation — never all-pairs).  One persisted shingle
     relation feeds BOTH the MinHash signature pass and the Jaccard
-    verification, so the explode + md5 (the dominant cost) runs once;
-    bench.py's clearCache() between queries releases it."""
+    verification, so the explode + md5 (the dominant cost) runs once.
+    Persist contract: the harness that materializes the returned frame
+    releases the cache afterwards — bench.py AND driver_sim both call
+    ``spark.catalog.clearCache()`` between queries (a lingering cache
+    is MEMORY_AND_DISK, so a harness that doesn't merely spills)."""
     docs = _t(spark, sf_dir, "documents")
-    _no_wholestage(spark)
     sh_rel = D.shingle_relation(docs, "doc_id", "text", k=3).persist()
     pairs = D.minhash_lsh_pairs(
         docs, "doc_id", "text", k=3, n_hashes=8, n_bands=4, shingle_rel=sh_rel

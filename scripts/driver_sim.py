@@ -125,6 +125,11 @@ def main():
             "oracle_rows": len(drows), "err": None,
         }
         print(f"{status} {name}: {len(srows)} rows in {dt:.1f}s")
+        # release intra-query persisted intermediates (LSH shingle /
+        # bucket / pair tables) so the persist contract does not depend
+        # on bench.py being the only harness that runs many queries in
+        # one session
+        spark.catalog.clearCache()
         if not ok:
             print(f"  spark cols={scols} rows={len(srows)}; duck cols={dcols} rows={len(drows)}")
             ns, nd = norm(srows, scols), norm(drows, dcols)
