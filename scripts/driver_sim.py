@@ -39,7 +39,73 @@ def norm(rows, cols):
     return out
 
 
+def stale_check() -> int:
+    """Fail (exit 1) if any registry query's source changed AFTER the
+    newest correctness evidence row covering it (VERDICT r2 item 7:
+    every query's latest evidence must postdate its last code change).
+
+    Source time per query: the last commit touching the function's
+    source range (git log -L over the def INCLUDING its @q decorator,
+    so oracle edits count), plus "now" if the defining file has
+    uncommitted modifications (conservative).
+    Evidence time per query: the newest mtime among CORRECTNESS*.json
+    files containing a row for it (driver rounds and self-runs both
+    count — regenerate CORRECTNESS_SELF via --json after changes)."""
+    import inspect
+    import subprocess
+    from pathlib import Path
+
+    root = Path("/root/repo")
+    evidence_time: dict[str, float] = {}
+    for p in sorted(root.glob("CORRECTNESS*.json")):
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        mt = p.stat().st_mtime
+        for name in rows:
+            evidence_time[name] = max(evidence_time.get(name, 0.0), mt)
+
+    dirty = set(
+        subprocess.run(
+            ["git", "diff", "--name-only", "HEAD"],
+            cwd=root, capture_output=True, text=True,
+        ).stdout.split()
+    )
+
+    from datapipeline_scraping_spark.queries import REGISTRY
+
+    src_cache: dict[tuple, float] = {}
+    n_stale = 0
+    for name, spec in REGISTRY.items():
+        f = Path(inspect.getsourcefile(spec.fn))
+        lines, start = inspect.getsourcelines(spec.fn)
+        rel = str(f.relative_to(root))
+        key = (rel, start)
+        if key not in src_cache:
+            out = subprocess.run(
+                ["git", "log", "-1", "--format=%ct",
+                 f"-L{start},{start + len(lines) - 1}:{rel}", "--no-patch"],
+                cwd=root, capture_output=True, text=True,
+            ).stdout.strip().splitlines()
+            src_cache[key] = float(out[0]) if out else 0.0
+        src_t = src_cache[key]
+        if rel in dirty:
+            src_t = time.time()
+        ev_t = evidence_time.get(name)
+        if ev_t is None or src_t > ev_t:
+            n_stale += 1
+            why = "no evidence row" if ev_t is None else (
+                f"source changed {src_t - ev_t:.0f}s after newest evidence"
+            )
+            print(f"STALE {name}: {why} ({rel}:{start})")
+    print(f"stale-check: {n_stale} stale / {len(REGISTRY)} queries")
+    return 1 if n_stale else 0
+
+
 def main():
+    if "--stale-check" in sys.argv:
+        sys.exit(stale_check())
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")

@@ -224,6 +224,58 @@ def test_merge_into_defaults_are_plain_upsert(spark):
     assert got == want == {1: "a", 2: "B", 3: "C"}
 
 
+def test_merge_write_parquet_fallback_roundtrip(spark, tmp_path):
+    """merge_write on a parquet target: conditional MERGE applied and
+    atomically swapped in place; old contents fully replaced."""
+    from datapipeline_scraping_spark.operators.txn import merge_write
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "gone")], "pk long, v string"
+    ).write.parquet(path)
+    source = spark.createDataFrame(
+        [(2, "B"), (3, "gone"), (4, "D")], "pk long, v string"
+    )
+    merge_write(
+        spark,
+        path,
+        source,
+        "pk",
+        matched_delete=F.col("s.v") == "gone",
+        writer="parquet",
+    )
+    got = {r["pk"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 4: "D"}
+    # no leftover staging/backup dirs next to the target
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name != "tbl"]
+    assert leftovers == []
+
+
+def test_merge_write_auto_selects_available_writer(spark, tmp_path):
+    """auto == delta iff delta is importable (probed, not assumed);
+    in this container the probe is False (docs/DELTA_PROBE.md) and the
+    parquet fallback must engage; writer='delta' must then refuse
+    loudly rather than silently downgrade."""
+    import pytest as _pytest
+
+    from datapipeline_scraping_spark.operators.txn import (
+        delta_available,
+        merge_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "pk long, v string").write.parquet(path)
+    source = spark.createDataFrame([(1, "A")], "pk long, v string")
+    if delta_available(spark):  # pragma: no cover — not this container
+        merge_write(spark, path, source, "pk", writer="delta")
+    else:
+        with _pytest.raises(RuntimeError, match="delta"):
+            merge_write(spark, path, source, "pk", writer="delta")
+        merge_write(spark, path, source, "pk", writer="auto")
+        got = {r["pk"]: r["v"] for r in spark.read.parquet(path).collect()}
+        assert got == {1: "A"}
+
+
 def test_salted_join_rejects_outer(spark):
     import pytest as _pytest
 
