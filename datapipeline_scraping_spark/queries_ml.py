@@ -39,15 +39,16 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
 def q51_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate detection over a simulated
     re-ingest (corpus ∪ an exact-copy 5% slice under new ids — the
-    q13 re-scan model in embedding space). Exact all-pairs kernel;
-    at 100 TB the same kernel runs on SRP-bucket candidates only
-    (operators/similarity.py scale notes)."""
+    q13 re-scan model in embedding space). Exact all-pairs via the
+    block-matrix GEMM kernel (Arrow + numpy BLAS, one block-pair task
+    per matmul); at 100 TB the same kernel runs on SRP-bucket
+    candidates only (operators/similarity.py scale notes)."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") % 20 == 0).withColumn(
         "vec_id", F.col("vec_id") + 1000000
     )
     corpus = emb.unionByName(planted)
-    return SIM.cosine_neardup_pairs(
+    return SIM.cosine_neardup_pairs_blocked(
         corpus, "vec_id", "embedding", threshold=0.99, round_to=4
     )
 

@@ -65,6 +65,57 @@ def fake_fetcher(page: int) -> str:
     return "\n".join(f"p{page}-r{i}|payload-{page * 10 + i}" for i in range(10))
 
 
+# UA pool for header rotation — same rotation semantics as the
+# reference's header factory (``src/scrapers/network/http_client.py:
+# 15-31``: random UA per request from a fixed pool); the pool contents
+# are config, not behavior, so a short generic list suffices here.
+DEFAULT_USER_AGENTS = (
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) Gecko/20100101 Firefox/115.0",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 Chrome/120.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) Safari/605.1.15",
+)
+
+
+def http_fetcher(
+    base_url: str,
+    *,
+    user_agents: tuple[str, ...] = DEFAULT_USER_AGENTS,
+    timeout: float = 15.0,
+) -> Callable[[int], str]:
+    """Real HTTP fetcher for the injected-fetcher seam: GET
+    ``{base_url}{page}`` with a rotating User-Agent, raising on HTTP
+    errors so :func:`with_retry` (the S4 policy) governs retries —
+    the engine form of the reference's fetch loop
+    (``src/scrapers/network/http_client.py:33-41``: rotated headers,
+    bounded timeout, ``raise_for_status``).  Proxy rotation
+    (``proxy_manager.py``) remains connector environment — a deployment
+    wraps this callable, the query surface is unchanged.
+
+    Uses stdlib urllib (aiohttp is not in this container): per-page
+    concurrency already comes from one Spark task per page, so a
+    blocking client per task is the right shape — the asyncio fan-out
+    the reference needs in one process is exactly what the task
+    scheduler provides for free.  The returned closure pickles into
+    mapInPandas workers (no session object captured)."""
+    import random
+    import urllib.request
+
+    def fetch(page: int) -> str:
+        req = urllib.request.Request(
+            f"{base_url}{page}",
+            headers={
+                "User-Agent": random.choice(user_agents),
+                "Accept": "text/html,application/xhtml+xml,*/*;q=0.8",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            if resp.status >= 400:  # urlopen raises for most, belt+braces
+                raise OSError(f"HTTP {resp.status} for page {page}")
+            return resp.read().decode("utf-8")
+
+    return fetch
+
+
 def parse_list_page(page: int, body: str) -> list[dict]:
     """Positional-cell list parser (P1-P3 shape): split rows, split
     cells, name the columns."""

@@ -97,6 +97,58 @@ def test_scrape_source_shape_and_retry(spark):
     assert len(attempts) == 3
 
 
+def test_scrape_source_real_http_fetcher(spark):
+    """The q46 seam with a REAL HTTP fetcher: a localhost fixture
+    server serving delimited pages, UA rotated per request, one page
+    transiently failing so with_retry's S4 policy is exercised over
+    actual sockets (reference fetch loop:
+    src/scrapers/network/http_client.py:31-65)."""
+    import http.server
+    import threading
+
+    from datapipeline_scraping_spark.sources.scrape import http_fetcher
+
+    seen_uas: list[str] = []
+    fail_once: set[str] = set()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen_uas.append(self.headers.get("User-Agent", ""))
+            if self.path == "/page/1" and "/page/1" not in fail_once:
+                fail_once.add("/page/1")  # first hit on page 1: HTTP 503
+                self.send_error(503)
+                return
+            page = int(self.path.rsplit("/", 1)[1])
+            body = fake_fetcher(page).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/page/"
+        out = paginated_list_scan(
+            spark, max_pages=3, fetcher=http_fetcher(url), retry_attempts=3
+        ).collect()
+        assert len(out) == 30
+        assert {r["page"] for r in out} == {0, 1, 2}
+        # page 1 failed once then succeeded => at least 4 requests, and
+        # every request carried a pool User-Agent
+        assert len(seen_uas) >= 4
+        from datapipeline_scraping_spark.sources.scrape import (
+            DEFAULT_USER_AGENTS,
+        )
+
+        assert all(ua in DEFAULT_USER_AGENTS for ua in seen_uas)
+    finally:
+        srv.shutdown()
+
+
 def test_multimodal_blob_roundtrip(spark):
     docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
     blobs = attach_blob(docs, "doc_id", "text")
