@@ -1,0 +1,121 @@
+"""Connected components over candidate-pair edges — the cluster
+resolution step of the dedup pipeline (pairs from MinHash-LSH /
+SimHash / embedding near-dup are EDGES; dedup keeps one document per
+connected component).
+
+The reference has no equivalent (its dedup is per-key first-wins,
+``src/storage.py:108-117``); this is north-star surface: at 100 TB a
+near-dup pass emits millions of pairs whose transitive closure defines
+the duplicate clusters.
+
+Algorithm: iterative min-label propagation (the Pregel formulation of
+connected components, as in GraphX/GraphFrames): every node starts
+labeled with itself; each round every node takes the min label in its
+closed neighborhood; converged when no label changes.  Rounds needed =
+graph diameter (near-dup clusters are shallow — a handful of rounds);
+each round is one shuffle on the edge key.  The driver-side loop reads
+ONE aggregate count per round (a convergence flag, not data — the same
+control shape as any iterative algorithm on Spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve undirected ``edges`` into components.
+
+    Returns (node, cluster_id) for every node appearing in any edge,
+    where cluster_id is the component's minimum node id — the
+    deterministic "keeper" of a dedup cluster.
+
+    Raises RuntimeError if not converged within ``max_iter`` rounds
+    (diameter > max_iter means the input is not near-dup-shaped;
+    raise the cap explicitly rather than silently truncating)."""
+    # the symmetrization union consumes `edges` twice and Spark does not
+    # share subtrees across union branches — persist so an expensive
+    # upstream (e.g. the whole LSH candidate pipeline) runs once
+    edges = edges.persist()
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.groupBy("a").agg(F.min("b").alias("nbr_min")).select(
+        F.col("a").alias("node"),
+        F.least(F.col("a"), F.col("nbr_min")).alias("lbl"),
+    ).persist()
+    # convergence tracking: labels only ever DECREASE under min
+    # propagation, so the label sum strictly decreases iff any label
+    # changed — one cheap aggregate per round on the already-cached
+    # frame replaces a join-and-diff
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+
+    for _ in range(max_iter):
+        # each node pulls the labels of its neighbors, takes the min of
+        # (own label, neighbor labels)
+        nbr = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        stepped = labels.join(nbr, labels["node"] == nbr["a"], "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+        # pointer jumping (path compression): additionally adopt the
+        # label OF my label — halves the remaining path every round, so
+        # convergence needs O(log diameter) rounds instead of O(diameter)
+        # (each driver-visible round is a fixed scheduling cost, so round
+        # count is what dominates both locally and on a busy cluster).
+        # Every label is itself a node id, so the lookup always resolves.
+        jump = stepped.select(
+            F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
+        new_labels = (
+            stepped.join(jump, on="lbl", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            sym.unpersist()
+            edges.unpersist()
+            return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+        prev_sum = new_sum
+    sym.unpersist()
+    edges.unpersist()
+    raise RuntimeError(f"connected_components: not converged in {max_iter} rounds")
+
+
+def dedup_clusters(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", *, max_iter: int = 25
+) -> DataFrame:
+    """Components annotated for dedup: (node, cluster_id, cluster_size,
+    is_keeper) — keep ``is_keeper`` (the min id of each cluster), drop
+    the rest."""
+    cc = connected_components(edges, src, dst, max_iter=max_iter)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return cc.withColumn("cluster_size", F.count("*").over(w)).withColumn(
+        "is_keeper", F.col("node") == F.col("cluster_id")
+    )

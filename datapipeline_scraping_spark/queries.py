@@ -623,3 +623,4 @@ from . import queries_scale  # noqa: E402,F401
 from . import queries_io  # noqa: E402,F401
 from . import queries_adv  # noqa: E402,F401
 from . import queries_r2  # noqa: E402,F401
+from . import queries_r3  # noqa: E402,F401

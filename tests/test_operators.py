@@ -371,3 +371,54 @@ def test_srp_bucket_matches_pure_python(spark):
             if proj >= 0:
                 b += 1 << p
         assert got[vid] == b, f"vec {vid}: spark {got[vid]} != python {b}"
+
+
+def test_connected_components_multi_cluster(spark):
+    """Two components with a chain (diameter > 1) and an isolated pair:
+    labels converge to each component's min id."""
+    from datapipeline_scraping_spark.operators.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    ann = {
+        r["node"]: (r["cluster_size"], r["is_keeper"])
+        for r in dedup_clusters(edges).collect()
+    }
+    assert ann[1] == (4, True) and ann[4] == (4, False)
+    assert ann[10] == (2, True) and ann[11] == (2, False)
+
+
+def test_connected_components_raises_on_no_convergence(spark):
+    import pytest as _pytest
+
+    from datapipeline_scraping_spark.operators.graph import connected_components
+
+    # a path graph of length 6 cannot converge in 1 round
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="not converged"):
+        connected_components(edges, max_iter=1)
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    from datapipeline_scraping_spark.operators.sample import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)],
+        "id long, lang string",
+    )
+    a = stratified_sample(df, "lang", "id", {"en": 0.1, "zh": 0.9}).collect()
+    b = stratified_sample(df, "lang", "id", {"en": 0.1, "zh": 0.9}).collect()
+    assert sorted(r["id"] for r in a) == sorted(r["id"] for r in b)
+    by_lang = {"en": 0, "zh": 0}
+    for r in a:
+        by_lang[r["lang"]] += 1
+    assert 50 <= by_lang["en"] <= 150      # ~100 of 1000
+    assert 800 <= by_lang["zh"] <= 1000    # ~900 of 1000
