@@ -61,15 +61,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #   1. queries whose oracle exists NOW but whose latest driver row was
 #      `no_oracle` (the oracle postdates the evidence — e.g. q35 in r3)
 #      or a failure — these need re-evidence most urgently;
-#   2. queries with no driver row in any round;
-#   3. everything else, least-recently-evidenced round first
+#   2. queries whose defining module was committed AFTER the newest
+#      driver evidence file (code changed since last externally
+#      checked — the automatic "re-check band");
+#   3. queries with no driver row in any round (brand-new);
+#   4. everything else, least-recently-evidenced round first
 #      (ties broken by registry order).
 #
-# A brand-new query has no evidence file row, so it lands in band 2
-# automatically; a query whose oracle or plan just changed should get
-# its stale evidence caught by `scripts/driver_sim.py --stale-check`
-# (git-blame vs newest row).  Full self-run evidence for ALL queries
-# every round lives in CORRECTNESS_SELF_r{N}.json.
+# `scripts/driver_sim.py --stale-check` independently fails the build
+# if any query's code postdates ALL its evidence (incl. self-runs).
+# Full self-run evidence for every query each round lives in
+# CORRECTNESS_SELF_r{N}.json.
 
 
 def _evidence_rounds() -> dict[str, tuple[int, bool]]:
@@ -96,8 +98,54 @@ def _evidence_rounds() -> dict[str, tuple[int, bool]]:
     return out
 
 
+def _changed_since_evidence() -> set[str]:
+    """Names of queries whose defining module's last commit (or an
+    uncommitted edit) postdates the newest driver evidence file.
+    Best-effort: returns empty on any git failure (rotation then falls
+    back to the evidence-age bands alone)."""
+    import inspect
+    import subprocess
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent
+    try:
+        def commit_ts(path: str) -> float:
+            out = subprocess.run(
+                ["git", "log", "-1", "--format=%ct", "--", path],
+                cwd=root, capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            return float(out) if out else 0.0
+
+        newest_evidence = max(
+            (commit_ts(p.name) for p in root.glob("CORRECTNESS_r*.json")),
+            default=0.0,
+        )
+        if newest_evidence == 0.0:
+            return set()
+        dirty = set(
+            subprocess.run(
+                ["git", "diff", "--name-only", "HEAD"],
+                cwd=root, capture_output=True, text=True, timeout=10,
+            ).stdout.split()
+        )
+        file_ts: dict[str, float] = {}
+        changed: set[str] = set()
+        for name, spec in REGISTRY.items():
+            rel = str(
+                Path(inspect.getsourcefile(spec.fn)).relative_to(root)
+            )
+            if rel not in file_ts:
+                file_ts[rel] = commit_ts(rel)
+            if rel in dirty or file_ts[rel] > newest_evidence:
+                changed.add(name)
+        return changed
+    except Exception:
+        return set()
+
+
 def _rotation() -> list[str]:
     evidence = _evidence_rounds()
+    recheck = _changed_since_evidence()
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
 
     def band(name: str) -> tuple:
@@ -105,9 +153,11 @@ def _rotation() -> list[str]:
         has_oracle = REGISTRY[name].oracle is not None
         if row is not None and has_oracle and not row[1]:
             return (0, reg_pos[name])  # oracle newer than evidence / past fail
+        if name in recheck and row is not None:
+            return (1, reg_pos[name])  # code changed since driver evidence
         if row is None:
-            return (1, reg_pos[name])  # never evidenced
-        return (2, row[0], reg_pos[name])  # oldest evidence first
+            return (2, reg_pos[name])  # never evidenced
+        return (3, row[0], reg_pos[name])  # oldest evidence first
     return sorted(REGISTRY, key=band)
 
 
