@@ -259,6 +259,41 @@ def minhash_lsh_pairs(
     return lsh_candidate_pairs(lsh_buckets(sig, id_col, n_hashes, n_bands), id_col)
 
 
+def incremental_lsh_pairs(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Candidate pairs of an INCOMING batch against an EXISTING corpus
+    — the continuous-ingestion dedup shape: the corpus bucket table is
+    the stored index (in production: a maintained table, appended per
+    batch), the incoming batch computes its own buckets and probes with
+    one join on (band, bucket).  No corpus self-join ever runs, so
+    per-batch cost is O(|batch| + matched buckets), not O(|corpus|²) —
+    the property that makes dedup sustainable at 100 TB ingest.
+
+    Output: (id_corpus, id_new) distinct candidate pairs; verify with
+    :func:`jaccard_verify` over ``corpus ∪ incoming``."""
+    bkt_c = lsh_buckets(
+        minhash_signatures(corpus, id_col, text_col, k=k, n_hashes=n_hashes),
+        id_col, n_hashes, n_bands,
+    ).select(F.col(id_col).alias("id_corpus"), "band", "bucket")
+    bkt_i = lsh_buckets(
+        minhash_signatures(incoming, id_col, text_col, k=k, n_hashes=n_hashes),
+        id_col, n_hashes, n_bands,
+    ).select(F.col(id_col).alias("id_new"), "band", "bucket")
+    return (
+        bkt_i.join(bkt_c, on=["band", "bucket"])
+        .select("id_corpus", "id_new")
+        .distinct()
+    )
+
+
 # --------------------------------------------------------------------------
 # n-gram Jaccard verification (runs on candidate pairs only)
 # --------------------------------------------------------------------------

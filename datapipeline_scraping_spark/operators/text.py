@@ -161,6 +161,67 @@ def tfidf_topk(
     )
 
 
+def bm25_search(
+    df,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 10,
+    round_to: int = 4,
+):
+    """BM25 ranked retrieval for a fixed term set: per-doc score =
+    Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Like :func:`tfidf_topk`, idf is the rational BM25 core
+    ``(N − df + 0.5)/(df + 0.5)`` without the log wrapper — pure IEEE
+    arithmetic on exact integer counts in a fixed operation order, so
+    the oracle reproduces it bit-for-bit except for the final Σ over
+    query terms (≤ a handful; rounded before ranking).
+
+    Scale: tf for the query terms only (filter BEFORE the groupBy —
+    the explode output shrinks to matching tokens immediately), df is
+    |terms| rows, N/avgdl one broadcast row; one shuffle on doc id.
+    Ranking is a global top-k (single-reducer on top rows only)."""
+    from pyspark.sql import Window
+
+    terms = [t for t in query_terms]
+    toks = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("term"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    qtoks = toks.filter(F.col("term").isin(terms))
+    tf = qtoks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        qtoks.select(id_col, "term").distinct().groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    stats = df.agg(
+        F.countDistinct(id_col).alias("n")
+    ).crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
+    idf = (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(dfreq, on="term")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * F.lit(k1 + 1.0) / denom), round_to
+            ).alias("bm25"),
+            F.count("*").cast("long").alias("n_terms_hit"),
+        )
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top)
+    )
+
+
 def _trigram_profiles() -> list[tuple[str, str]]:
     """(trigram, lang) profile rows derived deterministically from the
     per-language marker vocabulary — the toy stand-in for real

@@ -59,17 +59,18 @@ def q13_exact_dedup(spark, sf_dir):
     )
 
 
-def _minhash_cte(k: int = 3, n_hashes: int = 8) -> str:
+def _minhash_cte(k: int = 3, n_hashes: int = 8, relation: str = "documents") -> str:
     """Shared CTE prefix: shingles + per-seed min-hash signature,
     formula-identical to operators.dedup.minhash_signatures (one md5
-    per shingle -> 32-bit int -> affine universal hashes mod P)."""
+    per shingle -> 32-bit int -> affine universal hashes mod P).
+    ``relation`` lets composers (q95) shingle a derived corpus."""
     mins = ",\n    ".join(
         f"min(({D.MINHASH_A[s]} * hx + {D.MINHASH_B[s]}) % {D.MINHASH_P})"
         f" AS mh{s}"
         for s in range(n_hashes)
     )
     return f"""
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {relation}),
 sh AS (
   SELECT doc_id, array_to_string(list_slice(t, i, i + {k - 1}), ' ') AS s
   FROM toks, UNNEST(generate_series(1, greatest(1, len(t) - {k - 1}))) AS u(i)

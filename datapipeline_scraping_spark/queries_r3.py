@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from .operators import graph as G
 from .operators import sample as SMP
 from .operators import similarity as SIM
+from .operators import text as TXQ
 from .queries import _t, q
 from .queries_llm import _minhash_cte
 
@@ -138,6 +139,208 @@ def q93_token_entropy(spark, sf_dir):
 
 
 # ===========================================================================
+# q97 — stream-stream interval join (purchase ← preceding-hour clicks)
+# ===========================================================================
+
+_1H_US = 3600 * 1_000_000
+
+
+@q(
+    "q97_stream_stream_join",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_ts_us
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_ts_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, c.click_id, p.user_id, p.p_ts_us, c.c_ts_us
+FROM p JOIN c ON p.user_id = c.user_id
+  AND c.c_ts_us >= p.p_ts_us - {_1H_US} AND c.c_ts_us <= p.p_ts_us
+""",
+)
+def q97_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (each purchase with the
+    same user's clicks from the preceding hour) replayed AvailableNow;
+    the emitted inner-join matches must equal the batch interval join
+    the oracle computes.  Bounded state: the time-range condition lets
+    both sides' buffers age out with the watermark."""
+    from .streaming.events import stream_purchase_click_join
+
+    return stream_purchase_click_join(spark, sf_dir)
+
+
+# ===========================================================================
+# q96 — BM25 ranked retrieval over the documents corpus
+# ===========================================================================
+
+_Q96_TERMS = ("vector", "hash", "broadcast")
+_Q96_K1, _Q96_B = 1.2, 0.75
+
+
+@q(
+    "q96_bm25_search",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+qtoks AS (SELECT * FROM toks WHERE term IN {_Q96_TERMS!r}),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qtoks GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM qtoks)
+  GROUP BY term
+),
+stats AS (
+  SELECT (SELECT COUNT(DISTINCT doc_id) FROM documents) AS n,
+         (SELECT AVG(dl) FROM dl) AS avgdl
+),
+scored AS (
+  SELECT t.doc_id,
+    round(SUM(
+      ((s.n - f.df + 0.5) / (f.df + 0.5))
+      * t.tf * {_Q96_K1 + 1.0}
+      / (t.tf + {_Q96_K1} * (1.0 - {_Q96_B} + {_Q96_B} * d.dl / s.avgdl))
+    ), 4) AS bm25,
+    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM tf t JOIN dfreq f USING (term) JOIN dl d USING (doc_id), stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, bm25, n_terms_hit, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM scored
+) WHERE rank <= 10
+""",
+)
+def q96_bm25_search(spark, sf_dir):
+    """BM25 top-10 retrieval for a fixed query-term set — ranked search
+    over the corpus with the rational-idf BM25 core (no libm in the
+    score: exact integer counts through a fixed IEEE operation order,
+    summed over ≤3 terms and rounded before ranking)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TXQ.bm25_search(
+        docs, "doc_id", "text", list(_Q96_TERMS), k1=_Q96_K1, b=_Q96_B, top=10
+    )
+
+
+# ===========================================================================
+# q98 — integer-exact z-score outlier detection (per-language length)
+# ===========================================================================
+
+@q(
+    "q98_length_outliers",
+    oracle="""
+WITH m AS (
+  SELECT lang, COUNT(*) AS n,
+    SUM(n_chars) AS sx, SUM(n_chars * n_chars) AS sxx
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN m USING (lang)
+WHERE m.n > 1 AND
+  CAST(m.n - 1 AS DECIMAL(38,0))
+    * CAST(m.n * d.n_chars - m.sx AS DECIMAL(38,0))
+    * CAST(m.n * d.n_chars - m.sx AS DECIMAL(38,0))
+  > CAST(4 AS DECIMAL(38,0)) * CAST(m.n AS DECIMAL(38,0))
+    * CAST(m.n * m.sxx - m.sx * m.sx AS DECIMAL(38,0))
+""",
+)
+def q98_length_outliers(spark, sf_dir):
+    """|z| > 2 outliers of document length per language WITHOUT any
+    float: z² > 4 rearranged over exact integer moments —
+    (n−1)·(n·x − Σx)² > 4·n·(n·Σx² − (Σx)²) — evaluated in
+    DECIMAL(38,0) so there is no rounding and no libm anywhere (the
+    q86 exact-moments trick applied to filtering).  One grouped
+    aggregation (map-side combinable) broadcast back onto the rows."""
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    d38 = "decimal(38,0)"
+    lhs = (
+        (F.col("n") - 1).cast(d38)
+        * (F.col("n") * F.col("n_chars") - F.col("sx")).cast(d38)
+        * (F.col("n") * F.col("n_chars") - F.col("sx")).cast(d38)
+    )
+    rhs = (
+        F.lit(4).cast(d38)
+        * F.col("n").cast(d38)
+        * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(d38)
+    )
+    return (
+        docs.join(F.broadcast(m), "lang")
+        .filter((F.col("n") > 1) & (lhs > rhs))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# ===========================================================================
+# q99 — event funnel: ordered view → click → purchase per user
+# ===========================================================================
+
+_7D_US = 7 * 24 * 3600 * 1_000_000
+
+
+@q(
+    "q99_event_funnel",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+    MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+  FROM events GROUP BY user_id
+),
+staged AS (
+  SELECT user_id,
+    t_view IS NOT NULL AS s1,
+    t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view
+      AND t_click - t_view <= {_7D_US} AS s2,
+    t_view IS NOT NULL AND t_click IS NOT NULL AND t_buy IS NOT NULL
+      AND t_click >= t_view AND t_click - t_view <= {_7D_US}
+      AND t_buy >= t_click AND t_buy - t_click <= {_7D_US} AS s3
+  FROM per_user
+)
+SELECT CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+  CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+  CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM staged
+""",
+)
+def q99_event_funnel(spark, sf_dir):
+    """Ordered-funnel analytics: users whose FIRST view is followed by
+    a first click within 7 days, then a first purchase within 7 more —
+    the conditional-min pivot formulation (one grouped aggregation,
+    no self-joins; timestamps compared as epoch microseconds)."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    first = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_buy"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = (
+        s1 & F.col("t_click").isNotNull()
+        & (F.col("t_click") >= F.col("t_view"))
+        & (F.col("t_click") - F.col("t_view") <= _7D_US)
+    )
+    s3 = (
+        s2 & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_click"))
+        & (F.col("t_buy") - F.col("t_click") <= _7D_US)
+    )
+    return first.agg(
+        F.sum(F.when(s1, 1).otherwise(0)).cast("long").alias("n_view"),
+        F.sum(F.when(s2, 1).otherwise(0)).cast("long").alias("n_view_click"),
+        F.sum(F.when(s3, 1).otherwise(0)).cast("long").alias("n_full_funnel"),
+    )
+
+
+# ===========================================================================
 # q94 — ANN recall evaluation: SRP bucketed top-k vs exact ground truth
 # ===========================================================================
 
@@ -176,6 +379,72 @@ SELECT q.query_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
   COALESCE(h.n, 0) / 5 AS recall_at_5
 FROM (SELECT query_id FROM qs) q LEFT JOIN hits h USING (query_id)
 """
+
+
+# ===========================================================================
+# q95 — incremental dedup: new batch probed against the corpus index
+# ===========================================================================
+
+_Q95_ORACLE = f"""
+WITH inc AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+allx AS (
+  SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM inc
+),
+{_minhash_cte(relation="allx")},
+cand AS (
+  SELECT DISTINCT c.doc_id AS id_corpus, i.doc_id AS id_new
+  FROM bkt c JOIN bkt i ON c.band = i.band AND c.bucket = i.bucket
+  WHERE c.doc_id < 1000000 AND i.doc_id >= 1000000
+),
+shd AS (
+  SELECT DISTINCT doc_id, s FROM sh
+  WHERE doc_id IN (SELECT id_corpus FROM cand UNION SELECT id_new FROM cand)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+shared AS (
+  SELECT p.id_corpus, p.id_new, COUNT(*) AS shared
+  FROM cand p
+  JOIN shd a ON a.doc_id = p.id_corpus
+  JOIN shd b ON b.doc_id = p.id_new AND b.s = a.s
+  GROUP BY p.id_corpus, p.id_new
+)
+SELECT s.id_corpus, s.id_new,
+  s.shared / (x.n + y.n - s.shared) AS jaccard
+FROM shared s
+JOIN sizes x ON x.doc_id = s.id_corpus
+JOIN sizes y ON y.doc_id = s.id_new
+WHERE s.shared / (x.n + y.n - s.shared) >= 0.7
+"""
+
+
+@q("q95_incremental_dedup", oracle=_Q95_ORACLE)
+def q95_incremental_dedup(spark, sf_dir):
+    """Continuous-ingestion dedup: a re-ingested 10% batch (new ids,
+    the q13 re-scan model) probes the EXISTING corpus's LSH bucket
+    index — one (band, bucket) join, no corpus self-join — and only
+    the candidates get exact-Jaccard verification.  Per-batch cost is
+    O(|batch| + matched buckets): the shape that keeps dedup
+    sustainable while 100 TB accretes."""
+    from .operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    inc = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    cand = D.incremental_lsh_pairs(docs, inc, "doc_id", "text")
+    pairs = cand.select(
+        F.col("id_corpus").alias("id_a"), F.col("id_new").alias("id_b")
+    )
+    both = docs.unionByName(inc)
+    return D.jaccard_verify(
+        both, pairs, "doc_id", "text", k=3, threshold=0.7
+    ).select(
+        F.col("id_a").alias("id_corpus"),
+        F.col("id_b").alias("id_new"),
+        "jaccard",
+    )
 
 
 @q("q94_ann_recall", oracle=_q94_oracle())

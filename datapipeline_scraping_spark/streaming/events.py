@@ -174,6 +174,52 @@ def stream_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(deduped)
 
 
+def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding hour.  Both sides carry event-time
+    watermarks and the join condition bounds click_ts to
+    [purchase_ts − 1h, purchase_ts], so state for either side is
+    droppable once the watermark passes the interval — the canonical
+    bounded-state stream-stream join (no unbounded buffering at
+    100 TB/day event rates).  AvailableNow + inner join ⇒ the emitted
+    matches equal the batch join, which is what the oracle checks."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        on=[
+            purchases["user_id"] == clicks["user_id"],
+            clicks["c_ts"] >= purchases["p_ts"] - F.expr("INTERVAL 1 HOUR"),
+            clicks["c_ts"] <= purchases["p_ts"],
+        ],
+    ).select(
+        "purchase_id",
+        "click_id",
+        purchases["user_id"].alias("user_id"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        F.unix_micros("c_ts").alias("c_ts_us"),
+    )
+    return run_available_now(joined, output_mode="append")
+
+
 def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running stats (event count, min/max value, last event type by time)
