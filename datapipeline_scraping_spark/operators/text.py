@@ -222,6 +222,42 @@ def bm25_search(
     )
 
 
+# PII patterns kept to syntax both Java regex (Spark) and RE2 (DuckDB)
+# compile identically: no lookaround, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def scrub_pii(
+    df,
+    text_col: str,
+    *,
+    email_token: str = "<EMAIL>",
+    ip_token: str = "<IP>",
+):
+    """Redact emails and IPv4 addresses from a text column, annotating
+    each row with per-kind match counts — the training-data hygiene
+    pass (run BEFORE dedup/fingerprinting so redaction doesn't split
+    otherwise-identical documents).
+
+    Pure per-row JVM regexes (codegen'd, shuffle-free, scan-pruned to
+    the text column); patterns restricted to the Java∩RE2 common
+    syntax so the oracle reproduces matches exactly."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0))).cast("long"))
+        .withColumn("n_ips", F.size(F.regexp_extract_all(c, F.lit(PII_IPV4_RE), F.lit(0))).cast("long"))
+        .withColumn(
+            text_col,
+            F.regexp_replace(
+                F.regexp_replace(c, PII_EMAIL_RE, email_token),
+                PII_IPV4_RE,
+                ip_token,
+            ),
+        )
+    )
+
+
 def _trigram_profiles() -> list[tuple[str, str]]:
     """(trigram, lang) profile rows derived deterministically from the
     per-language marker vocabulary — the toy stand-in for real

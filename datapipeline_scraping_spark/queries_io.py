@@ -335,3 +335,45 @@ def q80_quarantine_routing(spark, sf_dir):
             F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sum_k"),
         )
     )
+
+
+# ===========================================================================
+# ORC sink + source round-trip (the third bundled columnar format)
+# ===========================================================================
+
+@q(
+    "q100_orc_roundtrip",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty_scaled
+FROM (
+  SELECT l_returnflag, l_linestatus, l_quantity * 100 AS l_quantity
+  FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+) GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q100_orc_roundtrip(spark, sf_dir):
+    """ORC sink + source round-trip on lineitem (columnar format #3
+    after parquet/CSV/JSON): the filtered projection is written ORC,
+    read back, and aggregated — quantities integer-scaled (×100) before
+    the boundary so the sum is exact on every engine and unaffected by
+    the format's float handling."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("l_quantity") * 100).cast("decimal(18,2)").alias("l_quantity"),
+        )
+    )
+    out = os.path.join(SCRATCH, f"lineitem_orc_{_key(sf_dir)}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").cast("long").alias("sum_qty_scaled"),
+    )

@@ -341,6 +341,75 @@ def q99_event_funnel(spark, sf_dir):
 
 
 # ===========================================================================
+# q101 — PII scrubbing (emails / IPv4) with per-source audit counts
+# ===========================================================================
+
+@q(
+    "q101_pii_scrub",
+    oracle=r"""
+WITH planted AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 7 = 0 THEN
+      text || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+    ELSE text END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, source,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+    len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+    regexp_replace(
+      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS text
+  FROM planted
+)
+SELECT source,
+  CAST(SUM(CASE WHEN n_emails + n_ips > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_docs_with_pii,
+  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+  CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+  CAST(SUM(CASE WHEN contains(text, '@') THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_residual_at
+FROM scrubbed GROUP BY source
+""",
+)
+def q101_pii_scrub(spark, sf_dir):
+    """PII redaction audit: deterministic contact strings are planted
+    on every 7th document (the corpus is synthetic), then
+    :func:`operators.text.scrub_pii` redacts emails/IPv4s and the
+    query reports per-source redaction counts plus a residual check
+    (no '@' may survive).  Patterns live in the Java∩RE2 regex subset
+    so Spark and DuckDB match identically."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    scrubbed = TXQ.scrub_pii(planted, "text")
+    return scrubbed.groupBy("source").agg(
+        F.sum(F.when(F.col("n_emails") + F.col("n_ips") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_with_pii"),
+        F.sum("n_emails").cast("long").alias("n_emails"),
+        F.sum("n_ips").cast("long").alias("n_ips"),
+        F.sum(F.when(F.col("text").contains("@"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_residual_at"),
+    )
+
+
+# ===========================================================================
 # q94 — ANN recall evaluation: SRP bucketed top-k vs exact ground truth
 # ===========================================================================
 

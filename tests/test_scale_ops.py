@@ -159,3 +159,51 @@ def test_cli_list_and_oracle():
         capture_output=True, text=True, cwd="/root/repo", timeout=120,
     )
     assert out.returncode == 0 and "SELECT" in out.stdout.upper()
+
+
+def test_stratified_sample_plan_is_map_only(spark):
+    """q92: hash-threshold sampling must not shuffle — membership is a
+    per-row expression, so the plan has zero exchanges."""
+    from datapipeline_scraping_spark.queries import REGISTRY
+
+    df = REGISTRY["q92_stratified_sample"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_incremental_dedup_plan_has_no_cartesian(spark):
+    """q95: the batch-vs-corpus probe is a (band,bucket) equi-join —
+    never a cross/nested-loop product."""
+    from datapipeline_scraping_spark.queries import REGISTRY
+
+    df = REGISTRY["q95_incremental_dedup"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_length_outliers_plan_broadcasts_moments(spark):
+    """q98: the per-language moment table (≤ |langs| rows) joins back
+    to documents as a broadcast — no shuffle of the fact side."""
+    from datapipeline_scraping_spark.queries import REGISTRY
+
+    df = REGISTRY["q98_length_outliers"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from datapipeline_scraping_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@example.org or ping 192.168.0.1 twice 10.0.0.2"),
+            (2, "no pii here"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in scrub_pii(df, "text").collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 2
+    assert "<EMAIL>" in out[1]["text"] and "<IP>" in out[1]["text"]
+    assert "@" not in out[1]["text"] and "192.168" not in out[1]["text"]
+    assert out[2]["n_emails"] == 0 and out[2]["text"] == "no pii here"
