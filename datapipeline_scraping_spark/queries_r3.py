@@ -410,6 +410,71 @@ def q101_pii_scrub(spark, sf_dir):
 
 
 # ===========================================================================
+# q102 — malformed-HTML detail extraction (stdlib lenient parser)
+# ===========================================================================
+
+@q(
+    "q102_html_details",
+    oracle=r"""
+WITH pages AS (
+  SELECT doc_id,
+    '<html><body><h1 class=main>Doc ' || CAST(doc_id AS VARCHAR)
+    || ' <b>headline</h1><a href="/item/' || CAST(doc_id AS VARCHAR)
+    || '">first</a><A HREF=''/cat/' || CAST(doc_id % 7 AS VARCHAR)
+    || '''>second<p>Price: ' || CAST(doc_id % 100 AS VARCHAR)
+    || '.50 EUR</body>' AS html
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT doc_id,
+  trim(regexp_replace(regexp_extract(html, '<h1[^>]*>(.*?)</h1>', 1),
+       '<[^>]+>', '', 'g')) AS title,
+  CAST(len(regexp_extract_all(html, '(?i)href=["'']?([^"'' >]+)', 1))
+       AS BIGINT) AS n_links,
+  'https://example.com' ||
+    regexp_extract_all(html, '(?i)href=["'']?([^"'' >]+)', 1)[1] AS first_url,
+  regexp_extract(html, 'Price: ([0-9.]+)', 1) AS price
+FROM pages
+""",
+)
+def q102_html_details(spark, sf_dir):
+    """P6 over MALFORMED html (unclosed <b>/<a>/<p>, unquoted and
+    uppercase attributes): pages planted deterministically, parsed with
+    the REAL lenient parser (operators/html.py, stdlib html.parser in
+    an Arrow-batched seam — the reference's lxml role), then the
+    reference's regex post-capture / URL absolutization as column
+    expressions.  The oracle re-derives the same fields with pure
+    regexes — agreement checked on the planted corpus where both
+    extraction models are well-defined."""
+    from .operators.html import parse_html_details
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><h1 class=main>Doc '),
+            F.col("doc_id").cast("string"),
+            F.lit(' <b>headline</h1><a href="/item/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">first</a><A HREF=\'/cat/'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("'>second<p>Price: "),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(".50 EUR</body>"),
+        ).alias("html"),
+    )
+    parsed = parse_html_details(pages, "html", "doc_id")
+    return parsed.select(
+        "doc_id",
+        "title",
+        F.size("links").cast("long").alias("n_links"),
+        F.concat(F.lit("https://example.com"), F.col("links")[0]).alias(
+            "first_url"
+        ),
+        F.regexp_extract("full_text", r"Price: ([0-9.]+)", 1).alias("price"),
+    )
+
+
+# ===========================================================================
 # q94 — ANN recall evaluation: SRP bucketed top-k vs exact ground truth
 # ===========================================================================
 

@@ -422,3 +422,22 @@ def test_stratified_sample_deterministic_and_rate_shaped(spark):
         by_lang[r["lang"]] += 1
     assert 50 <= by_lang["en"] <= 150      # ~100 of 1000
     assert 800 <= by_lang["zh"] <= 1000    # ~900 of 1000
+
+
+def test_html_detail_parser_handles_tag_soup(spark):
+    """Lenient-parse semantics the regex oracle can't cover: entity
+    refs decoded, nested inline tags inside h1, attribute values
+    containing '>', only the FIRST h1 counts."""
+    from datapipeline_scraping_spark.operators.html import parse_html_details
+
+    soup = (
+        "<HTML><h1 id=x>A &amp; <i>B</i></h1>"
+        '<a title="x > y" href="/one">l1'
+        "<h1>second title ignored</h1>"
+        "<a href='/two'><b>l2</a>trailing text"
+    )
+    df = spark.createDataFrame([(1, soup)], "doc_id long, html string")
+    row = parse_html_details(df, "html", "doc_id").collect()[0]
+    assert row["title"] == "A & B"
+    assert row["links"] == ["/one", "/two"]
+    assert "trailing text" in row["full_text"]
