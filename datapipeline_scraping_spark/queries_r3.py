@@ -475,6 +475,117 @@ def q102_html_details(spark, sf_dir):
 
 
 # ===========================================================================
+# q103 — one-pass table profiler (per-column shape monitoring)
+# ===========================================================================
+
+_Q103_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderpriority")
+
+
+@q(
+    "q103_table_profile",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+SELECT 'o_orderkey' AS column, n.n_rows,
+  (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS n_null,
+  (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct,
+  (SELECT CAST(MIN(o_orderkey) AS VARCHAR) FROM orders) AS min_value,
+  (SELECT CAST(MAX(o_orderkey) AS VARCHAR) FROM orders) AS max_value
+FROM n
+UNION ALL SELECT 'o_custkey', n.n_rows,
+  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+  (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+  (SELECT CAST(MIN(o_custkey) AS VARCHAR) FROM orders),
+  (SELECT CAST(MAX(o_custkey) AS VARCHAR) FROM orders) FROM n
+UNION ALL SELECT 'o_orderstatus', n.n_rows,
+  (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NULL),
+  (SELECT COUNT(DISTINCT o_orderstatus) FROM orders),
+  (SELECT MIN(o_orderstatus) FROM orders),
+  (SELECT MAX(o_orderstatus) FROM orders) FROM n
+UNION ALL SELECT 'o_totalprice', n.n_rows,
+  (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL),
+  (SELECT COUNT(DISTINCT o_totalprice) FROM orders),
+  (SELECT CAST(MIN(o_totalprice) AS VARCHAR) FROM orders),
+  (SELECT CAST(MAX(o_totalprice) AS VARCHAR) FROM orders) FROM n
+UNION ALL SELECT 'o_orderpriority', n.n_rows,
+  (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL),
+  (SELECT COUNT(DISTINCT o_orderpriority) FROM orders),
+  (SELECT MIN(o_orderpriority) FROM orders),
+  (SELECT MAX(o_orderpriority) FROM orders) FROM n
+""",
+)
+def q103_table_profile(spark, sf_dir):
+    """Per-column profile of orders (count / nulls / exact distinct /
+    min / max, stringified) — the every-batch shape monitor, computed
+    in ONE aggregation job regardless of column count."""
+    from .operators.profile import profile_table
+
+    o = _t(spark, sf_dir, "orders").select(*_Q103_COLS)
+    return profile_table(o, list(_Q103_COLS))
+
+
+# ===========================================================================
+# q104 — declarative constraint checks (deequ/dbt-test role)
+# ===========================================================================
+
+@q(
+    "q104_quality_checks",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem)
+SELECT 'qty_positive' AS rule, n.n_rows,
+  (SELECT COUNT(*) FROM lineitem
+   WHERE NOT COALESCE(l_quantity > 0, FALSE)) AS n_violations,
+  (SELECT COUNT(*) FROM lineitem
+   WHERE NOT COALESCE(l_quantity > 0, FALSE)) = 0 AS passed
+FROM n
+UNION ALL SELECT 'price_nonneg', n.n_rows,
+  (SELECT COUNT(*) FROM lineitem
+   WHERE NOT COALESCE(l_extendedprice >= 0, FALSE)),
+  (SELECT COUNT(*) FROM lineitem
+   WHERE NOT COALESCE(l_extendedprice >= 0, FALSE)) = 0 FROM n
+UNION ALL SELECT 'shipdate_in_range', n.n_rows,
+  (SELECT COUNT(*) FROM lineitem
+   WHERE NOT COALESCE(l_shipdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31', FALSE)),
+  (SELECT COUNT(*) FROM lineitem
+   WHERE NOT COALESCE(l_shipdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31', FALSE)) = 0 FROM n
+UNION ALL SELECT 'discount_in_unit_range', n.n_rows,
+  (SELECT COUNT(*) FROM lineitem
+   WHERE NOT COALESCE(l_discount BETWEEN 0 AND 1, FALSE)),
+  (SELECT COUNT(*) FROM lineitem
+   WHERE NOT COALESCE(l_discount BETWEEN 0 AND 1, FALSE)) = 0 FROM n
+UNION ALL SELECT 'returnflag_domain', n.n_rows,
+  (SELECT COUNT(*) FROM lineitem
+   WHERE NOT COALESCE(l_returnflag IN ('A', 'N', 'R'), FALSE)),
+  (SELECT COUNT(*) FROM lineitem
+   WHERE NOT COALESCE(l_returnflag IN ('A', 'N', 'R'), FALSE)) = 0 FROM n
+""",
+)
+def q104_quality_checks(spark, sf_dir):
+    """Declarative expectations over lineitem (positivity, date range,
+    domain membership — C3 generalized): all rules in ONE scan via
+    conditional sums; NULL predicates count as violations."""
+    from .operators.profile import check_constraints
+
+    li = _t(spark, sf_dir, "lineitem")
+    return check_constraints(
+        li,
+        [
+            ("qty_positive", F.col("l_quantity") > 0),
+            ("price_nonneg", F.col("l_extendedprice") >= 0),
+            (
+                "shipdate_in_range",
+                F.col("l_shipdate").between(
+                    F.lit("1992-01-01").cast("date"),
+                    F.lit("1998-12-31").cast("date"),
+                ),
+            ),
+            ("discount_in_unit_range", F.col("l_discount").between(0, 1)),
+            ("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
+        ],
+    )
+
+
+# ===========================================================================
 # q94 — ANN recall evaluation: SRP bucketed top-k vs exact ground truth
 # ===========================================================================
 
