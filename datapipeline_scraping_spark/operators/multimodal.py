@@ -87,6 +87,47 @@ def extract_media_meta(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return blobs.mapInPandas(extract, schema=_META_SCHEMA)
 
 
+def extract_features(
+    blobs: DataFrame, id_col: str = "doc_id", *, dim: int = 16
+) -> DataFrame:
+    """Feature extraction over binary payloads → fixed-dim embedding
+    (the encoder seam: in production a vision/audio model batch runs
+    here; see the LLM-backend seam shape in operators/classify.py).
+
+    The encoder is a DETERMINISTIC FAKE so the downstream ANN plumbing
+    stays oracle-checkable end-to-end: with c = md5(blob) hex,
+
+        v[d] = ((int(md5(c || ':' || d)[:8], 16) % 2001) − 1000) / 1000
+
+    i.e. pure md5/int arithmetic that DuckDB reproduces exactly.
+    Identical payloads get identical vectors (the property the
+    near-dup path needs); values are exact multiples of 1/1000, so the
+    SRP integer scaling downstream stays exact too."""
+
+    def encode(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, vecs = [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
+                c = hashlib.md5(bytes(blob)).hexdigest()
+                vecs.append(
+                    [
+                        (int(hashlib.md5(f"{c}:{d}".encode()).hexdigest()[:8], 16)
+                         % 2001 - 1000) / 1000.0
+                        for d in range(dim)
+                    ]
+                )
+                ids.append(int(doc_id))
+            yield pd.DataFrame({"doc_id": ids, "features": vecs})
+
+    return blobs.select(F.col(id_col), F.col("blob")).mapInPandas(
+        encode, schema="doc_id long, features array<double>"
+    )
+
+
 _FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -586,6 +586,62 @@ def q104_quality_checks(spark, sf_dir):
 
 
 # ===========================================================================
+# q105 — multimodal → encoder → ANN bucketing, end to end
+# ===========================================================================
+
+def _q105_oracle(dim: int = 16, n_planes: int = 4) -> str:
+    vec = (
+        "list_transform(generate_series(0, {last}), d -> "
+        "(CAST('0x' || substr(md5(md5(text) || ':' || CAST(d AS VARCHAR)), 1, 8)"
+        " AS BIGINT) % 2001 - 1000) / 1000.0)"
+    ).format(last=dim - 1)
+    bucket = SIM.srp_bucket_sql("v", n_planes, dim)
+    return f"""
+WITH reingest AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+),
+feats AS (SELECT doc_id, {vec} AS v FROM reingest),
+b AS (SELECT doc_id, v, {bucket} AS bucket FROM feats)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(COUNT(DISTINCT CAST(v AS VARCHAR)) AS BIGINT) AS n_distinct_vecs
+FROM b GROUP BY bucket
+"""
+
+
+@q("q105_blob_embed_buckets", oracle=_q105_oracle())
+def q105_blob_embed_buckets(spark, sf_dir):
+    """Multimodal → ANN, end to end: payloads packed as binary blobs
+    (attach_blob), encoded to fixed-dim vectors by the Arrow-batched
+    encoder seam (deterministic fake, operators/multimodal.py), then
+    SRP-bucketed for near-dup grouping.  A re-ingested 5% slice
+    carries identical blobs ⇒ identical vectors ⇒ the same bucket,
+    which the per-bucket distinct-vector count exposes.  The whole
+    chain — blob schema, encoder batch shape, integer-scaled SRP — is
+    reproduced by the oracle from md5 arithmetic alone."""
+    from .operators import multimodal as MM2
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    reingest = docs.unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    blobs = MM2.attach_blob(reingest, "doc_id", "text")
+    feats = MM2.extract_features(blobs, "doc_id", dim=16)
+    bucketed = feats.withColumn(
+        "bucket", SIM.srp_bucket(F.col("features"), n_planes=4, dim=16)
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.count_distinct(F.col("features").cast("string"))
+        .cast("long")
+        .alias("n_distinct_vecs"),
+    )
+
+
+# ===========================================================================
 # q94 — ANN recall evaluation: SRP bucketed top-k vs exact ground truth
 # ===========================================================================
 
