@@ -61,10 +61,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #   1. queries whose oracle exists NOW but whose latest driver row was
 #      `no_oracle` (the oracle postdates the evidence — e.g. q35 in r3)
 #      or a failure — these need re-evidence most urgently;
-#   2. queries whose defining module was committed AFTER the newest
+#   2. queries with no driver row in any round (brand-new: zero
+#      external evidence outranks "changed but previously green");
+#   3. queries whose defining module was committed AFTER the newest
 #      driver evidence file (code changed since last externally
 #      checked — the automatic "re-check band");
-#   3. queries with no driver row in any round (brand-new);
 #   4. everything else, least-recently-evidenced round first
 #      (ties broken by registry order).
 #
@@ -153,10 +154,10 @@ def _rotation() -> list[str]:
         has_oracle = REGISTRY[name].oracle is not None
         if row is not None and has_oracle and not row[1]:
             return (0, reg_pos[name])  # oracle newer than evidence / past fail
-        if name in recheck and row is not None:
-            return (1, reg_pos[name])  # code changed since driver evidence
         if row is None:
-            return (2, reg_pos[name])  # never evidenced
+            return (1, reg_pos[name])  # never evidenced
+        if name in recheck:
+            return (2, reg_pos[name])  # code changed since driver evidence
         return (3, row[0], reg_pos[name])  # oldest evidence first
     return sorted(REGISTRY, key=band)
 
