@@ -68,12 +68,15 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # persist: stepped is consumed twice below (directly and via the
+        # jump self-join) — without it the neighbor join + min aggregate
+        # (the round's dominant cost) would execute twice per round
         stepped = labels.join(nbr, labels["node"] == nbr["a"], "left").select(
             "node",
             F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
                 "lbl"
             ),
-        )
+        ).persist()
         # pointer jumping (path compression): additionally adopt the
         # label OF my label — halves the remaining path every round, so
         # convergence needs O(log diameter) rounds instead of O(diameter)
@@ -95,14 +98,19 @@ def connected_components(
         )
         new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels.unpersist()
+        stepped.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             sym.unpersist()
             edges.unpersist()
+            # NB: the returned frame reads the final `labels` cache;
+            # the harness releases it (clearCache between queries, the
+            # engine-wide persist contract — see queries_llm.q20)
             return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
         prev_sum = new_sum
     sym.unpersist()
     edges.unpersist()
+    labels.unpersist()
     raise RuntimeError(f"connected_components: not converged in {max_iter} rounds")
 
 

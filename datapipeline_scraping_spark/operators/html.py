@@ -25,6 +25,16 @@ from html.parser import HTMLParser
 from pyspark.sql import DataFrame
 
 
+# block-level tags that implicitly terminate an unclosed <h1>, the way
+# lxml/libxml2 auto-close headings at block boundaries — without this,
+# tag soup like '<h1>Title<p>body...' (no </h1>) would swallow the
+# whole document into the title
+_H1_CLOSERS = frozenset(
+    "h1 h2 h3 h4 h5 h6 p div section article table ul ol li form "
+    "footer header main aside".split()
+)
+
+
 class _DetailExtractor(HTMLParser):
     """First <h1> text content, every <a href>, and the full document
     text — the three primitives the reference's field specs compose
@@ -38,19 +48,27 @@ class _DetailExtractor(HTMLParser):
         self._in_h1 = 0
         self._h1_done = False
 
+    def _close_h1(self) -> None:
+        if self._in_h1:
+            self._in_h1 = 0
+            self._h1_done = True
+
     def handle_starttag(self, tag, attrs):
-        if tag == "h1" and not self._h1_done:
-            self._in_h1 += 1
-        elif tag == "a":
+        if tag == "h1":
+            if self._in_h1:
+                self._close_h1()  # nested/h1-in-h1 soup: close the first
+            elif not self._h1_done:
+                self._in_h1 += 1
+        elif self._in_h1 and tag in _H1_CLOSERS:
+            self._close_h1()  # implicit close at a block boundary
+        if tag == "a":
             for k, v in attrs:
                 if k == "href" and v:
                     self.links.append(v.strip())
 
     def handle_endtag(self, tag):
         if tag == "h1" and self._in_h1:
-            self._in_h1 -= 1
-            if self._in_h1 == 0:
-                self._h1_done = True
+            self._close_h1()
 
     def handle_data(self, data):
         self.text_parts.append(data)

@@ -85,16 +85,20 @@ def merge_into(
         # is codegen'd JVM-side; the window shares the join's pk shuffle.
         from pyspark.sql import Window
 
-        n = F.count("*").over(Window.partitionBy(pk))
+        # count only non-NULL pks: multiple NULL-pk source rows are
+        # ordinary NOT-MATCHED inserts under ANSI/Delta (NULL matches
+        # no target row), not duplicates
+        n = F.count(pk).over(Window.partitionBy(pk))
         # Embed the guard in the pk column the join must evaluate, so
         # column pruning can't eliminate it.
         source = source.withColumn(
             pk,
             F.when(
-                n > 1,
+                F.col(pk).isNotNull() & (n > 1),
                 F.raise_error(
-                    F.concat(
-                        F.lit("merge_into: duplicate source pk "),
+                    F.concat_ws(
+                        " ",
+                        F.lit("merge_into: duplicate source pk"),
                         F.col(pk).cast("string"),
                     )
                 ).cast(source.schema[pk].dataType),

@@ -110,8 +110,8 @@ def extract_features(
         import pandas as pd
 
         for pdf in batches:
-            ids, vecs = [], []
-            for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
+            vecs = []
+            for blob in pdf["blob"]:
                 c = hashlib.md5(bytes(blob)).hexdigest()
                 vecs.append(
                     [
@@ -120,11 +120,13 @@ def extract_features(
                         for d in range(dim)
                     ]
                 )
-                ids.append(int(doc_id))
-            yield pd.DataFrame({"doc_id": ids, "features": vecs})
+            yield pd.DataFrame({id_col: pdf[id_col], "features": vecs})
 
+    # preserve the caller's id column name and type (any id type works —
+    # the id passes through the Arrow batch untouched)
+    id_type = blobs.schema[id_col].dataType.simpleString()
     return blobs.select(F.col(id_col), F.col("blob")).mapInPandas(
-        encode, schema="doc_id long, features array<double>"
+        encode, schema=f"{id_col} {id_type}, features array<double>"
     )
 
 

@@ -102,11 +102,15 @@ def merge_write(
         matched_update=matched_update,
     )
     # write-new-then-swap: materialize the merge next to the target,
-    # then atomically rename over it, so a reader never sees a
-    # half-written table and a crash mid-write leaves the old table
-    # intact. (Directory rename is atomic on POSIX and on HDFS; on
-    # object stores swap a manifest/partition pointer instead — or use
-    # the delta writer, which exists for exactly that reason.)
+    # then swap directories. Each rename is atomic, but the swap is TWO
+    # renames — a crash in the window between them leaves target_path
+    # absent with the previous table preserved under the __old_ suffix
+    # (manual recovery: rename it back). A crash any earlier leaves the
+    # live table untouched. This is the honest ceiling of a
+    # plain-filesystem sink for a SINGLE writer; true atomicity (and
+    # concurrent writers, and no swap window) is exactly what the delta
+    # writer path provides — on object stores swap a manifest/partition
+    # pointer instead.
     tmp = f"{target_path.rstrip('/')}__merge_{uuid.uuid4().hex[:8]}"
     result.write.mode("overwrite").parquet(tmp)
     old = f"{target_path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"

@@ -240,10 +240,11 @@ SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN m USING (lang)
 WHERE m.n > 1 AND
   CAST(m.n - 1 AS DECIMAL(38,0))
-    * CAST(m.n * d.n_chars - m.sx AS DECIMAL(38,0))
-    * CAST(m.n * d.n_chars - m.sx AS DECIMAL(38,0))
+    * (CAST(m.n AS DECIMAL(38,0)) * d.n_chars - m.sx)
+    * (CAST(m.n AS DECIMAL(38,0)) * d.n_chars - m.sx)
   > CAST(4 AS DECIMAL(38,0)) * CAST(m.n AS DECIMAL(38,0))
-    * CAST(m.n * m.sxx - m.sx * m.sx AS DECIMAL(38,0))
+    * (CAST(m.n AS DECIMAL(38,0)) * m.sxx
+       - CAST(m.sx AS DECIMAL(38,0)) * m.sx)
 """,
 )
 def q98_length_outliers(spark, sf_dir):
@@ -259,17 +260,14 @@ def q98_length_outliers(spark, sf_dir):
         F.sum("n_chars").alias("sx"),
         F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
     )
+    # every product has a DECIMAL(38,0) operand BEFORE multiplying —
+    # n·Σx² and (Σx)² overflow int64 on a large corpus if computed in
+    # LongType first (the oracle casts identically)
     d38 = "decimal(38,0)"
-    lhs = (
-        (F.col("n") - 1).cast(d38)
-        * (F.col("n") * F.col("n_chars") - F.col("sx")).cast(d38)
-        * (F.col("n") * F.col("n_chars") - F.col("sx")).cast(d38)
-    )
-    rhs = (
-        F.lit(4).cast(d38)
-        * F.col("n").cast(d38)
-        * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(d38)
-    )
+    n_d, sx_d = F.col("n").cast(d38), F.col("sx").cast(d38)
+    dev = n_d * F.col("n_chars") - F.col("sx")
+    lhs = (F.col("n") - 1).cast(d38) * dev * dev
+    rhs = F.lit(4).cast(d38) * n_d * (n_d * F.col("sxx") - sx_d * F.col("sx"))
     return (
         docs.join(F.broadcast(m), "lang")
         .filter((F.col("n") > 1) & (lhs > rhs))
