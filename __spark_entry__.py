@@ -83,11 +83,15 @@ def _evidence_rounds() -> dict[str, tuple[int, bool]]:
 
     out: dict[str, tuple[int, bool]] = {}
     root = Path(__file__).resolve().parent
-    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+    numbered = []
+    for p in root.glob("CORRECTNESS_r*.json"):
         m = re.match(r"CORRECTNESS_r(\d+)\.json", p.name)
-        if not m:
-            continue
-        rnd = int(m.group(1))
+        if m:
+            numbered.append((int(m.group(1)), p))
+    # sort by the PARSED round number: lexicographic name order would put
+    # r10 before r2 once rounds reach double digits, making "latest wins"
+    # pick stale rows.
+    for rnd, p in sorted(numbered):
         try:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):

@@ -101,12 +101,19 @@ def connected_components(
         stepped.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            # materialize a lineage-truncated copy of the (small) label
+            # table, then release EVERY frame this function persisted —
+            # library callers must not accumulate leaked cache entries
+            # per invocation (round-3 advice).  The checkpoint blocks
+            # are owned by the returned DataFrame and reclaimed by
+            # Spark's ContextCleaner when the caller drops it.
+            result = labels.select(
+                F.col("node"), F.col("lbl").alias("cluster_id")
+            ).localCheckpoint(eager=True)
+            labels.unpersist()
             sym.unpersist()
             edges.unpersist()
-            # NB: the returned frame reads the final `labels` cache;
-            # the harness releases it (clearCache between queries, the
-            # engine-wide persist contract — see queries_llm.q20)
-            return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+            return result
         prev_sum = new_sum
     sym.unpersist()
     edges.unpersist()

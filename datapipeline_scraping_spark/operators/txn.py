@@ -93,6 +93,7 @@ def merge_write(
         return
     if writer != "parquet":
         raise ValueError(f"unknown writer {writer!r}")
+    recover_swap(target_path)
     target = spark.read.parquet(target_path)
     result = merge_into(
         target,
@@ -101,19 +102,48 @@ def merge_write(
         matched_delete=matched_delete,
         matched_update=matched_update,
     )
-    # write-new-then-swap: materialize the merge next to the target,
-    # then swap directories. Each rename is atomic, but the swap is TWO
-    # renames — a crash in the window between them leaves target_path
-    # absent with the previous table preserved under the __old_ suffix
-    # (manual recovery: rename it back). A crash any earlier leaves the
-    # live table untouched. This is the honest ceiling of a
-    # plain-filesystem sink for a SINGLE writer; true atomicity (and
-    # concurrent writers, and no swap window) is exactly what the delta
-    # writer path provides — on object stores swap a manifest/partition
-    # pointer instead.
+    # write-new-then-swap: materialize the merge next to the target
+    # (sibling path — same filesystem by construction, so os.rename can
+    # never fail EXDEV), then swap directories. Each rename is atomic,
+    # but the swap is TWO renames — a crash in the window between them
+    # leaves target_path absent with the previous table preserved under
+    # the __old_ suffix; :func:`recover_swap` (run automatically at the
+    # start of the next merge_write) renames it back. A crash any
+    # earlier leaves the live table untouched. This is the honest
+    # ceiling of a plain-filesystem sink for a SINGLE writer; true
+    # atomicity (and concurrent writers, and no swap window) is exactly
+    # what the delta writer path provides — on object stores swap a
+    # manifest/partition pointer instead.
     tmp = f"{target_path.rstrip('/')}__merge_{uuid.uuid4().hex[:8]}"
     result.write.mode("overwrite").parquet(tmp)
     old = f"{target_path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     os.rename(target_path, old)
     os.rename(tmp, target_path)
     shutil.rmtree(old)
+
+
+def recover_swap(target_path: str) -> bool:
+    """Repair a crash inside merge_write's two-rename swap window.
+
+    If ``target_path`` is absent but a ``__old_`` snapshot of it exists
+    (the only state the swap can strand), rename the snapshot back and
+    return True. Orphaned ``__merge_`` staging dirs (crash before the
+    first rename) and leftover ``__old_`` dirs next to a LIVE target
+    (crash before the final rmtree) are deleted either way — the live
+    table supersedes both."""
+    base = target_path.rstrip("/")
+    parent, name = os.path.split(base)
+    try:
+        siblings = os.listdir(parent or ".")
+    except FileNotFoundError:
+        return False
+    olds = sorted(s for s in siblings if s.startswith(f"{name}__old_"))
+    tmps = [s for s in siblings if s.startswith(f"{name}__merge_")]
+    restored = False
+    if not os.path.exists(base) and olds:
+        os.rename(os.path.join(parent, olds[0]), base)
+        olds = olds[1:]
+        restored = True
+    for leftover in olds + tmps:
+        shutil.rmtree(os.path.join(parent, leftover), ignore_errors=True)
+    return restored

@@ -125,14 +125,15 @@ def q64_partitioned_sink(spark, sf_dir):
     cardinality key."""
     ev = _t(spark, sf_dir, "events")
     out = os.path.join(SCRATCH, f"events_by_type_{_key(sf_dir)}")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        (
-            ev.select("event_id", "user_id", F.col("ts").cast("timestamp"), "event_type")
-            .write.partitionBy("event_type")
-            .mode("overwrite")
-            .parquet(out)
-        )
+    # always write: the sink is part of what this query measures, and an
+    # unconditional overwrite means stale scratch from older code can
+    # never be read back (round-3 advice).
+    (
+        ev.select("event_id", "user_id", F.col("ts").cast("timestamp"), "event_type")
+        .write.partitionBy("event_type")
+        .mode("overwrite")
+        .parquet(out)
+    )
     back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
     return back.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count("*").alias("n_events"),
@@ -159,9 +160,7 @@ def q65_json_roundtrip(spark, sf_dir):
     fidelity against the parquet original."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
     out = os.path.join(SCRATCH, f"docs_jsonl_{_key(sf_dir)}")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        docs.write.mode("overwrite").json(out)
+    docs.write.mode("overwrite").json(out)
     back = spark.read.schema(
         "doc_id long, lang string, source string, n_chars long"
     ).json(out)
@@ -189,9 +188,7 @@ def q66_csv_roundtrip(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
     out = os.path.join(SCRATCH, f"orders_csv_{_key(sf_dir)}")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        o.write.mode("overwrite").option("header", "true").csv(out)
+    o.write.mode("overwrite").option("header", "true").csv(out)
     back = spark.read.schema(
         "o_orderkey long, o_orderstatus string, o_totalprice double"
     ).option("header", "true").csv(out)
@@ -369,9 +366,7 @@ def q100_orc_roundtrip(spark, sf_dir):
         )
     )
     out = os.path.join(SCRATCH, f"lineitem_orc_{_key(sf_dir)}")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        li.write.mode("overwrite").orc(out)
+    li.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_rows"),

@@ -111,7 +111,17 @@ def http_fetcher(
         with urllib.request.urlopen(req, timeout=timeout) as resp:
             if resp.status >= 400:  # urlopen raises for most, belt+braces
                 raise OSError(f"HTTP {resp.status} for page {page}")
-            return resp.read().decode("utf-8")
+            # decode with the response's DECLARED charset and
+            # errors='replace': a non-UTF-8 page must not raise inside
+            # the task — a UnicodeDecodeError is deterministic, so
+            # with_retry would retry it pointlessly (round-3 advice;
+            # mirrors the reference client's lenient page handling).
+            body = resp.read()
+            charset = resp.headers.get_content_charset() or "utf-8"
+            try:
+                return body.decode(charset, errors="replace")
+            except LookupError:  # bogus charset label in the header
+                return body.decode("utf-8", errors="replace")
 
     return fetch
 
