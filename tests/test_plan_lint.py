@@ -1,0 +1,137 @@
+"""Whole-registry physical-plan lint.
+
+Every one of the registry's queries is planned (not executed) at the
+smoke scale factor and its executed-plan string is linted against the
+engine's scale contract (SCALE.md):
+
+1. ``CartesianProduct`` never appears — an unconstrained cross product
+   is never an acceptable physical strategy at 100 TB.
+2. ``BroadcastNestedLoopJoin`` appears only on an explicit allowlist,
+   each entry with a reason: either a documented exact/ground-truth
+   kernel (all-pairs by definition, never the production route) or a
+   non-equi join whose build side is provably tiny (scalar aggregates,
+   centroid tables, query vectors).
+3. Python evaluation nodes appear only at the declared Arrow seams
+   (LLM classify, HTML parse, media decode, GEMM kernel, UDAF/UDTF/
+   cogroup demos). Row-at-a-time ``BatchEvalPython`` is banned except
+   for Spark 4's UDTF evaluator, which is row-based by design and only
+   used by the UDTF demo query.
+4. Queries that join a small dimension must plan it as a
+   ``BroadcastHashJoin`` — the dim side must never shuffle the fact.
+
+This turns the per-query plan spot checks in test_scale_ops.py into a
+CI-enforced property of the entire query surface: a regression that
+slips a cross product, a row-Python UDF, or a shuffled dim join into
+ANY query fails this file with the offending plan fragment.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datapipeline_scraping_spark.queries import REGISTRY
+
+from conftest import SF_SMOKE
+
+# --- allowlists (each entry = query -> reason) -----------------------------
+
+# Nested-loop joins whose build side is tiny by construction, or which
+# ARE the documented brute-force kernels (labeled non-production).
+NESTED_LOOP_ALLOW = {
+    "q21_cosine_topk": "exact ANN ground-truth kernel (documented all-pairs)",
+    "q42_range_join": "non-equi interval join; broadcast side is the small range table",
+    "q51_embedding_neardup": "exact GEMM block-pair kernel (documented all-pairs)",
+    "q52_ivf_topk": "centroid assignment; broadcast side is k centroids",
+    "q53_tfidf_topterms": "scalar doc-count literal joined as 1-row broadcast",
+    "q75_kmeans_ivf_topk": "MLlib KMeans centroid probe; k-row broadcast",
+    "q94_ann_recall": "recomputes the exact ground truth to measure recall",
+    "q96_bm25_search": "query-term list (a handful of rows) crossed with stats",
+}
+
+# Arrow-vectorized Python seams (MapInPandas / grouped-map / cogroup).
+ARROW_SEAM_ALLOW = {
+    "q27_classify_backend": "LLM classify backend (Arrow batches)",
+    "q34_multimodal_meta": "media metadata decode seam",
+    "q46_scrape_source": "HTTP fetch seam (1 partition per page batch)",
+    "q51_embedding_neardup": "numpy GEMM per block pair",
+    "q56_regr_slope_udaf": "grouped-map UDAF demo",
+    "q57_multimodal_frames": "frame-sample decode seam",
+    "q69_cogroup_purchase_click": "cogroup demo (applyInPandas over two sides)",
+    "q102_html_details": "lenient HTML parser seam",
+    "q105_blob_embed_buckets": "binary payload encoder seam",
+}
+
+# Row-at-a-time Python evaluation: banned, except Spark 4 evaluates
+# @udtf row-wise by design and the UDTF demo query must use it.
+ROW_PYTHON_ALLOW = {
+    "q71_python_udtf": "Spark 4 UDTF evaluator is row-based by design",
+}
+
+# Queries whose plan must broadcast a small dimension / state table
+# (fact side must not shuffle for the dim join).
+MUST_BROADCAST = [
+    "q12_delta_detection",
+    "q53_tfidf_topterms",
+    "q63_incremental_ledger",
+    "q67_salted_join",
+    "q68_sql_interface",
+    "q73_scd2_history",
+    "q84_volume_shipping",
+    "q85_product_profit",
+    "q93_token_entropy",
+    "q95_incremental_dedup",
+    "q98_length_outliers",
+]
+
+ARROW_NODES = (
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "MapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "AggregateInPandas",
+    "PythonMapInArrow",
+)
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_plan_lint(spark, name):
+    plan = _plan(spark, name)
+
+    assert "CartesianProduct" not in plan, (
+        f"{name}: CartesianProduct in physical plan — "
+        f"unconstrained cross product is never scale-safe:\n{plan[:2000]}"
+    )
+
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in NESTED_LOOP_ALLOW, (
+            f"{name}: BroadcastNestedLoopJoin outside the allowlist — "
+            f"either make the join an equi/bucket join or add an "
+            f"allowlist entry with a tiny-build-side reason:\n{plan[:2000]}"
+        )
+
+    if any(node in plan for node in ARROW_NODES):
+        assert name in ARROW_SEAM_ALLOW, (
+            f"{name}: Arrow Python-eval node outside the declared seams — "
+            f"hot-path logic must stay JVM-side:\n{plan[:2000]}"
+        )
+
+    if "BatchEvalPython" in plan:
+        assert name in ROW_PYTHON_ALLOW, (
+            f"{name}: row-at-a-time BatchEvalPython — use built-in "
+            f"functions or a pandas UDF:\n{plan[:2000]}"
+        )
+
+    if name in MUST_BROADCAST:
+        assert "BroadcastHashJoin" in plan, (
+            f"{name}: expected the small dim/state side to broadcast; "
+            f"plan has no BroadcastHashJoin:\n{plan[:2000]}"
+        )
