@@ -4,11 +4,17 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and write per-query
 wall-clock JSON, so a slow non-headline query cannot hide behind
 bench.py's 19-query headline set.
 
-    python scripts/bench_all.py --json BENCH_SELF_r03.json
+    python scripts/bench_all.py --json BENCH_SELF_r05.json
 
-Timing matches bench.py: best of N_RUNS (default 2) complete
-executions per query, caches cleared between runs (see bench.py for
-why best-of-N: the sandbox VM shows multi-second CPU-steal stalls).
+Timing matches bench.py: adaptive best-of-N per query (re-run until
+the two fastest samples agree within 20%, up to a cap), caches cleared
+between runs (see bench.py for why: the sandbox VM shows multi-second
+CPU-steal stalls that a fixed best-of-2 doesn't filter).
+
+Regression gate (CI role): compare against a committed baseline and
+exit nonzero when any query regresses past tolerance —
+
+    python scripts/bench_all.py --json cur.json --gate BENCH_SELF_r05.json
 """
 
 from __future__ import annotations
@@ -24,12 +30,43 @@ from datapipeline_scraping_spark.queries import REGISTRY  # noqa: E402
 from datapipeline_scraping_spark.session import build_spark  # noqa: E402
 
 
+def regressions(
+    current: dict[str, float],
+    baseline: dict[str, float],
+    *,
+    tolerance: float = 1.5,
+    abs_floor: float = 0.5,
+) -> list[str]:
+    """Queries slower than ``tolerance x`` their baseline time.
+
+    ``abs_floor`` ignores sub-second jitter: a regression must ALSO be
+    at least that many seconds absolute, so 0.2s -> 0.35s noise doesn't
+    fail CI while 4s -> 7s does. Queries missing from either side
+    (added/removed since the baseline) are skipped — the gate protects
+    existing coverage, it doesn't freeze the registry."""
+    out = []
+    for name, base in baseline.items():
+        cur = current.get(name)
+        if cur is None or base <= 0:
+            continue
+        if cur > base * tolerance and cur - base > abs_floor:
+            out.append(
+                f"{name}: {cur:.2f}s vs baseline {base:.2f}s "
+                f"({cur / base:.1f}x > {tolerance}x)"
+            )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "5"))
     json_path = None
     if "--json" in sys.argv:
         json_path = sys.argv[sys.argv.index("--json") + 1]
+    gate_path = None
+    if "--gate" in sys.argv:
+        gate_path = sys.argv[sys.argv.index("--gate") + 1]
 
     spark = build_spark(app_name="dps-bench-all")
     spark.range(1).count()
@@ -40,16 +77,24 @@ def main() -> None:
     per_query: dict[str, float] = {}
     total = 0.0
     for name, spec in REGISTRY.items():
-        best = float("inf")
+        samples: list[float] = []
         n = -1
-        for _ in range(n_runs):
+        while len(samples) < max_runs:
             t0 = time.perf_counter()
             n = spec.fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
+            if len(samples) >= n_runs:
+                lo = sorted(samples)[:2]
+                if lo[1] <= lo[0] * 1.2:
+                    break
+        best = min(samples)
         per_query[name] = round(best, 3)
         total += best
-        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr, flush=True)
+        print(
+            f"# {name}: {best:.3f}s ({n} rows, {len(samples)} runs)",
+            file=sys.stderr, flush=True,
+        )
 
     out = {
         "metric": "bench_all_total_wall_sec",
@@ -65,6 +110,18 @@ def main() -> None:
         with open(json_path, "w") as fh:
             json.dump(out, fh, indent=2)
     spark.stop()
+
+    if gate_path:
+        with open(gate_path) as fh:
+            baseline = json.load(fh)["queries"]
+        tol = float(os.environ.get("SPARK_GRAFT_BENCH_TOLERANCE", "1.5"))
+        bad = regressions(per_query, baseline, tolerance=tol)
+        for msg in bad:
+            print(f"REGRESSION {msg}", file=sys.stderr)
+        if bad:
+            sys.exit(2)
+        print(f"# gate ok: no query regressed past {tol}x vs {gate_path}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
