@@ -178,3 +178,223 @@ def q107_config_switch(spark, sf_dir):
         exact_sum("monto", 18, 2).alias("total_monto"),
         F.countDistinct("row_hash").alias("n_hashes"),
     )
+
+
+# ===========================================================================
+# training-data curation: quality rules, decontamination, domain caps
+# ===========================================================================
+
+_QR_MIN_TOK, _QR_MAX_TOK = 20, 2000
+_QR_MIN_MWL, _QR_MAX_MWL = 2.0, 10.0
+_QR_MAX_TBF, _QR_MAX_DTF = 0.2, 0.6
+
+
+@q(
+    "q108_quality_rules",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t, text FROM documents
+  WHERE len(string_split(text, ' ')) >= 4
+),
+stats AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+    round((len(text) - (len(t) - 1)) / CAST(len(t) AS DOUBLE), 4)
+      AS mean_word_len, t
+  FROM base
+),
+sh2 AS (
+  SELECT doc_id,
+    unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) AS s
+  FROM base
+),
+top2 AS (
+  SELECT doc_id, MAX(c) AS max_c FROM (
+    SELECT doc_id, s, COUNT(*) AS c FROM sh2 GROUP BY 1, 2
+  ) GROUP BY 1
+),
+sh3 AS (
+  SELECT doc_id,
+    unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+            for i in generate_series(1, len(t)-2)]) AS s
+  FROM base
+),
+dup3 AS (
+  SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_c FROM (
+    SELECT doc_id, s, COUNT(*) AS c FROM sh3 GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT st.doc_id, st.n_tokens, st.mean_word_len,
+  round(top2.max_c / CAST(st.n_tokens - 1 AS DOUBLE), 4) AS top_bigram_frac,
+  round(dup3.dup_c / CAST(st.n_tokens - 2 AS DOUBLE), 4) AS dup_trigram_frac,
+  CAST(st.n_tokens BETWEEN {_QR_MIN_TOK} AND {_QR_MAX_TOK}
+    AND st.mean_word_len BETWEEN {_QR_MIN_MWL} AND {_QR_MAX_MWL}
+    AND top2.max_c / CAST(st.n_tokens - 1 AS DOUBLE) < {_QR_MAX_TBF}
+    AND dup3.dup_c / CAST(st.n_tokens - 2 AS DOUBLE) < {_QR_MAX_DTF}
+    AS BIGINT) AS keep
+FROM stats st
+JOIN top2 ON top2.doc_id = st.doc_id
+JOIN dup3 ON dup3.doc_id = st.doc_id
+""",
+)
+def q108_quality_rules(spark, sf_dir):
+    """Gopher/C4-style repetition + shape quality rules, the curation
+    pass a pretraining pipeline runs before dedup: token-count bounds,
+    mean word length, top-bigram fraction (most frequent bigram's
+    share of all bigrams), duplicate-trigram fraction, and the
+    composite keep flag. Everything is a keyed aggregation over the
+    codegen-safe shingle relation (operators/dedup.py:108 — explode
+    the start index, flat slice/concat_ws; NEVER nested HOFs) — no
+    Python, two doc_id-partitioned shuffles, linear in corpus size."""
+    from .operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    docs = docs.filter(F.size(toks) >= 4)
+    nt = F.size(toks).cast("long")
+    stats = docs.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        F.round(
+            (F.length("text") - (nt - 1)) / nt.cast("double"), 4
+        ).alias("mean_word_len"),
+    )
+    top2 = (
+        D.shingle_relation(docs, "doc_id", "text", k=2)
+        .groupBy("doc_id", "s").count()
+        .groupBy("doc_id").agg(F.max("count").alias("max_c"))
+    )
+    dup3 = (
+        D.shingle_relation(docs, "doc_id", "text", k=3)
+        .groupBy("doc_id", "s").count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("count") >= 2, F.col("count")).otherwise(0)).alias(
+                "dup_c"
+            )
+        )
+    )
+    tbf = F.col("max_c") / (F.col("n_tokens") - 1).cast("double")
+    dtf = F.col("dup_c") / (F.col("n_tokens") - 2).cast("double")
+    keep = (
+        F.col("n_tokens").between(_QR_MIN_TOK, _QR_MAX_TOK)
+        & F.col("mean_word_len").between(_QR_MIN_MWL, _QR_MAX_MWL)
+        & (tbf < _QR_MAX_TBF)
+        & (dtf < _QR_MAX_DTF)
+    )
+    return (
+        stats.join(top2, "doc_id").join(dup3, "doc_id")
+        .select(
+            "doc_id", "n_tokens", "mean_word_len",
+            F.round(tbf, 4).alias("top_bigram_frac"),
+            F.round(dtf, 4).alias("dup_trigram_frac"),
+            keep.cast("long").alias("keep"),
+        )
+    )
+
+
+@q(
+    "q109_decontaminate",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 4
+),
+corpus AS (SELECT * FROM base WHERE doc_id % 37 <> 0),
+bench AS (SELECT * FROM base WHERE doc_id % 37 = 0),
+csh AS (
+  SELECT DISTINCT doc_id,
+    unnest([array_to_string(t[i:i+3], ' ')
+            for i in generate_series(1, len(t)-3)]) AS s
+  FROM corpus
+),
+bsh AS (
+  SELECT DISTINCT doc_id AS bench_id,
+    unnest([array_to_string(t[i:i+3], ' ')
+            for i in generate_series(1, len(t)-3)]) AS s
+  FROM bench
+)
+SELECT c.doc_id,
+  CAST(COUNT(DISTINCT c.s) AS BIGINT) AS n_contaminated_ngrams,
+  CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_benchmarks
+FROM csh c JOIN bsh b ON b.s = c.s
+GROUP BY 1
+""",
+)
+def q109_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the n-gram overlap scan every
+    pretraining corpus runs against its eval sets: n-gram collision
+    between the training corpus and a held-out benchmark slice
+    (doc_id % 37, the deterministic stand-in for an eval suite).
+    k=4 here so the tiny-vocabulary synthetic corpus yields a
+    non-trivial hit set; production runs 10-13-grams through the
+    IDENTICAL plan.
+    One distinct-shingle equi-join; no corpus self-join. At 100 TB
+    the join key becomes the shingle's 64-bit hash (collisions then
+    verified on the string) and the benchmark side — millions of
+    n-grams, not billions — broadcasts."""
+    from .operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.filter(F.size(F.split(F.col("text"), " ")) >= 4)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    csh = (
+        D.shingle_relation(corpus, "doc_id", "text", k=4)
+        .select("doc_id", "s").distinct()
+    )
+    bsh = (
+        D.shingle_relation(bench, "doc_id", "text", k=4)
+        .select(F.col("doc_id").alias("bench_id"), "s").distinct()
+    )
+    return (
+        csh.join(bsh, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_contaminated_ngrams"),
+            F.countDistinct("bench_id").alias("n_benchmarks"),
+        )
+    )
+
+
+_DOMAIN_CAP = 15
+
+
+@q(
+    "q110_domain_caps",
+    oracle=f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(SUM(CASE WHEN rn > {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped,
+  CAST(SUM(CASE WHEN rn <= {_DOMAIN_CAP} THEN n_chars ELSE 0 END) AS BIGINT)
+    AS chars_kept
+FROM ranked GROUP BY source
+""",
+)
+def q110_domain_caps(spark, sf_dir):
+    """Per-domain document caps — the source-balancing pass (C4's
+    per-domain limits; deduped CommonCrawl's per-host caps): keep the
+    first N docs per source under a deterministic order, report
+    kept/dropped mass per domain. One window over the domain key —
+    partitions by ``source``, so a hot domain is one partition's
+    sort, handled by AQE skew split at scale (see SCALE_EVIDENCE.md)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    ranked = docs.withColumn("rn", rn)
+    kept = F.when(F.col("rn") <= _DOMAIN_CAP, 1).otherwise(0)
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(1 - kept).cast("long").alias("n_dropped"),
+        F.sum(F.when(F.col("rn") <= _DOMAIN_CAP, F.col("n_chars")).otherwise(0))
+        .cast("long").alias("chars_kept"),
+    )
