@@ -34,26 +34,47 @@ def regressions(
     current: dict[str, float],
     baseline: dict[str, float],
     *,
-    tolerance: float = 1.5,
-    abs_floor: float = 0.5,
+    tolerance: float = 3.0,
+    abs_floor: float = 1.0,
+    total_tolerance: float = 1.5,
 ) -> list[str]:
-    """Queries slower than ``tolerance x`` their baseline time.
+    """Regression report: per-query AND total-time checks.
 
-    ``abs_floor`` ignores sub-second jitter: a regression must ALSO be
-    at least that many seconds absolute, so 0.2s -> 0.35s noise doesn't
-    fail CI while 4s -> 7s does. Queries missing from either side
-    (added/removed since the baseline) are skipped — the gate protects
-    existing coverage, it doesn't freeze the registry."""
+    Per-query: slower than ``tolerance x`` baseline AND ``abs_floor``
+    seconds absolute. The 3x default sits above this host's MEASURED
+    noise floor — two back-to-back quiet runs of the same build showed
+    individual queries at 2.5-2.7x even with adaptive best-of-2
+    sampling — while still catching the regressions that matter
+    (a lost broadcast, an accidental cartesian, a Python fallback are
+    all >=3x; structural regressions are ALSO caught deterministically
+    by tests/test_plan_lint.py).
+
+    Total: the summed time over queries present in both runs must stay
+    within ``total_tolerance x`` — noise averages out across 100+
+    queries (quiet-machine totals repeat within ~1%), so the total is
+    sensitive to broad slowdowns no single query trips.
+
+    Queries missing from either side (added/removed since the
+    baseline) are skipped — the gate protects existing coverage, it
+    doesn't freeze the registry."""
     out = []
+    cur_total = base_total = 0.0
     for name, base in baseline.items():
         cur = current.get(name)
         if cur is None or base <= 0:
             continue
+        cur_total += cur
+        base_total += base
         if cur > base * tolerance and cur - base > abs_floor:
             out.append(
                 f"{name}: {cur:.2f}s vs baseline {base:.2f}s "
                 f"({cur / base:.1f}x > {tolerance}x)"
             )
+    if base_total > 0 and cur_total > base_total * total_tolerance:
+        out.append(
+            f"TOTAL: {cur_total:.1f}s vs baseline {base_total:.1f}s "
+            f"({cur_total / base_total:.2f}x > {total_tolerance}x)"
+        )
     return out
 
 
@@ -114,7 +135,7 @@ def main() -> None:
     if gate_path:
         with open(gate_path) as fh:
             baseline = json.load(fh)["queries"]
-        tol = float(os.environ.get("SPARK_GRAFT_BENCH_TOLERANCE", "1.5"))
+        tol = float(os.environ.get("SPARK_GRAFT_BENCH_TOLERANCE", "3.0"))
         bad = regressions(per_query, baseline, tolerance=tol)
         for msg in bad:
             print(f"REGRESSION {msg}", file=sys.stderr)
