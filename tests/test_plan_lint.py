@@ -81,6 +81,9 @@ MUST_BROADCAST = [
     "q93_token_entropy",
     "q95_incremental_dedup",
     "q98_length_outliers",
+    "q106_incremental_ann",
+    "q108_quality_rules",
+    "q109_decontaminate",
 ]
 
 ARROW_NODES = (
