@@ -441,3 +441,49 @@ def test_html_detail_parser_handles_tag_soup(spark):
     assert row["title"] == "A & B"
     assert row["links"] == ["/one", "/two"]
     assert "trailing text" in row["full_text"]
+
+
+def test_recover_swap_restores_stranded_snapshot(tmp_path):
+    """Crash inside merge_write's two-rename window: target absent,
+    __old_ snapshot present -> recover_swap renames it back and clears
+    leftover staging dirs (the round-4 crash-recovery contract)."""
+    import os
+
+    from datapipeline_scraping_spark.operators.txn import recover_swap
+
+    base = str(tmp_path / "tbl")
+    old = f"{base}__old_deadbeef"
+    stage = f"{base}__merge_cafebabe"
+    os.makedirs(old)
+    open(os.path.join(old, "part-0.parquet"), "w").write("data")
+    os.makedirs(stage)
+
+    assert recover_swap(base) is True
+    assert os.path.isdir(base)
+    assert open(os.path.join(base, "part-0.parquet")).read() == "data"
+    assert not os.path.exists(old) and not os.path.exists(stage)
+
+
+def test_recover_swap_live_target_cleans_leftovers_only(tmp_path):
+    """Live target + stale __old_/__merge_ siblings: the live table
+    supersedes both; recover_swap deletes the leftovers untouched."""
+    import os
+
+    from datapipeline_scraping_spark.operators.txn import recover_swap
+
+    base = str(tmp_path / "tbl")
+    os.makedirs(base)
+    open(os.path.join(base, "part-0.parquet"), "w").write("live")
+    os.makedirs(f"{base}__old_00000001")
+    os.makedirs(f"{base}__merge_00000002")
+
+    assert recover_swap(base) is False
+    assert open(os.path.join(base, "part-0.parquet")).read() == "live"
+    assert not os.path.exists(f"{base}__old_00000001")
+    assert not os.path.exists(f"{base}__merge_00000002")
+
+
+def test_recover_swap_noop_without_siblings(tmp_path):
+    from datapipeline_scraping_spark.operators.txn import recover_swap
+
+    assert recover_swap(str(tmp_path / "absent")) is False

@@ -125,3 +125,41 @@ def test_pool_exhaustion_falls_back_to_direct_fetch():
         return f"direct-{page}"
 
     assert proxied_fetcher(fetch, pool)(3) == "direct-3"
+
+
+# --- property tests (hypothesis): the parser's https-filter/cap/order
+# contract holds for arbitrary table shapes --------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_octet = st.integers(0, 255)
+_row = st.tuples(
+    st.tuples(_octet, _octet, _octet, _octet),   # ip
+    st.integers(1, 65535),                        # port
+    st.sampled_from(["yes", "no", "YES", "No", ""]),  # https flag
+    st.integers(5, 9),                            # rendered cell count
+)
+
+
+def _render(rows) -> str:
+    trs = []
+    for (a, b, c, d), port, https, n_cells in rows:
+        cells = [f"{a}.{b}.{c}.{d}", str(port), "XX", "Country", "anon", "no"]
+        if n_cells >= 7:
+            cells.append(https)
+        cells += ["extra"] * (n_cells - len(cells))
+        trs.append("<tr>" + "".join(f"<td>{c}</td>" for c in cells) + "</tr>")
+    return "<table><tr><th>h</th></tr>" + "".join(trs) + "</table>"
+
+
+@given(rows=st.lists(_row, max_size=20), cap=st.integers(1, 10))
+@settings(max_examples=25, deadline=None)
+def test_parse_property_https_filter_cap_order(rows, cap):
+    got = parse_proxy_table(_render(rows), max_proxies=cap)
+    expected = [
+        f"http://{a}.{b}.{c}.{d}:{port}"
+        for (a, b, c, d), port, https, n_cells in rows
+        if n_cells >= 7 and https.lower() == "yes"
+    ][:cap]
+    assert got == expected
