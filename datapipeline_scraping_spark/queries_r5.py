@@ -398,3 +398,164 @@ def q110_domain_caps(spark, sf_dir):
         F.sum(F.when(F.col("rn") <= _DOMAIN_CAP, F.col("n_chars")).otherwise(0))
         .cast("long").alias("chars_kept"),
     )
+
+
+# ===========================================================================
+# time-series regularization: calendar gap fill + forward fill
+# ===========================================================================
+
+@q(
+    "q111_gap_fill",
+    oracle="""
+WITH sparse AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    COUNT(*) AS n_events,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS DOUBLE)
+      AS revenue
+  FROM events WHERE event_id % 97 = 0
+  GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM sparse GROUP BY 1
+),
+grid AS (
+  SELECT event_type,
+    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+)
+SELECT g.event_type, g.day,
+  CAST(coalesce(s.n_events, 0) AS BIGINT) AS n_events,
+  CAST(s.day IS NULL AS BIGINT) AS is_gap,
+  last_value(s.revenue IGNORE NULLS) OVER (
+    PARTITION BY g.event_type ORDER BY g.day
+    ROWS UNBOUNDED PRECEDING) AS revenue_ff
+FROM grid g LEFT JOIN sparse s
+  ON s.event_type = g.event_type AND s.day = g.day
+""",
+)
+def q111_gap_fill(spark, sf_dir):
+    """Time-series regularization — resample a sparse daily series
+    onto a dense per-key calendar and forward-fill: the gap-fill /
+    as-of-carry operator every metrics pipeline needs before window
+    math (a gap day must contribute a row, not silently vanish).
+
+    Plan: per-key MIN/MAX span (one tiny aggregate), calendar grid via
+    ``sequence`` + ``explode`` (rows = sum of span lengths — generated,
+    never shuffled), left join of the actuals back on (key, day), and
+    ``last(ignorenulls)`` over a key-partitioned ROWS frame for the
+    carry-forward. Everything partitions by the series key; the grid
+    explode is the only row-count amplifier and is bounded by
+    days-per-key, so 100 TB of events with a 10-year calendar stays
+    ~3,650 rows per key."""
+    ev = _t(spark, sf_dir, "events")
+    sparse = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value", 18, 2).alias("revenue"),
+        )
+    )
+    grid = (
+        sparse.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    ff = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    joined = grid.join(
+        sparse.withColumnRenamed("day", "s_day"),
+        on=[grid["event_type"] == sparse["event_type"], grid["day"] == F.col("s_day")],
+        how="left",
+    ).select(
+        grid["event_type"],
+        grid["day"],
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("s_day").isNull().cast("long").alias("is_gap"),
+        F.col("revenue"),
+    )
+    return joined.select(
+        "event_type", "day", "n_events", "is_gap",
+        F.last("revenue", ignorenulls=True).over(ff).alias("revenue_ff"),
+    )
+
+
+# ===========================================================================
+# entity resolution: blocked fuzzy match (edit-distance within blocks)
+# ===========================================================================
+
+@q(
+    "q112_fuzzy_match",
+    oracle="""
+WITH canon AS (
+  SELECT p_partkey, p_name FROM part
+),
+dirty AS (
+  SELECT p_partkey + 1000000 AS dirty_id,
+    substr(p_name, 1, length(p_name) - 1) AS name
+  FROM part WHERE p_partkey % 13 = 0 AND length(p_name) > 3
+),
+cand AS (
+  SELECT d.dirty_id, d.name, c.p_partkey, c.p_name,
+    levenshtein(d.name, c.p_name) AS dist
+  FROM dirty d JOIN canon c
+    ON substr(d.name, 1, 3) = substr(c.p_name, 1, 3)
+  WHERE levenshtein(d.name, c.p_name) <= 2
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY dirty_id ORDER BY dist, p_partkey) AS rn
+  FROM cand
+)
+SELECT dirty_id, name, p_partkey AS matched_key, p_name AS matched_name,
+  CAST(dist AS BIGINT) AS dist
+FROM best WHERE rn = 1
+""",
+)
+def q112_fuzzy_match(spark, sf_dir):
+    """Blocked fuzzy entity resolution — the record-matching operator
+    of every data-cleaning pipeline (and the classic Magellan/dedupe
+    design): a 'dirty' name set (deterministically truncated part
+    names) matches back to the canonical catalog by edit distance,
+    but ONLY within a blocking key (3-char prefix) — the blocked join
+    bounds candidates per record, so cost is O(block sizes), never the
+    |dirty| x |canon| cross product. Best match per dirty record via
+    (distance, key) argmin window. At 100 TB the blocking key becomes
+    multiple redundant keys (prefix + soundex + length bucket) unioned
+    before verification, same plan shape."""
+    p = _t(spark, sf_dir, "part")
+    canon = p.select("p_partkey", "p_name")
+    dirty = (
+        p.filter((F.col("p_partkey") % 13 == 0) & (F.length("p_name") > 3))
+        .select(
+            (F.col("p_partkey") + 1_000_000).alias("dirty_id"),
+            F.expr("substr(p_name, 1, length(p_name) - 1)").alias("name"),
+        )
+    )
+    cand = (
+        dirty.join(
+            canon,
+            on=F.expr("substr(name, 1, 3) = substr(p_name, 1, 3)"),
+        )
+        .withColumn("dist", F.levenshtein("name", "p_name"))
+        .filter(F.col("dist") <= 2)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("dirty_id").orderBy("dist", "p_partkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dirty_id", "name",
+            F.col("p_partkey").alias("matched_key"),
+            F.col("p_name").alias("matched_name"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )

@@ -84,6 +84,8 @@ MUST_BROADCAST = [
     "q106_incremental_ann",
     "q108_quality_rules",
     "q109_decontaminate",
+    "q111_gap_fill",
+    "q112_fuzzy_match",
 ]
 
 ARROW_NODES = (
