@@ -559,3 +559,94 @@ def q112_fuzzy_match(spark, sf_dir):
             F.col("dist").cast("long").alias("dist"),
         )
     )
+
+
+# ===========================================================================
+# dataset mixing: per-source target weights via deterministic sampling
+# ===========================================================================
+
+# target mixture: fraction of the OUTPUT each source group should
+# contribute (the pretraining data-mixture knob). Groups are defined on
+# the source id's numeric suffix here; a real config maps real domains.
+_MIX_WEIGHTS = {"web": 0.5, "curated": 0.3, "code": 0.2}
+_MIX_GROUP_SQL = """CASE
+  WHEN CAST(substr(source, 4) AS INTEGER) % 4 IN (0, 1) THEN 'web'
+  WHEN CAST(substr(source, 4) AS INTEGER) % 4 = 2 THEN 'curated'
+  ELSE 'code' END"""
+
+
+def _mix_oracle() -> str:
+    weights = ", ".join(f"('{g}', {w})" for g, w in _MIX_WEIGHTS.items())
+    return f"""
+WITH tagged AS (
+  SELECT doc_id, n_chars, {_MIX_GROUP_SQL} AS grp FROM documents
+),
+counts AS (SELECT grp, COUNT(*) AS n_grp FROM tagged GROUP BY 1),
+w(grp, weight) AS (VALUES {weights}),
+-- the binding group: the one whose n/weight ratio is smallest caps the
+-- total output size; every group then samples to weight * total
+tot AS (
+  SELECT CAST(floor(MIN(n_grp / weight)) AS BIGINT) AS n_total
+  FROM counts JOIN w USING (grp)
+),
+rates AS (
+  SELECT grp, LEAST(1.0, (weight * n_total) / n_grp) AS rate
+  FROM counts JOIN w USING (grp) CROSS JOIN tot
+),
+sampled AS (
+  SELECT t.grp, t.n_chars
+  FROM tagged t JOIN rates r ON r.grp = t.grp
+  WHERE CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+    % 1000000 < CAST(r.rate * 1000000 AS BIGINT)
+)
+SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM sampled GROUP BY grp
+"""
+
+
+@q("q113_source_mixing", oracle=_mix_oracle())
+def q113_source_mixing(spark, sf_dir):
+    """Dataset mixture sampling — THE pretraining curation knob: given
+    per-group target weights, each source group is downsampled so the
+    output hits the target mix, with the scarcest group (largest
+    weight-to-size ratio) binding the total. Membership is the q81
+    md5-hash threshold — deterministic per doc, reproducible across
+    engines/retries/partitionings, and stable as the corpus grows
+    (adding docs never flips an existing doc's membership at a fixed
+    rate). Plan: one tiny per-group count (broadcast back), then a
+    map-only filter — no shuffle of the corpus itself."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    grp = F.expr(_MIX_GROUP_SQL)
+    tagged = docs.select("doc_id", "n_chars", grp.alias("grp"))
+    weights = spark.createDataFrame(
+        list(_MIX_WEIGHTS.items()), "grp string, weight double"
+    )
+    counts = tagged.groupBy("grp").agg(F.count("*").alias("n_grp")).join(
+        F.broadcast(weights), "grp"
+    )
+    # binding-group total as a GLOBAL window min over the tiny per-group
+    # count frame (a single-partition exchange of |groups| rows) — not a
+    # 1-row crossJoin, which would plan as a nested-loop join
+    t = F.floor(
+        F.min(F.col("n_grp") / F.col("weight")).over(Window.partitionBy())
+    ).cast("long")
+    rates = counts.select(
+        "grp",
+        F.least(
+            F.lit(1.0), (F.col("weight") * t) / F.col("n_grp")
+        ).alias("rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1_000_000
+    )
+    return (
+        tagged.join(F.broadcast(rates), "grp")
+        .filter(bucket < (F.col("rate") * 1_000_000).cast("long"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
