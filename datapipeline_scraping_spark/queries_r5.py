@@ -530,7 +530,12 @@ def q112_fuzzy_match(spark, sf_dir):
     multiple redundant keys (prefix + soundex + length bucket) unioned
     before verification, same plan shape."""
     p = _t(spark, sf_dir, "part")
-    canon = p.select("p_partkey", "p_name")
+    # canonical-name dedup BEFORE matching (standard ER prep): many
+    # catalog rows share one name, and the (dist, key) argmin can only
+    # ever pick the min key within a name group — so collapsing to one
+    # representative per distinct name is result-identical while
+    # shrinking every block by the name-duplication factor
+    canon = p.groupBy("p_name").agg(F.min("p_partkey").alias("p_partkey"))
     dirty = (
         p.filter((F.col("p_partkey") % 13 == 0) & (F.length("p_name") > 3))
         .select(
@@ -541,10 +546,19 @@ def q112_fuzzy_match(spark, sf_dir):
     cand = (
         dirty.join(
             canon,
-            on=F.expr("substr(name, 1, 3) = substr(p_name, 1, 3)"),
+            # equi key (hash join) + a length band applied during the
+            # probe: |len difference| > 2 already implies distance > 2,
+            # so the expensive edit-distance only runs on survivors
+            on=F.expr(
+                "substr(name, 1, 3) = substr(p_name, 1, 3) "
+                "AND abs(length(name) - length(p_name)) <= 2"
+            ),
         )
-        .withColumn("dist", F.levenshtein("name", "p_name"))
-        .filter(F.col("dist") <= 2)
+        # threshold form: the DP early-exits once distance exceeds 3
+        # (returns -1 past the bound) — same <=2 result set, less work
+        # per candidate pair
+        .withColumn("dist", F.levenshtein("name", "p_name", 3))
+        .filter(F.col("dist").between(0, 2))
     )
     from pyspark.sql import Window as W
 
