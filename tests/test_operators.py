@@ -487,3 +487,47 @@ def test_recover_swap_noop_without_siblings(tmp_path):
     from datapipeline_scraping_spark.operators.txn import recover_swap
 
     assert recover_swap(str(tmp_path / "absent")) is False
+
+
+def test_sketch_estimates_within_error_bounds(spark):
+    """q58 is rows-only for the driver (sketches are engine-specific by
+    design) — but its estimates are NOT unconstrained: HLL distinct at
+    rsd=0.02 must land within a conservative 5x that bound of the exact
+    count, and t-digest p50/p99 must sit between neighboring exact
+    percentiles. This pins the approximate tier to its exact twins
+    (countDistinct / percentile) the way the survey's test strategy
+    prescribes, without pretending cross-engine hash equality."""
+    from conftest import SF_SMOKE
+
+    from datapipeline_scraping_spark.queries import REGISTRY
+    from datapipeline_scraping_spark.sources.tables import load_table
+
+    approx = {
+        r["event_type"]: r
+        for r in REGISTRY["q58_approx_sketches"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, array(0.45, 0.55, 0.975, 1.0))").alias("p"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert a["n_events"] == e["n"]  # the exact column must BE exact
+        assert abs(a["approx_users"] - e["users"]) <= max(2, 0.10 * e["users"]), (
+            f"{et}: HLL estimate {a['approx_users']} vs exact {e['users']}"
+        )
+        p45, p55, p975, pmax = e["p"]
+        assert p45 <= a["value_p50"] <= p55, (
+            f"{et}: p50 {a['value_p50']} outside exact [{p45}, {p55}]"
+        )
+        assert p975 <= a["value_p99"] <= pmax, (
+            f"{et}: p99 {a['value_p99']} outside exact [{p975}, {pmax}]"
+        )
