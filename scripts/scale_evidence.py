@@ -148,6 +148,17 @@ def bench_family(spark, docs, emb, events) -> dict[str, tuple[float, int]]:
         return n
 
     out["jaccard_verify"] = timed(jacc)
+
+    def clusters():
+        from datapipeline_scraping_spark.operators.graph import (
+            connected_components,
+        )
+
+        pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", k=3, n_hashes=8,
+                                    n_bands=4)
+        return connected_components(pairs, "id_a", "id_b").count()
+
+    out["dedup_clusters"] = timed(clusters)
     out["simhash"] = timed(lambda: D.simhash(docs, "doc_id", "text", bits=32).count())
 
     q8 = emb.filter(F.col("vec_id") % 1_000_000 < 8).filter(F.col("vec_id") < 8)
