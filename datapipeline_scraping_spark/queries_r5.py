@@ -664,3 +664,54 @@ def q113_source_mixing(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# ===========================================================================
+# distribution profiling: fixed-bin histograms per group
+# ===========================================================================
+
+_HIST_BINS = 10
+
+
+@q(
+    "q114_value_histogram",
+    oracle=f"""
+WITH spans AS (
+  SELECT event_type, MIN(value) AS v0, MAX(value) AS v1
+  FROM events GROUP BY 1
+),
+binned AS (
+  SELECT e.event_type,
+    CAST(LEAST({_HIST_BINS} - 1,
+      floor((e.value - s.v0) / ((s.v1 - s.v0) / {_HIST_BINS}))) AS BIGINT)
+      AS bin
+  FROM events e JOIN spans s ON s.event_type = e.event_type
+)
+SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+FROM binned GROUP BY 1, 2
+""",
+)
+def q114_value_histogram(spark, sf_dir):
+    """Fixed-bin value histograms per group — the distribution half of
+    the table profiler (q103 gives scalars; this gives shape, the
+    input to drift detection and outlier triage). Two keyed
+    aggregations: a tiny per-group (min, max) span broadcast back,
+    then a map-side-combinable count per (group, bin). The bin
+    expression floors against the span exactly the same way in both
+    engines (double arithmetic on identical inputs), with the max
+    value clamped into the last bin."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    spans = ev.groupBy("event_type").agg(
+        F.min("value").alias("v0"), F.max("value").alias("v1")
+    )
+    binned = ev.join(F.broadcast(spans), "event_type").select(
+        "event_type",
+        F.least(
+            F.lit(_HIST_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("v0"))
+                / ((F.col("v1") - F.col("v0")) / _HIST_BINS)
+            ),
+        ).cast("long").alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(F.count("*").alias("n"))
