@@ -69,8 +69,13 @@ def main() -> None:
     # execution (caches cleared between runs, so every run recomputes
     # the full plan).
     min_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "5"))
+    max_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "5")))
     per_query: dict[str, float] = {}
+    # noise bookkeeping: per query, how many samples the agreement
+    # filter discarded (= runs - 1; the reported number is the fastest)
+    # — lets a later reader separate host CPU-steal from regressions
+    # without re-deriving the swing from raw logs
+    rejected: dict[str, int] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
@@ -86,11 +91,14 @@ def main() -> None:
             # one query's cache doesn't skew the next one's timing
             spark.catalog.clearCache()
             if len(samples) >= min_runs:
+                if len(samples) < 2:
+                    break  # RUNS=1: explicit single-sample quick mode
                 lo = sorted(samples)[:2]
                 if lo[1] <= lo[0] * 1.2:
                     break  # two samples agree — not a noise artifact
         best = min(samples)
         per_query[name] = round(best, 3)
+        rejected[name] = len(samples) - 1
         total += best
         print(
             f"# {name}: {best:.3f}s ({n} rows, {len(samples)} runs)",
@@ -104,6 +112,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "rejected_samples": rejected,
                 "sf": sf,
             }
         )

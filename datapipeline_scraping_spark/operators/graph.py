@@ -24,18 +24,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
+    """Lineage-truncating materialization for the iteration loop.
+
+    ``reliable=False`` → ``localCheckpoint``: blocks live NON-replicated
+    on executors, so on a real cluster losing one executor (or a
+    dynamic-allocation decommission) mid-iteration makes the truncated
+    RDD unrecoverable and fails the job. Fine on local[*] and on static
+    clusters where a rare retry-from-scratch is acceptable.
+
+    ``reliable=True`` → ``checkpoint``: writes to the configured
+    checkpoint dir (caller must have called
+    ``spark.sparkContext.setCheckpointDir(...)`` on e.g. HDFS/S3),
+    surviving executor loss — the right mode for long 100 TB runs with
+    dynamic allocation, at the cost of a distributed-FS write per
+    round."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     *,
     max_iter: int = 25,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Resolve undirected ``edges`` into components.
 
     Returns (node, cluster_id) for every node appearing in any edge,
     where cluster_id is the component's minimum node id — the
     deterministic "keeper" of a dedup cluster.
+
+    ``reliable_checkpoint=True`` switches per-round materialization
+    from executor-local blocks to the session's reliable checkpoint
+    dir — opt in for cluster runs with executor churn (see
+    ``_checkpoint`` for the trade-off).
 
     Raises RuntimeError if not converged within ``max_iter`` rounds
     (diameter > max_iter means the input is not near-dup-shaped;
@@ -58,12 +84,13 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    sym = _checkpoint(sym, reliable_checkpoint)
     labels = sym.groupBy("a").agg(F.min("b").alias("nbr_min")).select(
         F.col("a").alias("node"),
         F.least(F.col("a"), F.col("nbr_min")).alias("lbl"),
-    ).localCheckpoint(eager=True)
+    )
+    labels = _checkpoint(labels, reliable_checkpoint)
     # convergence tracking: labels only ever DECREASE under min
     # propagation, so the label sum strictly decreases iff any label
     # changed — one cheap aggregate per round on the already-cached
@@ -87,7 +114,8 @@ def connected_components(
             F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
                 "lbl"
             ),
-        ).localCheckpoint(eager=True)
+        )
+        stepped = _checkpoint(stepped, reliable_checkpoint)
         # pointer jumping (path compression): additionally adopt the
         # label OF my label — halves the remaining path every round, so
         # convergence needs O(log diameter) rounds instead of O(diameter)
@@ -105,8 +133,8 @@ def connected_components(
                     F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = _checkpoint(new_labels, reliable_checkpoint)
         new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
@@ -118,7 +146,6 @@ def connected_components(
             return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
         prev_sum = new_sum
     edges.unpersist()
-    labels.unpersist()
     raise RuntimeError(f"connected_components: not converged in {max_iter} rounds")
 
 

@@ -682,9 +682,10 @@ WITH spans AS (
 ),
 binned AS (
   SELECT e.event_type,
-    CAST(LEAST({_HIST_BINS} - 1,
-      floor((e.value - s.v0) / ((s.v1 - s.v0) / {_HIST_BINS}))) AS BIGINT)
-      AS bin
+    CASE WHEN s.v1 = s.v0 THEN 0
+      ELSE CAST(LEAST({_HIST_BINS} - 1,
+        floor((e.value - s.v0) / ((s.v1 - s.v0) / {_HIST_BINS}))) AS BIGINT)
+    END AS bin
   FROM events e JOIN spans s ON s.event_type = e.event_type
 )
 SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
@@ -699,19 +700,25 @@ def q114_value_histogram(spark, sf_dir):
     then a map-side-combinable count per (group, bin). The bin
     expression floors against the span exactly the same way in both
     engines (double arithmetic on identical inputs), with the max
-    value clamped into the last bin."""
+    value clamped into the last bin. A degenerate span (min == max —
+    every value identical in the group) is pinned to bin 0 explicitly:
+    without the guard the expression is 0.0/0.0 = NaN, and Spark's
+    floor(NaN)->0 vs DuckDB's LEAST(NaN)->9 silently diverge."""
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
     spans = ev.groupBy("event_type").agg(
         F.min("value").alias("v0"), F.max("value").alias("v1")
     )
     binned = ev.join(F.broadcast(spans), "event_type").select(
         "event_type",
-        F.least(
-            F.lit(_HIST_BINS - 1),
-            F.floor(
-                (F.col("value") - F.col("v0"))
-                / ((F.col("v1") - F.col("v0")) / _HIST_BINS)
-            ),
+        F.when(F.col("v1") == F.col("v0"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(_HIST_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("v0"))
+                    / ((F.col("v1") - F.col("v0")) / _HIST_BINS)
+                ),
+            )
         ).cast("long").alias("bin"),
     )
     return binned.groupBy("event_type", "bin").agg(F.count("*").alias("n"))

@@ -25,8 +25,15 @@ import random
 import re
 from collections.abc import Callable
 
-Transport = Callable[[str], str]
-"""Injected I/O: ``transport(url) -> body`` raising on any failure."""
+Transport = Callable[[str, str | None], str]
+"""Injected I/O: ``transport(url, proxy) -> body`` raising on any
+failure. ``proxy`` is ``None`` for a direct fetch, else an
+``http://ip:port`` URL the request MUST be routed through (a real
+client maps it to e.g. ``requests.get(url, proxies={...})``). Passing
+the proxy explicitly — rather than smuggling it in the URL — is what
+lets a deployment swap in a real HTTP client without touching pool
+logic: the health probe below only means anything if the probe request
+actually traverses the candidate proxy."""
 
 _ROW_RE = re.compile(r"<tr[^>]*>(.*?)</tr>", re.IGNORECASE | re.DOTALL)
 _CELL_RE = re.compile(r"<td[^>]*>(.*?)</td>", re.IGNORECASE | re.DOTALL)
@@ -81,7 +88,7 @@ class ProxyPool:
         like the reference's refresh. Returns the pool size (0 if the
         list fetch itself failed — callers degrade to direct fetch)."""
         try:
-            html = self._transport(self._list_url)
+            html = self._transport(self._list_url, None)
         except Exception:
             return 0
         self.proxies = parse_proxy_table(html, max_proxies=self._max)
@@ -89,8 +96,13 @@ class ProxyPool:
         return len(self.proxies)
 
     def is_proxy_working(self, proxy: str) -> bool:
+        """Probe ``probe_url`` THROUGH ``proxy``: healthy iff the
+        transport returns without raising. The proxy is a first-class
+        transport argument so a real client routes the probe through
+        the candidate (the reference's ``is_proxy_working``,
+        ``proxy_manager.py:48-61``, does the same via ``proxies=``)."""
         try:
-            self._transport(f"{self._probe_url}#via={proxy}")
+            self._transport(self._probe_url, proxy)
             return True
         except Exception:
             return False

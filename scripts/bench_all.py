@@ -81,7 +81,7 @@ def regressions(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "5"))
+    max_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "5")))
     json_path = None
     if "--json" in sys.argv:
         json_path = sys.argv[sys.argv.index("--json") + 1]
@@ -96,6 +96,7 @@ def main() -> None:
     ).mapInPandas(lambda it: it, schema="id long").count()
 
     per_query: dict[str, float] = {}
+    rejected: dict[str, int] = {}
     total = 0.0
     for name, spec in REGISTRY.items():
         samples: list[float] = []
@@ -106,11 +107,14 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
             if len(samples) >= n_runs:
+                if len(samples) < 2:
+                    break  # RUNS=1: explicit single-sample quick mode
                 lo = sorted(samples)[:2]
                 if lo[1] <= lo[0] * 1.2:
                     break
         best = min(samples)
         per_query[name] = round(best, 3)
+        rejected[name] = len(samples) - 1
         total += best
         print(
             f"# {name}: {best:.3f}s ({n} rows, {len(samples)} runs)",
@@ -122,6 +126,9 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        # samples the agreement filter discarded per query (runs - 1):
+        # high counts flag host CPU-steal noise, not code regressions
+        "rejected_samples": rejected,
         "sf": sf_dir,
         "runs": n_runs,
         "slowest": sorted(per_query, key=per_query.get, reverse=True)[:5],

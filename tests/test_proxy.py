@@ -34,16 +34,17 @@ PAGE = """
 
 
 def transport_for(health: dict[str, bool], pages: dict[str, str] | None = None):
-    """Transport fake: serves the list page, and raises for probe
-    requests whose proxy is marked unhealthy."""
+    """Transport fake honoring the ``transport(url, proxy)`` contract:
+    serves the list page directly, and raises for probe requests routed
+    through a proxy marked unhealthy."""
     calls = []
 
-    def transport(url: str) -> str:
-        calls.append(url)
-        if url.startswith(LIST_URL):
-            return (pages or {LIST_URL: PAGE})[url.split("#")[0]]
-        if url.startswith(PROBE_URL):
-            proxy = url.split("#via=", 1)[1]
+    def transport(url: str, proxy: str | None = None) -> str:
+        calls.append((url, proxy))
+        if url == LIST_URL:
+            return (pages or {LIST_URL: PAGE})[url]
+        if url == PROBE_URL:
+            assert proxy is not None, "probe must be routed through a proxy"
             if health.get(proxy, False):
                 return '{"origin": "1.2.3.4"}'
             raise OSError(f"probe failed via {proxy}")
@@ -84,11 +85,11 @@ def test_exhausted_pool_refreshes_once():
     # healthy one on the fresh list (failure state cleared)
     pool.failed = set(pool.proxies)
     assert pool.get_proxy() == "http://10.0.0.1:8080"
-    assert t.calls.count(LIST_URL) == 2  # initial + refresh
+    assert t.calls.count((LIST_URL, None)) == 2  # initial + refresh
 
 
 def test_list_fetch_failure_degrades_to_none():
-    def broken(url: str) -> str:
+    def broken(url: str, proxy: str | None = None) -> str:
         raise OSError("no network")
 
     pool = ProxyPool(broken, list_url=LIST_URL, probe_url=PROBE_URL)
