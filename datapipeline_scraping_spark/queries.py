@@ -625,3 +625,4 @@ from . import queries_adv  # noqa: E402,F401
 from . import queries_r2  # noqa: E402,F401
 from . import queries_r3  # noqa: E402,F401
 from . import queries_r5  # noqa: E402,F401
+from . import queries_r6  # noqa: E402,F401

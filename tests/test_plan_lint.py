@@ -59,6 +59,7 @@ ARROW_SEAM_ALLOW = {
     "q69_cogroup_purchase_click": "cogroup demo (applyInPandas over two sides)",
     "q102_html_details": "lenient HTML parser seam",
     "q105_blob_embed_buckets": "binary payload encoder seam",
+    "q115_image_decode": "image blob synth + stdlib header decode seam",
 }
 
 # Row-at-a-time Python evaluation: banned, except Spark 4 evaluates
