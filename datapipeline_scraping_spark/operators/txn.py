@@ -22,11 +22,203 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from .merge import merge_into
+
+
+class ConcurrentWriteError(RuntimeError):
+    """The table advanced past the version this commit was based on —
+    the optimistic-concurrency conflict (re-read and retry, exactly
+    like a Delta/Iceberg commit conflict)."""
+
+
+class ManifestTable:
+    """Snapshot-pointer table: atomic commits on a plain filesystem.
+
+    Layout under ``root``::
+
+        CURRENT              pointer file: "<snapshot dirname>\\n<version>"
+        COMMIT_LOCK          held (O_EXCL) only for the pointer update
+        snap-<ver>-<uuid>/   immutable parquet snapshot directories
+
+    Commit = write a NEW snapshot dir (long, unlocked, invisible), then
+    swap the pointer with one atomic ``os.replace`` under a short
+    lock.  There is no window where the table is absent (the two-rename
+    swap this replaces had one), readers always resolve a complete
+    snapshot, and two concurrent writers cannot corrupt state: each
+    writes its own snapshot dir, the pointer CAS serializes them, and a
+    committer may pass ``expect_version`` to get a
+    :class:`ConcurrentWriteError` instead of last-writer-wins.
+
+    This is the filesystem analogue of the atomicity the reference gets
+    from Postgres ``ON CONFLICT`` (``src/storage.py:41-53``), and the
+    same snapshot+pointer shape Delta/Iceberg use (a manifest commit,
+    minus time travel).  On an object store without atomic rename, the
+    pointer would live in a CAS-capable store (DynamoDB-style, as
+    Delta's S3 commit service does) — the seam is this class.
+
+    A crashed writer can strand the lock; locks older than
+    ``stale_lock_sec`` are broken on acquire (a pointer update takes
+    milliseconds, so minutes-old locks are dead writers)."""
+
+    POINTER = "CURRENT"
+    LOCK = "COMMIT_LOCK"
+
+    def __init__(self, root: str, *, stale_lock_sec: float = 300.0) -> None:
+        self.root = root.rstrip("/")
+        self.stale_lock_sec = stale_lock_sec
+
+    # -- resolution --------------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.isfile(os.path.join(self.root, self.POINTER))
+
+    def _pointer(self) -> tuple[str, int] | None:
+        try:
+            with open(os.path.join(self.root, self.POINTER)) as fh:
+                snap, ver = fh.read().splitlines()[:2]
+            return snap, int(ver)
+        except (FileNotFoundError, ValueError, IndexError):
+            return None
+
+    def version(self) -> int | None:
+        ptr = self._pointer()
+        return None if ptr is None else ptr[1]
+
+    def snapshot_path(self) -> str | None:
+        ptr = self._pointer()
+        return None if ptr is None else os.path.join(self.root, ptr[0])
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        path = self.snapshot_path()
+        if path is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        return spark.read.parquet(path)
+
+    # -- commit protocol ---------------------------------------------------
+    def _acquire_lock(self, timeout: float = 30.0) -> None:
+        lock = os.path.join(self.root, self.LOCK)
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+                os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                    if age > self.stale_lock_sec:
+                        os.unlink(lock)  # break a dead writer's lock
+                        continue
+                except FileNotFoundError:
+                    continue  # holder released between open and stat
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock on {self.root} held for {age:.0f}s"
+                    ) from None
+                time.sleep(0.05)
+
+    def _release_lock(self) -> None:
+        try:
+            os.unlink(os.path.join(self.root, self.LOCK))
+        except FileNotFoundError:
+            pass
+
+    def commit(
+        self,
+        df: DataFrame,
+        *,
+        expect_version: int | None = None,
+        keep_snapshots: int = 2,
+    ) -> int:
+        """Write ``df`` as a new snapshot and atomically repoint.
+
+        ``expect_version``: optimistic-concurrency guard — raise
+        :class:`ConcurrentWriteError` (and clean up the orphaned
+        snapshot) if another writer committed since the caller read
+        that version. ``None`` = unconditional (last-writer-wins, still
+        atomic). Returns the new version."""
+        os.makedirs(self.root, exist_ok=True)
+        staged = f"snap-staging-{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(os.path.join(self.root, staged))
+        self._acquire_lock()
+        try:
+            ptr = self._pointer()
+            cur_ver = 0 if ptr is None else ptr[1]
+            if expect_version is not None and cur_ver != expect_version:
+                shutil.rmtree(os.path.join(self.root, staged), ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"{self.root}: version {cur_ver} != expected {expect_version}"
+                )
+            new_ver = cur_ver + 1
+            snap = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
+            os.rename(
+                os.path.join(self.root, staged), os.path.join(self.root, snap)
+            )
+            tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
+            with open(tmp_ptr, "w") as fh:
+                fh.write(f"{snap}\n{new_ver}\n")
+            os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
+        finally:
+            self._release_lock()
+        self._gc(keep=keep_snapshots)
+        return new_ver
+
+    def _gc(self, *, keep: int) -> None:
+        """Drop all but the ``keep`` newest committed snapshots plus
+        any stranded staging dirs. Best-effort (a concurrent reader on
+        a just-dropped snapshot is the documented retention trade-off —
+        raise ``keep`` where long-running readers overlap commits)."""
+        ptr = self._pointer()
+        current = ptr[0] if ptr else None
+        try:
+            entries = os.listdir(self.root)
+        except FileNotFoundError:
+            return
+        snaps = sorted(e for e in entries if e.startswith("snap-") and
+                       not e.startswith("snap-staging-"))
+        doomed = [s for s in snaps[:-keep] if s != current] if keep else []
+        doomed += [e for e in entries if e.startswith("snap-staging-")]
+        for d in doomed:
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
+    # -- bootstrap / migration --------------------------------------------
+    def init(self, df: DataFrame) -> int:
+        """First commit if the table doesn't exist yet; no-op (returns
+        the live version) when it does — the idempotent bootstrap for
+        build-once state tables."""
+        ver = self.version()
+        if ver is not None:
+            return ver
+        try:
+            return self.commit(df, expect_version=0)
+        except ConcurrentWriteError:
+            return self.version()  # lost the bootstrap race: theirs won
+
+    def adopt_plain(self) -> bool:
+        """Migrate a legacy plain-parquet directory (the old
+        ``_SUCCESS``-swap layout) in place: move its files into a
+        snapshot dir and write the pointer. Returns True if migrated."""
+        if self.exists() or not os.path.isdir(self.root):
+            return False
+        entries = [e for e in os.listdir(self.root)
+                   if not e.startswith(("snap-", ".ptr-", self.LOCK))]
+        if not entries:
+            return False
+        snap = f"snap-{1:06d}-{uuid.uuid4().hex[:8]}"
+        snap_path = os.path.join(self.root, snap)
+        os.makedirs(snap_path)
+        for e in entries:
+            os.rename(os.path.join(self.root, e), os.path.join(snap_path, e))
+        tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
+        with open(tmp_ptr, "w") as fh:
+            fh.write(f"{snap}\n1\n")
+        os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
+        return True
 
 
 def delta_available(spark: SparkSession | None = None) -> bool:
@@ -60,18 +252,28 @@ def merge_write(
 ) -> None:
     """MERGE ``source`` into the table stored at ``target_path``.
 
-    writer="delta"   — Delta Lake ``MERGE INTO`` (transactional, safe
-                       under concurrent writers); raises RuntimeError
-                       when Delta is not on the classpath.
-    writer="parquet" — :func:`merge_into` rewrite + write-new-then-swap
-                       (atomic rename; single-writer safe, the
-                       documented fallback in this container).
-    writer="auto"    — delta when available, else parquet.
+    writer="delta"    — Delta Lake ``MERGE INTO`` (transactional, safe
+                        under concurrent writers); raises RuntimeError
+                        when Delta is not on the classpath.
+    writer="manifest" — :func:`merge_into` rewrite committed through
+                        :class:`ManifestTable` (snapshot + atomic
+                        pointer swap, optimistic-concurrency retry —
+                        safe under concurrent writers on any
+                        atomic-rename filesystem). A legacy plain
+                        parquet dir at ``target_path`` is migrated in
+                        place on first use.
+    writer="parquet"  — legacy write-new-then-swap on a PLAIN parquet
+                        dir (single-writer only; kept for targets that
+                        other readers address with a bare
+                        ``spark.read.parquet(path)``). If the target
+                        is already manifest-backed, this upgrades to
+                        the manifest protocol automatically.
+    writer="auto"     — delta when available, else manifest.
 
-    Clause semantics are identical across both paths (NULL conditions
+    Clause semantics are identical across all paths (NULL conditions
     do not fire; source-pk uniqueness is the caller's contract)."""
     if writer == "auto":
-        writer = "delta" if delta_available(spark) else "parquet"
+        writer = "delta" if delta_available(spark) else "manifest"
     if writer == "delta":
         if not delta_available(spark):
             raise RuntimeError(
@@ -91,8 +293,30 @@ def merge_write(
             m = m.whenMatchedUpdateAll()
         m.whenNotMatchedInsertAll().execute()
         return
-    if writer != "parquet":
+    if writer not in ("parquet", "manifest"):
         raise ValueError(f"unknown writer {writer!r}")
+    tbl = ManifestTable(target_path)
+    if writer == "manifest" or tbl.exists():
+        tbl.adopt_plain()
+        # optimistic-concurrency loop: re-read + re-merge on conflict,
+        # exactly a Delta commit retry
+        for attempt in range(3):
+            base_ver = tbl.version() or 0
+            target = tbl.read(spark)
+            result = merge_into(
+                target,
+                source,
+                pk,
+                matched_delete=matched_delete,
+                matched_update=matched_update,
+            )
+            try:
+                tbl.commit(result, expect_version=base_ver)
+                return
+            except ConcurrentWriteError:
+                if attempt == 2:
+                    raise
+        return
     recover_swap(target_path)
     target = spark.read.parquet(target_path)
     result = merge_into(

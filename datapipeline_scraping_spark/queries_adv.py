@@ -160,34 +160,40 @@ SELECT user_id, n_events FROM stale
 def q70_stream_upsert_sink(spark, sf_dir):
     """The reference's storage phase as a streaming sink: per micro-
     batch, ``foreachBatch`` MERGE-upserts the batch's per-user counts
-    into a persisted parquet target seeded with stale rows (stale keys
-    not touched by the stream survive; streamed keys are replaced) —
-    S10's ON CONFLICT DO UPDATE, incremental and idempotent. At scale
-    the target is a transactional table (Delta/Iceberg MERGE) — the
-    operator composition is identical."""
-    from .operators.merge import merge_upsert
+    into a manifest-pointer parquet target seeded with stale rows
+    (stale keys not touched by the stream survive; streamed keys are
+    replaced) — S10's ON CONFLICT DO UPDATE, incremental and
+    idempotent. The sink commits through the snapshot+atomic-pointer
+    protocol (``operators/txn.py::ManifestTable``), so a crash mid-
+    batch never leaves a torn or absent table and concurrent writers
+    serialize on the pointer CAS — the filesystem stand-in for the
+    Delta/Iceberg MERGE a 100 TB deployment would use."""
+    import shutil
+
+    from .operators.txn import ManifestTable, merge_write
     from .streaming.events import SCRATCH as _SC, events_stream
 
     target_path = os.path.join(_SC, f"upsert_target_{_key(sf_dir)}")
-    seed = spark.createDataFrame(
-        [(-1, 111), (-2, 222), (-3, 333)], "user_id long, n_events long"
+    # deterministic re-runs: reseed the target fresh each invocation
+    shutil.rmtree(target_path, ignore_errors=True)
+    tbl = ManifestTable(target_path)
+    tbl.init(
+        spark.createDataFrame(
+            [(-1, 111), (-2, 222), (-3, 333)], "user_id long, n_events long"
+        )
     )
-    seed.write.mode("overwrite").parquet(target_path)
 
     sdf = events_stream(spark, sf_dir)
     agg = sdf.groupBy("user_id").agg(F.count("*").alias("n_events"))
 
     def upsert_batch(batch_df, batch_id):
-        target = batch_df.sparkSession.read.parquet(target_path)
-        merged = merge_upsert(target, batch_df, "user_id")
-        # parquet has no transactional overwrite-while-reading; stage
-        # then swap (Delta/Iceberg MERGE at scale)
-        tmp = target_path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        shutil.rmtree(target_path)
-        os.rename(tmp, target_path)
+        merge_write(
+            batch_df.sparkSession,
+            target_path,
+            batch_df,
+            "user_id",
+            writer="manifest",
+        )
 
     import uuid
 
@@ -202,7 +208,7 @@ def q70_stream_upsert_sink(spark, sf_dir):
         .start()
     )
     q_.awaitTermination()
-    return spark.read.parquet(target_path).select(
+    return tbl.read(spark).select(
         "user_id", F.col("n_events").cast("long").alias("n_events")
     )
 

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from .functions.checksum import checksum_sql
 from .functions.numeric import exact_sum, sql_exact_sum
 from .operators import similarity as SIM
-from .operators.txn import merge_write
+from .operators.txn import ManifestTable, merge_write
 from .queries import _t, q
 from .streaming.events import SCRATCH
 
@@ -79,10 +79,13 @@ def q106_incremental_ann(spark, sf_dir):
             vec.alias("v"),
         ).withColumn("bucket", SIM.srp_bucket(F.col("v"), 6, 64))
 
-    if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
-        with_bucket(emb, "vec_id", SIM.as_double("embedding")).write.mode(
-            "overwrite"
-        ).parquet(idx_path)
+    # manifest-pointer state table: bootstrap is an atomic first commit
+    # (two concurrent sessions on the same sf can both call init — the
+    # pointer CAS lets exactly one win, the other adopts the committed
+    # snapshot; no _SUCCESS-check race)
+    idx = ManifestTable(idx_path)
+    idx.adopt_plain()  # migrate a pre-manifest scratch dir if present
+    idx.init(with_bucket(emb, "vec_id", SIM.as_double("embedding")))
 
     incoming = with_bucket(
         emb.filter(F.col("vec_id") % 9 == 0).select(
@@ -97,9 +100,9 @@ def q106_incremental_ann(spark, sf_dir):
 
     # maintenance: upsert the batch into the stored index (insert new
     # ids, overwrite re-ingested ones) — same-key re-merge is a no-op
-    merge_write(spark, idx_path, incoming, "vec_id", writer="parquet")
+    merge_write(spark, idx_path, incoming, "vec_id", writer="manifest")
 
-    index = spark.read.parquet(idx_path).filter(F.col("vec_id") < 1_000_000)
+    index = idx.read(spark).filter(F.col("vec_id") < 1_000_000)
     probe = incoming.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("iv"), "bucket"
     )

@@ -306,11 +306,13 @@ def test_merge_write_parquet_fallback_roundtrip(spark, tmp_path):
 def test_merge_write_auto_selects_available_writer(spark, tmp_path):
     """auto == delta iff delta is importable (probed, not assumed);
     in this container the probe is False (docs/DELTA_PROBE.md) and the
-    parquet fallback must engage; writer='delta' must then refuse
-    loudly rather than silently downgrade."""
+    manifest fallback must engage (migrating the plain dir in place);
+    writer='delta' must then refuse loudly rather than silently
+    downgrade."""
     import pytest as _pytest
 
     from datapipeline_scraping_spark.operators.txn import (
+        ManifestTable,
         delta_available,
         merge_write,
     )
@@ -324,7 +326,9 @@ def test_merge_write_auto_selects_available_writer(spark, tmp_path):
         with _pytest.raises(RuntimeError, match="delta"):
             merge_write(spark, path, source, "pk", writer="delta")
         merge_write(spark, path, source, "pk", writer="auto")
-        got = {r["pk"]: r["v"] for r in spark.read.parquet(path).collect()}
+        tbl = ManifestTable(path)
+        assert tbl.exists()  # auto upgraded the plain dir to manifest
+        got = {r["pk"]: r["v"] for r in tbl.read(spark).collect()}
         assert got == {1: "A"}
 
 
