@@ -197,17 +197,25 @@ def q70_stream_upsert_sink(spark, sf_dir):
 
     import uuid
 
-    q_ = (
-        agg.writeStream.foreachBatch(upsert_batch)
-        .outputMode("complete")
-        .option(
-            "checkpointLocation",
-            os.path.join(_SC, "ckpt", f"upsert_{uuid.uuid4().hex[:12]}"),
+    # pin the stateful agg's partition count (state-store sizing — see
+    # run_available_now): per-user counts are tiny here, 32 near-empty
+    # stores are pure maintenance overhead
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q_ = (
+            agg.writeStream.foreachBatch(upsert_batch)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation",
+                os.path.join(_SC, "ckpt", f"upsert_{uuid.uuid4().hex[:12]}"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q_.awaitTermination()
+        q_.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     return tbl.read(spark).select(
         "user_id", F.col("n_events").cast("long").alias("n_events")
     )

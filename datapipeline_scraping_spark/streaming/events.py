@@ -60,24 +60,47 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(src)
 
 
-def run_available_now(sdf: DataFrame, *, output_mode: str = "complete") -> DataFrame:
+def run_available_now(
+    sdf: DataFrame,
+    *,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Run a streaming DataFrame to completion with
     ``Trigger.AvailableNow`` (the reference's daily-replay semantics)
-    into a memory sink; return the final result as a batch DataFrame."""
+    into a memory sink; return the final result as a batch DataFrame.
+
+    ``shuffle_partitions`` pins the STATEFUL partition count for this
+    query (picked up from the session conf at query start and then
+    FROZEN into the checkpoint — unlike batch, streaming state cannot
+    be AQE-coalesced, and every stateful partition carries a state
+    store instance whose per-batch maintenance is pure overhead when
+    near-empty). Size it to expected state volume, not to cluster
+    cores: a 2×-overprovisioned state store count is cheap, a 32× one
+    measurably is not. The session value is restored afterwards so
+    batch queries keep their own sizing."""
+    spark = sdf.sparkSession
     name = f"dps_stream_{uuid.uuid4().hex[:12]}"
-    query = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option(
-            "checkpointLocation",
-            os.path.join(SCRATCH, "ckpt", name),
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option(
+                "checkpointLocation",
+                os.path.join(SCRATCH, "ckpt", name),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return sdf.sparkSession.table(name)
+        query.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return spark.table(name)
 
 
 def stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,7 +121,7 @@ def stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_available_now(agg)
+    return run_available_now(agg, shuffle_partitions=8)
 
 
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,7 +138,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_available_now(agg)
+    return run_available_now(agg, shuffle_partitions=8)
 
 
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,7 +152,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
     )
-    return run_available_now(deduped)
+    return run_available_now(deduped, shuffle_partitions=8)
 
 
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,7 +175,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_available_now(agg)
+    return run_available_now(agg, shuffle_partitions=8)
 
 
 def stream_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,7 +194,7 @@ def stream_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
     )
-    return run_available_now(deduped)
+    return run_available_now(deduped, shuffle_partitions=8)
 
 
 def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,7 +240,11 @@ def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("p_ts").alias("p_ts_us"),
         F.unix_micros("c_ts").alias("c_ts_us"),
     )
-    return run_available_now(joined, output_mode="append")
+    # 8 stateful partitions: the symmetric-hash-join state is a few
+    # hundred rows per side here; at production rates size this to
+    # keyed-state volume (e.g. ~64 MB of state per store), never to 1:1
+    # with cores — each store pays per-batch snapshot/maintenance cost
+    return run_available_now(joined, output_mode="append", shuffle_partitions=8)
 
 
 def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,4 +319,4 @@ def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return run_available_now(result, output_mode="update")
+    return run_available_now(result, output_mode="update", shuffle_partitions=8)

@@ -58,3 +58,110 @@ def test_session_windows_sane(spark):
     assert out.agg(F.sum("n_events")).collect()[0][0] == ev.count()
     bad = out.filter(F.col("session_end") < F.col("session_start")).count()
     assert bad == 0
+
+
+def test_stream_stream_join_evicts_state_across_batches(spark, tmp_path):
+    """The q97 interval join's state must actually AGE OUT: replayed as
+    two micro-batches (early file, then late file a long watermark-gap
+    later), the symmetric-hash-join state operator must report rows
+    REMOVED by the watermark — two-sided eviction, not unbounded
+    buffers — while emitting exactly the batch-join matches."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    early = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [7, 7, 7],
+            "event_type": ["click", "purchase", "click"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:30", "2024-01-01 10:40"]
+            ),
+        }
+    )
+    late = pd.DataFrame(
+        {
+            "event_id": [4, 5],
+            "user_id": [7, 7],
+            "event_type": ["click", "purchase"],
+            # 10 days later: watermark (1h) is far past the early batch
+            "ts": pd.to_datetime(["2024-01-11 09:50", "2024-01-11 10:10"]),
+        }
+    )
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    # µs timestamps: the streaming parquet source rejects TIMESTAMP(NANOS)
+    early = early.assign(ts=early["ts"].astype("datetime64[us]"))
+    late = late.assign(ts=late["ts"].astype("datetime64[us]"))
+    early.to_parquet(os.path.join(src, "part-0.parquet"))
+    _time.sleep(1.1)  # distinct mtimes => deterministic file order
+    late.to_parquet(os.path.join(src, "part-1.parquet"))
+
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        # pandas µs timestamps land as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    purchases = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        sdf.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        on=[
+            purchases["user_id"] == clicks["user_id"],
+            clicks["c_ts"] >= purchases["p_ts"] - F.expr("INTERVAL 1 HOUR"),
+            clicks["c_ts"] <= purchases["p_ts"],
+        ],
+    ).select("purchase_id", "click_id")
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        query = (
+            joined.writeStream.format("memory")
+            .queryName("evict_probe")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        progresses = query.recentProgress
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("evict_probe").collect()
+    }
+    # batch truth: purchase 2 matches clicks 1 (within the preceding
+    # hour); purchase 5 matches click 4; click 3 is AFTER purchase 2
+    assert got == {(2, 1), (5, 4)}
+    removed = sum(
+        op["numRowsRemoved"]
+        for p in progresses
+        for op in p["stateOperators"]
+    )
+    assert removed > 0, "watermark never evicted join state"
+    # and after the final batch the state is pruned down to the live
+    # interval, not the whole history
+    final_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_state <= 3
