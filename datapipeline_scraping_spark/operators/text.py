@@ -277,39 +277,42 @@ def lang_id_trigram(df, id_col: str, text_col: str):
     """Char-trigram language ID — the scale path (real deployments use
     frequency profiles; marker-token q24 is the toy twin).
 
-    Plan: explode padded-text trigram positions (explode, NOT a
-    substring-inside-transform HOF — nested HOFs miscompute on Spark
-    4.1, see operators/dedup.py::minhash_signature), distinct doc-
-    trigrams, broadcast-join the profile table, count hits per
-    language, argmax with language-code tiebreak, 'und' on zero hits.
-    Everything shards by doc; the profile table is constant-sized."""
-    from pyspark.sql import Window
+    Plan: ONE map-only projection — the profile is a constant-sized
+    table, so each profile trigram becomes a ``contains(text, tg)``
+    presence predicate compiled straight into whole-stage codegen;
+    per-language hits = the sum of its presence bits (identical to
+    counting DISTINCT matched trigrams, since presence is boolean), and
+    the argmax folds over the sorted language list so ties keep the
+    smallest code. Zero shuffle, zero explode, zero join.
 
-    spark = df.sparkSession
-    profile = spark.createDataFrame(_trigram_profiles(), "tg string, plang string")
+    Two earlier shapes were measured and rejected at sf0.1
+    (1.5M trigram positions): explode + distinct + profile join ≈ 4 s,
+    dominated by per-position ``substr`` — positional substring on
+    UTF8 is O(position), so trigram extraction over a whole document
+    is O(|text|²); join-before-distinct only moved the cost. The
+    ``contains`` form is O(|profile| · |text|) byte-level matching,
+    ~0.3 s for the same input, and at 100 TB it scales as a pure map
+    over the corpus with the profile burned into the plan (a REAL
+    frequency-ranked profile of a few hundred trigrams keeps the same
+    shape; thousands would switch back to the explode+join plan, which
+    is why it stays documented here)."""
+    by_lang: dict[str, list[str]] = {}
+    for tg, lang in _trigram_profiles():
+        by_lang.setdefault(lang, []).append(tg)
 
-    padded = F.concat(F.lit(" "), F.lower(F.trim(F.col(text_col))), F.lit(" "))
-    tgs = (
-        df.select(F.col(id_col), padded.alias("t"))
-        .select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("t") - 2))).alias("i"),
-            F.col("t"),
+    t = F.concat(F.lit(" "), F.lower(F.trim(F.col(text_col))), F.lit(" "))
+    out = df.select(F.col(id_col), t.alias("__t"))
+    best_hits, best_lang = F.lit(0), F.lit("und")
+    for lang in sorted(by_lang):
+        hits = sum(
+            (F.contains(F.col("__t"), F.lit(tg)).cast("int") for tg in by_lang[lang]),
+            start=F.lit(0),
         )
-        .select(F.col(id_col), F.substr("t", F.col("i"), F.lit(3)).alias("tg"))
-        .distinct()
-    )
-    scores = (
-        tgs.join(F.broadcast(profile), on="tg")
-        .groupBy(id_col, "plang")
-        .agg(F.count("*").alias("hits"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("plang"))
-    best = (
-        scores.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") == 1) & (F.col("hits") > 0))
-        .select(F.col(id_col), F.col("plang").alias("predicted"))
-    )
-    return df.select(id_col).join(best, on=id_col, how="left").select(
-        F.col(id_col), F.coalesce("predicted", F.lit("und")).alias("predicted")
+        out = out.withColumn(f"__h_{lang}", hits)
+        better = F.col(f"__h_{lang}") > best_hits
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(better, F.col(f"__h_{lang}")).otherwise(best_hits)
+    return out.select(
+        F.col(id_col),
+        F.when(best_hits > 0, best_lang).otherwise(F.lit("und")).alias("predicted"),
     )
