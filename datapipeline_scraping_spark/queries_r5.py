@@ -385,21 +385,38 @@ def q110_domain_caps(spark, sf_dir):
     """Per-domain document caps — the source-balancing pass (C4's
     per-domain limits; deduped CommonCrawl's per-host caps): keep the
     first N docs per source under a deterministic order, report
-    kept/dropped mass per domain. One window over the domain key —
-    partitions by ``source``, so a hot domain is one partition's
-    sort, handled by AQE skew split at scale (see SCALE_EVIDENCE.md)."""
+    kept/dropped mass per domain.
+
+    Skew-proof shape: per-source TOTALS come from a plain partial-
+    aggregated ``groupBy`` (map-side combine — a hot domain never
+    concentrates raw rows), and the capped slice filters
+    ``row_number() <= cap`` IMMEDIATELY so Catalyst inserts
+    ``WindowGroupLimit`` (Partial, i.e. BEFORE the shuffle): each map
+    partition forwards at most ``cap`` rows per source to the window
+    sort, so a domain with a billion docs costs the shuffle only
+    ``cap * n_map_partitions`` rows instead of a billion. Verified in
+    the executed plan by ``tests/test_plan_lint.py`` (MUST_GROUP_LIMIT)
+    and measured on a 30%-hot-domain 10x corpus in SCALE_EVIDENCE.md."""
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
     rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
-    ranked = docs.withColumn("rn", rn)
-    kept = F.when(F.col("rn") <= _DOMAIN_CAP, 1).otherwise(0)
-    return ranked.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(kept).cast("long").alias("n_kept"),
-        F.sum(1 - kept).cast("long").alias("n_dropped"),
-        F.sum(F.when(F.col("rn") <= _DOMAIN_CAP, F.col("n_chars")).otherwise(0))
-        .cast("long").alias("chars_kept"),
+    capped = (
+        docs.withColumn("rn", rn)
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+    )
+    return totals.join(capped, "source").select(
+        "source",
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).cast("long").alias("n_dropped"),
+        "chars_kept",
     )
 
 

@@ -38,6 +38,13 @@ from datapipeline_scraping_spark.streaming.events import SCRATCH
 
 SF1 = "/root/testdata/sf0.1"
 OUT10 = os.path.join(SCRATCH, "scale10x")
+# curation-family corpus: written with driver table names
+# (documents.parquet / part.parquet) so the REGISTRY query functions
+# run against it verbatim as an sf_dir — evidence measures the exact
+# registered plans, not re-implementations
+OUT10C = os.path.join(SCRATCH, "scale10x_curation")
+HOT_SOURCE = "src9999999"  # keeps q113's numeric-suffix parse valid
+HOT_PREFIX = "zqx"  # no real part name starts with this
 REPORT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                       "SCALE_EVIDENCE.md")
 
@@ -117,6 +124,76 @@ def synth(spark) -> None:
         v10.repartitionByRange(10, "ts").sortWithinPartitions("ts").write.mode(
             "overwrite"
         ).parquet(f"{OUT10}/events")
+
+
+def synth_curation(spark) -> None:
+    """Write the 10x curation corpus (driver table names, so REGISTRY
+    functions read it as an sf_dir): documents with a 30%-hot source
+    (one domain owns ~30% of all rows — q110's worst case) and part
+    with a 5,000-name hot blocking prefix (every name in the block
+    shares its first 3 chars — q112/q116's worst case)."""
+    if not os.path.exists(os.path.join(OUT10C, "documents.parquet", "_SUCCESS")):
+        docs = load_table(spark, SF1, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        parts = []
+        for i in range(10):
+            c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+            if i % 2 == 1:
+                c = c.withColumn(
+                    "text", F.concat_ws(" ", "text", F.lit(f"variant tail {i}"))
+                )
+            parts.append(c)
+        d10 = parts[0]
+        for c in parts[1:]:
+            d10 = d10.unionByName(c)
+        d10 = (
+            d10.withColumn(
+                "source",
+                F.when(F.col("doc_id") % 10 < 3, F.lit(HOT_SOURCE)).otherwise(
+                    F.col("source")
+                ),
+            )
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
+        d10.repartition(32).write.mode("overwrite").parquet(
+            f"{OUT10C}/documents.parquet"
+        )
+
+    if not os.path.exists(os.path.join(OUT10C, "part.parquet", "_SUCCESS")):
+        part = load_table(spark, SF1, "part")
+        cols = part.columns
+        parts = []
+        for i in range(10):
+            c = part.withColumn(
+                "p_partkey", F.col("p_partkey") + F.lit(i * 10_000_000)
+            )
+            if i > 0:
+                # distinct names per copy (suffix token) so canon
+                # doesn't collapse the copies back to 1x
+                c = c.withColumn(
+                    "p_name", F.concat_ws(" ", "p_name", F.lit(f"v{i}"))
+                )
+            parts.append(c)
+        # hot blocking key: 5,000 DISTINCT names sharing one 3-char
+        # prefix — the prefix block every blocked-ER strategy hashes on
+        hot = spark.range(5000).select(
+            (F.col("id") + 90_000_000).alias("p_partkey"),
+            F.concat(
+                F.lit(HOT_PREFIX + " hotblock name "), F.col("id").cast("string")
+            ).alias("p_name"),
+            *[
+                F.lit(None).cast(part.schema[c].dataType).alias(c)
+                for c in cols
+                if c not in ("p_partkey", "p_name")
+            ],
+        ).select(*cols)
+        p10 = parts[0]
+        for c in parts[1:]:
+            p10 = p10.unionByName(c)
+        p10.unionByName(hot).repartition(16).write.mode("overwrite").parquet(
+            f"{OUT10C}/part.parquet"
+        )
 
 
 def timed(fn) -> tuple[float, int]:
@@ -199,6 +276,30 @@ def bench_family(spark, docs, emb, events) -> dict[str, tuple[float, int]]:
         )
 
     out["sessionization"] = timed(sess)
+    return out
+
+
+CURATION_QUERIES = (
+    "q108_quality_rules",      # Gopher/C4 repetition + shape rules
+    "q109_decontaminate",      # benchmark n-gram decontamination
+    "q110_domain_caps",        # per-domain caps (hot-domain window)
+    "q112_fuzzy_match",        # blocked ER (hot prefix block)
+    "q113_source_mixing",      # mixture sampling
+    "q116_er_multikey_recall", # multi-key blocked ER + recall
+)
+
+
+def bench_curation(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+    """Run the REGISTERED curation queries verbatim against an sf_dir
+    (the 10x corpus is written under driver table names precisely so
+    the measured plan IS the registry plan)."""
+    from datapipeline_scraping_spark.queries import REGISTRY
+
+    out: dict[str, tuple[float, int]] = {}
+    for name in CURATION_QUERIES:
+        fn = REGISTRY[name].fn
+        out[name] = timed(lambda: fn(spark, sf_dir).count())
+        spark.catalog.clearCache()
     return out
 
 
@@ -376,6 +477,7 @@ def main() -> None:
     spark = build_spark(app_name="dps-scale-evidence")
     spark.range(1).count()
     synth(spark)
+    synth_curation(spark)
 
     docs1 = load_table(spark, SF1, "documents").select("doc_id", "text")
     emb1 = load_table(spark, SF1, "embeddings")
@@ -398,6 +500,12 @@ def main() -> None:
     spark.catalog.clearCache()
     print("# 10x pass", file=sys.stderr)
     t10 = bench_family(spark, docs10, emb10, ev10)
+    spark.catalog.clearCache()
+
+    print("# curation 1x pass", file=sys.stderr)
+    c1 = bench_curation(spark, SF1)
+    print("# curation 10x pass", file=sys.stderr)
+    c10 = bench_curation(spark, OUT10C)
     spark.catalog.clearCache()
 
     skew_excerpt, skew_wall, skew_rows = skew_split_evidence(spark, docs10)
@@ -444,6 +552,43 @@ def main() -> None:
             f"| {op} | {s1} | {s10} | {ratio} | {n1:,} | {n10:,} | {oratio} |"
         )
     lines += [
+        "",
+        "## Curation family (registered plans, run verbatim)",
+        "",
+        "The 10x curation corpus is WRITTEN UNDER DRIVER TABLE NAMES and",
+        "the registry query functions run against it unchanged — the",
+        "measured plan is the shipped plan. Worst-case skew is built in:",
+        f"one domain (`{HOT_SOURCE}`) owns ~30% of all 10x documents",
+        "(q110's hot-domain window), and 5,000 distinct part names share",
+        f"one 3-char blocking prefix (`{HOT_PREFIX}`) so q112/q116's",
+        "candidate joins hit a hot block. q109's output is quadratic in",
+        "the copy count by construction (every corpus copy collides with",
+        "every benchmark copy) — read its `out 10x/1x` column.",
+        "",
+        "| query | 1x sec | 10x sec | time 10x/1x | out 1x | out 10x | out 10x/1x |",
+        "| --- | --- | --- | --- | --- | --- | --- |",
+    ]
+    for op in c1:
+        (s1, n1), (s10, n10) = c1[op], c10[op]
+        ratio = round(s10 / s1, 1) if s1 > 0 else float("inf")
+        oratio = round(n10 / n1, 1) if n1 else float("nan")
+        lines.append(
+            f"| {op} | {s1} | {s10} | {ratio} | {n1:,} | {n10:,} | {oratio} |"
+        )
+    lines += [
+        "",
+        "q110's hot-domain window stays cheap because the registered plan",
+        "filters `row_number() <= cap` directly on the window, which",
+        "Catalyst rewrites to a PARTIAL (map-side) `WindowGroupLimit`:",
+        "the hot domain ships at most cap rows per map partition into the",
+        "window shuffle, so a domain with a billion documents costs",
+        "`cap * n_map_partitions` shuffled rows, not a billion",
+        "(CI-asserted in `tests/test_plan_lint.py` MUST_GROUP_LIMIT).",
+        "q112/q116 bound the hot block by the length band at the probe",
+        "plus the threshold-form `levenshtein(.., 3)` verify; the",
+        "candidate join is an equi-join on the blocking key, so at",
+        "production partition sizes the AQE skew split applies to it",
+        "exactly as demonstrated for the LSH bucket join below.",
         "",
         "Notes: `ivf_ann_topk` (q52's shape) rebuilds the IVF index —",
         "centroid table + list assignment, O(corpus) — inside the query,",
@@ -514,7 +659,8 @@ def main() -> None:
         f.write("\n".join(lines))
     with open(REPORT.replace("SCALE_EVIDENCE.md", "scale_evidence.json"), "w") as f:
         json.dump(
-            {"sizes": sizes, "t1x": t1, "t10x": t10, "probe": probe,
+            {"sizes": sizes, "t1x": t1, "t10x": t10,
+             "curation_1x": c1, "curation_10x": c10, "probe": probe,
              "state": state, "skew_wall": skew_wall, "skew_rows": skew_rows},
             f, indent=1,
         )

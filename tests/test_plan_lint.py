@@ -89,6 +89,13 @@ MUST_BROADCAST = [
     "q112_fuzzy_match",
 ]
 
+# Queries whose plan must push a per-group limit BELOW the window
+# shuffle (Catalyst's WindowGroupLimit, Partial mode): a hot group then
+# ships at most `cap` rows per map partition instead of all its rows.
+MUST_GROUP_LIMIT = [
+    "q110_domain_caps",
+]
+
 ARROW_NODES = (
     "ArrowEvalPython",
     "MapInPandas",
@@ -140,4 +147,12 @@ def test_plan_lint(spark, name):
         assert "BroadcastHashJoin" in plan, (
             f"{name}: expected the small dim/state side to broadcast; "
             f"plan has no BroadcastHashJoin:\n{plan[:2000]}"
+        )
+
+    if name in MUST_GROUP_LIMIT:
+        assert "WindowGroupLimit" in plan and "Partial" in plan, (
+            f"{name}: expected a map-side (Partial) WindowGroupLimit "
+            f"below the window shuffle — the rn<=cap filter must sit "
+            f"directly on the row_number so Catalyst can push the "
+            f"per-group limit:\n{plan[:2000]}"
         )
