@@ -1,5 +1,6 @@
 """Round-6 registry queries: honest image-header decode over real
-binary payloads, and multi-key blocked entity resolution."""
+binary payloads, multi-key blocked entity resolution, rational
+corpus-frequency quality scoring, and the end-to-end curation funnel."""
 
 from __future__ import annotations
 
@@ -7,6 +8,15 @@ from pyspark.sql import functions as F
 
 from .operators import multimodal as MM
 from .queries import _t, q
+from .queries_r5 import (
+    _DOMAIN_CAP,
+    _QR_MAX_DTF,
+    _QR_MAX_MWL,
+    _QR_MAX_TBF,
+    _QR_MAX_TOK,
+    _QR_MIN_MWL,
+    _QR_MIN_TOK,
+)
 
 
 # ===========================================================================
@@ -256,4 +266,266 @@ def q116_er_multikey_recall(spark, sf_dir):
 
     return strategy_row("prefix", ("prefix",)).unionByName(
         strategy_row("multi", ("prefix", "suffix", "skeleton"))
+    )
+
+
+# ===========================================================================
+# corpus-frequency rarity scoring (rational perplexity surrogate)
+# ===========================================================================
+
+@q(
+    "q117_rarity_quality",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1)
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(v.c) AS BIGINT) AS sum_count,
+  round(SUM(v.c) / CAST(COUNT(*) AS DOUBLE), 4) AS mean_tok_count,
+  CAST(SUM(CASE WHEN v.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  round(SUM(CASE WHEN v.c <= 2 THEN 1 ELSE 0 END)
+    / CAST(COUNT(*) AS DOUBLE), 4) AS rare_frac,
+  CAST(MIN(v.c) AS BIGINT) AS min_count
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+""",
+)
+def q117_rarity_quality(spark, sf_dir):
+    """Unigram corpus-frequency quality scoring — the CCNet-style
+    'LM filter' pass of a pretraining pipeline: build the corpus
+    unigram model (token -> occurrence count), score each document by
+    how common its tokens are (mean corpus count per token, hapax
+    count, rare-token fraction, rarest token). Documents dominated by
+    hapax/rare tokens are the boilerplate/garbled tail a perplexity
+    filter drops; documents of very common tokens are the fluent core.
+
+    The score is deliberately RATIONAL (counts and single divisions),
+    not log-perplexity: sums of libm logs are last-ulp
+    engine-dependent and order-dependent, while integer sums plus one
+    division hash bit-identically cross-engine (house rule — see
+    operators/text.py::tfidf_topk's rational idf). Monotonicity, the
+    only property a filter threshold needs, is preserved.
+
+    Plan shape: one explode, one token-keyed count (partial-agg'd),
+    one equi-join tokens->vocab, one doc-keyed aggregation. Linear in
+    corpus tokens; the vocab side is Zipf-bounded (~1e7 rows at
+    100 TB) so AQE converts the probe to a broadcast join when it
+    fits, else it stays a keyed shuffle with map-side combine on both
+    aggregations. No Python anywhere. Reference anchor: north-star
+    curation surface (reference has no LM filter; closest is the
+    regex quality gate at src/parsers/detail_parser.py:64-85)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n = F.count("*")
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            n.cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("sum_count"),
+            F.round(F.sum("c") / n.cast("double"), 4).alias("mean_tok_count"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+            F.round(
+                F.sum(F.when(F.col("c") <= 2, 1).otherwise(0))
+                / n.cast("double"),
+                4,
+            ).alias("rare_frac"),
+            F.min("c").cast("long").alias("min_count"),
+        )
+    )
+
+
+# ===========================================================================
+# end-to-end curation funnel: quality -> dedup -> decontaminate -> cap
+# ===========================================================================
+
+def _q118_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, source, n_chars, string_split(text, ' ') AS t
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, text, source, n_chars, t,
+    CAST(len(t) AS BIGINT) AS n,
+    round((len(text) - (len(t) - 1)) / CAST(len(t) AS DOUBLE), 4) AS mwl
+  FROM base WHERE len(t) >= 4
+),
+top2 AS (
+  SELECT doc_id, MAX(c) AS max_c FROM (
+    SELECT doc_id, s, COUNT(*) AS c FROM (
+      SELECT doc_id,
+        unnest([t[i] || ' ' || t[i+1]
+                for i in generate_series(1, len(t)-1)]) AS s
+      FROM stats) GROUP BY 1, 2) GROUP BY 1
+),
+dup3 AS (
+  SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_c FROM (
+    SELECT doc_id, s, COUNT(*) AS c FROM (
+      SELECT doc_id,
+        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                for i in generate_series(1, len(t)-2)]) AS s
+      FROM stats) GROUP BY 1, 2) GROUP BY 1
+),
+s1 AS (
+  SELECT st.doc_id, st.text, st.source, st.n_chars, st.t FROM stats st
+  JOIN top2 USING (doc_id) JOIN dup3 USING (doc_id)
+  WHERE st.n BETWEEN {_QR_MIN_TOK} AND {_QR_MAX_TOK}
+    AND st.mwl BETWEEN {_QR_MIN_MWL} AND {_QR_MAX_MWL}
+    AND top2.max_c / CAST(st.n - 1 AS DOUBLE) < {_QR_MAX_TBF}
+    AND dup3.dup_c / CAST(st.n - 2 AS DOUBLE) < {_QR_MAX_DTF}
+),
+s2 AS (
+  SELECT s1.* FROM s1
+  JOIN (SELECT text, MIN(doc_id) AS keep_id FROM s1 GROUP BY 1) g
+    ON s1.doc_id = g.keep_id
+),
+bsh AS (
+  SELECT DISTINCT
+    unnest([array_to_string(t[i:i+3], ' ')
+            for i in generate_series(1, len(t)-3)]) AS s
+  FROM base WHERE doc_id % 37 = 0
+),
+contaminated AS (
+  SELECT DISTINCT c.doc_id FROM (
+    SELECT doc_id,
+      unnest([array_to_string(t[i:i+3], ' ')
+              for i in generate_series(1, len(t)-3)]) AS s
+    FROM s2 WHERE doc_id % 37 <> 0) c
+  JOIN bsh USING (s)
+),
+s3 AS (
+  SELECT * FROM s2
+  WHERE doc_id % 37 <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+s4 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY doc_id) AS rn
+    FROM s3) WHERE rn <= {_DOMAIN_CAP}
+)
+SELECT '0_ingest' AS stage, CAST(0 AS BIGINT) AS stage_idx,
+  CAST(COUNT(*) AS BIGINT) AS docs_out,
+  CAST(SUM(n_chars) AS BIGINT) AS chars_out FROM documents
+UNION ALL SELECT '1_quality', CAST(1 AS BIGINT),
+  CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT) FROM s1
+UNION ALL SELECT '2_exact_dedup', CAST(2 AS BIGINT),
+  CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT) FROM s2
+UNION ALL SELECT '3_decontaminate', CAST(3 AS BIGINT),
+  CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT) FROM s3
+UNION ALL SELECT '4_domain_cap', CAST(4 AS BIGINT),
+  CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT) FROM s4
+"""
+
+
+@q("q118_curation_funnel", oracle=_q118_oracle())
+def q118_curation_funnel(spark, sf_dir):
+    """The whole pretraining-curation pipeline as ONE composed query —
+    quality rules (q108's Gopher/C4 predicate) -> exact first-wins
+    dedup (q13's shape) -> benchmark decontamination (q109's 4-gram
+    collision, bench slice = doc_id % 37) -> per-domain caps (q110's
+    pushed-down group limit) — reporting the retention funnel: one row
+    per stage with surviving document and character mass. This is the
+    report every data-curation run ships with ('we started with X
+    docs, quality kept Y%, dedup kept Z%, ...').
+
+    Plan shape: the stages compose lazily into one DAG; the two
+    stage-1 shingle aggregations and the stage-3 contamination join
+    are each keyed shuffles (linear, partial-agg'd), dedup is one
+    text-keyed min, and the cap reuses the map-side WindowGroupLimit.
+    Stage survivor sets feed multiple count branches, so s1/s3 are
+    persisted for the single action that computes all five rows
+    (MEMORY_AND_DISK — spills, never OOMs; the driver's clearCache
+    between queries releases them). At 100 TB each stage boundary
+    would instead be checkpointed to parquet and the five funnel rows
+    read from stage metadata — same plan per stage, durable
+    intermediates. Reference anchor: the reference's staged
+    clean->dedup->store DAG (dags/scraping_etl.py:41-88) generalized
+    to corpus curation."""
+    from pyspark.sql import Window as W
+
+    from .operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    toks = F.split(F.col("text"), " ")
+    qdocs = docs.filter(F.size(toks) >= 4)
+    nt = F.size(toks).cast("long")
+    stats = qdocs.select(
+        "doc_id", "text", "source", "n_chars",
+        nt.alias("n"),
+        F.round((F.length("text") - (nt - 1)) / nt.cast("double"), 4).alias(
+            "mwl"
+        ),
+    )
+    top2 = (
+        D.shingle_relation(qdocs, "doc_id", "text", k=2)
+        .groupBy("doc_id", "s").count()
+        .groupBy("doc_id").agg(F.max("count").alias("max_c"))
+    )
+    dup3 = (
+        D.shingle_relation(qdocs, "doc_id", "text", k=3)
+        .groupBy("doc_id", "s").count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("count") >= 2, F.col("count")).otherwise(0)
+            ).alias("dup_c")
+        )
+    )
+    s1 = (
+        stats.join(top2, "doc_id").join(dup3, "doc_id")
+        .filter(
+            F.col("n").between(_QR_MIN_TOK, _QR_MAX_TOK)
+            & F.col("mwl").between(_QR_MIN_MWL, _QR_MAX_MWL)
+            & (F.col("max_c") / (F.col("n") - 1).cast("double") < _QR_MAX_TBF)
+            & (F.col("dup_c") / (F.col("n") - 2).cast("double") < _QR_MAX_DTF)
+        )
+        .select("doc_id", "text", "source", "n_chars")
+        .persist()
+    )
+    keep_ids = s1.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    s2 = s1.join(keep_ids, "doc_id", "left_semi")
+    s2c = s2.filter(F.col("doc_id") % 37 != 0)
+    bsh = (
+        D.shingle_relation(
+            docs.filter(F.col("doc_id") % 37 == 0), "doc_id", "text", k=4
+        )
+        .select("s").distinct()
+    )
+    contaminated = (
+        D.shingle_relation(s2c, "doc_id", "text", k=4)
+        .select("doc_id", "s").distinct()
+        .join(bsh, "s")
+        .select("doc_id").distinct()
+    )
+    s3 = s2c.join(contaminated, "doc_id", "left_anti").persist()
+    rn = F.row_number().over(W.partitionBy("source").orderBy("doc_id"))
+    s4 = s3.withColumn("rn", rn).filter(F.col("rn") <= _DOMAIN_CAP)
+
+    def stage(df, label, idx):
+        return df.agg(
+            F.lit(label).alias("stage"),
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.count("*").cast("long").alias("docs_out"),
+            F.sum("n_chars").cast("long").alias("chars_out"),
+        ).select("stage", "stage_idx", "docs_out", "chars_out")
+
+    return (
+        stage(docs, "0_ingest", 0)
+        .unionByName(stage(s1, "1_quality", 1))
+        .unionByName(stage(s2, "2_exact_dedup", 2))
+        .unionByName(stage(s3, "3_decontaminate", 3))
+        .unionByName(stage(s4, "4_domain_cap", 4))
     )
