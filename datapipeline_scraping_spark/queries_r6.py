@@ -529,3 +529,192 @@ def q118_curation_funnel(spark, sf_dir):
         .unionByName(stage(s3, "3_decontaminate", 3))
         .unionByName(stage(s4, "4_domain_cap", 4))
     )
+
+
+# ===========================================================================
+# paragraph-level corpus dedup (CCNet-style) with document reassembly
+# ===========================================================================
+
+_P_CHUNK = 12  # tokens per "paragraph" on the newline-free synthetic corpus
+
+
+@q(
+    "q119_paragraph_dedup",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, pos,
+    array_to_string(t[pos:pos+{_P_CHUNK - 1}], ' ') AS chunk
+  FROM (
+    SELECT doc_id, t,
+      unnest(generate_series(1, len(t), {_P_CHUNK})) AS pos
+    FROM base)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM chunks
+),
+kept AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+    string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+total AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_chunks AS BIGINT) AS n_chunks,
+  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+  md5(COALESCE(k.clean_text, '')) AS clean_hash
+FROM total t LEFT JOIN kept k USING (doc_id)
+""",
+)
+def q119_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level corpus deduplication — CCNet's sub-document
+    pass: hash every paragraph across the WHOLE corpus, keep only the
+    first occurrence of each (deterministic (doc_id, pos) order), and
+    reassemble documents from their surviving paragraphs. Doc-level
+    dedup (q13/q19) can't touch boilerplate shared across otherwise
+    distinct pages; this operator removes it while keeping the pages.
+    On the newline-free synthetic corpus a 'paragraph' is a fixed
+    12-token chunk; production splits on newlines through the
+    IDENTICAL plan. The output carries the reassembled text's md5 (not
+    the text) so the oracle hash-checks reassembly order exactly.
+
+    Plan shape: chunking follows the codegen-safe shingle pattern
+    (explode the start position, then one flat slice/concat_ws —
+    NEVER nested HOFs, operators/dedup.py:108); first-occurrence is a
+    chunk-keyed window whose rn=1 filter sits directly on the
+    row_number, so Catalyst pushes a PARTIAL WindowGroupLimit — a
+    boilerplate chunk repeated a billion times ships one row per map
+    partition, not a billion. Reassembly is one doc-keyed
+    sort_array(collect_list(struct(pos, chunk))) — bounded by
+    paragraphs-per-doc. At 100 TB the chunk key becomes its 64-bit
+    hash (collisions verified on the string). Reference anchor:
+    generalizes the H4 first-wins contract (src/storage.py:108-117)
+    from rows to sub-document units."""
+    from pyspark.sql import Window as W
+
+    from .operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    chunks = (
+        docs.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t"), F.lit(_P_CHUNK))
+            ).alias("pos"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.slice("t", F.col("pos"), _P_CHUNK)).alias(
+                "chunk"
+            ),
+        )
+    )
+    w = W.partitionBy("chunk").orderBy("doc_id", "pos")
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    total = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return (
+        total.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias(
+                "clean_hash"
+            ),
+        )
+    )
+
+
+# ===========================================================================
+# training-sequence packing (concat-and-chunk over a keyed prefix sum)
+# ===========================================================================
+
+_PACK_CTX = 512  # tokens per training sequence
+
+
+@q(
+    "q120_sequence_packing",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_tok,
+    CAST(floor(
+      (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+      / {_PACK_CTX}.0) AS BIGINT) AS seq_id
+  FROM sized
+)
+SELECT source, seq_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM packed GROUP BY source, seq_id
+""",
+)
+def q120_sequence_packing(spark, sf_dir):
+    """Training-sequence packing — the last step before a corpus hits
+    a dataloader: documents are concatenated in a deterministic order
+    (doc_id within source) and chopped into fixed-budget sequences of
+    ``_PACK_CTX`` (512) tokens; each doc is assigned to the sequence
+    where its first token lands (floor(prefix_sum_before / ctx) — the
+    streaming concat-and-chunk packer). The output is the packing
+    manifest: per (source, seq_id) the doc count, token mass, and
+    first doc — what a loader needs to build shards, and what you
+    monitor for fill rate.
+
+    Plan shape: one keyed window prefix-sum (integer, exact
+    cross-engine) + one keyed aggregation, both partial-agg'd. A hot
+    source makes the prefix-sum one partition's sort — at 100 TB the
+    standard fix is the two-pass prefix sum (per-partition partial
+    totals broadcast back as offsets), same result, or packing within
+    (source, date) sub-keys as real pipelines shard anyway. Reference
+    anchor: north-star surface (the reference's U3 head-limit batching
+    at dags/scraping_etl.py:44-49 is the degenerate 1-doc case)."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = sized.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / float(_PACK_CTX))
+        .cast("long"),
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )

@@ -286,6 +286,8 @@ CURATION_QUERIES = (
     "q112_fuzzy_match",        # blocked ER (hot prefix block)
     "q113_source_mixing",      # mixture sampling
     "q116_er_multikey_recall", # multi-key blocked ER + recall
+    "q117_rarity_quality",     # unigram corpus-frequency scoring
+    "q118_curation_funnel",    # composed quality->dedup->decontam->cap
 )
 
 

@@ -94,6 +94,7 @@ MUST_BROADCAST = [
 # ships at most `cap` rows per map partition instead of all its rows.
 MUST_GROUP_LIMIT = [
     "q110_domain_caps",
+    "q119_paragraph_dedup",
 ]
 
 ARROW_NODES = (

@@ -93,3 +93,64 @@ def test_image_decode_matches_encoded_dims(spark):
     ).count()
     spark.catalog.clearCache()
     assert bad == 0
+
+
+def test_paragraph_dedup_conservation(spark):
+    """Chunk accounting must balance: kept <= total per doc, the
+    corpus-wide kept count equals the number of DISTINCT chunks (first
+    occurrence of each survives, exactly once), and no doc gains
+    chunks."""
+    out = REGISTRY["q119_paragraph_dedup"].fn(spark, SF_SMOKE)
+    agg = out.agg(
+        F.sum((F.col("n_kept") > F.col("n_chunks")).cast("int")).alias("bad"),
+        F.sum("n_kept").alias("kept"),
+    ).collect()[0]
+    spark.catalog.clearCache()
+    assert agg["bad"] == 0
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    from datapipeline_scraping_spark.queries_r6 import _P_CHUNK
+
+    toks = F.split("text", " ")
+    chunks = (
+        docs.select("doc_id", toks.alias("t"))
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.size("t"), F.lit(_P_CHUNK))
+            ).alias("pos"),
+            "t",
+        )
+        .select(F.concat_ws(" ", F.slice("t", F.col("pos"), _P_CHUNK)).alias("c"))
+    )
+    n_distinct = chunks.select("c").distinct().count()
+    spark.catalog.clearCache()
+    assert agg["kept"] == n_distinct
+
+
+def test_sequence_packing_conserves_tokens(spark):
+    """The packing manifest must account for every token exactly once,
+    and every sequence except possibly the last per source must have
+    reached the context budget (concat-and-chunk never leaves an
+    interior sequence short)."""
+    from datapipeline_scraping_spark.queries_r6 import _PACK_CTX
+
+    out = REGISTRY["q120_sequence_packing"].fn(spark, SF_SMOKE).collect()
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    corpus_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).collect()[0]["n"]
+    assert sum(r["n_tokens"] for r in out) == corpus_tokens
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    for rows in by_source.values():
+        rows.sort(key=lambda r: r["seq_id"])
+        # seq_ids are dense from 0
+        assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+        # a sequence only closes once the running token stream has
+        # crossed its budget boundary: through interior sequence k the
+        # cumulative mass must be >= (k+1) * ctx
+        running = 0
+        for r in rows[:-1]:
+            running += r["n_tokens"]
+            assert running >= (r["seq_id"] + 1) * _PACK_CTX, rows
