@@ -187,9 +187,15 @@ def q107_config_switch(spark, sf_dir):
 # training-data curation: quality rules, decontamination, domain caps
 # ===========================================================================
 
-_QR_MIN_TOK, _QR_MAX_TOK = 20, 2000
-_QR_MIN_MWL, _QR_MAX_MWL = 2.0, 10.0
-_QR_MAX_TBF, _QR_MAX_DTF = 0.2, 0.6
+from .curation import (
+    DOMAIN_CAP as _DOMAIN_CAP,
+    QR_MAX_DTF as _QR_MAX_DTF,
+    QR_MAX_MWL as _QR_MAX_MWL,
+    QR_MAX_TBF as _QR_MAX_TBF,
+    QR_MAX_TOK as _QR_MAX_TOK,
+    QR_MIN_MWL as _QR_MIN_MWL,
+    QR_MIN_TOK as _QR_MIN_TOK,
+)
 
 
 @q(
@@ -357,9 +363,6 @@ def q109_decontaminate(spark, sf_dir):
             F.countDistinct("bench_id").alias("n_benchmarks"),
         )
     )
-
-
-_DOMAIN_CAP = 15
 
 
 @q(

@@ -8,14 +8,14 @@ from pyspark.sql import functions as F
 
 from .operators import multimodal as MM
 from .queries import _t, q
-from .queries_r5 import (
-    _DOMAIN_CAP,
-    _QR_MAX_DTF,
-    _QR_MAX_MWL,
-    _QR_MAX_TBF,
-    _QR_MAX_TOK,
-    _QR_MIN_MWL,
-    _QR_MIN_TOK,
+from .curation import (
+    DOMAIN_CAP as _DOMAIN_CAP,
+    QR_MAX_DTF as _QR_MAX_DTF,
+    QR_MAX_MWL as _QR_MAX_MWL,
+    QR_MAX_TBF as _QR_MAX_TBF,
+    QR_MAX_TOK as _QR_MAX_TOK,
+    QR_MIN_MWL as _QR_MIN_MWL,
+    QR_MIN_TOK as _QR_MIN_TOK,
 )
 
 

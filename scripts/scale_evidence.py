@@ -288,6 +288,8 @@ CURATION_QUERIES = (
     "q116_er_multikey_recall", # multi-key blocked ER + recall
     "q117_rarity_quality",     # unigram corpus-frequency scoring
     "q118_curation_funnel",    # composed quality->dedup->decontam->cap
+    "q119_paragraph_dedup",    # sub-document first-occurrence dedup
+    "q120_sequence_packing",   # keyed prefix-sum packing manifest
 )
 
 
