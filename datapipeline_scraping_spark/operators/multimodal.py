@@ -270,3 +270,54 @@ def sample_frames(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return blobs.select(F.col(id_col), F.col("blob")).mapInPandas(
         explode_frames, schema=_FRAME_SCHEMA
     )
+
+
+def make_bitmap(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic grayscale bitmap: row-major bytes with
+    ``p(x, y) = (doc_id + 3x + 7y) % 251``. Real pixel payload (not a
+    header stub) so downstream kernels do honest byte-level work; the
+    generation rule is simple enough for a SQL oracle to replay."""
+    return bytes(
+        (doc_id + 3 * x + 7 * y) % 251
+        for y in range(height)
+        for x in range(width)
+    )
+
+
+def block_sums(blob: bytes, width: int, height: int, grid: int = 4):
+    """Exact-integer thumbnail kernel: partition the bitmap into a
+    ``grid x grid`` block raster and return per-block pixel sums
+    (row-major (by, bx) order). Sums, not means, stay in int64 — no
+    float division to drift cross-engine. This is the resize /
+    feature-extract step of an image pipeline with the lossy parts
+    (interpolation) replaced by its exact core (block accumulation)."""
+    import numpy as np
+
+    arr = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+    arr = arr.reshape(height, width)
+    bh, bw = height // grid, width // grid
+    return (
+        arr.reshape(grid, bh, grid, bw).sum(axis=(1, 3)).reshape(-1).tolist()
+    )
+
+
+def make_pcm(doc_id: int, n_samples: int) -> bytes:
+    """Deterministic int16 little-endian PCM: ``s(i) = (7*doc_id + i*i)
+    % 201 - 100``. Same contract as :func:`make_bitmap` — a real byte
+    payload with a SQL-replayable generation rule."""
+    import struct
+
+    return struct.pack(
+        f"<{n_samples}h",
+        *(((7 * doc_id + i * i) % 201) - 100 for i in range(n_samples)),
+    )
+
+
+def window_energy(blob: bytes, window: int = 64):
+    """Per-window signal energy (sum of squared samples, exact int64)
+    over an int16 PCM blob — the audio feature-extraction step
+    (VAD / silence detection / loudness bucketing all start here)."""
+    import numpy as np
+
+    arr = np.frombuffer(blob, dtype="<i2").astype(np.int64)
+    return (arr.reshape(-1, window) ** 2).sum(axis=1).tolist()

@@ -718,3 +718,148 @@ def q120_sequence_packing(spark, sf_dir):
         F.sum("n_tok").cast("long").alias("n_tokens"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+# ===========================================================================
+# honest multimodal compute: image block features + audio window energy
+# ===========================================================================
+
+@q(
+    "q121_image_block_features",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+    8 * (1 + doc_id % 3) AS w,
+    8 * (1 + doc_id % 2) AS h
+  FROM documents
+),
+xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+SELECT doc_id,
+  CAST(y // (h // 4) AS BIGINT) AS by,
+  CAST(x // (w // 4) AS BIGINT) AS bx,
+  CAST(SUM((doc_id + 3 * x + 7 * y) % 251) AS BIGINT) AS psum
+FROM px GROUP BY doc_id, 2, 3
+""",
+)
+def q121_image_block_features(spark, sf_dir):
+    """Image feature extraction with REAL pixel work: every document
+    id becomes a genuine grayscale bitmap (row-major bytes, dimensions
+    varying per doc), and a vectorized numpy kernel computes the 4x4
+    block-sum thumbnail OUT OF THE BYTES — the exact core of a
+    resize/pooling step, minus the lossy interpolation (sums stay in
+    int64, so the DuckDB oracle replays the generation rule pixel by
+    pixel and the comparison is bit-exact). Together with q115
+    (header decode), q57 (frame sampling) and q105 (encoder -> ANN)
+    this completes the multimodal column lifecycle with no fake on
+    the compute path.
+
+    Plan shape: two chained Arrow seams (blob synthesis, then the
+    per-blob kernel), zero shuffles before the final hash aggregation
+    of 16 rows/doc; the scan's partitioning carries through, so at
+    100 TB this is an embarrassingly parallel map over the blob
+    column with a tiny keyed aggregation on top. Reference anchor:
+    north-star multimodal surface (see q115)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "w": [8 * (1 + i % 3) for i in ids],
+                    "h": [8 * (1 + i % 2) for i in ids],
+                    "blob": [
+                        MM.make_bitmap(i, 8 * (1 + i % 3), 8 * (1 + i % 2))
+                        for i in ids
+                    ],
+                }
+            )
+
+    def features(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "by": [], "bx": [], "psum": []}
+            for i, w, h, blob in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["blob"]
+            ):
+                sums = MM.block_sums(bytes(blob), int(w), int(h), grid=4)
+                for k, s in enumerate(sums):
+                    out["doc_id"].append(int(i))
+                    out["by"].append(k // 4)
+                    out["bx"].append(k % 4)
+                    out["psum"].append(int(s))
+            yield pd.DataFrame(out)
+
+    blobs = docs.mapInPandas(
+        render, schema="doc_id long, w int, h int, blob binary"
+    )
+    return blobs.mapInPandas(
+        features, schema="doc_id long, by long, bx long, psum long"
+    )
+
+
+@q(
+    "q122_audio_window_energy",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 256 + (doc_id % 4) * 128 AS n FROM documents
+),
+s AS (
+  SELECT doc_id, i, (7 * doc_id + i * i) % 201 - 100 AS v
+  FROM (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM d)
+)
+SELECT doc_id, CAST(i // 64 AS BIGINT) AS win,
+  CAST(SUM(v * v) AS BIGINT) AS energy
+FROM s GROUP BY doc_id, 2
+""",
+)
+def q122_audio_window_energy(spark, sf_dir):
+    """Audio feature extraction with REAL sample work: every document
+    id becomes a genuine int16 little-endian PCM blob (length varying
+    per doc), and a numpy kernel computes per-64-sample-window signal
+    energy (sum of squared samples, exact int64) OUT OF THE BYTES —
+    the first step of VAD / silence trimming / loudness bucketing in
+    an audio curation pipeline. The oracle replays the sample
+    generation rule, so an endianness or framing bug in the byte
+    parsing hash-mismatches.
+
+    Plan shape: identical to q121 — two chained Arrow seams, no
+    shuffle, map-parallel over the blob column at any scale.
+    Reference anchor: north-star multimodal surface (see q115)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "blob": [
+                        MM.make_pcm(i, 256 + (i % 4) * 128) for i in ids
+                    ],
+                }
+            )
+
+    def features(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "win": [], "energy": []}
+            for i, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for w, e in enumerate(MM.window_energy(bytes(blob))):
+                    out["doc_id"].append(int(i))
+                    out["win"].append(w)
+                    out["energy"].append(int(e))
+            yield pd.DataFrame(out)
+
+    blobs = docs.mapInPandas(render, schema="doc_id long, blob binary")
+    return blobs.mapInPandas(
+        features, schema="doc_id long, win long, energy long"
+    )

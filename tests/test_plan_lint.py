@@ -60,6 +60,8 @@ ARROW_SEAM_ALLOW = {
     "q102_html_details": "lenient HTML parser seam",
     "q105_blob_embed_buckets": "binary payload encoder seam",
     "q115_image_decode": "image blob synth + stdlib header decode seam",
+    "q121_image_block_features": "bitmap synth + numpy block-sum kernel seam",
+    "q122_audio_window_energy": "PCM synth + numpy window-energy kernel seam",
 }
 
 # Row-at-a-time Python evaluation: banned, except Spark 4 evaluates
