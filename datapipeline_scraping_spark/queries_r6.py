@@ -863,3 +863,271 @@ def q122_audio_window_energy(spark, sf_dir):
     return blobs.mapInPandas(
         features, schema="doc_id long, win long, energy long"
     )
+
+
+# ===========================================================================
+# TPC-H Q8 / Q21 / Q22 shapes (market share, multi-EXISTS, scalar-gate)
+# ===========================================================================
+
+from .functions.numeric import exact_sum as _exact_sum  # noqa: E402
+from .functions.numeric import sql_exact_sum as _sql_exact_sum  # noqa: E402
+
+_Q123_REGION = "ASIA"
+_Q123_NATION = "NATION_7"
+_Q123_TYPE = "PROMO"
+
+
+@q(
+    "q123_market_share",
+    oracle=f"""
+WITH flat AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+    l.l_extendedprice * (1 - l.l_discount) AS volume,
+    n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = '{_Q123_REGION}' AND p.p_type = '{_Q123_TYPE}'
+    AND o.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1999-12-31'
+)
+SELECT o_year,
+  {_sql_exact_sum(f"CASE WHEN supp_nation = '{_Q123_NATION}' THEN volume ELSE 0 END", 18, 4)}
+    AS nation_volume,
+  {_sql_exact_sum("volume", 18, 4)} AS total_volume,
+  round(
+    {_sql_exact_sum(f"CASE WHEN supp_nation = '{_Q123_NATION}' THEN volume ELSE 0 END", 18, 4)}
+    / {_sql_exact_sum("volume", 18, 4)}, 6) AS mkt_share
+FROM flat GROUP BY o_year
+""",
+)
+def q123_market_share(spark, sf_dir):
+    """TPC-H Q8 shape — national market share: of all ASIA-customer
+    revenue in one part type, what fraction came from one nation's
+    suppliers, by order year. Implemented as ONE pass with a
+    conditional aggregate (no second join for the numerator): the
+    classic two-aggregates-over-one-join-tree plan.
+
+    Scale shape: the only fact-fact shuffle is lineitem⋈orders on the
+    orderkey; part is filtered BEFORE the join (pushdown) and
+    broadcast with supplier/customer/nation(x2 roles)/region; the
+    share is a single division of two decimal-exact sums (libm-free,
+    cross-engine bit-stable). Region/type/date filters prune at the
+    scans."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1999-12-31")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == _Q123_TYPE)
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == _Q123_REGION)
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_regionkey").alias("c_regionkey"),
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flat = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), on="c_nationkey")
+        .join(
+            F.broadcast(r), F.col("c_regionkey") == F.col("r_regionkey")
+        )
+        .join(F.broadcast(n2), on="s_nationkey")
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    nation_vol = F.when(
+        F.col("supp_nation") == _Q123_NATION, F.col("volume")
+    ).otherwise(F.lit(0.0))
+    agg = flat.groupBy("o_year").agg(
+        _exact_sum(nation_vol, 18, 4).alias("nation_volume"),
+        _exact_sum("volume", 18, 4).alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        F.round(F.col("nation_volume") / F.col("total_volume"), 6).alias(
+            "mkt_share"
+        ),
+    )
+
+
+_Q124_DELAY_DAYS = 90
+
+
+@q(
+    "q124_waiting_suppliers",
+    oracle=f"""
+WITH delayed AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q124_DELAY_DAYS} DAY
+),
+l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM delayed)
+SELECT s.s_name, n.n_name AS nation,
+  CAST(COUNT(*) AS BIGINT) AS numwait
+FROM l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM l1 l3
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+)
+GROUP BY 1, 2
+""",
+)
+def q124_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape — suppliers who kept orders waiting: for
+    finalized orders, the supplier whose line shipped more than 90
+    days after the order date, where the order HAD other
+    suppliers (EXISTS) but NO other supplier was also late
+    (NOT EXISTS) — i.e. this supplier alone held the order up. The
+    lineitem table is probed in three roles: the delayed line, the
+    other-supplier existence check, and the other-delayed-supplier
+    exclusion.
+
+    Scale shape: both EXISTS probes become keyed LEFT SEMI / LEFT
+    ANTI self-joins on the orderkey with the suppkey inequality as a
+    residual — hash joins, never a cross product; the delayed set is
+    distinct-projected BEFORE the probes so each order contributes
+    one row per supplier. CI: the anti/semi shapes are covered by the
+    whole-registry plan lint (no CartesianProduct, no nested-loop
+    outside the allowlist). Reference anchor: generalizes the H2/H5
+    keyed state probe to correlated multi-probe semantics."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    delayed = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.date_add(F.col("o_orderdate"), _Q124_DELAY_DAYS)
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = l.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    ).distinct()
+    d2 = delayed.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    lone_late = (
+        delayed.join(
+            all_pairs,
+            on=[
+                delayed["l_orderkey"] == all_pairs["o2"],
+                delayed["l_suppkey"] != all_pairs["s2"],
+            ],
+            how="left_semi",
+        )
+        .join(
+            d2,
+            on=[
+                delayed["l_orderkey"] == d2["o3"],
+                delayed["l_suppkey"] != d2["s3"],
+            ],
+            how="left_anti",
+        )
+    )
+    return (
+        lone_late.join(F.broadcast(s), lone_late["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("s_name", F.col("n_name").alias("nation"))
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+_Q125_CODES = (0, 1, 2)  # cntrycode = c_nationkey % 5
+
+
+@q(
+    "q125_sales_opportunity",
+    oracle=f"""
+WITH sel AS (
+  SELECT c_custkey, c_nationkey % 5 AS cntrycode,
+    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer WHERE c_nationkey % 5 IN {_Q125_CODES}
+),
+stats AS (
+  SELECT CAST(SUM(bal) AS DECIMAL(38,2)) AS pos_sum,
+    CAST(COUNT(*) AS BIGINT) AS pos_n
+  FROM sel WHERE bal > 0
+),
+rich AS (
+  SELECT sel.* FROM sel CROSS JOIN stats
+  WHERE bal * pos_n > pos_sum
+),
+no_orders AS (
+  SELECT r.* FROM rich r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+  )
+)
+SELECT cntrycode,
+  CAST(COUNT(*) AS BIGINT) AS numcust,
+  {_sql_exact_sum("bal", 18, 2)} AS totacctbal
+FROM no_orders GROUP BY cntrycode
+""",
+)
+def q125_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape — global sales opportunity: customers in a
+    country-code subset with above-average positive balances who have
+    NEVER ordered, grouped by country code. The above-average gate is
+    evaluated EXACTLY via cross-multiplication (bal * n_pos > sum_pos
+    in DECIMAL) instead of comparing against a floating-point average
+    — an order-dependent double AVG is exactly the cross-engine trap
+    the house rational rule exists for.
+
+    Scale shape: the scalar stats row (one SUM/COUNT) broadcasts to
+    gate the customer scan (1-row build side, allowlisted
+    nested-loop); never-ordered is a LEFT ANTI join on the custkey
+    against the orders key projection. Both sides shuffle at most
+    once; at 100 TB the anti join is the standard keyed hash join and
+    the stats row is free. Reference anchor: the F1/F2 count-gate
+    pattern (dags/master_etl.py:35-49) lifted from driver control
+    flow into relational form."""
+    c = _t(spark, sf_dir, "customer")
+    sel = c.filter((F.col("c_nationkey") % 5).isin(*_Q125_CODES)).select(
+        "c_custkey",
+        (F.col("c_nationkey") % 5).cast("long").alias("cntrycode"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    stats = sel.filter(F.col("bal") > 0).agg(
+        F.sum("bal").cast("decimal(38,2)").alias("pos_sum"),
+        F.count("*").cast("long").alias("pos_n"),
+    )
+    rich = sel.crossJoin(F.broadcast(stats)).filter(
+        F.col("bal") * F.col("pos_n") > F.col("pos_sum")
+    )
+    o_keys = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    no_orders = rich.join(o_keys, on="c_custkey", how="left_anti")
+    return no_orders.groupBy("cntrycode").agg(
+        F.count("*").cast("long").alias("numcust"),
+        _exact_sum("bal", 18, 2).alias("totacctbal"),
+    )

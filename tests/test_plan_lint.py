@@ -46,6 +46,7 @@ NESTED_LOOP_ALLOW = {
     "q75_kmeans_ivf_topk": "MLlib KMeans centroid probe; k-row broadcast",
     "q94_ann_recall": "recomputes the exact ground truth to measure recall",
     "q96_bm25_search": "query-term list (a handful of rows) crossed with stats",
+    "q125_sales_opportunity": "scalar balance-stats row (1-row broadcast gate)",
 }
 
 # Arrow-vectorized Python seams (MapInPandas / grouped-map / cogroup).
