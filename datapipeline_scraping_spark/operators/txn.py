@@ -371,3 +371,78 @@ def recover_swap(target_path: str) -> bool:
     for leftover in olds + tmps:
         shutil.rmtree(os.path.join(parent, leftover), ignore_errors=True)
     return restored
+
+
+def _snapshot_files(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) of a snapshot directory's parquet
+    parts (metadata/_SUCCESS excluded)."""
+    n = b = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                b += os.path.getsize(os.path.join(root, f))
+    return n, b
+
+
+def compact_table(
+    spark: SparkSession,
+    root: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+    min_gain_files: int = 2,
+) -> dict:
+    """Small-files compaction for a :class:`ManifestTable` — the table
+    maintenance every long-lived incremental sink needs: streaming
+    `foreachBatch` MERGE sinks and per-batch upserts (q70, q63, q106)
+    accrete one small file per micro-batch, and at 100 TB a scan's task
+    count (and the namenode/object-store listing cost) is driven by
+    file count, not data size.
+
+    Rewrites the CURRENT snapshot into ``ceil(bytes / target)`` evenly
+    sized files — ``repartition(n)`` for an even rewrite, or
+    ``repartitionByRange(n, *sort_by) + sortWithinPartitions`` when
+    ``sort_by`` is given so min/max row-group pruning (data skipping)
+    survives compaction — and commits through the same manifest CAS as
+    any writer: concurrent upserts are serialized, readers never see a
+    partial rewrite, and a compaction racing a writer loses cleanly
+    with :class:`ConcurrentWriteError` (retry, don't overwrite).
+
+    No-ops (returns ``compacted=False``) when the rewrite would save
+    fewer than ``min_gain_files`` files, so a cron'd compactor is
+    idempotent and cheap between real accretions. Reference anchor:
+    maintenance the reference outsources to Postgres autovacuum
+    (``src/storage.py:90-131``); same role as Delta OPTIMIZE /
+    Iceberg rewrite_data_files."""
+    mt = ManifestTable(root)
+    snap = mt.snapshot_path()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    version = mt.version()
+    files_before, bytes_before = _snapshot_files(snap)
+    n_target = max(1, -(-bytes_before // max(1, target_file_bytes)))
+    if files_before - n_target < min_gain_files:
+        return {
+            "compacted": False,
+            "version": version,
+            "files_before": files_before,
+            "files_after": files_before,
+            "bytes": bytes_before,
+        }
+    df = mt.read(spark)
+    if sort_by:
+        rewritten = df.repartitionByRange(n_target, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        rewritten = df.repartition(n_target)
+    new_ver = mt.commit(rewritten, expect_version=version)
+    files_after, _ = _snapshot_files(mt.snapshot_path())
+    return {
+        "compacted": True,
+        "version": new_ver,
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": bytes_before,
+    }

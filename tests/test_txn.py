@@ -171,3 +171,99 @@ def test_concurrent_unconditional_commits_serialize(spark, tmp_path):
     assert errs == []
     assert tbl.version() == 5  # seed + 4 writers, all serialized
     assert tbl.read(spark).count() == 1  # last writer's snapshot, intact
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    from datapipeline_scraping_spark.operators.txn import compact_table
+
+    tbl = ManifestTable(str(tmp_path / "t"))
+    # simulate micro-batch accretion: 40 tiny files
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    ).repartition(40)
+    v1 = tbl.commit(df)
+    stats = compact_table(
+        spark, str(tmp_path / "t"), target_file_bytes=1 << 30
+    )
+    assert stats["compacted"] is True
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1
+    assert stats["version"] == v1 + 1
+    out = tbl.read(spark)
+    assert out.count() == 2000
+    assert out.agg(F.sum("id")).collect()[0][0] == sum(range(2000))
+
+
+def test_compact_table_noop_when_already_compact(spark, tmp_path):
+    from datapipeline_scraping_spark.operators.txn import compact_table
+
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.commit(spark.range(100).repartition(1))
+    stats = compact_table(spark, str(tmp_path / "t"), target_file_bytes=1 << 30)
+    assert stats["compacted"] is False
+    assert stats["version"] == tbl.version()
+
+
+def test_compact_table_sorted_rewrite_clusters_ranges(spark, tmp_path):
+    """sort_by rewrite must produce range-disjoint files so min/max
+    row-group pruning survives compaction."""
+    from datapipeline_scraping_spark.operators.txn import compact_table
+
+    import pyarrow.parquet as pq
+
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.commit(spark.range(10000).select(F.col("id")).repartition(30))
+    # force a 2-file sorted rewrite: target = just over half the bytes
+    snap_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(tbl.snapshot_path())
+        for f in fs if f.endswith(".parquet")
+    )
+    stats = compact_table(
+        spark, str(tmp_path / "t"),
+        target_file_bytes=max(1, snap_bytes // 2), sort_by=["id"],
+    )
+    assert stats["compacted"] is True and stats["files_after"] >= 2
+    ranges = []
+    snap = tbl.snapshot_path()
+    for f in sorted(os.listdir(snap)):
+        if f.endswith(".parquet"):
+            md = pq.read_metadata(os.path.join(snap, f))
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo, f"file ranges overlap: {ranges}"
+
+
+def test_compact_table_loses_race_cleanly(spark, tmp_path):
+    """A writer committing between the compactor's read and its commit
+    must win; the compactor gets ConcurrentWriteError, not data loss."""
+    from datapipeline_scraping_spark.operators.txn import (
+        ManifestTable as MT,
+        compact_table,
+    )
+    from datapipeline_scraping_spark.operators import txn as txn_mod
+
+    tbl = MT(str(tmp_path / "t"))
+    tbl.commit(spark.range(500).repartition(10))
+
+    orig_read = MT.read
+
+    def racing_read(self, spark_):
+        df = orig_read(self, spark_)
+        # another writer lands AFTER the compactor snapshots its view
+        MT(self.root).commit(spark_.range(600).repartition(10))
+        return df
+
+    try:
+        txn_mod.ManifestTable.read = racing_read
+        with pytest.raises(ConcurrentWriteError):
+            compact_table(spark, str(tmp_path / "t"), target_file_bytes=1 << 30)
+    finally:
+        txn_mod.ManifestTable.read = orig_read
+    assert tbl.read(spark).count() == 600  # the racing writer's data won
