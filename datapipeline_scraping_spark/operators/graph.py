@@ -38,7 +38,16 @@ def _checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
     ``spark.sparkContext.setCheckpointDir(...)`` on e.g. HDFS/S3),
     surviving executor loss — the right mode for long 100 TB runs with
     dynamic allocation, at the cost of a distributed-FS write per
-    round."""
+    round.
+
+    Retention: reliable checkpoint files are NOT auto-deleted by
+    default — ~3 per round accumulate for the application's lifetime
+    unless ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+    is set, which lets the ContextCleaner delete a round's files once
+    its frame is garbage-collected. Cluster deployments using
+    ``reliable_checkpoint=True`` must set that conf (or point
+    setCheckpointDir at a TTL'd/scratch path); localCheckpoint blocks
+    (the default mode) are always reclaimed automatically."""
     if reliable:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
@@ -78,8 +87,9 @@ def connected_components(
     # ENTIRE history — including the upstream LSH pipeline — every
     # round: O(rounds^2) total work, measured as 2.1s round 0 vs 7.2s
     # round 1 on the sf0.1 dedup graph.  Checkpointed rounds stay
-    # incremental; the checkpoint blocks are reclaimed by the
-    # ContextCleaner when the frames are dropped.
+    # incremental; LOCAL checkpoint blocks are reclaimed by the
+    # ContextCleaner when the frames are dropped (reliable-mode file
+    # retention: see _checkpoint's docstring).
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -140,8 +150,10 @@ def connected_components(
         if new_sum == prev_sum:
             # already lineage-truncated (the round checkpoint): the
             # rename is a projection over the checkpointed RDD; no
-            # cache entries leak (round-3 advice), and dropped rounds'
-            # checkpoint blocks are reclaimed by the ContextCleaner.
+            # cache entries leak (round-3 advice). Dropped rounds'
+            # LOCAL checkpoint blocks are reclaimed by the
+            # ContextCleaner; reliable-mode files need the
+            # cleanCheckpoints conf (see _checkpoint's docstring).
             edges.unpersist()
             return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
         prev_sum = new_sum

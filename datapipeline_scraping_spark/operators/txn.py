@@ -112,7 +112,17 @@ class ManifestTable:
                 try:
                     age = time.time() - os.path.getmtime(lock)
                     if age > self.stale_lock_sec:
-                        os.unlink(lock)  # break a dead writer's lock
+                        # break a dead writer's lock via RENAME, not
+                        # unlink: two waiters may both see it stale, and
+                        # with unlink the slower one would delete the
+                        # faster one's freshly created lock (TOCTOU ->
+                        # two writers inside the critical section). The
+                        # rename is atomic; exactly one waiter wins it,
+                        # the loser's rename raises FileNotFoundError
+                        # and it falls back to contending on O_EXCL.
+                        doomed = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
+                        os.rename(lock, doomed)
+                        os.unlink(doomed)
                         continue
                 except FileNotFoundError:
                     continue  # holder released between open and stat
@@ -182,7 +192,19 @@ class ManifestTable:
         snaps = sorted(e for e in entries if e.startswith("snap-") and
                        not e.startswith("snap-staging-"))
         doomed = [s for s in snaps[:-keep] if s != current] if keep else []
-        doomed += [e for e in entries if e.startswith("snap-staging-")]
+        # staging dirs may belong to a CONCURRENT writer mid-way through
+        # its (long, deliberately unlocked) snapshot write — only
+        # reclaim ones old enough to be a crashed writer's leftovers,
+        # by the same age rule as stale locks
+        for e in entries:
+            if not e.startswith("snap-staging-"):
+                continue
+            try:
+                age = time.time() - os.path.getmtime(os.path.join(self.root, e))
+            except FileNotFoundError:
+                continue
+            if age > self.stale_lock_sec:
+                doomed.append(e)
         for d in doomed:
             shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
 
@@ -202,23 +224,39 @@ class ManifestTable:
     def adopt_plain(self) -> bool:
         """Migrate a legacy plain-parquet directory (the old
         ``_SUCCESS``-swap layout) in place: move its files into a
-        snapshot dir and write the pointer. Returns True if migrated."""
+        snapshot dir and write the pointer. Returns True if migrated.
+
+        The whole migration runs under COMMIT_LOCK: unlike a normal
+        commit (whose long write phase stages into a private dir), the
+        migration renames SHARED legacy files, so two unsynchronized
+        first-writers would split them across two half-empty snapshots
+        (a torn table). The lock serializes them; the loser re-checks
+        ``exists()`` and no-ops. The file moves themselves are fast
+        (renames, no data copy), so holding the lock here is cheap."""
         if self.exists() or not os.path.isdir(self.root):
             return False
-        entries = [e for e in os.listdir(self.root)
-                   if not e.startswith(("snap-", ".ptr-", self.LOCK))]
-        if not entries:
-            return False
-        snap = f"snap-{1:06d}-{uuid.uuid4().hex[:8]}"
-        snap_path = os.path.join(self.root, snap)
-        os.makedirs(snap_path)
-        for e in entries:
-            os.rename(os.path.join(self.root, e), os.path.join(snap_path, e))
-        tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
-        with open(tmp_ptr, "w") as fh:
-            fh.write(f"{snap}\n1\n")
-        os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
-        return True
+        self._acquire_lock()
+        try:
+            if self.exists():
+                return False  # lost the migration race: theirs won
+            entries = [e for e in os.listdir(self.root)
+                       if not e.startswith(("snap-", ".ptr-", self.LOCK))]
+            if not entries:
+                return False
+            snap = f"snap-{1:06d}-{uuid.uuid4().hex[:8]}"
+            snap_path = os.path.join(self.root, snap)
+            os.makedirs(snap_path)
+            for e in entries:
+                os.rename(
+                    os.path.join(self.root, e), os.path.join(snap_path, e)
+                )
+            tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
+            with open(tmp_ptr, "w") as fh:
+                fh.write(f"{snap}\n1\n")
+            os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
+            return True
+        finally:
+            self._release_lock()
 
 
 def delta_available(spark: SparkSession | None = None) -> bool:
@@ -416,28 +454,52 @@ def compact_table(
     (``src/storage.py:90-131``); same role as Delta OPTIMIZE /
     Iceberg rewrite_data_files."""
     mt = ManifestTable(root)
-    snap = mt.snapshot_path()
-    if snap is None:
+    # resolve the pointer ONCE: snapshot dir + version from the same
+    # read, so the files measured, the data rewritten, and the CAS
+    # expectation all refer to one snapshot
+    ptr = mt._pointer()
+    if ptr is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
-    version = mt.version()
-    files_before, bytes_before = _snapshot_files(snap)
-    n_target = max(1, -(-bytes_before // max(1, target_file_bytes)))
-    if files_before - n_target < min_gain_files:
-        return {
-            "compacted": False,
-            "version": version,
-            "files_before": files_before,
-            "files_after": files_before,
-            "bytes": bytes_before,
-        }
-    df = mt.read(spark)
-    if sort_by:
-        rewritten = df.repartitionByRange(n_target, *sort_by).sortWithinPartitions(
-            *sort_by
+    snap_name, version = ptr
+    snap = os.path.join(mt.root, snap_name)
+    # explicit existence check: os.walk is SILENT on a missing dir, so
+    # a just-GC'd snapshot would otherwise read as "0 files" and no-op
+    if not os.path.isdir(snap):
+        raise ConcurrentWriteError(
+            f"{root}: snapshot {snap_name} vanished before compaction "
+            f"(concurrent writer + gc) — retry"
         )
-    else:
-        rewritten = df.repartition(n_target)
-    new_ver = mt.commit(rewritten, expect_version=version)
+    try:
+        files_before, bytes_before = _snapshot_files(snap)
+        n_target = max(1, -(-bytes_before // max(1, target_file_bytes)))
+        if files_before - n_target < min_gain_files:
+            return {
+                "compacted": False,
+                "version": version,
+                "files_before": files_before,
+                "files_after": files_before,
+                "bytes": bytes_before,
+            }
+        # read the RESOLVED snapshot dir, not mt.read(): the lazy scan
+        # must not re-resolve the pointer at job time (a racing writer
+        # could have advanced it; the version CAS below then catches
+        # the conflict instead of silently compacting the wrong data)
+        df = spark.read.parquet(snap)
+        if sort_by:
+            rewritten = df.repartitionByRange(
+                n_target, *sort_by
+            ).sortWithinPartitions(*sort_by)
+        else:
+            rewritten = df.repartition(n_target)
+        new_ver = mt.commit(rewritten, expect_version=version)
+    except FileNotFoundError as exc:
+        # a racing writer committed and its GC dropped our snapshot
+        # mid-rewrite: surface the documented retryable conflict, not
+        # a raw filesystem error
+        raise ConcurrentWriteError(
+            f"{root}: snapshot {snap_name} vanished during compaction "
+            f"(concurrent writer + gc) — retry"
+        ) from exc
     files_after, _ = _snapshot_files(mt.snapshot_path())
     return {
         "compacted": True,

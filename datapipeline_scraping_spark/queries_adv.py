@@ -197,12 +197,12 @@ def q70_stream_upsert_sink(spark, sf_dir):
 
     import uuid
 
+    from .streaming.events import pinned_shuffle_partitions
+
     # pin the stateful agg's partition count (state-store sizing — see
     # run_available_now): per-user counts are tiny here, 32 near-empty
     # stores are pure maintenance overhead
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with pinned_shuffle_partitions(spark, 8):
         q_ = (
             agg.writeStream.foreachBatch(upsert_batch)
             .outputMode("complete")
@@ -214,8 +214,6 @@ def q70_stream_upsert_sink(spark, sf_dir):
             .start()
         )
         q_.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
     return tbl.read(spark).select(
         "user_id", F.col("n_events").cast("long").alias("n_events")
     )

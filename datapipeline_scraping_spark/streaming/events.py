@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +30,25 @@ from ..session import prepare
 from ..sources.tables import load_table
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+@contextmanager
+def pinned_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Temporarily pin ``spark.sql.shuffle.partitions`` for a stateful
+    streaming query (the count is frozen into the checkpoint at query
+    start; state stores should be sized to state volume, not cluster
+    cores — see ``run_available_now``). ``None`` = leave untouched.
+    The session value is always restored so batch queries keep their
+    own sizing."""
+    if n is None:
+        yield
+        return
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
 def _stage_events_us(spark: SparkSession, sf_dir: str) -> str:
@@ -81,10 +101,7 @@ def run_available_now(
     batch queries keep their own sizing."""
     spark = sdf.sparkSession
     name = f"dps_stream_{uuid.uuid4().hex[:12]}"
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
+    with pinned_shuffle_partitions(spark, shuffle_partitions):
         query = (
             sdf.writeStream.format("memory")
             .queryName(name)
@@ -97,9 +114,6 @@ def run_available_now(
             .start()
         )
         query.awaitTermination()
-    finally:
-        if shuffle_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name)
 
 

@@ -132,9 +132,11 @@ def test_stream_stream_join_evicts_state_across_batches(spark, tmp_path):
         ],
     ).select("purchase_id", "click_id")
 
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    try:
+    from datapipeline_scraping_spark.streaming.events import (
+        pinned_shuffle_partitions,
+    )
+
+    with pinned_shuffle_partitions(spark, 2):
         query = (
             joined.writeStream.format("memory")
             .queryName("evict_probe")
@@ -145,8 +147,6 @@ def test_stream_stream_join_evicts_state_across_batches(spark, tmp_path):
         )
         query.awaitTermination()
         progresses = query.recentProgress
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
     got = {
         (r["purchase_id"], r["click_id"])

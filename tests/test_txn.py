@@ -65,13 +65,21 @@ def test_no_absent_window_old_snapshot_survives_until_commit(spark, tmp_path):
     tbl.commit(_df(spark, [(1, "a")]))
     p1 = tbl.snapshot_path()
     assert p1 and os.path.isdir(p1)
-    # a stranded staging dir (crash mid-snapshot-write) never affects reads
-    os.makedirs(os.path.join(tbl.root, "snap-staging-deadbeef"))
+    # a stranded staging dir (crash mid-snapshot-write) never affects
+    # reads; age it past the stale threshold so GC may reclaim it (a
+    # FRESH staging dir could be a live concurrent writer's and must
+    # survive — test_gc_spares_fresh_staging_dirs)
+    import time as _time
+
+    stranded = os.path.join(tbl.root, "snap-staging-deadbeef")
+    os.makedirs(stranded)
+    old = _time.time() - 2 * tbl.stale_lock_sec - 60
+    os.utime(stranded, (old, old))
     assert {r["v"] for r in tbl.read(spark).collect()} == {"a"}
     tbl.commit(_df(spark, [(1, "b")]))
     assert {r["v"] for r in tbl.read(spark).collect()} == {"b"}
-    # GC removed the stranded staging dir
-    assert not os.path.exists(os.path.join(tbl.root, "snap-staging-deadbeef"))
+    # GC removed the (old) stranded staging dir
+    assert not os.path.exists(stranded)
 
 
 def test_stale_lock_is_broken(spark, tmp_path):
@@ -249,21 +257,88 @@ def test_compact_table_loses_race_cleanly(spark, tmp_path):
     )
     from datapipeline_scraping_spark.operators import txn as txn_mod
 
-    tbl = MT(str(tmp_path / "t"))
+    root = str(tmp_path / "t")
+    tbl = MT(root)
     tbl.commit(spark.range(500).repartition(10))
 
-    orig_read = MT.read
+    orig_files = txn_mod._snapshot_files
 
-    def racing_read(self, spark_):
-        df = orig_read(self, spark_)
-        # another writer lands AFTER the compactor snapshots its view
-        MT(self.root).commit(spark_.range(600).repartition(10))
-        return df
+    def racing_files(path):
+        stats = orig_files(path)
+        # another writer lands AFTER the compactor resolved its view
+        MT(root).commit(spark.range(600).repartition(10))
+        return stats
 
     try:
-        txn_mod.ManifestTable.read = racing_read
+        txn_mod._snapshot_files = racing_files
         with pytest.raises(ConcurrentWriteError):
-            compact_table(spark, str(tmp_path / "t"), target_file_bytes=1 << 30)
+            compact_table(spark, root, target_file_bytes=1 << 30)
     finally:
-        txn_mod.ManifestTable.read = orig_read
+        txn_mod._snapshot_files = orig_files
     assert tbl.read(spark).count() == 600  # the racing writer's data won
+
+
+def test_gc_spares_fresh_staging_dirs(spark, tmp_path):
+    """A CONCURRENT writer's in-flight staging dir (fresh mtime) must
+    survive another writer's post-commit GC; only old (crashed-writer)
+    staging dirs are reclaimed."""
+    import time as _time
+
+    root = str(tmp_path / "t")
+    tbl = ManifestTable(root, stale_lock_sec=3600.0)
+    tbl.commit(spark.range(10))
+    fresh = os.path.join(root, "snap-staging-fresh0000")
+    stale = os.path.join(root, "snap-staging-stale0000")
+    os.makedirs(fresh)
+    os.makedirs(stale)
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
+    tbl.commit(spark.range(20))  # triggers _gc
+    assert os.path.isdir(fresh), "fresh in-flight staging dir was GC'd"
+    assert not os.path.isdir(stale), "crashed-writer staging dir kept"
+    os.rmdir(fresh)
+
+
+def test_adopt_plain_holds_commit_lock(spark, tmp_path):
+    """The legacy-dir migration renames SHARED files, so it must run
+    under COMMIT_LOCK — assert the lock exists while the first rename
+    happens (a second first-writer then serializes behind it)."""
+    import datapipeline_scraping_spark.operators.txn as txn_mod
+
+    root = str(tmp_path / "t")
+    spark.range(50).repartition(2).write.parquet(root)
+    # strip the manifest-less marker files into a plain legacy layout
+    tbl = ManifestTable(root)
+    saw_lock = []
+    orig_rename = os.rename
+
+    def spying_rename(src, dst):
+        saw_lock.append(
+            os.path.exists(os.path.join(root, ManifestTable.LOCK))
+        )
+        return orig_rename(src, dst)
+
+    txn_mod.os.rename = spying_rename
+    try:
+        assert tbl.adopt_plain() is True
+    finally:
+        txn_mod.os.rename = orig_rename
+    assert saw_lock and all(saw_lock), "rename ran without COMMIT_LOCK"
+    assert tbl.read(spark).count() == 50
+    assert tbl.adopt_plain() is False  # idempotent second caller
+
+
+def test_compact_table_vanished_snapshot_is_retryable(spark, tmp_path):
+    """If a racing writer's GC drops the snapshot the compactor
+    resolved, the compactor must raise the retryable
+    ConcurrentWriteError, not silently no-op on an empty walk."""
+    import shutil as _shutil
+
+    from datapipeline_scraping_spark.operators.txn import compact_table
+
+    root = str(tmp_path / "t")
+    tbl = ManifestTable(root)
+    tbl.commit(spark.range(100).repartition(5))
+    _shutil.rmtree(tbl.snapshot_path())
+    with pytest.raises(ConcurrentWriteError):
+        compact_table(spark, root, target_file_bytes=1 << 30)
