@@ -1131,3 +1131,113 @@ def q125_sales_opportunity(spark, sf_dir):
         F.count("*").cast("long").alias("numcust"),
         _exact_sum("bal", 18, 2).alias("totacctbal"),
     )
+
+
+@q(
+    "q126_small_quantity_revenue",
+    oracle=f"""
+WITH avgq AS (
+  SELECT l_partkey, AVG(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+  {_sql_exact_sum("l.l_extendedprice", 18, 2)} AS total_price,
+  round({_sql_exact_sum("l.l_extendedprice", 18, 2)} / 7.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN avgq ON avgq.l_partkey = l.l_partkey
+WHERE p.p_brand = (SELECT MIN(p_brand) FROM part)
+  AND l.l_quantity < 0.2 * avgq.aq
+""",
+)
+def q126_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — small-quantity-order revenue: lines whose
+    quantity is below 20% of their part's average quantity, for one
+    brand. The correlated scalar subquery (per-part average) is
+    decorrelated into an explicit aggregate-then-join — exactly the
+    rewrite Catalyst's DecorrelateInnerQuery performs, made visible.
+
+    Scale shape: the per-part average is a partial-agg'd groupBy on
+    the same key as the probe join, so AQE plans one shuffle reused by
+    both; the brand filter broadcasts the tiny part side and prunes at
+    the scan. The 0.2*avg comparison stays double-on-both-engines
+    (single multiply of an exact-int-ratio average) with the output
+    sums decimal-exact. Brand is selected as MIN(p_brand) so the query
+    is data-independent of the generator's brand vocabulary."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    brand = p.agg(F.min("p_brand").alias("b"))
+    pb = p.join(
+        F.broadcast(brand), p["p_brand"] == brand["b"], "left_semi"
+    ).select("p_partkey")
+    avgq = l.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    flt = (
+        l.join(F.broadcast(pb), l["l_partkey"] == pb["p_partkey"])
+        .join(avgq, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+    )
+    agg = flt.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        _exact_sum("l_extendedprice", 18, 2).alias("total_price"),
+    )
+    return agg.select(
+        "n_lines",
+        "total_price",
+        F.round(F.col("total_price") / 7.0, 4).alias("avg_yearly"),
+    )
+
+
+_Q127_MIN_QTY = 250
+
+
+@q(
+    "q127_large_volume_customers",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > {_Q127_MIN_QTY}
+)
+SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+  CAST(o.o_orderkey AS BIGINT) AS o_orderkey, o.o_orderdate,
+  {_sql_exact_sum("l.l_quantity", 18, 2)} AS total_qty
+FROM orders o
+JOIN big ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4
+""",
+)
+def q127_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    line quantity exceeds a threshold, with the customer attached and
+    the quantity re-aggregated per order. The IN-subquery over a
+    HAVING aggregate becomes an aggregate-then-semi-join membership
+    probe.
+
+    Scale shape: the HAVING aggregate and the final per-order rollup
+    shuffle on the SAME key (orderkey), so the exchanges line up and
+    AQE reuses the partitioning; the surviving-orders set is tiny
+    (heavy-hitter orders) and broadcasts into the orders probe. No
+    row explosion: lineitem is scanned twice, never joined to
+    itself. Reference anchor: the generalized join/agg surface
+    (SURVEY §2.7)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > _Q127_MIN_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderdate",
+        )
+        .agg(_exact_sum("l_quantity", 18, 2).alias("total_qty"))
+    )
