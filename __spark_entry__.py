@@ -162,6 +162,14 @@ def _rotation() -> list[str]:
             return (1, reg_pos[name])  # never evidenced
         if name in recheck:
             return (2, reg_pos[name])  # code changed since driver evidence
+        if not has_oracle:
+            # inherently oracle-less (sketches / MLlib-trained): the
+            # driver row can only ever be rows-only `no_oracle`, so a
+            # front-of-window slot buys no new information — park them
+            # BEHIND all verifiable queries (VERDICT r6 item 7; their
+            # oracle-checked twins, e.g. q128 for q58, carry the
+            # external evidence for the family)
+            return (4, row[0], reg_pos[name])
         return (3, row[0], reg_pos[name])  # oldest evidence first
     return sorted(REGISTRY, key=band)
 

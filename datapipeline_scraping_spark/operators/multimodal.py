@@ -321,3 +321,36 @@ def window_energy(blob: bytes, window: int = 64):
 
     arr = np.frombuffer(blob, dtype="<i2").astype(np.int64)
     return (arr.reshape(-1, window) ** 2).sum(axis=1).tolist()
+
+
+def block_sums_batch(blobs, width: int, height: int, grid: int = 4):
+    """Fully vectorized :func:`block_sums` over a batch of SAME-SHAPE
+    bitmaps: one ``bytes.join`` + one ``np.frombuffer`` + one reshaped
+    sum for the whole group — no Python-level per-row loop (VERDICT r6
+    item 2). Returns an ``(n, grid*grid)`` int64 array in row-major
+    (by, bx) block order, matching the scalar kernel row for row."""
+    import numpy as np
+
+    n = len(blobs)
+    if n == 0:
+        return np.empty((0, grid * grid), dtype=np.int64)
+    arr = np.frombuffer(b"".join(blobs), dtype=np.uint8).astype(np.int64)
+    arr = arr.reshape(n, height, width)
+    bh, bw = height // grid, width // grid
+    return arr.reshape(n, grid, bh, grid, bw).sum(axis=(2, 4)).reshape(
+        n, grid * grid
+    )
+
+
+def window_energy_batch(blobs, window: int = 64):
+    """Fully vectorized :func:`window_energy` over a batch of
+    SAME-LENGTH int16 PCM blobs. Returns an ``(n, n_windows)`` int64
+    array, matching the scalar kernel row for row."""
+    import numpy as np
+
+    n = len(blobs)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.int64)
+    arr = np.frombuffer(b"".join(blobs), dtype="<i2").astype(np.int64)
+    arr = arr.reshape(n, -1)
+    return (arr.reshape(n, arr.shape[1] // window, window) ** 2).sum(axis=2)

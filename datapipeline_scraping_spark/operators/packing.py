@@ -1,0 +1,101 @@
+"""Distributed sequence packing: the two-pass (scan) prefix sum.
+
+``q120_sequence_packing`` computes, per source, a running token
+prefix-sum ordered by doc_id — a single keyed window. That is correct
+but a HOT source (one source owning a large share of the corpus)
+serializes into one window partition's sort. The classic distributed
+fix, implemented here, is the two-pass scan every parallel-prefix
+textbook ships:
+
+1. range-partition the rows by (key, order) so each partition holds a
+   contiguous slice of every key's sequence (a hot key spreads over
+   MANY partitions);
+2. pass 1: per (partition, key) local prefix sums — window state is
+   bounded by the partition size, never by the key's total size;
+3. the per-(partition, key) totals are a TINY relation (n_partitions x
+   n_keys rows); a window over it turns totals into per-slice offsets;
+4. pass 2: broadcast the offsets back and add — global prefix sum
+   reconstructed exactly, no single-partition sort anywhere.
+
+The result is bit-identical to the one-pass window (integer sums are
+associative) while the critical path drops from O(hot key) to
+O(partition slice). Reference anchor: north-star packing surface
+(q120); the same scan pattern serves any ordered accumulation (byte
+offsets for shard manifests, cumulative event counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prefix_sum_two_pass(
+    df: DataFrame,
+    *,
+    key: str,
+    order: str,
+    weight: str,
+    out: str = "prefix_sum",
+    n_chunks: int = 32,
+) -> DataFrame:
+    """Inclusive per-``key`` prefix sum of ``weight`` ordered by
+    ``order``, computed with the two-pass scan. Output schema = input
+    + ``out`` column. ``n_chunks`` bounds pass-1 partition count; at
+    cluster scale set it to the parallelism you want the hot key
+    spread over (the offsets relation stays n_chunks x n_keys — tiny).
+
+    The value is invariant to where the range boundaries land (the
+    sampling-based partitioner is nondeterministic): any contiguous
+    slicing reconstructs the same global sums."""
+    sliced = df.repartitionByRange(n_chunks, F.col(key), F.col(order))
+    with_pid = sliced.withColumn("_chunk", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("_chunk", key)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = with_pid.withColumn("_local_sum", F.sum(weight).over(w_local))
+
+    totals = local.groupBy("_chunk", key).agg(
+        F.sum(weight).alias("_chunk_total")
+    )
+    w_off = (
+        Window.partitionBy(key)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_chunk",
+        key,
+        F.coalesce(F.sum("_chunk_total").over(w_off), F.lit(0)).alias(
+            "_offset"
+        ),
+    )
+    joined = local.join(F.broadcast(offsets), ["_chunk", key])
+    return joined.withColumn(
+        out, F.col("_offset") + F.col("_local_sum")
+    ).select(*df.columns, out)  # restore input column order
+
+
+def pack_sequences(
+    sized: DataFrame,
+    *,
+    key: str,
+    order: str,
+    weight: str,
+    ctx: int,
+    n_chunks: int = 32,
+) -> Column | DataFrame:
+    """Assign each row to the fixed-budget sequence where its first
+    token lands: ``seq_id = floor((prefix_sum - weight) / ctx)`` per
+    ``key`` in ``order`` — the streaming concat-and-chunk packer, on
+    the two-pass scan so hot keys don't serialize."""
+    summed = prefix_sum_two_pass(
+        sized, key=key, order=order, weight=weight, out="_psum",
+        n_chunks=n_chunks,
+    )
+    return summed.withColumn(
+        "seq_id",
+        F.floor((F.col("_psum") - F.col(weight)) / float(ctx)).cast("long"),
+    ).drop("_psum")

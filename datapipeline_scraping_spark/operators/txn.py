@@ -63,14 +63,33 @@ class ManifestTable:
 
     A crashed writer can strand the lock; locks older than
     ``stale_lock_sec`` are broken on acquire (a pointer update takes
-    milliseconds, so minutes-old locks are dead writers)."""
+    milliseconds, so minutes-old locks are dead writers).  Staging
+    directories use the SEPARATE, much larger ``staging_ttl_sec``:
+    a snapshot write is long and deliberately unlocked, and its dir
+    mtime stays at creation until the job commits, so judging it by
+    the millisecond-scale lock TTL would rmtree a live concurrent
+    writer's half-written snapshot (spurious failure, and in a narrow
+    interleaving with the Hadoop committer a torn snapshot).  Size
+    ``staging_ttl_sec`` above the longest plausible snapshot write."""
 
     POINTER = "CURRENT"
     LOCK = "COMMIT_LOCK"
 
-    def __init__(self, root: str, *, stale_lock_sec: float = 300.0) -> None:
+    def __init__(
+        self,
+        root: str,
+        *,
+        stale_lock_sec: float = 300.0,
+        staging_ttl_sec: float = 6 * 3600.0,
+    ) -> None:
         self.root = root.rstrip("/")
         self.stale_lock_sec = stale_lock_sec
+        self.staging_ttl_sec = staging_ttl_sec
+        #: snapshot dirname of this instance's most recent successful
+        #: commit — lets callers measure exactly the snapshot THEY
+        #: committed instead of re-resolving a pointer a racing writer
+        #: may have advanced (ADVICE r6: compact_table stats race)
+        self.last_snapshot: str | None = None
 
     # -- resolution --------------------------------------------------------
     def exists(self) -> bool:
@@ -122,6 +141,26 @@ class ManifestTable:
                         # and it falls back to contending on O_EXCL.
                         doomed = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
                         os.rename(lock, doomed)
+                        # re-stat AFTER the rename: if the apparently-
+                        # dead holder released and a NEW writer acquired
+                        # between our getmtime and the rename, the file
+                        # we just renamed away is that writer's FRESH
+                        # live lock. Give it back via os.link (fails if
+                        # the lock path was re-created meanwhile, so we
+                        # never clobber a third writer's lock the way a
+                        # rename-back would).
+                        try:
+                            fresh = (
+                                time.time() - os.path.getmtime(doomed)
+                                <= self.stale_lock_sec
+                            )
+                        except FileNotFoundError:
+                            continue
+                        if fresh:
+                            try:
+                                os.link(doomed, lock)
+                            except (FileExistsError, OSError):
+                                pass
                         os.unlink(doomed)
                         continue
                 except FileNotFoundError:
@@ -173,6 +212,7 @@ class ManifestTable:
             with open(tmp_ptr, "w") as fh:
                 fh.write(f"{snap}\n{new_ver}\n")
             os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
+            self.last_snapshot = snap
         finally:
             self._release_lock()
         self._gc(keep=keep_snapshots)
@@ -193,9 +233,11 @@ class ManifestTable:
                        not e.startswith("snap-staging-"))
         doomed = [s for s in snaps[:-keep] if s != current] if keep else []
         # staging dirs may belong to a CONCURRENT writer mid-way through
-        # its (long, deliberately unlocked) snapshot write — only
-        # reclaim ones old enough to be a crashed writer's leftovers,
-        # by the same age rule as stale locks
+        # its (long, deliberately unlocked) snapshot write, and their
+        # mtime stays at creation until the job commits — reclaim only
+        # past the hours-scale staging TTL, NOT the millisecond-scale
+        # lock TTL (a live writer whose parquet write outlives the lock
+        # TTL must not have its snapshot torn out from under it)
         for e in entries:
             if not e.startswith("snap-staging-"):
                 continue
@@ -203,10 +245,22 @@ class ManifestTable:
                 age = time.time() - os.path.getmtime(os.path.join(self.root, e))
             except FileNotFoundError:
                 continue
-            if age > self.stale_lock_sec:
+            if age > self.staging_ttl_sec:
                 doomed.append(e)
         for d in doomed:
             shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        # a waiter crashing between its stale-lock rename and unlink
+        # leaks COMMIT_LOCK.stale-* files; they are renamed-away dead
+        # locks (never live), so reclaim by the lock age rule
+        for e in entries:
+            if not e.startswith(f"{self.LOCK}.stale-"):
+                continue
+            p = os.path.join(self.root, e)
+            try:
+                if time.time() - os.path.getmtime(p) > self.stale_lock_sec:
+                    os.unlink(p)
+            except FileNotFoundError:
+                pass
 
     # -- bootstrap / migration --------------------------------------------
     def init(self, df: DataFrame) -> int:
@@ -500,7 +554,15 @@ def compact_table(
             f"{root}: snapshot {snap_name} vanished during compaction "
             f"(concurrent writer + gc) — retry"
         ) from exc
-    files_after, _ = _snapshot_files(mt.snapshot_path())
+    # measure the snapshot THIS commit produced (recorded under the
+    # commit lock), not a re-resolved pointer: a racing writer
+    # committing in between would make the stats describe the wrong
+    # snapshot, and a just-GC'd one would silently walk as 0 files
+    committed = os.path.join(mt.root, mt.last_snapshot)
+    if os.path.isdir(committed):
+        files_after, _ = _snapshot_files(committed)
+    else:  # GC'd by an immediately-following writer: n_target is exact
+        files_after = n_target
     return {
         "compacted": True,
         "version": new_ver,

@@ -217,11 +217,15 @@ def q55_percentiles(spark, sf_dir):
 # grouped pandas UDAF: per-user regression slope
 # ===========================================================================
 
+_Q56_USER_MOD = 8  # demo cohort: ~1/8 of users (seam demo, see docstring)
+
+
 @q(
     "q56_regr_slope_udaf",
-    oracle="""
+    oracle=f"""
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS us, value FROM events
+  WHERE user_id % {_Q56_USER_MOD} = 0
 ),
 b AS (
   SELECT user_id,
@@ -257,9 +261,14 @@ def q56_regr_slope_udaf(spark, sf_dir):
     int128->double cast is not correctly rounded; observed 1-ulp drift).
 
     The pandas seam is the point here (the C2 batch-UDF pattern applied
-    to an aggregation); the pure-SQL twin is what the oracle runs."""
+    to an aggregation); the pure-SQL twin is what the oracle runs, and
+    the built-in ``regr_slope`` family is the production path — so the
+    demo runs on a ~1/8 user cohort (``user_id % _Q56_USER_MOD = 0``,
+    identically filtered on both engines) to stop a seam demonstration
+    from being the suite's slowest non-MLlib query (VERDICT r6 item
+    6). The seam itself is cohort-size-independent."""
     ev = _t(spark, sf_dir, "events")
-    src = ev.select(
+    src = ev.filter(F.col("user_id") % _Q56_USER_MOD == 0).select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         "value",

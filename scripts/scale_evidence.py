@@ -290,6 +290,7 @@ CURATION_QUERIES = (
     "q118_curation_funnel",    # composed quality->dedup->decontam->cap
     "q119_paragraph_dedup",    # sub-document first-occurrence dedup
     "q120_sequence_packing",   # keyed prefix-sum packing manifest
+    "q132_sequence_packing_twopass",  # two-pass scan: hot source spread
 )
 
 

@@ -47,6 +47,7 @@ NESTED_LOOP_ALLOW = {
     "q94_ann_recall": "recomputes the exact ground truth to measure recall",
     "q96_bm25_search": "query-term list (a handful of rows) crossed with stats",
     "q125_sales_opportunity": "scalar balance-stats row (1-row broadcast gate)",
+    "q130_important_stock": "scalar nation-total row (1-row broadcast gate)",
 }
 
 # Arrow-vectorized Python seams (MapInPandas / grouped-map / cogroup).

@@ -66,14 +66,15 @@ def test_no_absent_window_old_snapshot_survives_until_commit(spark, tmp_path):
     p1 = tbl.snapshot_path()
     assert p1 and os.path.isdir(p1)
     # a stranded staging dir (crash mid-snapshot-write) never affects
-    # reads; age it past the stale threshold so GC may reclaim it (a
-    # FRESH staging dir could be a live concurrent writer's and must
-    # survive — test_gc_spares_fresh_staging_dirs)
+    # reads; age it past the STAGING TTL (hours-scale, distinct from
+    # the lock TTL) so GC may reclaim it (a fresh staging dir could be
+    # a live concurrent writer's and must survive —
+    # test_gc_spares_fresh_staging_dirs)
     import time as _time
 
     stranded = os.path.join(tbl.root, "snap-staging-deadbeef")
     os.makedirs(stranded)
-    old = _time.time() - 2 * tbl.stale_lock_sec - 60
+    old = _time.time() - 2 * tbl.staging_ttl_sec - 60
     os.utime(stranded, (old, old))
     assert {r["v"] for r in tbl.read(spark).collect()} == {"a"}
     tbl.commit(_df(spark, [(1, "b")]))
@@ -280,23 +281,31 @@ def test_compact_table_loses_race_cleanly(spark, tmp_path):
 
 def test_gc_spares_fresh_staging_dirs(spark, tmp_path):
     """A CONCURRENT writer's in-flight staging dir (fresh mtime) must
-    survive another writer's post-commit GC; only old (crashed-writer)
-    staging dirs are reclaimed."""
+    survive another writer's post-commit GC; only dirs older than the
+    hours-scale STAGING TTL (not the millisecond-scale lock TTL —
+    ADVICE r6) are reclaimed. A dir older than the lock TTL but
+    younger than the staging TTL is a live slow writer and survives."""
     import time as _time
 
     root = str(tmp_path / "t")
-    tbl = ManifestTable(root, stale_lock_sec=3600.0)
+    tbl = ManifestTable(root, stale_lock_sec=60.0, staging_ttl_sec=3600.0)
     tbl.commit(spark.range(10))
     fresh = os.path.join(root, "snap-staging-fresh0000")
+    slow = os.path.join(root, "snap-staging-slow00000")  # live, slow write
     stale = os.path.join(root, "snap-staging-stale0000")
     os.makedirs(fresh)
+    os.makedirs(slow)
     os.makedirs(stale)
+    mid = _time.time() - 600  # > lock TTL, < staging TTL
+    os.utime(slow, (mid, mid))
     old = _time.time() - 7200
     os.utime(stale, (old, old))
     tbl.commit(spark.range(20))  # triggers _gc
     assert os.path.isdir(fresh), "fresh in-flight staging dir was GC'd"
+    assert os.path.isdir(slow), "live slow writer's staging dir was GC'd"
     assert not os.path.isdir(stale), "crashed-writer staging dir kept"
     os.rmdir(fresh)
+    os.rmdir(slow)
 
 
 def test_adopt_plain_holds_commit_lock(spark, tmp_path):
@@ -342,3 +351,92 @@ def test_compact_table_vanished_snapshot_is_retryable(spark, tmp_path):
     _shutil.rmtree(tbl.snapshot_path())
     with pytest.raises(ConcurrentWriteError):
         compact_table(spark, root, target_file_bytes=1 << 30)
+
+
+def test_stolen_fresh_lock_is_restored(tmp_path):
+    """ADVICE r6 (txn.py:124): if the apparently-dead holder releases
+    and a NEW writer acquires between the waiter's stat and its rename,
+    the waiter must hand the stolen fresh lock back (os.link restore)
+    instead of entering the critical section alongside the new writer."""
+    import time as _time
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    tbl = ManifestTable(root, stale_lock_sec=100.0)
+    lock = os.path.join(root, ManifestTable.LOCK)
+    # dead writer's stale lock, as the waiter first observes it
+    with open(lock, "w") as fh:
+        fh.write("999 dead\n")
+    old = _time.time() - 500
+    os.utime(lock, (old, old))
+
+    import datapipeline_scraping_spark.operators.txn as txn_mod
+
+    orig_rename = txn_mod.os.rename
+    swapped = []
+
+    def racing_rename(src, dst):
+        # between the waiter's getmtime and its rename, the dead holder
+        # "releases" and a NEW writer acquires: replace the stale lock
+        # with a FRESH one before letting the rename proceed
+        if src == lock and not swapped:
+            swapped.append(True)
+            os.unlink(lock)
+            with open(lock, "w") as fh:
+                fh.write("777 alive\n")
+        return orig_rename(src, dst)
+
+    txn_mod.os.rename = racing_rename
+    try:
+        with pytest.raises(TimeoutError):
+            # the waiter must NOT acquire: the fresh lock is restored
+            # and it then times out contending on it
+            tbl._acquire_lock(timeout=0.3)
+    finally:
+        txn_mod.os.rename = orig_rename
+    # the new writer's lock survived the attempted steal
+    assert os.path.exists(lock)
+    with open(lock) as fh:
+        assert fh.read().startswith("777")
+    # no stale-* debris left behind
+    assert not [e for e in os.listdir(root) if ".stale-" in e]
+
+
+def test_gc_reclaims_leaked_stale_lock_files(spark, tmp_path):
+    """A waiter crashing between its stale-lock rename and unlink leaks
+    COMMIT_LOCK.stale-* files; _gc must reclaim old ones (ADVICE r6)."""
+    import time as _time
+
+    root = str(tmp_path / "t")
+    tbl = ManifestTable(root, stale_lock_sec=60.0)
+    tbl.commit(_df(spark, [(1, "a")]))
+    leaked = os.path.join(root, f"{ManifestTable.LOCK}.stale-deadbeef")
+    with open(leaked, "w") as fh:
+        fh.write("1 crashed\n")
+    old = _time.time() - 600
+    os.utime(leaked, (old, old))
+    fresh_leak = os.path.join(root, f"{ManifestTable.LOCK}.stale-0a0a0a0a")
+    with open(fresh_leak, "w") as fh:
+        fh.write("2 racing\n")
+    tbl.commit(_df(spark, [(1, "b")]))  # triggers _gc
+    assert not os.path.exists(leaked), "old leaked stale-lock file kept"
+    assert os.path.exists(fresh_leak), "in-flight stale-* file reclaimed"
+    os.unlink(fresh_leak)
+
+
+def test_compact_table_stats_measure_committed_snapshot(spark, tmp_path):
+    """ADVICE r6 (txn.py:503): files_after must describe the snapshot
+    the compaction itself committed — via last_snapshot recorded under
+    the commit lock — not a re-resolved pointer a racing writer may
+    have advanced."""
+    from datapipeline_scraping_spark.operators.txn import compact_table
+
+    root = str(tmp_path / "t")
+    tbl = ManifestTable(root)
+    tbl.commit(spark.range(1000).repartition(8))
+    stats = compact_table(spark, root, target_file_bytes=1 << 30)
+    assert stats["compacted"] is True
+    assert stats["files_after"] == 1
+    # the measured dir is the one compact committed
+    mt = ManifestTable(root)
+    assert mt.read(spark).count() == 1000
