@@ -635,10 +635,11 @@ def q120_sequence_packing(spark, sf_dir):
 
     Plan shape: one keyed window prefix-sum (integer, exact
     cross-engine) + one keyed aggregation, both partial-agg'd. A hot
-    source makes the prefix-sum one partition's sort — at 100 TB the
-    standard fix is the two-pass prefix sum (per-partition partial
-    totals broadcast back as offsets), same result, or packing within
-    (source, date) sub-keys as real pipelines shard anyway. Reference
+    source makes the prefix-sum one partition's sort — the production
+    fix is IMPLEMENTED as q132_sequence_packing_twopass
+    (:mod:`..operators.packing`: per-slice partial totals broadcast
+    back as offsets, bit-identical output); this one-window form is
+    kept as the reference semantics and oracle shape. Reference
     anchor: north-star surface (the reference's U3 head-limit batching
     at dags/scraping_etl.py:44-49 is the degenerate 1-doc case)."""
     from pyspark.sql import Window as W

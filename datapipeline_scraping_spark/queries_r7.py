@@ -375,3 +375,40 @@ def q132_sequence_packing_twopass(spark, sf_dir):
         F.sum("n_tok").cast("long").alias("n_tokens"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+# ===========================================================================
+# stream-static dimension join (the fact-stream x dim enrichment shape)
+# ===========================================================================
+
+@q(
+    "q133_stream_static_enrich",
+    oracle=f"""
+SELECT n.n_name, e.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  {sql_exact_sum("e.value", 18, 2)} AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
+""",
+)
+def q133_stream_static_enrich(spark, sf_dir):
+    """Streaming fact x static dimension enrichment — the event stream
+    broadcast-joined per micro-batch against the customer->nation dim,
+    aggregated per nation x event_type, replayed with AvailableNow and
+    checked against the batch join's oracle (streaming answer == batch
+    answer). Completes the streaming surface's join family alongside
+    the stream-stream interval join (q97): this is the no-state join
+    (dim re-resolved each trigger, only the downstream aggregation
+    holds state). Reference anchor: U2's keyed side-table overlay
+    (src/scrapers/scraper.py:104-107) lifted onto a stream."""
+    from .streaming.events import stream_static_enrich
+
+    out = stream_static_enrich(spark, sf_dir)
+    return out.select(
+        "n_name",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "total_value",
+    )

@@ -138,6 +138,43 @@ def stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, shuffle_partitions=8)
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension join: the event stream enriched against
+    the batch customer->nation dimension, then aggregated per nation x
+    event_type. This is the streaming twin of the reference's detail
+    overlay (U2: a keyed side table joined onto the flowing records,
+    ``src/scrapers/scraper.py:104-107``) and the single most common
+    production streaming shape (fact stream x slowly-changing dim).
+
+    Scale shape: the static side is a dim table — Spark plans a
+    broadcast hash join against every micro-batch, re-resolving the
+    batch DataFrame per trigger (so a dim refresh is picked up on the
+    next micro-batch without restarting the query); no stream state is
+    held for the join itself, only for the downstream aggregation.
+    Money sums run through the house decimal rule (exact, associative
+    — safe under micro-batch partial aggregation)."""
+    sdf = events_stream(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    agg = (
+        sdf.join(F.broadcast(dim), "user_id")
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            to_double(F.sum(F.col("value").cast("decimal(18,2)"))).alias(
+                "total_value"
+            ),
+        )
+    )
+    return run_available_now(agg, shuffle_partitions=8)
+
+
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (1 day, sliding 12h) counts per event_type."""
     sdf = events_stream(spark, sf_dir)

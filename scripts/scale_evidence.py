@@ -594,6 +594,15 @@ def main() -> None:
         "candidate join is an equi-join on the blocking key, so at",
         "production partition sizes the AQE skew split applies to it",
         "exactly as demonstrated for the LSH bucket join below.",
+        "q132 is q120's two-pass (scan) packer: identical output (same",
+        "out columns above, oracle-hash-equal), per-source prefix sums",
+        "computed over range slices so the 30%-hot source never",
+        "serializes into one window partition's sort. At this corpus",
+        "size the extra slice/offset round trip costs ~0.6 s of fixed",
+        "overhead (one-pass wins in absolute time); the crossover is",
+        "where one source outgrows a single partition — the regime the",
+        "two-pass path exists for, with per-partition window state",
+        "bounded by the slice size instead of the hot source's total.",
         "",
         "Notes: `ivf_ann_topk` (q52's shape) rebuilds the IVF index —",
         "centroid table + list assignment, O(corpus) — inside the query,",

@@ -91,6 +91,9 @@ MUST_BROADCAST = [
     "q109_decontaminate",
     "q111_gap_fill",
     "q112_fuzzy_match",
+    "q129_min_cost_supplier",
+    "q130_important_stock",
+    "q131_excess_shippers",
 ]
 
 # Queries whose plan must push a per-group limit BELOW the window
