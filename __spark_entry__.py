@@ -104,10 +104,22 @@ def _evidence_rounds() -> dict[str, tuple[int, bool]]:
 
 
 def _changed_since_evidence() -> set[str]:
-    """Names of queries whose defining module's last commit (or an
-    uncommitted edit) postdates the newest driver evidence file.
-    Best-effort: returns empty on any git failure (rotation then falls
-    back to the evidence-age bands alone)."""
+    """Names of queries whose defining FUNCTION's last commit (or an
+    uncommitted edit to its file) postdates the newest driver evidence
+    file.
+
+    Function-level granularity matters: a round that touches one
+    query (or just an import line) in a 20-query module must not drag
+    the other 19 into the re-check band — at file granularity a busy
+    round floods band 2 past the driver's 50-entry window and squeezes
+    out the genuinely stalest band-3 queries (observed round 7: five
+    touched files would have put ~60 queries in band 2). Per-function
+    change time comes from ``git log -L`` over the def's current line
+    range (including its @q decorator, so oracle edits count) — the
+    same rule scripts/driver_sim.py --stale-check enforces. A
+    file-level prefilter keeps the subprocess count at
+    touched-files-only.  Best-effort: returns empty on any git failure
+    (rotation then falls back to the evidence-age bands alone)."""
     import inspect
     import subprocess
     from pathlib import Path
@@ -133,15 +145,34 @@ def _changed_since_evidence() -> set[str]:
                 cwd=root, capture_output=True, text=True, timeout=10,
             ).stdout.split()
         )
+
+        def fn_commit_ts(rel: str, fn) -> float:
+            lines, start = inspect.getsourcelines(fn)
+            out = subprocess.run(
+                ["git", "log", "-1", "--format=%ct",
+                 f"-L{start},{start + len(lines) - 1}:{rel}", "--no-patch"],
+                cwd=root, capture_output=True, text=True, timeout=10,
+            ).stdout.strip().splitlines()
+            return float(out[0]) if out else 0.0
+
         file_ts: dict[str, float] = {}
         changed: set[str] = set()
         for name, spec in REGISTRY.items():
             rel = str(
                 Path(inspect.getsourcefile(spec.fn)).relative_to(root)
             )
+            if rel in dirty:
+                # uncommitted edit: line ranges can't be mapped through
+                # history reliably — conservatively re-check the file's
+                # queries (driver runs see a clean tree, so this branch
+                # is test/dev-only)
+                changed.add(name)
+                continue
             if rel not in file_ts:
                 file_ts[rel] = commit_ts(rel)
-            if rel in dirty or file_ts[rel] > newest_evidence:
+            if file_ts[rel] <= newest_evidence:
+                continue  # file untouched since evidence => no query in it changed
+            if fn_commit_ts(rel, spec.fn) > newest_evidence:
                 changed.add(name)
         return changed
     except Exception:
