@@ -148,7 +148,16 @@ class ManifestTable:
                         # live lock. Give it back via os.link (fails if
                         # the lock path was re-created meanwhile, so we
                         # never clobber a third writer's lock the way a
-                        # rename-back would).
+                        # rename-back would). Residual window: if a
+                        # THIRD writer O_EXCLs the lock path inside this
+                        # same microsecond gap, the link fails and the
+                        # second writer's hold ends up file-less — two
+                        # holders again, but only with three writers
+                        # interleaving within one stale-break, each step
+                        # microsecond-scale against a minutes-scale TTL.
+                        # On filesystems without hard links the link
+                        # raises OSError and degrades to the same
+                        # already-narrow behavior.
                         try:
                             fresh = (
                                 time.time() - os.path.getmtime(doomed)

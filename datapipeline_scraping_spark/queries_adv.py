@@ -96,11 +96,11 @@ def q68_sql_interface(spark, sf_dir):
     oracle="""
 WITH p AS (
   SELECT user_id, COUNT(*) AS n_purchases FROM events
-  WHERE event_type = 'purchase' GROUP BY user_id
+  WHERE event_type = 'purchase' AND user_id % 4 = 0 GROUP BY user_id
 ),
 c AS (
   SELECT user_id, COUNT(*) AS n_clicks FROM events
-  WHERE event_type = 'click' GROUP BY user_id
+  WHERE event_type = 'click' AND user_id % 4 = 0 GROUP BY user_id
 )
 SELECT coalesce(p.user_id, c.user_id) AS user_id,
   CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases,
@@ -114,8 +114,12 @@ def q69_cogroup_purchase_click(spark, sf_dir):
     seam for per-key reconciliation logic too gnarly for joins (here
     deliberately simple counts so the full-outer-join oracle is exact).
     Both sides shuffle once on the key; the pandas function sees
-    exactly one key's slice of each side."""
-    ev = _t(spark, sf_dir, "events")
+    exactly one key's slice of each side. Like q56/q74, the demo runs
+    on a 1/4 user cohort (identically filtered in the oracle): the
+    per-key Python invocation cost it demonstrates is cohort-size-
+    independent, and joins are the production path for logic this
+    simple."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 4 == 0)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id"
     )

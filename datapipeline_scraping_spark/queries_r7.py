@@ -412,3 +412,119 @@ def q133_stream_static_enrich(spark, sf_dir):
         F.col("n_events").cast("long").alias("n_events"),
         "total_value",
     )
+
+
+# ===========================================================================
+# SemDeDup-style semantic dedup (cluster -> within-cluster cosine prune)
+# ===========================================================================
+
+_Q134_TAU = 0.99  # within-cluster cosine above which a vector is a dup
+
+
+@q(
+    "q134_semantic_dedup",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 10000, v FROM base WHERE vec_id % 10 = 0
+),
+cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT c.vec_id, c.v, ct.cid,
+    round(list_dot_product(c.v, ct.cv)
+      / (sqrt(list_dot_product(c.v, c.v))
+         * sqrt(list_dot_product(ct.cv, ct.cv))), 4) AS csim
+  FROM corpus c, cents ct
+),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+    FROM scored) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))), 4) >= {_Q134_TAU}
+)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+  CAST(a.cid AS BIGINT) AS cluster_id,
+  (d.vec_id IS NULL) AS is_kept
+FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+""",
+)
+def q134_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space with coarse centroids, then prune WITHIN each cluster any
+    vector whose cosine to a smaller-id cluster-mate is >= tau — the
+    published recipe (cluster first so the quadratic pairwise step is
+    bounded by cluster size, never the corpus). Re-ingest duplicates
+    are planted (the q13/q74 model: a 1-in-10 slice re-appears under
+    shifted ids with byte-identical embeddings), so the drop set is
+    exactly the planted copies; the synthetic corpus has no organic
+    near-dups (max organic pairwise cosine 0.51 < tau).
+
+    Cross-engine exactness: cosines use the index-ordered fold
+    (:func:`..operators.similarity.dot` == DuckDB list_dot_product
+    order) rounded to 4 before every comparison; centroid assignment
+    breaks ties by centroid id.
+
+    Scale shape: the centroid table broadcasts (map-only assignment);
+    the pairwise step is an equi-join ON THE CLUSTER ID, so its cost
+    is sum(cluster_size^2) — bounded by choosing k proportional to
+    corpus/target-cluster-size (the SemDeDup contract), with AQE's
+    skew split handling an oversized cluster exactly as demonstrated
+    for LSH buckets in SCALE_EVIDENCE.md. Complements q19 (token LSH)
+    and q51/q35 (embedding near-dup): this is the curation pass that
+    catches semantic re-phrasings token methods miss. Reference
+    anchor: north-star dedup surface (BASELINE.json)."""
+    from .operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double("embedding").alias("v")
+    )
+    rescan = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    corpus = emb.unionByName(rescan)
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = SIM.ivf_assign(corpus, cents, "vec_id", "v")
+    mates = assigned.select(
+        F.col("cid").alias("b_cid"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("b_v"),
+    )
+    cos = F.round(
+        SIM.dot(F.col("v"), F.col("b_v"))
+        / (SIM.norm(F.col("v")) * SIM.norm(F.col("b_v"))),
+        4,
+    )
+    dropped = (
+        assigned.join(
+            mates,
+            (F.col("cid") == F.col("b_cid"))
+            & (F.col("b_id") < F.col("vec_id")),
+        )
+        .filter(cos >= _Q134_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_kept", F.lit(False))
+    )
+    return (
+        assigned.select("vec_id", F.col("cid").cast("long").alias("cluster_id"))
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(F.col("is_kept"), F.lit(True)).alias("is_kept"),
+        )
+    )

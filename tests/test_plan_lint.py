@@ -48,6 +48,7 @@ NESTED_LOOP_ALLOW = {
     "q96_bm25_search": "query-term list (a handful of rows) crossed with stats",
     "q125_sales_opportunity": "scalar balance-stats row (1-row broadcast gate)",
     "q130_important_stock": "scalar nation-total row (1-row broadcast gate)",
+    "q134_semantic_dedup": "centroid assignment; broadcast side is k centroids",
 }
 
 # Arrow-vectorized Python seams (MapInPandas / grouped-map / cogroup).
