@@ -160,6 +160,37 @@ def synth_curation(spark) -> None:
             f"{OUT10C}/documents.parquet"
         )
 
+    if not os.path.exists(os.path.join(OUT10C, "embeddings.parquet", "_SUCCESS")):
+        # ANN-near-dup-heavy embeddings under the driver table name so
+        # q134 (semantic dedup) runs verbatim at 10x: same construction
+        # as OUT10's embeddings — copies' tiny scale+shift perturbation
+        # keeps directions near-identical (cosine ~1), so the within-
+        # cluster prune faces both a big drop set AND effectively ~5
+        # oversized clusters (the 50 per-copy centroids are themselves
+        # near-dups; rounded-cosine ties collapse assignment onto the
+        # originals) — the oversized-cluster worst case on purpose
+        emb = load_table(spark, SF1, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        parts = []
+        for i in range(10):
+            c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+            if i > 0:
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x: x * (1.0 + F.lit(i) * 0.001) + F.lit(i) * 0.0005,
+                    ),
+                )
+            parts.append(c)
+        e10 = parts[0]
+        for c in parts[1:]:
+            e10 = e10.unionByName(c)
+        e10.repartition(16).write.mode("overwrite").parquet(
+            f"{OUT10C}/embeddings.parquet"
+        )
+
     if not os.path.exists(os.path.join(OUT10C, "part.parquet", "_SUCCESS")):
         part = load_table(spark, SF1, "part")
         cols = part.columns
@@ -291,6 +322,7 @@ CURATION_QUERIES = (
     "q119_paragraph_dedup",    # sub-document first-occurrence dedup
     "q120_sequence_packing",   # keyed prefix-sum packing manifest
     "q132_sequence_packing_twopass",  # two-pass scan: hot source spread
+    "q134_semantic_dedup",     # SemDeDup: oversized-cluster worst case
 )
 
 
