@@ -47,7 +47,13 @@ def prefix_sum_two_pass(
 
     The value is invariant to where the range boundaries land (the
     sampling-based partitioner is nondeterministic): any contiguous
-    slicing reconstructs the same global sums."""
+    slicing reconstructs the same global sums.
+
+    Contract: ``order`` must be unique within each ``key`` group (the
+    packing use case orders by doc_id, unique by construction). With
+    ties, a running-sum prefix is nondeterministic in ANY
+    formulation — one-pass window included — because tie order is
+    unspecified."""
     sliced = df.repartitionByRange(n_chunks, F.col(key), F.col(order))
     with_pid = sliced.withColumn("_chunk", F.spark_partition_id())
     w_local = (

@@ -635,6 +635,15 @@ def main() -> None:
         "where one source outgrows a single partition — the regime the",
         "two-pass path exists for, with per-partition window state",
         "bounded by the slice size instead of the hot source's total.",
+        "q134 (semantic dedup) runs its oversized-cluster worst case by",
+        "construction: the 10x copies are near-identical DIRECTIONS, so",
+        "rounded-cosine ties collapse centroid assignment onto ~5 hot",
+        "clusters and the within-cluster pair count grows ~100x — yet",
+        "wall time grows only ~4-5x because the pairwise step is an",
+        "equi-join on the cluster id (hash-partitioned, partial-agg'd).",
+        "In production SemDeDup picks k ~ corpus/target-cluster-size, so",
+        "sum(cluster_size^2) stays linear in the corpus; this corpus",
+        "deliberately violates that sizing and the join still holds.",
         "",
         "Notes: `ivf_ann_topk` (q52's shape) rebuilds the IVF index —",
         "centroid table + list assignment, O(corpus) — inside the query,",

@@ -80,3 +80,47 @@ def test_salted_join_equals_plain_join(spark, left, right, n_salt):
         map(tuple, salted_join(l, r, "k", salt_from="uid", n_salt=n_salt).collect())
     )
     assert plain == salted
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-50, 50)),
+        min_size=1,
+        max_size=24,
+        unique_by=lambda t: t,  # see note: order key must be unique per key
+    ),
+    n_chunks=st.integers(1, 6),
+)
+@settings(**_SETTINGS)
+def test_two_pass_prefix_sum_equals_one_pass(spark, rows, n_chunks):
+    """The two-pass (scan) prefix sum is bit-identical to the one-pass
+    keyed window for ANY key distribution, weight signs included, and
+    for ANY chunk count (the result must not depend on where the range
+    boundaries land). Order keys are made unique per key — the
+    operator's documented contract (ties would make BOTH forms
+    nondeterministic)."""
+    from pyspark.sql import Window
+
+    from datapipeline_scraping_spark.operators.packing import (
+        prefix_sum_two_pass,
+    )
+
+    # (key, weight) pairs -> assign a unique order value per key
+    seen: dict[int, int] = {}
+    data = []
+    for k, wt in rows:
+        seen[k] = seen.get(k, 0) + 1
+        data.append((k, seen[k], wt))
+    df = spark.createDataFrame(data, "k long, ord long, wt long")
+    got = prefix_sum_two_pass(
+        df, key="k", order="ord", weight="wt", out="ps", n_chunks=n_chunks
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("ps", F.sum("wt").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
