@@ -31,18 +31,48 @@ from pyspark.sql import functions as F
 # exact / first-wins
 # --------------------------------------------------------------------------
 
-def first_wins(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
+def first_wins(
+    df: DataFrame,
+    keys: list[str],
+    order: list[str],
+    *,
+    strategy: str = "agg",
+) -> DataFrame:
     """Deterministic first-wins dedup (H4). The reference keeps the
     first record per ``row_hash`` in list order
     (``src/storage.py:108-117``); list order does not survive a
-    shuffle, so the engine requires an explicit tiebreak order and uses
-    a ranking window (SURVEY.md §7.3). ``dropDuplicates`` is the lax,
-    nondeterministic version — intentionally not used."""
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    shuffle, so the engine requires an explicit tiebreak order.
+    ``dropDuplicates`` is the lax, nondeterministic version —
+    intentionally not used.
+
+    ``strategy="agg"`` (default): ``min_by(struct(<row>),
+    struct(<order>))`` hash aggregate — PARTIAL (map-side) combinable,
+    so the shuffle carries one candidate row per key per map partition
+    instead of every row, and there is no per-partition sort. At
+    100 TB on a skewed key this is the difference between shuffling
+    the hot key's billion rows and shuffling ``n_map_partitions``
+    rows. Requires non-null order columns (struct comparison and
+    window NULLS FIRST disagree on null ranking).
+
+    ``strategy="window"``: the ranking-window form (SURVEY.md §7.3) —
+    keeps rows with NULL order columns ranked NULLS FIRST; use it when
+    order columns are nullable.
+
+    Both are deterministic whenever ``order`` totally orders each
+    key's rows (ties make ANY formulation nondeterministic)."""
+    if strategy == "window":
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    rank = F.struct(*[F.col(c) for c in order])
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(F.min_by(payload, rank).alias("__r"))
+        .select("__r.*")
     )
 
 
