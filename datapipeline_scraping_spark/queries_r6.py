@@ -469,7 +469,11 @@ def q118_curation_funnel(spark, sf_dir):
     try:
         for e in os.listdir(base):
             p = os.path.join(base, e)
-            if time.time() - os.path.getmtime(p) > 3600:
+            try:
+                old = time.time() - os.path.getmtime(p) > 3600
+            except FileNotFoundError:
+                continue  # a concurrent invocation's GC got it first
+            if old:
                 shutil.rmtree(p, ignore_errors=True)
     except FileNotFoundError:
         pass
