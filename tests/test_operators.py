@@ -590,3 +590,27 @@ def test_connected_components_reliable_checkpoint_end_to_end(spark, tmp_path):
             getattr(sc._jsc.sc(), "checkpointDir_$eq")(
                 sc._jvm.scala.Option.apply(None)
             )
+
+
+def test_first_wins_agg_equals_window_strategy(spark):
+    """The min_by-aggregate form and the ranking-window form must pick
+    identical rows whenever the order columns are non-null and total
+    within each key (the operator's documented contract)."""
+    from datapipeline_scraping_spark.operators.dedup import first_wins
+
+    rows = [
+        (1, 2, 10, "b"), (1, 1, 99, "a"), (1, 1, 100, "z"),
+        (2, 5, 7, "x"), (3, 0, 0, "only"),
+    ]
+    df = spark.createDataFrame(rows, "k long, o1 long, o2 long, v string")
+    agg = sorted(map(tuple, first_wins(df, ["k"], ["o1", "o2"]).collect()))
+    win = sorted(
+        map(
+            tuple,
+            first_wins(df, ["k"], ["o1", "o2"], strategy="window").collect(),
+        )
+    )
+    assert agg == win
+    assert [r[0] for r in agg] == [1, 2, 3]
+    # the (1,1,99) row beats (1,1,100) and (1,2,10) on the (o1,o2) order
+    assert agg[0] == (1, 1, 99, "a")
