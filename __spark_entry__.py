@@ -63,11 +63,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #      or a failure — these need re-evidence most urgently;
 #   2. queries with no driver row in any round (brand-new: zero
 #      external evidence outranks "changed but previously green");
-#   3. queries whose defining module was committed AFTER the newest
-#      driver evidence file (code changed since last externally
-#      checked — the automatic "re-check band");
+#   3. queries whose OWN function source was committed AFTER the newest
+#      driver evidence file (definite change since last externally
+#      checked), stalest evidence first; then queries whose file
+#      IMPORTS an engine module that changed (possible change),
+#      stalest first — so a broad operator edit degrades gracefully;
 #   4. everything else, least-recently-evidenced round first
-#      (ties broken by registry order).
+#      (ties broken by registry order; inherently oracle-less rows
+#      sort last — their window slot buys no new information).
 #
 # `scripts/driver_sim.py --stale-check` independently fails the build
 # if any query's code postdates ALL its evidence (incl. self-runs).
@@ -103,23 +106,28 @@ def _evidence_rounds() -> dict[str, tuple[int, bool]]:
     return out
 
 
-def _changed_since_evidence() -> set[str]:
-    """Names of queries whose defining FUNCTION's last commit (or an
-    uncommitted edit to its file) postdates the newest driver evidence
-    file.
+def _changed_since_evidence() -> dict[str, str]:
+    """Queries changed since the newest driver evidence file, mapped to
+    HOW they changed: ``"def"`` — the query's own function source was
+    committed after the evidence (definite behavior change); ``"import"``
+    — an engine module (operators / streaming / sources / functions /
+    plans / curation) the query's file imports changed (possible
+    behavior change; the r6-verdict case of operators/graph.py edits
+    leaving q91 externally unverified).
 
-    Function-level granularity matters: a round that touches one
-    query (or just an import line) in a 20-query module must not drag
-    the other 19 into the re-check band — at file granularity a busy
-    round floods band 2 past the driver's 50-entry window and squeezes
-    out the genuinely stalest band-3 queries (observed round 7: five
-    touched files would have put ~60 queries in band 2). Per-function
-    change time comes from ``git log -L`` over the def's current line
-    range (including its @q decorator, so oracle edits count) — the
-    same rule scripts/driver_sim.py --stale-check enforces. A
-    file-level prefilter keeps the subprocess count at
-    touched-files-only.  Best-effort: returns empty on any git failure
-    (rotation then falls back to the evidence-age bands alone)."""
+    Function-level granularity matters for "def": a round that touches
+    one query (or just an import line) in a 20-query module must not
+    drag the other 19 in — at file granularity a busy round floods the
+    re-check band past the driver's 50-entry window and squeezes out
+    the genuinely stalest queries. Per-function change time comes from
+    ``git log -L`` over the def's current line range (including its @q
+    decorator, so oracle edits count) — the same rule
+    scripts/driver_sim.py --stale-check enforces. The "import" side is
+    module-level (coarse by nature), which is why _rotation ranks it
+    BEHIND definite changes and by evidence age. A file-level prefilter
+    keeps the subprocess count at touched-files-only. Best-effort:
+    returns empty on any git failure (rotation then falls back to the
+    evidence-age bands alone)."""
     import inspect
     import subprocess
     from pathlib import Path
@@ -138,7 +146,7 @@ def _changed_since_evidence() -> set[str]:
             default=0.0,
         )
         if newest_evidence == 0.0:
-            return set()
+            return {}
         dirty = set(
             subprocess.run(
                 ["git", "diff", "--name-only", "HEAD"],
@@ -155,28 +163,76 @@ def _changed_since_evidence() -> set[str]:
             ).stdout.strip().splitlines()
             return float(out[0]) if out else 0.0
 
+        # engine modules (operators / streaming / sources / functions /
+        # plans / curation) changed since the newest driver evidence:
+        # queries whose defining module IMPORTS one of them changed in
+        # behavior even though their own source did not (the r6-verdict
+        # case: operators/graph.py edited, q91's def untouched). The
+        # importer check is module-level (coarse), so _rotation ranks
+        # band 2 by evidence age — stale changed queries first — and
+        # overflow degrades gracefully.
+        pkg = root / "datapipeline_scraping_spark"
+        changed_engine: list[str] = []
+        for p in pkg.rglob("*.py"):
+            rel = str(p.relative_to(root))
+            if "/queries" in rel or rel.endswith("__init__.py"):
+                continue
+            if rel in dirty or commit_ts(rel) > newest_evidence:
+                # dotted fragment that an import of this module must
+                # mention, e.g. "operators.dedup" -> matches both
+                # "from .operators.dedup import x" and
+                # "from .operators import dedup"
+                frag = (
+                    str(p.relative_to(pkg))[:-3]
+                    .replace("/", ".")
+                )
+                changed_engine.append(frag)
+        import re as _re
+
+        def imports_changed(module_file: Path) -> bool:
+            try:
+                src = module_file.read_text()
+            except OSError:
+                return False
+            for frag in changed_engine:
+                head, _, leaf = frag.rpartition(".")
+                pat = (
+                    _re.escape(frag)
+                    if not head
+                    else f"{_re.escape(frag)}|{_re.escape(head)} import .*\\b{_re.escape(leaf)}\\b"
+                )
+                if _re.search(pat, src):
+                    return True
+            return False
+
         file_ts: dict[str, float] = {}
-        changed: set[str] = set()
+        file_imports_changed: dict[str, bool] = {}
+        changed: dict[str, str] = {}
         for name, spec in REGISTRY.items():
-            rel = str(
-                Path(inspect.getsourcefile(spec.fn)).relative_to(root)
-            )
+            f = Path(inspect.getsourcefile(spec.fn))
+            rel = str(f.relative_to(root))
             if rel in dirty:
                 # uncommitted edit: line ranges can't be mapped through
                 # history reliably — conservatively re-check the file's
                 # queries (driver runs see a clean tree, so this branch
                 # is test/dev-only)
-                changed.add(name)
+                changed[name] = "def"
                 continue
             if rel not in file_ts:
                 file_ts[rel] = commit_ts(rel)
-            if file_ts[rel] <= newest_evidence:
-                continue  # file untouched since evidence => no query in it changed
-            if fn_commit_ts(rel, spec.fn) > newest_evidence:
-                changed.add(name)
+            if (
+                file_ts[rel] > newest_evidence
+                and fn_commit_ts(rel, spec.fn) > newest_evidence
+            ):
+                changed[name] = "def"  # the query's own source changed
+                continue
+            if rel not in file_imports_changed:
+                file_imports_changed[rel] = imports_changed(f)
+            if file_imports_changed[rel]:
+                changed[name] = "import"  # a dependency module changed
         return changed
     except Exception:
-        return set()
+        return {}
 
 
 def _rotation() -> list[str]:
@@ -191,16 +247,27 @@ def _rotation() -> list[str]:
             return (0, reg_pos[name])  # oracle newer than evidence / past fail
         if row is None:
             return (1, reg_pos[name])  # never evidenced
-        if name in recheck:
-            return (2, reg_pos[name])  # code changed since driver evidence
         if not has_oracle:
-            # inherently oracle-less (sketches / MLlib-trained): the
-            # driver row can only ever be rows-only `no_oracle`, so a
-            # front-of-window slot buys no new information — park them
-            # BEHIND all verifiable queries (VERDICT r6 item 7; their
-            # oracle-checked twins, e.g. q128 for q58, carry the
+            # inherently oracle-less (sketches / MLlib-trained): a
+            # window slot can only ever produce another rows-only
+            # `no_oracle` row, so changed-or-not they sort behind all
+            # verifiable queries (VERDICT r6 item 7; their oracle-
+            # checked twins, e.g. q128 for q58, q19 for q74, carry the
             # external evidence for the family)
             return (4, row[0], reg_pos[name])
+        kind = recheck.get(name)
+        if kind == "def":
+            # the query's OWN source changed since driver evidence — a
+            # definite behavior change, re-evidence first (stalest-
+            # evidenced first within the band)
+            return (2, row[0], reg_pos[name])
+        if kind == "import":
+            # an engine module the query's file imports changed — a
+            # POSSIBLE behavior change (module-level granularity, so a
+            # broad operator edit flags many queries); ranked behind
+            # definite changes and by evidence age, so flooding
+            # degrades gracefully past the 50-entry window
+            return (2.5, row[0], reg_pos[name])
         return (3, row[0], reg_pos[name])  # oldest evidence first
     return sorted(REGISTRY, key=band)
 
