@@ -440,3 +440,73 @@ def test_compact_table_stats_measure_committed_snapshot(spark, tmp_path):
     # the measured dir is the one compact committed
     mt = ManifestTable(root)
     assert mt.read(spark).count() == 1000
+
+
+def test_commit_crash_at_every_filesystem_step_never_tears_table(spark, tmp_path):
+    """Crash-point sweep: kill the commit at EVERY filesystem mutation
+    it performs (rename, pointer replace, lock unlink, ...) and assert
+    the invariant the protocol sells: after any crash, the pointer
+    still resolves to a COMPLETE committed snapshot — either the old
+    one (crash before the pointer swap) or the new one (after) — and a
+    subsequent writer recovers and commits normally."""
+    import datapipeline_scraping_spark.operators.txn as txn_mod
+
+    root = str(tmp_path / "t")
+    tbl = ManifestTable(root, stale_lock_sec=0.5)
+    tbl.commit(_df(spark, [(1, "base")]))
+
+    mutators = ("rename", "replace", "unlink")
+    originals = {m: getattr(txn_mod.os, m) for m in mutators}
+
+    def crash_after(n_calls):
+        state = {"n": 0}
+
+        def wrap(orig):
+            def inner(*a, **kw):
+                state["n"] += 1
+                if state["n"] > n_calls:
+                    raise OSError("injected crash")
+                return orig(*a, **kw)
+            return inner
+
+        for m in mutators:
+            setattr(txn_mod.os, m, wrap(originals[m]))
+        return state
+
+    step = 0
+    last_good = "base"
+    while True:
+        state = crash_after(step)
+        try:
+            tbl.commit(_df(spark, [(2, f"attempt{step}")]))
+            crashed = False
+        except OSError:
+            crashed = True
+        finally:
+            for m in mutators:
+                setattr(txn_mod.os, m, originals[m])
+        # invariant: the table ALWAYS resolves to a complete snapshot —
+        # the last successful commit's, or (crash after the pointer
+        # swap) the new one; never a partial mix
+        path = tbl.snapshot_path()
+        assert path is not None and os.path.isdir(path), (
+            f"pointer dangles after crash at fs-step {step}"
+        )
+        vals = {r["v"] for r in tbl.read(spark).collect()}
+        assert vals in ({last_good}, {f"attempt{step}"}), (
+            f"torn state {vals} after crash at fs-step {step}"
+        )
+        # recovery: the next (uninjected) writer must succeed even if
+        # the crash stranded the lock (stale TTL breaks it)
+        import time as _time
+
+        _time.sleep(0.6)
+        tbl.commit(_df(spark, [(9, f"recovery{step}")]))
+        assert {r["v"] for r in tbl.read(spark).collect()} == {
+            f"recovery{step}"
+        }
+        last_good = f"recovery{step}"
+        if not crashed:
+            break  # the whole commit ran without hitting the injection
+        step += 1
+    assert step >= 2, "sweep never exercised multiple crash points"
