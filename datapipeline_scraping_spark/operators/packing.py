@@ -26,7 +26,7 @@ offsets for shard manifests, cumulative event counts).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -92,7 +92,7 @@ def pack_sequences(
     weight: str,
     ctx: int,
     n_chunks: int = 32,
-) -> Column | DataFrame:
+) -> DataFrame:
     """Assign each row to the fixed-budget sequence where its first
     token lands: ``seq_id = floor((prefix_sum - weight) / ctx)`` per
     ``key`` in ``order`` — the streaming concat-and-chunk packer, on
