@@ -196,11 +196,20 @@ def _changed_since_evidence() -> dict[str, str]:
                 return False
             for frag in changed_engine:
                 head, _, leaf = frag.rpartition(".")
-                pat = (
-                    _re.escape(frag)
-                    if not head
-                    else f"{_re.escape(frag)}|{_re.escape(head)} import .*\\b{_re.escape(leaf)}\\b"
-                )
+                if head:
+                    # "from .operators.dedup import x" / "from
+                    # .operators import dedup [as D]"
+                    pat = (
+                        f"{_re.escape(frag)}"
+                        f"|{_re.escape(head)} import [^\\n]*\\b{_re.escape(leaf)}\\b"
+                    )
+                else:
+                    # package-root module (e.g. curation): match only
+                    # IMPORT lines, not prose mentions in docstrings
+                    pat = (
+                        f"from \\.{_re.escape(leaf)} import"
+                        f"|from \\. import [^\\n]*\\b{_re.escape(leaf)}\\b"
+                    )
                 if _re.search(pat, src):
                     return True
             return False
