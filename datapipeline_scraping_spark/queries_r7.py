@@ -528,3 +528,128 @@ def q134_semantic_dedup(spark, sf_dir):
             F.coalesce(F.col("is_kept"), F.lit(True)).alias("is_kept"),
         )
     )
+
+
+# ===========================================================================
+# TPC-H Q13 / Q15 shapes (distribution of aggregates; scalar-max ties)
+# ===========================================================================
+
+_Q135_EXCL = "1-URGENT"
+
+
+@q(
+    "q135_order_count_distribution",
+    oracle=f"""
+WITH co AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    AND o.o_orderpriority <> '{_Q135_EXCL}'
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+  CAST(COUNT(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+""",
+)
+def q135_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — customer order-count distribution: how many
+    customers placed exactly N qualifying orders, zero-order customers
+    included. The two-level aggregation (group -> count, then group BY
+    the count) is the distribution-of-aggregates pattern, and the
+    predicate lives in the LEFT JOIN's ON clause — the classic Q13
+    trap (a WHERE would silently drop the zero-order customers the
+    query exists to count).
+
+    Scale shape: one keyed outer join (customer side small enough to
+    broadcast at test scale, keyed hash join at 100 TB), one partial-
+    agg'd count per customer, then a TINY second aggregation over the
+    count domain (at most max-orders-per-customer distinct values) —
+    the second shuffle carries one row per (count, map partition).
+    Reference anchor: the generalized join/agg surface (SURVEY §2.7);
+    completes the decorrelation family q123-q131."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    co = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != _Q135_EXCL),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return co.groupBy(F.col("c_count").cast("long").alias("c_count")).agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+_Q136_FROM, _Q136_TO = "1996-01-01", "1996-04-01"
+
+
+@q(
+    "q136_top_supplier_revenue",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey,
+    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q136_FROM} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{_Q136_TO} 00:00:00'
+  GROUP BY l_suppkey
+),
+m AS (SELECT MAX(total_rev) AS mx FROM rev)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+  CAST(CAST(r.total_rev AS DECIMAL(38,6)) AS DOUBLE) AS total_rev
+FROM supplier s
+JOIN rev r ON r.l_suppkey = s.s_suppkey
+JOIN m ON r.total_rev = m.mx
+""",
+)
+def q136_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape — top supplier(s) by quarterly revenue: the
+    revenue view, its scalar MAX, and an equality join back that
+    PRESERVES TIES (Q15's defining subtlety — an orderBy+limit(1)
+    would drop co-leaders). The view + scalar-subquery-in-WHERE
+    decorrelates into aggregate -> 1-row max -> equi join on the
+    revenue value.
+
+    Cross-engine exactness: revenue sums run through the house
+    decimal rule, so MAX and the tie-equality are exact on both
+    engines — no FP boundary anywhere (ADVICE r6 discipline).
+
+    Scale shape: one partial-agg'd shuffle on l_suppkey with the date
+    filter pushed to the scan; the 1-row max broadcasts and the
+    tie-join is a broadcast EQUI join on the value (not a nested
+    loop); the supplier dim broadcasts. Reference anchor: U3's
+    head-limit generalized to tie-preserving argmax (SURVEY §2.5)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit(_Q136_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q136_TO).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("total_rev")
+        )
+    )
+    m = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(m), rev["total_rev"] == m["mx"])
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("total_rev").cast("decimal(38,6)").cast("double").alias(
+                "total_rev"
+            ),
+        )
+    )
