@@ -653,3 +653,70 @@ def q136_top_supplier_revenue(spark, sf_dir):
             ),
         )
     )
+
+
+# ===========================================================================
+# TPC-H Q19 shape (disjunctive multi-clause join predicate)
+# ===========================================================================
+
+
+@q(
+    "q137_disjunctive_predicate_join",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+  {sql_exact_sum("l.l_extendedprice * (1 - l.l_discount)", 18, 4)} AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE
+  (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+     AND l.l_quantity BETWEEN 1 AND 15)
+  OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 20
+     AND l.l_quantity BETWEEN 10 AND 25)
+  OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 30
+     AND l.l_quantity BETWEEN 20 AND 35)
+""",
+)
+def q137_disjunctive_predicate_join(spark, sf_dir):
+    """TPC-H Q19 shape — discounted revenue under an OR-of-conjuncts
+    predicate spanning BOTH join sides (brand/size from part AND
+    quantity from lineitem per clause). The optimizer lesson this
+    shape exists for: Catalyst extracts the common equi-key
+    (p_partkey = l_partkey) so the join stays a hash join with the
+    disjunction as a post-join filter, AND pushes the PER-SIDE
+    residuals of the OR down to each scan (the union of brands/sizes
+    prunes part, the union of quantity bands prunes lineitem) — a
+    naive planner degrades to a nested loop here.
+
+    Scale shape: the brand/size-pruned part side broadcasts; lineitem
+    reads only the quantity-band rows (PushedFilters carries the
+    OR-union). Revenue through the house exact-decimal sum. Reference
+    anchor: P4's exclusion predicates generalized to disjunctive join
+    logic (SURVEY §2.2, §2.7)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    joined = l.join(
+        F.broadcast(p), (l["l_partkey"] == p["p_partkey"]) & clause
+    )
+    return joined.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        exact_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4
+        ).alias("revenue"),
+    )
