@@ -37,6 +37,7 @@ def merge_into(
     matched_delete: Column | None = None,
     matched_update: Column | None = None,
     check_unique_source: bool = False,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Full conditional MERGE semantics (ANSI `MERGE INTO` / Delta-style)
     as ONE full-outer join + CASE routing — the relational rewrite of
@@ -77,7 +78,32 @@ def merge_into(
     (Delta/Iceberg) the same call maps 1:1 onto ``MERGE INTO``'s
     WHEN MATCHED [AND cond] THEN DELETE/UPDATE clauses — this rewrite
     produces the new table contents for a non-transactional sink
-    (overwrite of the affected partitions)."""
+    (overwrite of the affected partitions).
+
+    Schema drift: by default the output schema IS the target schema —
+    extra source columns are dropped (SQL MERGE's explicit UPDATE SET
+    semantics; a source missing a target column is an analysis error,
+    never a silent null). ``schema_evolution=True`` (Delta autoMerge
+    parity, VERDICT r7 item 5) widens instead: new source columns
+    append (null for kept/unmatched target rows), lossless type
+    widenings apply to both sides, and a narrowing incompatibility
+    raises :class:`..txn.SchemaEvolutionError` — the accretive
+    detail-merge layer of the reference (SURVEY §1.2,
+    ``src/scrapers/scraper.py:106``) as a sound relational rewrite."""
+    if schema_evolution:
+        # local import: txn imports merge (one-way dependency)
+        from .txn import align_to_schema, evolve_schema
+
+        out_schema = evolve_schema(target.schema, source.schema)
+        # columns the source genuinely carries: only these update a
+        # matched row — a target column MISSING from the source keeps
+        # its target value (Delta updateAll semantics), it is NOT
+        # nulled by the alignment's null-fill
+        update_cols = set(source.columns)
+        target = align_to_schema(target, out_schema)
+        source = align_to_schema(source, out_schema)
+    else:
+        update_cols = set(target.columns)
     cols = target.columns
     if check_unique_source:
         # Distributed guard, no driver action: count per pk and raise
@@ -121,7 +147,11 @@ def merge_into(
     )
     take_source = src_only | (update_cond & ~delete_cond)
     out_cols = [
-        F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        (
+            F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+            if c in update_cols
+            else F.col(f"t.{c}")
+        ).alias(c)
         for c in cols
     ]
     return joined.filter(~delete_cond).select(*out_cols)

