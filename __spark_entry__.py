@@ -65,12 +65,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #      external evidence outranks "changed but previously green");
 #   3. queries whose OWN function source was committed AFTER the newest
 #      driver evidence file (definite change since last externally
-#      checked), stalest evidence first; then queries whose file
-#      IMPORTS an engine module that changed (possible change),
-#      stalest first — so a broad operator edit degrades gracefully;
-#   4. everything else, least-recently-evidenced round first
-#      (ties broken by registry order; inherently oracle-less rows
-#      sort last — their window slot buys no new information).
+#      checked), stalest evidence first;
+#   4. everything else by evidence AGE (least-recently-evidenced round
+#      first); within a round, queries whose file imports a changed
+#      engine module (possible change, file-granular) outrank unchanged
+#      ones, then registry order. Age-major ranking here is the r8
+#      refinement: a compat-preserving edit to a widely imported
+#      operator must not flood the window and starve the stalest band.
+#   5. inherently oracle-less rows sort last — their window slot buys
+#      no new information.
 #
 # `scripts/driver_sim.py --stale-check` independently fails the build
 # if any query's code postdates ALL its evidence (incl. self-runs).
@@ -197,18 +200,23 @@ def _changed_since_evidence() -> dict[str, str]:
             for frag in changed_engine:
                 head, _, leaf = frag.rpartition(".")
                 if head:
-                    # "from .operators.dedup import x" / "from
-                    # .operators import dedup [as D]"
+                    # IMPORT statements only (module-level or local,
+                    # hence the leading-whitespace allowance), never
+                    # prose mentions in docstrings/comments — those
+                    # inflated the re-check band (ADVICE r7):
+                    # "from .operators.dedup import x" /
+                    # "from .operators import dedup [as D]" /
+                    # "import pkg.operators.dedup"
                     pat = (
-                        f"{_re.escape(frag)}"
-                        f"|{_re.escape(head)} import [^\\n]*\\b{_re.escape(leaf)}\\b"
+                        f"(?m)^\\s*(?:from|import)\\s[^\\n]*"
+                        f"(?:{_re.escape(frag)}"
+                        f"|{_re.escape(head)} import [^\\n]*\\b{_re.escape(leaf)}\\b)"
                     )
                 else:
-                    # package-root module (e.g. curation): match only
-                    # IMPORT lines, not prose mentions in docstrings
+                    # package-root module (e.g. curation): same rule
                     pat = (
-                        f"from \\.{_re.escape(leaf)} import"
-                        f"|from \\. import [^\\n]*\\b{_re.escape(leaf)}\\b"
+                        f"(?m)^\\s*from \\.{_re.escape(leaf)} import"
+                        f"|(?m)^\\s*from \\. import [^\\n]*\\b{_re.escape(leaf)}\\b"
                     )
                 if _re.search(pat, src):
                     return True
@@ -272,12 +280,23 @@ def _rotation() -> list[str]:
             return (2, row[0], reg_pos[name])
         if kind == "import":
             # an engine module the query's file imports changed — a
-            # POSSIBLE behavior change (module-level granularity, so a
-            # broad operator edit flags many queries); ranked behind
-            # definite changes and by evidence age, so flooding
-            # degrades gracefully past the 50-entry window
-            return (2.5, row[0], reg_pos[name])
-        return (3, row[0], reg_pos[name])  # oldest evidence first
+            # POSSIBLE behavior change (module-level + file-level
+            # granularity, so one operator edit flags every query in
+            # every importing file). r8 refinement (VERDICT r7 item 1):
+            # evidence AGE is the major key across the possible-change
+            # and unchanged bands, the import flag only breaks ties
+            # within a round. Rationale: a file-granular "maybe" on an
+            # externally-green query is weaker evidence of staleness
+            # than three rounds of un-re-checked engine drift — without
+            # this, one compat-preserving param addition to a widely
+            # imported operator floods the 50-entry window and starves
+            # the genuinely stalest band (observed r8: the txn/merge
+            # evolution commit flagged 50+ queries, pushing the entire
+            # r4/r5 tail out). --stale-check still hard-fails if any
+            # query's code postdates ALL its evidence incl. self-runs.
+            return (3, row[0], 0, reg_pos[name])
+        # unchanged: oldest evidence first, behind same-age import-flagged
+        return (3, row[0], 1, reg_pos[name])
     return sorted(REGISTRY, key=band)
 
 
