@@ -51,12 +51,19 @@ def first_wins(
     instead of every row, and there is no per-partition sort. At
     100 TB on a skewed key this is the difference between shuffling
     the hot key's billion rows and shuffling ``n_map_partitions``
-    rows. Requires non-null order columns (struct comparison and
-    window NULLS FIRST disagree on null ranking).
+    rows. NULL order values rank FIRST under struct comparison —
+    measured identical (incl. multi-column ranks) to the window
+    form's NULLS FIRST on Spark 4.1 and pinned by
+    ``tests/test_operators.py::
+    test_first_wins_agg_equals_window_strategy_with_nulls``, so the
+    two strategies agree on every totally-ordered input, nullable or
+    not (ADVICE r7 raised this; the divergence it predicted does not
+    occur — only genuine ties diverge, and those are nondeterministic
+    in BOTH forms).
 
-    ``strategy="window"``: the ranking-window form (SURVEY.md §7.3) —
-    keeps rows with NULL order columns ranked NULLS FIRST; use it when
-    order columns are nullable.
+    ``strategy="window"``: the ranking-window form (SURVEY.md §7.3);
+    same semantics, full per-key sort — use it to cross-check or when
+    a ranking column is also needed.
 
     Both are deterministic whenever ``order`` totally orders each
     key's rows (ties make ANY formulation nondeterministic)."""

@@ -78,10 +78,18 @@ def prefix_sum_two_pass(
             "_offset"
         ),
     )
-    joined = local.join(F.broadcast(offsets), ["_chunk", key])
+    # NULL-safe key equality: groupBy/window both treat a NULL key as
+    # its own group, so the offsets relation HAS a NULL-key row — a
+    # plain equi-join would silently drop it (ADVICE r7), breaking
+    # bit-parity with the one-pass keyed window for NULL-key rows.
+    joined = local.alias("l").join(
+        F.broadcast(offsets).alias("o"),
+        F.col("l._chunk").eqNullSafe(F.col("o._chunk"))
+        & F.col(f"l.{key}").eqNullSafe(F.col(f"o.{key}")),
+    )
     return joined.withColumn(
-        out, F.col("_offset") + F.col("_local_sum")
-    ).select(*df.columns, out)  # restore input column order
+        out, F.col("o._offset") + F.col("l._local_sum")
+    ).select(*[f"l.{c}" for c in df.columns], out)  # input column order
 
 
 def pack_sequences(

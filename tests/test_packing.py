@@ -96,3 +96,21 @@ def test_two_pass_no_global_sort_in_plan(spark):
     # offsets-side window over (key) exists but only on the tiny
     # totals relation; the full-input window must carry _chunk
     assert "_chunk" in plan
+
+
+def test_null_key_rows_survive_and_match_one_pass(spark):
+    """A NULL key forms its own group in both the one-pass window and
+    the two-pass scan — the offsets join is null-safe (ADVICE r8: a
+    plain equi-join dropped NULL-key rows entirely)."""
+    rows = [(None, 1, 10), (None, 2, 5), ("a", 1, 7), (None, 3, 1), ("a", 2, 2)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    got = prefix_sum_two_pass(
+        df, key="source", order="doc_id", weight="n_tok", out="ps",
+        n_chunks=3,
+    )
+    want = _one_pass(df, "source", "doc_id", "n_tok", "ps")
+    assert got.count() == 5  # nothing dropped
+    key = lambda t: (t[0] is not None, t[0], t[1])
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
