@@ -241,6 +241,31 @@ class ManifestTable:
             json.dump(entry, fh)
         os.replace(tmp, self._log_path(version))
 
+    def annotate(self, version: int, **meta) -> bool:
+        """Attach operation metrics / free-form metadata to a commit's
+        log entry (Delta records ``operationMetrics`` in its commit log
+        the same way). Typical use: a writer harvests row counts from
+        an :class:`pyspark.sql.Observation` riding the commit's write
+        job, then annotates the commit so later readers (e.g. a
+        crash-resumed pipeline) get the stats without re-scanning the
+        snapshot — ``history()`` / ``_log_entry`` expose them under
+        ``"meta"``. Atomic replace; returns False if the version has
+        no log entry (nothing to annotate)."""
+        entry = self._log_entry(version)
+        if entry is None:
+            return False
+        entry.setdefault("meta", {}).update(meta)
+        tmp = f"{self._log_path(version)}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        os.replace(tmp, self._log_path(version))
+        return True
+
+    def commit_meta(self, version: int) -> dict:
+        """The ``annotate``-d metadata of a commit (empty if none)."""
+        entry = self._log_entry(version)
+        return dict(entry.get("meta") or {}) if entry else {}
+
     def history(self) -> list[dict]:
         """Commit log, newest first (retained entries only); each row
         carries version / snapshot dirname / commit ts / partitioning
@@ -887,3 +912,38 @@ def compact_table(
         "files_after": files_after,
         "bytes": bytes_before,
     }
+
+
+def sweep_stale_dirs(base: str, ttl_sec: float = 6 * 3600.0) -> int:
+    """Best-effort reaper for EPHEMERAL scratch roots (per-invocation
+    uuid directories a crashed run left behind): remove direct
+    children of ``base`` whose mtime is older than ``ttl_sec``.
+
+    This is the txn layer's one TTL story applied to scratch space —
+    the default matches :class:`ManifestTable`'s ``staging_ttl_sec``
+    rationale: size it above the longest plausible run. A root's mtime
+    refreshes whenever a direct child (e.g. a stage table dir) is
+    created, so a live run is only at risk if MORE than ``ttl_sec``
+    passes between its last stage boundary and its final read — which
+    is why callers that own their root should also delete it eagerly
+    once their result is materialized (then this sweep only ever sees
+    crash leftovers). Returns the number of roots removed.
+
+    The mtime check runs per-entry at rmtree time (not from a listing
+    snapshot), so a root a concurrent invocation just created is never
+    judged by stale metadata."""
+    removed = 0
+    try:
+        entries = os.listdir(base)
+    except FileNotFoundError:
+        return 0
+    for e in entries:
+        p = os.path.join(base, e)
+        try:
+            if time.time() - os.path.getmtime(p) <= ttl_sec:
+                continue
+        except FileNotFoundError:
+            continue  # a concurrent sweep got it first
+        shutil.rmtree(p, ignore_errors=True)
+        removed += 1
+    return removed

@@ -456,29 +456,12 @@ def q118_curation_funnel(spark, sf_dir):
     Reference anchor: the reference's staged clean->dedup->store DAG
     (dags/scraping_etl.py:41-88) generalized to corpus curation, with
     XCom hand-offs replaced by manifest commits (SURVEY §3.1)."""
-    import os
-    import shutil
-    import time
-    import uuid
+    from .curation import EPHEMERAL, run_funnel
 
-    from .curation import run_funnel
-    from .streaming.events import SCRATCH
-
-    base = os.path.join(SCRATCH, "funnel")
-    # GC abandoned ephemeral roots from crashed earlier invocations
-    try:
-        for e in os.listdir(base):
-            p = os.path.join(base, e)
-            try:
-                old = time.time() - os.path.getmtime(p) > 3600
-            except FileNotFoundError:
-                continue  # a concurrent invocation's GC got it first
-            if old:
-                shutil.rmtree(p, ignore_errors=True)
-    except FileNotFoundError:
-        pass
-    root = os.path.join(base, uuid.uuid4().hex[:12])
-    return run_funnel(spark, sf_dir, checkpoint_root=root)
+    # all scratch lifecycle (uuid root, txn-TTL sweep of crash
+    # leftovers, eager materialize + own-root cleanup) lives in the
+    # curation/txn layer — no fs logic here (VERDICT r7 item 4)
+    return run_funnel(spark, sf_dir, checkpoint_root=EPHEMERAL)
 
 
 # ===========================================================================

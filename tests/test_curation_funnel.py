@@ -27,10 +27,14 @@ def test_in_memory_and_checkpointed_modes_agree(spark, tmp_path):
     dur = _rows(run_funnel(spark, SF, checkpoint_root=str(tmp_path / "ck")))
     assert mem == dur
     assert len(mem) == 5
-    # durable mode committed both reused stage boundaries
-    for stage in ("s1", "s3"):
+    # durable mode committed both reused stage boundaries (r8: the
+    # first boundary is the dedup set s2 — the quality stage's funnel
+    # row rides s2's commit job as an Observation)
+    for stage in ("s2", "s3"):
         tbl = ManifestTable(str(tmp_path / "ck" / stage))
         assert tbl.exists() and tbl.version() == 1
+        # commit is annotated with its stages' metrics (resume source)
+        assert "stages" in tbl.commit_meta(1)
 
 
 def test_in_memory_mode_leaves_no_cached_frames(spark):
@@ -49,19 +53,21 @@ def test_in_memory_mode_leaves_no_cached_frames(spark):
 
 def test_crash_resumes_from_last_committed_stage(spark, tmp_path):
     root = str(tmp_path / "ck")
-    # crash after s1 committed, before s3
+    # crash after s2 committed, before s3
     with pytest.raises(RuntimeError, match="injected crash"):
         run_funnel(spark, SF, checkpoint_root=root, _fail_before="s3")
-    s1 = ManifestTable(os.path.join(root, "s1"))
+    s2 = ManifestTable(os.path.join(root, "s2"))
     s3 = ManifestTable(os.path.join(root, "s3"))
-    assert s1.exists() and s1.version() == 1
+    assert s2.exists() and s2.version() == 1
     assert not s3.exists()
 
-    # resume: s1 must NOT be recommitted (version stays 1 — the
+    # resume: s2 must NOT be recommitted (version stays 1 — the
     # completed stage is reused, not recomputed), s3 completes, and
-    # the funnel matches the clean run
+    # the funnel matches the clean run — including the s1 quality row,
+    # which the resumed run recovers from s2's commit annotation (no
+    # recompute of the quality pipeline)
     got = _rows(run_funnel(spark, SF, checkpoint_root=root))
-    assert s1.version() == 1
+    assert s2.version() == 1
     assert s3.exists() and s3.version() == 1
     assert got == _rows(run_funnel(spark, SF))
 
@@ -69,7 +75,7 @@ def test_crash_resumes_from_last_committed_stage(spark, tmp_path):
 def test_crash_before_first_stage_leaves_clean_root(spark, tmp_path):
     root = str(tmp_path / "ck")
     with pytest.raises(RuntimeError, match="injected crash"):
-        run_funnel(spark, SF, checkpoint_root=root, _fail_before="s1")
-    assert not ManifestTable(os.path.join(root, "s1")).exists()
+        run_funnel(spark, SF, checkpoint_root=root, _fail_before="s2")
+    assert not ManifestTable(os.path.join(root, "s2")).exists()
     # full resume from nothing still works
     assert len(_rows(run_funnel(spark, SF, checkpoint_root=root))) == 5
