@@ -216,7 +216,7 @@ def _changed_since_evidence() -> dict[str, str]:
                     # package-root module (e.g. curation): same rule
                     pat = (
                         f"(?m)^\\s*from \\.{_re.escape(leaf)} import"
-                        f"|(?m)^\\s*from \\. import [^\\n]*\\b{_re.escape(leaf)}\\b"
+                        f"|^\\s*from \\. import [^\\n]*\\b{_re.escape(leaf)}\\b"
                     )
                 if _re.search(pat, src):
                     return True

@@ -1,0 +1,402 @@
+"""Round-8 registry queries — the transaction layer's new contracts as
+oracle-checked queries (time travel, partition-pruned manifest sinks,
+schema-evolving MERGE), the runtime bloom-filter join as a registered
+plan-lint-asserted shape, and the last three distinctive TPC-H shapes
+(Q4 correlated-EXISTS gate, Q12 conditional two-way aggregation over a
+join, Q16 NOT-IN anti-join + grouped distinct count), adapted to the
+driver's corpus exactly as q129–q131 adapted Q2/Q11/Q20.
+
+Reference anchors: the snapshot ledger + upsert sink family
+(``src/storage.py:63-117``, SURVEY §2.6) — these queries are the
+lakehouse-shaped generalizations a 100 TB deployment needs (versioned
+reads, layout-pruned scans, schema drift) that the reference's
+single-node postgres sink solves with DDL instead.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from .functions.numeric import exact_sum, sql_exact_sum
+from .queries import _t, q
+from .streaming.events import SCRATCH
+
+
+def _key(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").replace("/", "_").lstrip("_").replace(".", "_")
+
+
+# ===========================================================================
+# ManifestTable time travel (VERDICT r7 item 2 as an oracled query)
+# ===========================================================================
+
+@q(
+    "q138_time_travel_ledger",
+    oracle=f"""
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {sql_exact_sum('o_totalprice', 18, 2)} AS total_spend
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY o_custkey
+""",
+)
+def q138_time_travel_ledger(spark, sf_dir):
+    """Time travel on the snapshot-pointer table: three cumulative
+    ledger states are committed (orders arriving in thirds), the live
+    pointer sits at v3, and the query reads ``version=2`` — the state
+    after the second batch — through
+    :meth:`..operators.txn.ManifestTable.read`'s versioned resolution.
+
+    The commits use ``keep_snapshots=1``: under the old count-only GC,
+    v2's snapshot would be deleted the moment v3 committed and this
+    read would crash — it succeeds purely because of the retention
+    contract (a snapshot is dropped only when beyond the keep count
+    AND older than ``retention_sec``), which is the exact guarantee a
+    long-running reader at 100 TB needs (Delta's
+    ``deletedFileRetentionDuration`` shape).
+
+    Scale shape: one keyed aggregation per batch; the versioned read
+    is a pinned parquet scan of the resolved snapshot dir — a writer
+    advancing the pointer mid-scan cannot redirect it."""
+    from .operators.txn import ManifestTable
+
+    o = _t(spark, sf_dir, "orders")
+    root = os.path.join(SCRATCH, f"ledger_tt_{_key(sf_dir)}")
+    # deterministic re-runs: rebuild the version history each time
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = ManifestTable(root)
+
+    def state(max_slice: int):
+        return (
+            o.filter(F.col("o_orderkey") % 3 <= max_slice)
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                exact_sum("o_totalprice", 18, 2).alias("total_spend"),
+            )
+        )
+
+    for max_slice in (0, 1, 2):
+        tbl.commit(state(max_slice), keep_snapshots=1)
+    assert tbl.version() == 3
+    return tbl.read(spark, version=2)
+
+
+# ===========================================================================
+# partitioned manifest snapshots + pruned read (VERDICT r7 item 3)
+# ===========================================================================
+
+_Q139_D0, _Q139_D1 = "2024-01-05", "2024-01-09"
+
+
+@q(
+    "q139_partitioned_manifest_sink",
+    oracle=f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{_Q139_D0}' AND DATE '{_Q139_D1}'
+GROUP BY event_type
+""",
+)
+def q139_partitioned_manifest_sink(spark, sf_dir):
+    """Hive-partitioned manifest snapshot + partition-pruned read:
+    events are committed through ``ManifestTable.commit(partition_by=
+    ['event_date'])`` and read back filtered to a 5-day window — the
+    scan must prune to the 5 matching partition directories
+    (``PartitionFilters`` asserted in tests/test_plan_lint.py's
+    MUST_PARTITION_PRUNE), never listing the other 25 days' files.
+
+    This is q64's layout contract carried onto the transactional sink:
+    at 100 TB the date-partitioned ledger is the difference between a
+    time-windowed incremental read scanning one day and scanning the
+    table. ``partition_by=None`` on later commits inherits this layout
+    (table property, as in Delta)."""
+    from .operators.txn import ManifestTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("date").alias("event_date"),
+    )
+    root = os.path.join(SCRATCH, f"events_part_{_key(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = ManifestTable(root)
+    tbl.commit(ev, partition_by=["event_date"])
+    back = tbl.read(spark).filter(
+        F.col("event_date").between(F.lit(_Q139_D0), F.lit(_Q139_D1))
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+# ===========================================================================
+# schema-evolving MERGE (VERDICT r7 item 5)
+# ===========================================================================
+
+@q(
+    "q140_schema_evolution_upsert",
+    oracle="""
+SELECT c_custkey, c_name,
+  CASE WHEN c_custkey % 2 = 0
+       THEN CAST(FLOOR(c_acctbal) AS DOUBLE) + 0.5
+       ELSE CAST(CAST(FLOOR(c_acctbal) AS INTEGER) AS DOUBLE) END AS score,
+  CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment ELSE NULL END AS segment
+FROM customer
+UNION ALL
+SELECT * FROM (VALUES
+  (CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR), CAST(0.5 AS DOUBLE), 'SYNTH'),
+  (CAST(-2 AS BIGINT), CAST(NULL AS VARCHAR), CAST(1.5 AS DOUBLE), 'SYNTH')
+) t(c_custkey, c_name, score, segment)
+""",
+)
+def q140_schema_evolution_upsert(spark, sf_dir):
+    """Schema-evolving MERGE into a committed ledger — the reference's
+    accretive detail-merge layer (SURVEY §1.2 "dynamic/accretive",
+    ``src/scrapers/scraper.py:106``) as a transactional upsert:
+
+    - v1 ledger: every customer with an INT ``score`` and no
+      ``segment`` column;
+    - incoming batch: even-keyed customers plus two brand-new keys,
+      carrying a DOUBLE ``score`` (lossless widening) and a NEW
+      ``segment`` column, and NOT carrying ``c_name``.
+
+    ``merge_write(..., schema_evolution=True)`` must widen int→double,
+    append ``segment`` (NULL for untouched rows), keep the matched
+    rows' ``c_name`` (a target column missing from the source keeps
+    its target value — Delta ``updateAll`` semantics, never a silent
+    NULL), and insert the new keys with NULL name. Narrowing is
+    rejected (tests/test_txn.py). The oracle reconstructs the final
+    table relationally."""
+    from .operators.txn import ManifestTable, merge_write
+
+    c = _t(spark, sf_dir, "customer")
+    root = os.path.join(SCRATCH, f"evolve_ledger_{_key(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = ManifestTable(root)
+    v1 = c.select(
+        "c_custkey", "c_name",
+        F.floor("c_acctbal").cast("int").alias("score"),
+    )
+    tbl.commit(v1)
+
+    incoming = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        (F.floor("c_acctbal").cast("double") + F.lit(0.5)).alias("score"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    synth = spark.createDataFrame(
+        [(-1, 0.5, "SYNTH"), (-2, 1.5, "SYNTH")],
+        "c_custkey long, score double, segment string",
+    )
+    merge_write(
+        spark, root, incoming.unionByName(synth), "c_custkey",
+        writer="manifest", schema_evolution=True,
+    )
+    return tbl.read(spark)
+
+
+# ===========================================================================
+# runtime bloom-filter join pruning as a registered query (r7 item 8)
+# ===========================================================================
+
+# production-default confs live in session._RUNTIME_CONF (restored by
+# every query's prepare()); this query lowers the injection thresholds
+# so the rewrite fires at test scale — on a cluster the defaults
+# (creation side <= 10MB, application scan >= 10GB) fire by themselves.
+_Q141_CONF = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    # the injection rule skips joins whose build side could broadcast
+    # (a broadcast join needs no runtime filter), so the shuffle join
+    # is forced the same way a too-big-to-broadcast dim is at 100 TB
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@q(
+    "q141_bloom_pruned_join",
+    oracle=f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+  {sql_exact_sum('l_extendedprice', 18, 2)} AS revenue
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+""",
+)
+def q141_bloom_pruned_join(spark, sf_dir):
+    """Selective shuffle join protected by Spark's runtime bloom
+    filter: the filtered orders side (1 of 5 priorities) builds a
+    BloomFilterAggregate and the optimizer injects a ``might_contain``
+    probe BELOW the lineitem side's exchange, so fact rows that cannot
+    join are dropped before they are ever shuffled — at 100 TB this is
+    the difference between shuffling the whole fact table and ~20 % of
+    it. The join is hint-forced to a shuffle join (a broadcast join
+    needs no runtime filter — the broadcast side already prunes); the
+    injection is asserted on the optimized plan by
+    tests/test_plan_lint.py's MUST_RUNTIME_FILTER.
+
+    The thresholds are runtime confs lowered here for test scale and
+    restored by every other query's ``prepare()`` — conf-driven
+    exactly as on a cluster, no query change
+    (tests/test_runtime_bloom.py proves result equality with the
+    rewrite off)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    # AFTER the _t calls: their prepare() pins the production defaults,
+    # so the per-query overrides must come last (and the NEXT query's
+    # prepare() restores them)
+    for k, v in _Q141_CONF.items():
+        spark.conf.set(k, v)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            exact_sum("l_extendedprice", 18, 2).alias("revenue"),
+        )
+    )
+
+
+# ===========================================================================
+# TPC-H Q4 / Q12 / Q16 shapes (VERDICT r7 item 7)
+# ===========================================================================
+
+@q(
+    "q142_late_shipment_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def q142_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4 shape — order-priority checking: orders from one
+    quarter that have at least one line shipped more than 30 days
+    after the order date, counted per priority. The distinctive bit
+    (vs q04's plain semi-join) is the CORRELATED non-equi predicate
+    inside EXISTS: the decorrelated form is a left-semi join whose
+    condition mixes the equi key with an outer-column comparison
+    (``l_shipdate > o_orderdate + 30d``) — Spark plans the equi part
+    as the join key and evaluates the correlated comparison as a join
+    residual, so no cross product and no post-join dedup (semi join
+    emits each order once however many lines qualify).
+
+    Scale shape: the date-range filter prunes orders at the scan
+    (PushedFilters); both sides shuffle on orderkey once."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    cond = (l.l_orderkey == o.o_orderkey) & (
+        l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAY")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+@q(
+    "q143_shipclass_priority_mix",
+    oracle="""
+SELECT l_linestatus AS ship_class,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_lines
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+""",
+)
+def q143_shipclass_priority_mix(spark, sf_dir):
+    """TPC-H Q12 shape — shipping-class / priority distribution: one
+    year of shipped lines joined to their orders, with a TWO-WAY
+    conditional aggregation (CASE-sum over a join-side predicate):
+    high- and low-priority line counts per line status. No other query
+    aggregates a CASE over the JOINED side's column — the shape that
+    turns two anti-symmetric filters + union into one pass.
+
+    Scale shape: the ship-date range prunes lineitem at the scan; the
+    conditional sums are map-side partial aggregates (two longs per
+    group per partition), so the orders join output never re-shuffles
+    more than the final tiny group set."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+            .alias("high_priority_lines"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+            .alias("low_priority_lines"),
+        )
+    )
+
+
+@q(
+    "q144_supplier_diversity",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size IN (5, 10, 15, 20)
+  AND p.p_brand <> 'Brand#5'
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def q144_supplier_diversity(spark, sf_dir):
+    """TPC-H Q16 shape — parts/supplier relationship: how many
+    DISTINCT suppliers ship each qualifying (brand, type, size) part
+    class, excluding flagged suppliers (negative balance standing in
+    for Q16's complaint comment; lineitem plays partsupp as in q129).
+    The distinctive pieces: a NOT-IN exclusion decorrelated to a
+    LEFT-ANTI join (sound here because s_suppkey is non-null — the
+    NULL-poisoning NOT-IN edge case is q131's territory), and a
+    grouped ``count_distinct`` whose partial aggregation dedups
+    (group, suppkey) pairs map-side before the shuffle.
+
+    Scale shape: both the part dim (filtered) and the flagged-supplier
+    set broadcast (asserted via MUST_BROADCAST); the fact table never
+    shuffles for either join — its only exchange is the final grouped
+    distinct aggregation."""
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 10, 15, 20) & (F.col("p_brand") != "Brand#5")
+    )
+    flagged = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(flagged), l.l_suppkey == flagged.s_suppkey,
+               "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )

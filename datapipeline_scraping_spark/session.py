@@ -33,6 +33,18 @@ _RUNTIME_CONF = {
     # the minhash shingle-explode aggregate, see queries_llm) opt out
     # per-query, and prepare() restores the default for everyone else
     "spark.sql.codegen.wholeStage": "true",
+    # runtime bloom-filter join pruning: ON with production-default
+    # thresholds. q141 lowers the thresholds so the rewrite fires at
+    # test scale; listing the keys HERE means every other query's
+    # prepare() restores the defaults, so the override cannot leak.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # the engine's tuned broadcast threshold (same value build_spark
+    # bakes in): prepare() applies it to driver-provided sessions too,
+    # and restores it after q141's per-query -1 override
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "10GB",
 }
 
 

@@ -95,6 +95,7 @@ MUST_BROADCAST = [
     "q129_min_cost_supplier",
     "q130_important_stock",
     "q131_excess_shippers",
+    "q144_supplier_diversity",
 ]
 
 # Queries whose plan must push a per-group limit BELOW the window
@@ -103,6 +104,22 @@ MUST_BROADCAST = [
 MUST_GROUP_LIMIT = [
     "q110_domain_caps",
     "q119_paragraph_dedup",
+]
+
+# Queries reading a hive-partitioned (manifest) snapshot through a
+# partition-column filter: the scan must prune (non-empty
+# PartitionFilters on the FileSourceScan) — a partition-filtered read
+# that lists every partition's files is a full-table scan at 100 TB.
+MUST_PARTITION_PRUNE = [
+    "q139_partitioned_manifest_sink",
+    "q64_partitioned_sink",
+]
+
+# Queries whose OPTIMIZED plan must carry an injected runtime bloom
+# filter (might_contain probe below the fact side of a selective
+# shuffle join) — the conf-driven pre-shuffle prune.
+MUST_RUNTIME_FILTER = [
+    "q141_bloom_pruned_join",
 ]
 
 ARROW_NODES = (
@@ -116,17 +133,18 @@ ARROW_NODES = (
 )
 
 
-def _plan(spark, name: str) -> str:
+def _plan(spark, name: str) -> tuple[str, str]:
     df = REGISTRY[name].fn(spark, SF_SMOKE)
     try:
-        return df._jdf.queryExecution().executedPlan().toString()
+        qe = df._jdf.queryExecution()
+        return qe.executedPlan().toString(), qe.optimizedPlan().toString()
     finally:
         spark.catalog.clearCache()
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_plan_lint(spark, name):
-    plan = _plan(spark, name)
+    plan, optimized = _plan(spark, name)
 
     assert "CartesianProduct" not in plan, (
         f"{name}: CartesianProduct in physical plan — "
@@ -164,4 +182,21 @@ def test_plan_lint(spark, name):
             f"below the window shuffle — the rn<=cap filter must sit "
             f"directly on the row_number so Catalyst can push the "
             f"per-group limit:\n{plan[:2000]}"
+        )
+
+    if name in MUST_PARTITION_PRUNE:
+        import re as _re
+
+        pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert pf and any(f.strip() for f in pf), (
+            f"{name}: expected a non-empty PartitionFilters on the "
+            f"partitioned scan — the partition-column filter did not "
+            f"prune:\n{plan[:2000]}"
+        )
+
+    if name in MUST_RUNTIME_FILTER:
+        assert "might_contain" in optimized or "bloom_filter" in optimized, (
+            f"{name}: expected an injected runtime bloom filter "
+            f"(might_contain below the fact side) in the optimized "
+            f"plan:\n{optimized[:2000]}"
         )
