@@ -70,6 +70,20 @@ def main() -> None:
     # the full plan).
     min_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     max_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "5")))
+    # The minhash/cosine/simhash trio runs partly in INTERPRETED
+    # expression eval (their shingle/signature stages opt out of
+    # whole-stage codegen — see queries_llm), so their speed depends on
+    # how warm the JVM's C2 tier is for those evaluator paths, which in
+    # turn depends on what ran earlier in the session: measured 25-35 %
+    # round-to-round swing with UNCHANGED plans (VERDICT r7 item 6).
+    # Floor them at more samples with a tighter agreement band so the
+    # reported min reflects the warmed steady state, not the session's
+    # JIT history.
+    extra_runs = {
+        "q19_minhash_lsh_pairs": 4,
+        "q21_cosine_topk": 4,
+        "q22_simhash": 4,
+    }
     per_query: dict[str, float] = {}
     # noise bookkeeping: per query, how many samples the agreement
     # filter discarded (= runs - 1; the reported number is the fastest)
@@ -79,9 +93,13 @@ def main() -> None:
     total = 0.0
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
+        q_min = max(min_runs, extra_runs.get(name, 0)) if min_runs > 1 \
+            else min_runs  # RUNS=1 quick mode stays single-sample
+        q_max = max(max_runs, q_min + 1) if min_runs > 1 else max_runs
+        agree = 1.1 if name in extra_runs else 1.2
         samples: list[float] = []
         n = -1
-        while len(samples) < max_runs:
+        while len(samples) < q_max:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
@@ -90,11 +108,11 @@ def main() -> None:
             # shingle tables) so every run recomputes the full plan and
             # one query's cache doesn't skew the next one's timing
             spark.catalog.clearCache()
-            if len(samples) >= min_runs:
+            if len(samples) >= q_min:
                 if len(samples) < 2:
                     break  # RUNS=1: explicit single-sample quick mode
                 lo = sorted(samples)[:2]
-                if lo[1] <= lo[0] * 1.2:
+                if lo[1] <= lo[0] * agree:
                     break  # two samples agree — not a noise artifact
         best = min(samples)
         per_query[name] = round(best, 3)
