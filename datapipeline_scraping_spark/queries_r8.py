@@ -400,3 +400,142 @@ def q144_supplier_diversity(spark, sf_dir):
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
+
+
+# ===========================================================================
+# U4 / F5 — the reference's queue-scheduling policies, observable
+# ===========================================================================
+
+# One recursive-CTE replay of operators/scheduling.py::fold_queue: the
+# state row per (source, round) carries the queue (list of structs),
+# the concurrency level, and the round's emission columns. All rate
+# gates are integer-exact (nf*10 <= k / nf*20 < k) so the engines
+# cannot disagree on a boundary. Parameters mirror the Spark side:
+# conc0=2, max_conc=12 (the ramp hits the reference's hard cap of 10),
+# MAX_ATTEMPTS=8.
+_SCHED_SIM_SQL = """
+WITH RECURSIVE
+tasks AS (
+  SELECT source, doc_id AS task,
+    CASE WHEN doc_id % 7 = 0 THEN 60
+         WHEN doc_id % 3 = 0 THEN 25 ELSE 0 END AS fp
+  FROM documents
+),
+queues AS (
+  SELECT source,
+    LIST({'task': task, 'att': 0, 'fp': fp} ORDER BY task) AS queue
+  FROM tasks GROUP BY source
+),
+sim AS (
+  SELECT source, 0 AS round, queue, 2 AS conc,
+    CAST(NULL AS BIGINT) AS conc_used,
+    CAST(NULL AS BIGINT) AS n_batch, CAST(NULL AS BIGINT) AS n_fail,
+    CAST(NULL AS VARCHAR) AS mode,
+    CAST([] AS STRUCT(task BIGINT, att INTEGER, fp INTEGER)[]) AS batch,
+    CAST([] AS BOOLEAN[]) AS fails
+  FROM queues
+  UNION ALL
+  SELECT source, round,
+    list_concat(rest,
+      CASE WHEN n_fail * 10 <= n_batch THEN requeue
+           ELSE list_reverse(requeue) END) AS queue,
+    CASE WHEN n_fail * 20 < n_batch AND conc < 12
+         THEN LEAST(12, 10) ELSE conc END AS conc,
+    conc AS conc_used, n_batch, n_fail,
+    CASE WHEN n_fail * 10 <= n_batch THEN 'fifo' ELSE 'lifo' END AS mode,
+    batch, fails
+  FROM (
+    SELECT *,
+      len(batch) AS n_batch,
+      len(list_filter(fails, f -> f)) AS n_fail,
+      list_transform(
+        list_filter(list_zip(batch, fails),
+                    z -> z[2] AND z[1].att + 1 < 8),
+        z -> {'task': z[1].task, 'att': z[1].att + 1,
+              'fp': z[1].fp}) AS requeue
+    FROM (
+      SELECT source, round + 1 AS round, conc,
+        queue[LEAST(conc, len(queue)) + 1:] AS rest,
+        queue[1:LEAST(conc, len(queue))] AS batch,
+        [CAST('0x' || substr(md5(source || '|' || CAST(it.task AS VARCHAR)
+           || '|' || CAST(it.att + 1 AS VARCHAR)), 1, 4) AS INT) % 100 < it.fp
+         FOR it IN queue[1:LEAST(conc, len(queue))]] AS fails
+      FROM sim WHERE len(queue) > 0
+    )
+  )
+)
+"""
+
+
+def _sched_input(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("doc_id").alias("task")
+    )
+    return docs.withColumn(
+        "fp",
+        F.when(F.col("task") % 7 == 0, 60)
+        .when(F.col("task") % 3 == 0, 25)
+        .otherwise(0),
+    )
+
+
+@q(
+    "q145_requeue_policy",
+    oracle=_SCHED_SIM_SQL + """
+SELECT source, z[1].task AS task,
+  CAST(z[1].att + 1 AS BIGINT) AS attempts,
+  CASE WHEN NOT z[2] THEN 'done' ELSE 'dropped' END AS status,
+  CAST(round AS BIGINT) AS final_round
+FROM sim, UNNEST(list_zip(batch, fails)) AS t(z)
+WHERE round > 0 AND (NOT z[2] OR z[1].att + 1 >= 8)
+""",
+)
+def q145_requeue_policy(spark, sf_dir):
+    """U4 — requeue ordering policy (``src/scrapers/scraper.py:
+    124-126``), previously declared scheduler-scope: failures requeue
+    FIFO when a round's error rate is <= 10 % and REVERSED (LIFO)
+    above, and the policy is OBSERVABLE here because each retried
+    task's queue position determines the round it completes in — the
+    per-task (attempts, status, final_round) trace changes if the
+    ordering rule changes. Fetch outcomes are deterministic
+    (md5(source|task|attempt) vs a per-task failure pct), so the whole
+    trace is a pure function of the corpus and the DuckDB oracle
+    replays it exactly (recursive CTE, integer-exact gates).
+
+    Scale shape: one queue per source folded independently in an
+    Arrow seam (``operators/scheduling.py``) — a crawl with millions
+    of domains folds millions of bounded-state queues in parallel;
+    one hot domain serializes only itself, exactly the reference's
+    own per-queue bound."""
+    from .operators.scheduling import simulate_fetch_rounds
+
+    return simulate_fetch_rounds(_sched_input(spark, sf_dir), emit="tasks")
+
+
+@q(
+    "q146_adaptive_concurrency",
+    oracle=_SCHED_SIM_SQL + """
+SELECT source, CAST(round AS BIGINT) AS round, conc_used AS conc,
+  n_batch, n_fail, mode
+FROM sim WHERE round > 0
+""",
+)
+def q146_adaptive_concurrency(spark, sf_dir):
+    """F5 — adaptive concurrency ramp (``src/scrapers/scraper.py:
+    117-121``), previously declared AQE-scope: when a round's error
+    rate is < 5 % and concurrency is below the configured max, the
+    level jumps to ``min(max_conc, 10)`` — the reference's exact
+    non-stepping jump to its hard cap. The per-round (conc, n_batch,
+    n_fail, mode) trace is the observable: the batch sizes and round
+    count change if the ramp rule changes. Same deterministic outcome
+    model and recursive-CTE oracle as q145 (one simulation, two
+    projections — as q12 evidences H2/H3/H5 from one plan).
+
+    Scale note: on the CLUSTER side this concern maps to AQE/dynamic
+    allocation (SURVEY §2 F5), which tunes partition counts the same
+    feedback-driven way; the engine additionally ships the policy
+    itself as data-parallel queue folds so the reference's observable
+    behavior survives the port instead of being declared away."""
+    from .operators.scheduling import simulate_fetch_rounds
+
+    return simulate_fetch_rounds(_sched_input(spark, sf_dir), emit="rounds")

@@ -646,3 +646,75 @@ def test_first_wins_agg_equals_window_strategy_with_nulls(spark):
         for r in first_wins(df, ["k"], ["o1", "o2"]).collect()
     )
     assert agg[1] == "null-first" and agg[2] == "inner-null" and agg[3] == "all"
+
+
+def test_fold_queue_policies_and_accounting():
+    """U4/F5 core fold: every task is accounted exactly once (done or
+    dropped), attempts are bounded, the ramp only ever jumps to
+    min(max_conc, 10), and the requeue mode matches the integer-exact
+    10% gate per round."""
+    from datapipeline_scraping_spark.operators.scheduling import (
+        MAX_ATTEMPTS, fold_queue,
+    )
+
+    tasks = [(t, 60 if t % 7 == 0 else 25 if t % 3 == 0 else 0)
+             for t in range(1, 101)]
+    rounds, per_task = fold_queue("srcX", tasks, conc0=2, max_conc=12)
+    assert sorted(t for _, t, *_ in per_task) == list(range(1, 101))
+    assert all(1 <= att <= MAX_ATTEMPTS for _, _, att, _, _ in per_task)
+    assert {s for *_, s, _ in per_task} <= {"done", "dropped"}
+    concs = [c for _, _, c, *_ in rounds]
+    assert concs[0] == 2 and set(concs) <= {2, 10}  # jump, not a step
+    for _, _, _, k, nf, mode in rounds:
+        assert mode == ("fifo" if nf * 10 <= k else "lifo")
+    # ramp is monotone non-decreasing (no rule lowers concurrency)
+    assert all(a <= b for a, b in zip(concs, concs[1:]))
+
+
+def test_fold_queue_order_policy_changes_trace():
+    """The requeue ORDER is observable: flipping the policy (always-
+    FIFO vs the reference's conditional LIFO) must change completion
+    rounds for at least one task when a high-error round occurs —
+    i.e. q145 really pins U4, not just retry counts."""
+    from datapipeline_scraping_spark.operators import scheduling as S
+
+    tasks = [(t, 80 if t % 2 == 0 else 0) for t in range(1, 41)]
+    _, base = S.fold_queue("srcY", tasks, conc0=2, max_conc=12)
+    orig = S.fold_queue.__code__  # guard: monkeypatch below stays local
+
+    def fifo_only(source, tasks, *, conc0, max_conc):
+        from collections import deque
+        queue = deque((t, 0, fp) for t, fp in tasks)
+        conc, rnd = conc0, 0
+        per_task = []
+        while queue:
+            rnd += 1
+            k = min(conc, len(queue))
+            batch = [queue.popleft() for _ in range(k)]
+            fails = [S._fails(source, t, att + 1, fp)
+                     for (t, att, fp) in batch]
+            nf = sum(fails)
+            for (t, att, fp), f in zip(batch, fails):
+                if not f:
+                    per_task.append((source, t, att + 1, "done", rnd))
+                elif att + 1 >= S.MAX_ATTEMPTS:
+                    per_task.append((source, t, att + 1, "dropped", rnd))
+            queue.extend(
+                (t, att + 1, fp)
+                for (t, att, fp), f in zip(batch, fails)
+                if f and att + 1 < S.MAX_ATTEMPTS
+            )  # ALWAYS fifo — the policy under test removed
+            if nf * 20 < k and conc < max_conc:
+                conc = min(max_conc, 10)
+        return per_task
+
+    alt = fifo_only("srcY", tasks, conc0=2, max_conc=12)
+    assert S.fold_queue.__code__ is orig
+    assert sorted(r[1] for r in alt) == sorted(r[1] for r in base)
+    # completion rounds must differ somewhere if any LIFO round fired
+    base_by_task = {r[1]: r[4] for r in base}
+    alt_by_task = {r[1]: r[4] for r in alt}
+    assert base_by_task != alt_by_task, (
+        "no LIFO round fired — raise failure rates so the policy is "
+        "actually exercised"
+    )

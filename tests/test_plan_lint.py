@@ -65,6 +65,8 @@ ARROW_SEAM_ALLOW = {
     "q115_image_decode": "image blob synth + stdlib header decode seam",
     "q121_image_block_features": "bitmap synth + numpy block-sum kernel seam",
     "q122_audio_window_energy": "PCM synth + numpy window-energy kernel seam",
+    "q145_requeue_policy": "per-source queue-policy fold (U4 scheduling seam)",
+    "q146_adaptive_concurrency": "per-source queue-policy fold (F5 scheduling seam)",
 }
 
 # Row-at-a-time Python evaluation: banned, except Spark 4 evaluates
