@@ -324,6 +324,75 @@ class ManifestTable:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
         return spark.read.parquet(path)
 
+    def diff(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int,
+        keys: list[str],
+    ) -> DataFrame:
+        """Change-data-feed between two retained versions (Delta CDF
+        shape): one full-outer join of the two pinned snapshots on
+        ``keys`` producing ``_change_type`` rows — ``insert`` (key only
+        in ``v_to``, post-image values), ``delete`` (key only in
+        ``v_from``, pre-image values), and for value changes BOTH an
+        ``update_preimage`` and an ``update_postimage`` row; unchanged
+        keys emit nothing. Comparison is null-safe per column.
+
+        Scale shape: one keyed shuffle join of two snapshots; the
+        per-key change rows are built as an array and exploded in the
+        same stage, so the join output is traversed once. This is the
+        batch reconciliation primitive incremental consumers (q95/q106
+        shape) use to catch up from version N to the head without
+        re-reading the whole table."""
+        old = self.read(spark, version=v_from)
+        new = self.read(spark, version=v_to)
+        if old.columns != new.columns:
+            # align by name so schema evolution between the versions
+            # diffs as value changes (added columns: null pre-image)
+            unioned = evolve_schema(old.schema, new.schema)
+            old = align_to_schema(old, unioned)
+            new = align_to_schema(new, unioned)
+        cols = old.columns
+        vals = [c for c in cols if c not in keys]
+        # presence markers instead of key-null checks: NULL key values
+        # then diff as ordinary (null-safe-matched) rows instead of
+        # being misclassified as inserts/deletes
+        o = old.withColumn("__in_old", F.lit(True)).alias("o")
+        n = new.withColumn("__in_new", F.lit(True)).alias("n")
+        cond = None
+        for k in keys:
+            eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+            cond = eq if cond is None else (cond & eq)
+        joined = o.join(n, cond, "full_outer")
+        row_o = F.struct(*[F.col(f"o.{c}").alias(c) for c in cols])
+        row_n = F.struct(*[F.col(f"n.{c}").alias(c) for c in cols])
+        changed = F.lit(False)
+        for c in vals:
+            changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        mk = lambda tag, row: F.struct(  # noqa: E731
+            F.lit(tag).alias("_change_type"), row.alias("r")
+        )
+        # typed empty array for the unchanged branch (F.array() alone
+        # is array<null> and would fail the union of branch types)
+        empty = F.slice(F.array(mk("x", row_o)), 1, 0)
+        cases = (
+            F.when(F.col("o.__in_old").isNull(), F.array(mk("insert", row_n)))
+            .when(F.col("n.__in_new").isNull(), F.array(mk("delete", row_o)))
+            .when(
+                changed,
+                F.array(
+                    mk("update_preimage", row_o),
+                    mk("update_postimage", row_n),
+                ),
+            )
+            .otherwise(empty)
+        )
+        return (
+            joined.select(F.explode(cases).alias("c"))
+            .select(F.col("c._change_type").alias("_change_type"), "c.r.*")
+        )
+
     def read_asof(self, spark: SparkSession, ts: float) -> DataFrame:
         """Time travel by timestamp: the newest retained version whose
         commit time is <= ``ts`` (Delta's ``timestampAsOf``)."""

@@ -539,3 +539,83 @@ def q146_adaptive_concurrency(spark, sf_dir):
     from .operators.scheduling import simulate_fetch_rounds
 
     return simulate_fetch_rounds(_sched_input(spark, sf_dir), emit="rounds")
+
+
+# ===========================================================================
+# change data feed between ledger versions (Delta CDF shape)
+# ===========================================================================
+
+@q(
+    "q147_version_changes",
+    oracle="""
+WITH v1 AS (
+  SELECT c_custkey, c_name, CAST(FLOOR(c_acctbal) AS BIGINT) AS bal
+  FROM customer
+),
+v2 AS (
+  SELECT c_custkey, c_name,
+    CASE WHEN c_custkey % 13 = 0 THEN CAST(FLOOR(c_acctbal) AS BIGINT) + 1
+         ELSE CAST(FLOOR(c_acctbal) AS BIGINT) END AS bal
+  FROM customer WHERE c_custkey % 17 <> 0
+  UNION ALL
+  SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'new#1', CAST(7 AS BIGINT)),
+                        (CAST(-2 AS BIGINT), 'new#2', CAST(8 AS BIGINT)))
+),
+j AS (SELECT v1.c_custkey AS k1, v2.c_custkey AS k2, v1.c_name AS n1,
+             v2.c_name AS n2, v1.bal AS b1, v2.bal AS b2
+      FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey)
+SELECT 'insert' AS _change_type, k2 AS c_custkey, n2 AS c_name, b2 AS bal
+FROM j WHERE k1 IS NULL
+UNION ALL
+SELECT 'delete', k1, n1, b1 FROM j WHERE k2 IS NULL
+UNION ALL
+SELECT 'update_preimage', k1, n1, b1 FROM j
+WHERE k1 IS NOT NULL AND k2 IS NOT NULL AND (n1 <> n2 OR b1 <> b2)
+UNION ALL
+SELECT 'update_postimage', k2, n2, b2 FROM j
+WHERE k1 IS NOT NULL AND k2 IS NOT NULL AND (n1 <> n2 OR b1 <> b2)
+""",
+)
+def q147_version_changes(spark, sf_dir):
+    """Change data feed between two committed ledger versions —
+    ``ManifestTable.diff`` (Delta CDF shape): v1 holds every customer,
+    v2 drops the %17 keys, bumps the %13 balances, and inserts two new
+    keys; the diff emits ``insert`` / ``delete`` /
+    ``update_preimage``+``update_postimage`` rows and NOTHING for
+    unchanged keys. This is the catch-up primitive an incremental
+    consumer (q95/q106 shape) uses to go from version N to head
+    without re-reading the table — at 100 TB the CDF rows are
+    proportional to the churn, not the table.
+
+    Plan shape: both snapshot reads are version-pinned scans; one
+    full-outer keyed join; the per-key change rows are built as an
+    array and exploded in the same stage (single traversal of the join
+    output). Reference anchor: the H2 delta-detection contract
+    (``src/storage.py:84-101``) generalized from current-vs-incoming
+    to any-version-vs-any-version."""
+    from .operators.txn import ManifestTable
+
+    c = _t(spark, sf_dir, "customer")
+    root = os.path.join(SCRATCH, f"cdf_ledger_{_key(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = ManifestTable(root)
+    v1 = c.select(
+        "c_custkey", "c_name", F.floor("c_acctbal").cast("long").alias("bal")
+    )
+    tbl.commit(v1)
+    v2 = (
+        v1.filter(F.col("c_custkey") % 17 != 0)
+        .withColumn(
+            "bal",
+            F.when(F.col("c_custkey") % 13 == 0, F.col("bal") + 1)
+            .otherwise(F.col("bal")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, "new#1", 7), (-2, "new#2", 8)],
+                "c_custkey long, c_name string, bal long",
+            )
+        )
+    )
+    tbl.commit(v2)
+    return tbl.diff(spark, 1, 2, ["c_custkey"])

@@ -672,3 +672,34 @@ def test_merge_write_schema_evolution(spark, tmp_path):
     got = {r["pk"]: (r["v"], r["score"]) for r in ManifestTable(path).read(spark).collect()}
     assert got[3] == ("c2", 100), "updateAll nulled a column the source lacks"
     assert got[2] == ("b2", 99)
+
+
+def test_diff_change_data_feed(spark, tmp_path):
+    """diff() emits insert/delete/update_pre+postimage rows and nothing
+    for unchanged keys; NULL key values diff as matched rows (presence
+    markers, not key-null checks); schema evolution between the
+    versions diffs as value changes with null pre-images."""
+    tbl = ManifestTable(str(tmp_path / "t"))
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "nullkey")],
+        "k long, v string",
+    )
+    tbl.commit(df1)
+    df2 = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40), (None, "nullkey", None)],
+        "k long, v string, extra long",
+    )
+    tbl.commit(df2)
+    rows = {
+        (r["_change_type"], r["k"], r["v"], r["extra"])
+        for r in tbl.diff(spark, 1, 2, ["k"]).collect()
+    }
+    assert ("insert", 4, "d", 40) in rows
+    assert ("delete", 3, "c", None) in rows
+    assert ("update_preimage", 2, "b", None) in rows
+    assert ("update_postimage", 2, "B", 20) in rows
+    # k=1 changed only via the ADDED column (null -> 10)
+    assert ("update_preimage", 1, "a", None) in rows
+    assert ("update_postimage", 1, "a", 10) in rows
+    # NULL key: value unchanged, extra stays null -> no change rows
+    assert not any(r[1] is None for r in rows)
