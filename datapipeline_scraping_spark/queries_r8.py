@@ -619,3 +619,174 @@ def q147_version_changes(spark, sf_dir):
     )
     tbl.commit(v2)
     return tbl.diff(spark, 1, 2, ["c_custkey"])
+
+
+# ===========================================================================
+# training-batch construction: length bucketing + epoch shuffle sharding
+# ===========================================================================
+
+_Q148_BUCKETS = 16
+
+
+@q(
+    "q148_length_buckets",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+b AS (
+  SELECT doc_id, n_tok,
+    NTILE({_Q148_BUCKETS}) OVER (ORDER BY n_tok, doc_id) AS bucket
+  FROM sized
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+  CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+  CAST(MAX(n_tok) * COUNT(*) - SUM(n_tok) AS BIGINT) AS padding_waste
+FROM b GROUP BY bucket
+""",
+)
+def q148_length_buckets(spark, sf_dir):
+    """Length-bucketed batch construction — the padding-minimization
+    pass every sequence-batched training job runs: documents are
+    NTILE'd into {n} equal-size buckets by token count (ties broken by
+    doc_id for determinism), and each bucket reports its padding waste
+    (``max_tok * count - sum_tok`` — the tokens a rectangular batch of
+    that bucket would pad). Bucketing by length turns O(corpus) wasted
+    pad tokens into the per-bucket spread; the funnel report is what a
+    data engineer tunes bucket counts against.
+
+    Scale shape: a bare ``ntile() OVER (ORDER BY ...)`` window plans
+    as ``Exchange SinglePartition`` — the whole corpus through one
+    task's sort, exactly the anti-pattern this engine bans — so the
+    global rank is computed with the same two-pass scan as
+    ``operators/packing.py``: range-partition by the order key, local
+    ``row_number`` per slice (state bounded by the slice), per-slice
+    counts become a tiny broadcast offsets relation, and
+    ``global_rank = offset + local_rank``. NTILE's exact bucket-size
+    arithmetic (first ``N % k`` buckets get one extra row) is then a
+    closed-form integer expression over the rank — bit-identical to
+    the window form, no single-partition sort anywhere. The scalar
+    total joins as a 1-row broadcast (NESTED_LOOP_ALLOW, q130's
+    pattern). Reference anchor: batching policy generalized from the
+    reference's fixed `conc`-sized fetch batches
+    (``src/scrapers/scraper.py:86``)."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    sliced = docs.repartitionByRange(
+        n_part, F.col("n_tok"), F.col("doc_id")
+    ).withColumn("_chunk", F.spark_partition_id())
+    w_local = W.partitionBy("_chunk").orderBy("n_tok", "doc_id")
+    local = sliced.withColumn("_lr", F.row_number().over(w_local))
+    totals = local.groupBy("_chunk").agg(F.count("*").alias("_n"))
+    w_off = (
+        W.orderBy("_chunk").rowsBetween(W.unboundedPreceding, -1)
+    )
+    # the totals relation is n_chunks rows — its bare-order window is
+    # a single partition of n_chunks rows, not of the corpus
+    offsets = totals.select(
+        "_chunk",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    total = totals.agg(F.sum("_n").cast("long").alias("_N"))
+    ranked = (
+        local.join(F.broadcast(offsets), "_chunk")
+        .join(F.broadcast(total))
+        .withColumn("_r", F.col("_off") + F.col("_lr"))
+    )
+    base = F.floor(F.col("_N") / F.lit(_Q148_BUCKETS)).cast("long")
+    rem = (F.col("_N") % _Q148_BUCKETS).cast("long")
+    big = rem * (base + 1)  # ranks covered by the (base+1)-sized buckets
+    bucket = (
+        F.when(base == 0, F.col("_r"))
+        .when(
+            F.col("_r") <= big, F.ceil(F.col("_r") / (base + 1))
+        )
+        .otherwise(rem + F.ceil((F.col("_r") - big) / base))
+        .cast("int")
+    )
+    b = ranked.withColumn("bucket", bucket)
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_tok").alias("min_tok"),
+        F.max("n_tok").alias("max_tok"),
+        (F.max("n_tok") * F.count("*") - F.sum("n_tok"))
+        .cast("long")
+        .alias("padding_waste"),
+    )
+
+
+_Q149_SHARDS = 8
+_Q149_SEED = "epoch7"
+
+
+@q(
+    "q149_epoch_shuffle_shards",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+    md5('{_Q149_SEED}|' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+),
+s AS (
+  SELECT *, CAST('0x' || substr(hx, 1, 8) AS BIGINT) % {_Q149_SHARDS} AS shard,
+    ROW_NUMBER() OVER (
+      PARTITION BY CAST('0x' || substr(hx, 1, 8) AS BIGINT) % {_Q149_SHARDS}
+      ORDER BY hx, doc_id) AS pos
+  FROM h
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS order_hash
+FROM s GROUP BY shard
+""",
+)
+def q149_epoch_shuffle_shards(spark, sf_dir):
+    """Deterministic epoch shuffle + shard assignment — the global
+    pseudorandom permutation a training run needs WITHOUT a global
+    sort: shard = seeded-hash(doc) % n_shards (map-only, no exchange
+    of the full corpus beyond the shard shuffle itself), within-shard
+    order = hash order (a new seed is a new permutation). The output
+    pins the exact within-shard ORDER via an md5 over the ordered
+    doc_id list, so the oracle checks the permutation itself, not just
+    shard balance.
+
+    Scale shape: the only shuffle is by shard id (n_shards partitions,
+    uniformly hash-balanced); within-shard ordering sorts each shard
+    independently — no global sort, no hot partition. This is how a
+    100 TB corpus gets re-sharded per epoch: one pass, linear, seed
+    swap = free reshuffle. Reference anchor: H4's determinism contract
+    (order must be explicit to survive a shuffle,
+    ``src/storage.py:108-117``) applied to the training-side shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hx = F.md5(F.concat(F.lit(f"{_Q149_SEED}|"), F.col("doc_id").cast("string")))
+    h = docs.withColumn("hx", hx).withColumn(
+        "shard",
+        (
+            F.conv(F.substring("hx", 1, 8), 16, 10).cast("long")
+            % _Q149_SHARDS
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    pos = F.row_number().over(W.partitionBy("shard").orderBy("hx", "doc_id"))
+    s = h.withColumn("pos", pos)
+    return s.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("shard_chars"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", F.col("doc_id")))
+                    ),
+                    lambda r: r["doc_id"].cast("string"),
+                ),
+            )
+        ).alias("order_hash"),
+    )

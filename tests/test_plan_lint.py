@@ -49,6 +49,7 @@ NESTED_LOOP_ALLOW = {
     "q125_sales_opportunity": "scalar balance-stats row (1-row broadcast gate)",
     "q130_important_stock": "scalar nation-total row (1-row broadcast gate)",
     "q134_semantic_dedup": "centroid assignment; broadcast side is k centroids",
+    "q148_length_buckets": "scalar corpus-total row (1-row broadcast gate)",
 }
 
 # Arrow-vectorized Python seams (MapInPandas / grouped-map / cogroup).
