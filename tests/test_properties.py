@@ -124,3 +124,86 @@ def test_two_pass_prefix_sum_equals_one_pass(spark, rows, n_chunks):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution lattice (operators/txn.py::evolve_schema)
+# ---------------------------------------------------------------------------
+
+_EVOLVE_TYPES = ["tinyint", "smallint", "int", "bigint", "float", "double",
+                 "string", "date", "timestamp", "boolean"]
+_WIDEN_PAIRS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("tinyint", "double"), ("smallint", "int"), ("smallint", "bigint"),
+    ("smallint", "double"), ("int", "bigint"), ("int", "double"),
+    ("float", "double"), ("date", "timestamp"),
+}
+
+
+def _struct(cols):
+    from pyspark.sql import types as T
+
+    m = {
+        "tinyint": T.ByteType(), "smallint": T.ShortType(),
+        "int": T.IntegerType(), "bigint": T.LongType(),
+        "float": T.FloatType(), "double": T.DoubleType(),
+        "string": T.StringType(), "date": T.DateType(),
+        "timestamp": T.TimestampType(), "boolean": T.BooleanType(),
+    }
+    return T.StructType([T.StructField(n, m[t], True) for n, t in cols])
+
+
+@given(
+    shared=st.lists(
+        st.tuples(st.sampled_from("abcde"), st.sampled_from(_EVOLVE_TYPES)),
+        max_size=4, unique_by=lambda t: t[0],
+    ),
+    extra_new=st.lists(
+        st.tuples(st.sampled_from("vwxyz"), st.sampled_from(_EVOLVE_TYPES)),
+        max_size=3, unique_by=lambda t: t[0],
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_evolve_schema_lattice(shared, extra_new):
+    """evolve_schema is identity on equal schemas, keeps every old
+    column with a type at least as wide, appends new-only columns in
+    order, and raises on any pair outside the widening lattice — in
+    EITHER direction the wider of the two survives."""
+    from datapipeline_scraping_spark.operators.txn import (
+        SchemaEvolutionError, evolve_schema,
+    )
+
+    old = _struct(shared)
+    assert evolve_schema(old, old) == old  # identity
+
+    # perturb the incoming types per shared column
+    import random as _r
+
+    rng = _r.Random(42)
+    new_cols = []
+    legal = True
+    for n, t in shared:
+        t2 = rng.choice(_EVOLVE_TYPES)
+        if t2 != t and (t, t2) not in _WIDEN_PAIRS \
+                and (t2, t) not in _WIDEN_PAIRS:
+            legal = False
+        new_cols.append((n, t2))
+    new = _struct(new_cols + extra_new)
+
+    if not legal:
+        try:
+            evolve_schema(old, new)
+        except SchemaEvolutionError:
+            return
+        raise AssertionError("expected SchemaEvolutionError")
+    out = evolve_schema(old, new)
+    out_types = {f.name: f.dataType.simpleString() for f in out.fields}
+    # every old column survives with the WIDER of the two types
+    for (n, t), (_, t2) in zip(shared, new_cols):
+        expect = t2 if (t, t2) in _WIDEN_PAIRS else t
+        assert out_types[n] == expect, (n, t, t2, out_types[n])
+    # new-only columns append, in incoming order, with their own types
+    assert [f.name for f in out.fields][len(shared):] == \
+        [n for n, _ in extra_new]
+    for n, t in extra_new:
+        assert out_types[n] == t
