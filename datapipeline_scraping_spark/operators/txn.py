@@ -267,9 +267,15 @@ class ManifestTable:
         return dict(entry.get("meta") or {}) if entry else {}
 
     def history(self) -> list[dict]:
-        """Commit log, newest first (retained entries only); each row
-        carries version / snapshot dirname / commit ts / partitioning
-        and whether the snapshot is still readable (not GC'd)."""
+        """COMMITTED log entries, newest first; each row carries
+        version / snapshot dirname / commit ts / partitioning and
+        whether the snapshot is still readable (not GC'd). An entry
+        whose version is beyond the live pointer is a crashed writer's
+        unpointed INTENT (the log is written before the pointer swap)
+        — it never committed, so it is not history and is filtered
+        out, exactly as :meth:`snapshot_path` refuses to resolve it."""
+        ptr = self._pointer()
+        live = ptr[1] if ptr else 0
         logdir = os.path.join(self.root, self.LOG_DIR)
         try:
             names = sorted(os.listdir(logdir), reverse=True)
@@ -284,6 +290,8 @@ class ManifestTable:
                     e = json.load(fh)
             except (OSError, ValueError):
                 continue
+            if int(e.get("version", 0)) > live:
+                continue  # unpointed intent, not a commit
             e["retained"] = os.path.isdir(os.path.join(self.root, e["snapshot"]))
             e.pop("schema", None)
             out.append(e)
@@ -297,6 +305,15 @@ class ManifestTable:
             # the pointer is authoritative for the live version (a log
             # entry can be a stale unpointed intent after a crash)
             return None if ptr is None else os.path.join(self.root, ptr[0])
+        if ptr is None or version > ptr[1]:
+            # beyond the live pointer = a crashed writer's unpointed
+            # intent (log precedes the pointer swap): that snapshot
+            # never COMMITTED — resolving it would read uncommitted
+            # data that the writer's retry is about to overwrite
+            raise FileNotFoundError(
+                f"{self.root}: no committed version {version} "
+                f"(live version: {None if ptr is None else ptr[1]})"
+            )
         entry = self._log_entry(version)
         if entry is None:
             raise FileNotFoundError(

@@ -703,3 +703,29 @@ def test_diff_change_data_feed(spark, tmp_path):
     assert ("update_postimage", 1, "a", 10) in rows
     # NULL key: value unchanged, extra stays null -> no change rows
     assert not any(r[1] is None for r in rows)
+
+
+def test_unpointed_intent_is_not_readable_history(spark, tmp_path):
+    """A crash between the log write and the pointer swap leaves an
+    unpointed intent entry + a fully-written snapshot dir. That version
+    never committed: time travel must refuse it, history must omit it,
+    and the retried commit overwrites it cleanly."""
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "v1")]))
+    # hand-forge the crash state: snapshot dir + log entry for v2,
+    # pointer still at v1 (exactly what a crash after _write_log and
+    # before the pointer swap leaves behind)
+    snap = "snap-000002-deadbeef"
+    _df(spark, [(2, "UNCOMMITTED")]).write.parquet(
+        os.path.join(tbl.root, snap)
+    )
+    tbl._write_log(2, snap, [], "")
+    assert tbl.version() == 1
+    with pytest.raises(FileNotFoundError):
+        tbl.read(spark, version=2)
+    assert [e["version"] for e in tbl.history()] == [1]
+    # the retry (same version number) commits over the intent
+    tbl.commit(_df(spark, [(2, "v2")]))
+    assert tbl.version() == 2
+    assert {r["v"] for r in tbl.read(spark, version=2).collect()} == {"v2"}
+    assert [e["version"] for e in tbl.history()] == [2, 1]
