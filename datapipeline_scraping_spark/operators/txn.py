@@ -411,18 +411,24 @@ class ManifestTable:
         )
 
     def read_asof(self, spark: SparkSession, ts: float) -> DataFrame:
-        """Time travel by timestamp: the newest retained version whose
-        commit time is <= ``ts`` (Delta's ``timestampAsOf``)."""
-        best = None
-        for e in self.history():
-            if e.get("ts", float("inf")) <= ts and e["retained"]:
-                best = e["version"]
-                break  # history is newest-first
-        if best is None:
-            raise FileNotFoundError(
-                f"{self.root}: no retained commit at or before ts={ts}"
-            )
-        return self.read(spark, version=best)
+        """Time travel by timestamp: the newest version whose commit
+        time is <= ``ts`` (Delta's ``timestampAsOf``). If that version
+        was garbage-collected, this RAISES
+        :class:`SnapshotExpiredError` — silently falling back to an
+        older retained version would return state that was never
+        current at ``ts``-adjacent times the caller asked about."""
+        for e in self.history():  # newest-first
+            if e.get("ts", float("inf")) <= ts:
+                if not e["retained"]:
+                    raise SnapshotExpiredError(
+                        f"{self.root}: version {e['version']} is the "
+                        f"as-of state for ts={ts} but aged past the "
+                        f"retention contract and was garbage-collected"
+                    )
+                return self.read(spark, version=e["version"])
+        raise FileNotFoundError(
+            f"{self.root}: no commit at or before ts={ts}"
+        )
 
     # -- commit protocol ---------------------------------------------------
     def _acquire_lock(self, timeout: float = 30.0) -> None:
