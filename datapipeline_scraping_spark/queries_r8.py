@@ -790,3 +790,44 @@ def q149_epoch_shuffle_shards(spark, sf_dir):
             )
         ).alias("order_hash"),
     )
+
+
+@q(
+    "q150_asof_snapshot",
+    oracle=f"""
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {sql_exact_sum('o_totalprice', 18, 2)} AS total_spend
+FROM orders WHERE o_orderkey % 3 = 0
+GROUP BY o_custkey
+""",
+)
+def q150_asof_snapshot(spark, sf_dir):
+    """Timestamp time travel (Delta ``timestampAsOf``): the ledger
+    history is replayed as in q138, the FIRST batch's commit timestamp
+    is taken from the commit log (``history()``), and
+    ``read_asof(that ts)`` must resolve exactly version 1 — the state
+    holding only the first third of orders — while the live pointer
+    sits two commits later. A GC'd as-of target raises
+    ``SnapshotExpiredError`` rather than silently resolving older
+    retained state (tests/test_txn.py).
+
+    Scale shape: identical to q138 — commit-log lookup is O(retained
+    versions) tiny-json reads on the driver; the resolved read is one
+    pinned parquet scan."""
+    from .operators.txn import ManifestTable
+
+    o = _t(spark, sf_dir, "orders")
+    root = os.path.join(SCRATCH, f"ledger_asof_{_key(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = ManifestTable(root)
+    for max_slice in (0, 1, 2):
+        tbl.commit(
+            o.filter(F.col("o_orderkey") % 3 <= max_slice)
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                exact_sum("o_totalprice", 18, 2).alias("total_spend"),
+            )
+        )
+    ts_v1 = next(e["ts"] for e in tbl.history() if e["version"] == 1)
+    return tbl.read_asof(spark, ts_v1)
