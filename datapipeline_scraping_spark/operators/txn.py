@@ -973,10 +973,23 @@ def compact_table(
         # could have advanced it; the version CAS below then catches
         # the conflict instead of silently compacting the wrong data)
         df = spark.read.parquet(snap)
-        if sort_by:
-            rewritten = df.repartitionByRange(
-                n_target, *sort_by
-            ).sortWithinPartitions(*sort_by)
+        # a hive-partitioned table (layout inherited by the commit
+        # below) must cluster tasks BY the partition columns: a plain
+        # repartition(n) gives every task rows of every partition
+        # value, so partitionBy fans each task out into every dir —
+        # n_target * n_dirs files, worse than before compaction.
+        # Range-partitioning on (partition cols + sort keys) keeps
+        # each dir's rows in a contiguous task range: file count is
+        # bounded by n_target + n_partition_values - 1 (a boundary
+        # task may straddle two values), and row-group data skipping
+        # on the sort keys still survives within each dir.
+        entry = mt._log_entry(version)
+        part_cols = list((entry or {}).get("partition_by") or [])
+        keys = part_cols + [c for c in (sort_by or []) if c not in part_cols]
+        if keys:
+            rewritten = df.repartitionByRange(n_target, *keys)
+            if sort_by:
+                rewritten = rewritten.sortWithinPartitions(*keys)
         else:
             rewritten = df.repartition(n_target)
         new_ver = mt.commit(rewritten, expect_version=version)

@@ -729,3 +729,34 @@ def test_unpointed_intent_is_not_readable_history(spark, tmp_path):
     assert tbl.version() == 2
     assert {r["v"] for r in tbl.read(spark, version=2).collect()} == {"v2"}
     assert [e["version"] for e in tbl.history()] == [2, 1]
+
+
+def test_compact_partitioned_table_bounds_files(spark, tmp_path):
+    """Compacting a hive-partitioned table must cluster tasks by the
+    partition columns: file count after compaction is bounded by
+    ~(n_target + n_partition_values), never n_target * n_dirs, and the
+    layout survives (commit inherits partition_by from the log)."""
+    import glob
+
+    from datapipeline_scraping_spark.operators.txn import compact_table
+
+    tbl = ManifestTable(str(tmp_path / "t"))
+    df = spark.range(20000).selectExpr("id", "id % 5 as d", "id * 3 as x")
+    tbl.commit(df.repartition(8), partition_by=["d"])
+    snap = tbl.snapshot_path()
+    before = len(glob.glob(f"{snap}/*/part-*"))
+    assert before >= 20  # 8 tasks x 5 dirs accreted small files
+    r = compact_table(spark, str(tmp_path / "t"), target_file_bytes=10**9)
+    assert r["compacted"] and r["files_after"] <= 5 + 1
+    snap = tbl.snapshot_path()
+    # layout preserved: still hive-partitioned by d, no flat files
+    assert len(glob.glob(f"{snap}/d=*/part-*")) == r["files_after"]
+    assert not glob.glob(f"{snap}/part-*")
+    assert tbl.read(spark).count() == 20000
+    # sort_by on top of partitioning: still bounded, still partitioned
+    tbl.commit(df.repartition(8))  # re-accrete small files (inherits d)
+    r2 = compact_table(
+        spark, str(tmp_path / "t"), target_file_bytes=10**9, sort_by=["x"]
+    )
+    assert r2["compacted"] and r2["files_after"] <= 5 + 1
+    assert tbl.read(spark).count() == 20000
