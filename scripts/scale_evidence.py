@@ -352,6 +352,10 @@ TXN_QUERIES = (
     "q147_version_changes",
     "q145_requeue_policy",
     "q146_adaptive_concurrency",
+    # batch construction: q148's two-pass global rank vs the 30%-hot
+    # source (the skew its rewrite exists for), q149's shard balance
+    "q148_length_buckets",
+    "q149_epoch_shuffle_shards",
 )
 
 CURATION_QUERIES = (
