@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from datapipeline_scraping_spark.operators.txn import (
     ConcurrentWriteError,
     ManifestTable,
+    SnapshotExpiredError,
     merge_write,
 )
 
@@ -760,3 +761,63 @@ def test_compact_partitioned_table_bounds_files(spark, tmp_path):
     )
     assert r2["compacted"] and r2["files_after"] <= 5 + 1
     assert tbl.read(spark).count() == 20000
+
+
+def test_concurrent_commits_keep_history_and_time_travel_consistent(
+    spark, tmp_path
+):
+    """Stress the r8 surface under write concurrency: 4 unconditional
+    writers x 3 commits race while the main thread reads history and
+    random retained versions. Invariants: final version == total
+    commits, history is strictly decreasing with no intent rows, every
+    retained version resolves and reads cleanly, and each version's
+    annotated writer tag matches the data that version holds."""
+    import random
+    import threading
+
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(0, "seed")]))
+    errors = []
+
+    def writer(i):
+        try:
+            mt = ManifestTable(str(tmp_path / "t"))
+            for j in range(3):
+                df = _df(spark, [(i * 10 + j, f"w{i}c{j}")])
+                ver = mt.commit(df, keep_snapshots=2)
+                mt.annotate(ver, writer=f"w{i}c{j}")
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    # reader races the writers: history + random time travel must never
+    # see torn or intent state
+    for _ in range(20):
+        hist = tbl.history()
+        vers = [e["version"] for e in hist]
+        assert vers == sorted(vers, reverse=True)
+        live = tbl.version() or 0
+        assert all(v <= live for v in vers)
+        retained = [e for e in hist if e["retained"]]
+        if retained:
+            e = random.choice(retained)
+            try:
+                rows = tbl.read(spark, version=e["version"]).collect()
+                assert len(rows) == 1
+            except (FileNotFoundError, SnapshotExpiredError):
+                pass  # GC'd between history() and read(): allowed race
+    for t in threads:
+        t.join()
+    assert not errors
+    assert tbl.version() == 13  # 1 seed + 4*3
+    hist = tbl.history()
+    assert [e["version"] for e in hist] == list(range(13, 0, -1))
+    # every annotated retained version's data matches its tag
+    for e in hist:
+        if not e["retained"] or e["version"] == 1:
+            continue
+        tag = tbl.commit_meta(e["version"]).get("writer")
+        rows = tbl.read(spark, version=e["version"]).collect()
+        assert len(rows) == 1 and rows[0]["v"] == tag, (e, rows, tag)
