@@ -718,3 +718,26 @@ def test_fold_queue_order_policy_changes_trace():
         "no LIFO round fired — raise failure rates so the policy is "
         "actually exercised"
     )
+
+
+def test_fold_queue_edges():
+    """Queue-fold edge cases: empty task list (no rounds), concurrency
+    larger than the queue (one round), zero failure rates (pure FIFO
+    drain in ceil(n/conc) rounds after the ramp kicks in)."""
+    from datapipeline_scraping_spark.operators.scheduling import fold_queue
+
+    assert fold_queue("s", [], conc0=2, max_conc=12) == ([], [])
+
+    rounds, tasks = fold_queue("s", [(1, 0), (2, 0)], conc0=10, max_conc=12)
+    assert len(rounds) == 1 and len(tasks) == 2
+    assert all(s == "done" and att == 1 for _, _, att, s, _ in tasks)
+
+    n = 25
+    rounds, tasks = fold_queue(
+        "s", [(t, 0) for t in range(n)], conc0=2, max_conc=12
+    )
+    # round 1 at conc 2, ramp to 10 after it (0% errors), then 10/round
+    assert [r[3] for r in rounds] == [2, 10, 10, 3]
+    assert len(tasks) == n and all(s == "done" for *_, s, _ in tasks)
+    # FIFO drain: completion order == task order
+    assert [t for _, t, *_ in tasks] == list(range(n))

@@ -207,3 +207,59 @@ def test_evolve_schema_lattice(shared, extra_new):
         [n for n, _ in extra_new]
     for n, t in extra_new:
         assert out_types[n] == t
+
+
+# ---------------------------------------------------------------------------
+# change-data-feed soundness (operators/txn.py::ManifestTable.diff)
+# ---------------------------------------------------------------------------
+
+@given(
+    v1=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(-5, 5)),
+        max_size=8, unique_by=lambda t: t[0],
+    ),
+    v2=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(-5, 5)),
+        max_size=8, unique_by=lambda t: t[0],
+    ),
+)
+@settings(**_SETTINGS)
+def test_cdf_applies_v1_to_v2(spark, tmp_path_factory, v1, v2):
+    """APPLY-soundness of the change data feed: for ANY two keyed
+    states, (v1 - deleted/update_pre keys) + insert/update_post rows
+    == v2 exactly, and unchanged keys emit no rows. This is the
+    contract an incremental consumer relies on when catching up from
+    version N by applying the feed instead of re-reading the table."""
+    from datapipeline_scraping_spark.operators.txn import ManifestTable
+
+    root = str(tmp_path_factory.mktemp("cdf"))
+    tbl = ManifestTable(root)
+    schema = "k long, x long"
+    tbl.commit(spark.createDataFrame(v1 or [(999, 0)], schema))
+    tbl.commit(spark.createDataFrame(v2 or [(998, 0)], schema))
+    v1_rows = {k: x for k, x in (v1 or [(999, 0)])}
+    v2_rows = {k: x for k, x in (v2 or [(998, 0)])}
+
+    feed = [
+        (r["_change_type"], r["k"], r["x"])
+        for r in tbl.diff(spark, 1, 2, ["k"]).collect()
+    ]
+    # no rows for unchanged keys
+    unchanged = {
+        k for k in v1_rows if k in v2_rows and v1_rows[k] == v2_rows[k]
+    }
+    assert not [f for f in feed if f[1] in unchanged]
+    # pre-images carry v1 values, post-images v2 values
+    for op, k, x in feed:
+        if op in ("delete", "update_preimage"):
+            assert x == v1_rows[k], (op, k)
+        else:
+            assert x == v2_rows[k], (op, k)
+    # apply the feed to v1 -> must equal v2 exactly
+    out = dict(v1_rows)
+    for op, k, x in feed:
+        if op == "delete":
+            del out[k]
+        elif op in ("insert", "update_postimage"):
+            out[k] = x
+    assert out == v2_rows
