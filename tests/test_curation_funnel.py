@@ -1,7 +1,9 @@
 """Curation-funnel execution-mode tests (curation.py::run_funnel) —
-VERDICT r6 item 5: the funnel must be green both in-memory and
-manifest-checkpointed, and a mid-funnel crash must resume from the
-last committed stage instead of recomputing it."""
+VERDICT r6 item 5 / r8 item 5: the funnel must be green both in-memory
+and manifest-checkpointed; durable mode makes ONE combined commit (the
+dedup set with a `keep3` decontamination flag) whose annotation carries
+every stage row, and a rerun/crash-resume over the same root recovers
+the rows from the commit log instead of recomputing."""
 
 from __future__ import annotations
 
@@ -27,14 +29,14 @@ def test_in_memory_and_checkpointed_modes_agree(spark, tmp_path):
     dur = _rows(run_funnel(spark, SF, checkpoint_root=str(tmp_path / "ck")))
     assert mem == dur
     assert len(mem) == 5
-    # durable mode committed both reused stage boundaries (r8: the
-    # first boundary is the dedup set s2 — the quality stage's funnel
-    # row rides s2's commit job as an Observation)
-    for stage in ("s2", "s3"):
-        tbl = ManifestTable(str(tmp_path / "ck" / stage))
-        assert tbl.exists() and tbl.version() == 1
-        # commit is annotated with its stages' metrics (resume source)
-        assert "stages" in tbl.commit_meta(1)
+    # durable mode made ONE combined commit (r9: s2 + keep3 flag —
+    # previously two sequential stage commits); its annotation carries
+    # the s1/s2/s3 rows (resume source)
+    tbl = ManifestTable(str(tmp_path / "ck" / "s23"))
+    assert tbl.exists() and tbl.version() == 1
+    stages = tbl.commit_meta(1).get("stages", {})
+    assert set(stages) == {"s1", "s2", "s3"}
+    assert "keep3" in tbl.read(spark).columns
 
 
 def test_in_memory_mode_leaves_no_cached_frames(spark):
@@ -51,31 +53,49 @@ def test_in_memory_mode_leaves_no_cached_frames(spark):
     assert jsc.getPersistentRDDs().size() <= before
 
 
-def test_crash_resumes_from_last_committed_stage(spark, tmp_path):
+def test_crash_before_commit_then_resume(spark, tmp_path):
     root = str(tmp_path / "ck")
-    # crash after s2 committed, before s3
+    # crash before the combined commit: nothing durable exists yet
     with pytest.raises(RuntimeError, match="injected crash"):
-        run_funnel(spark, SF, checkpoint_root=root, _fail_before="s3")
-    s2 = ManifestTable(os.path.join(root, "s2"))
-    s3 = ManifestTable(os.path.join(root, "s3"))
-    assert s2.exists() and s2.version() == 1
-    assert not s3.exists()
-
-    # resume: s2 must NOT be recommitted (version stays 1 — the
-    # completed stage is reused, not recomputed), s3 completes, and
-    # the funnel matches the clean run — including the s1 quality row,
-    # which the resumed run recovers from s2's commit annotation (no
-    # recompute of the quality pipeline)
+        run_funnel(spark, SF, checkpoint_root=root, _fail_before="s23")
+    tbl = ManifestTable(os.path.join(root, "s23"))
+    assert not tbl.exists()
+    # resume from nothing completes and matches the clean run
     got = _rows(run_funnel(spark, SF, checkpoint_root=root))
-    assert s2.version() == 1
-    assert s3.exists() and s3.version() == 1
+    assert tbl.exists() and tbl.version() == 1
     assert got == _rows(run_funnel(spark, SF))
 
 
-def test_crash_before_first_stage_leaves_clean_root(spark, tmp_path):
+def test_rerun_recovers_rows_from_annotation_without_recommit(spark, tmp_path):
+    """A rerun over an already-committed root must not recompute or
+    recommit: the stage rows come from the commit's annotation and the
+    table version stays 1."""
     root = str(tmp_path / "ck")
-    with pytest.raises(RuntimeError, match="injected crash"):
-        run_funnel(spark, SF, checkpoint_root=root, _fail_before="s2")
-    assert not ManifestTable(os.path.join(root, "s2")).exists()
-    # full resume from nothing still works
-    assert len(_rows(run_funnel(spark, SF, checkpoint_root=root))) == 5
+    first = _rows(run_funnel(spark, SF, checkpoint_root=root))
+    tbl = ManifestTable(os.path.join(root, "s23"))
+    assert tbl.version() == 1
+    again = _rows(run_funnel(spark, SF, checkpoint_root=root))
+    assert again == first
+    assert tbl.version() == 1  # reused, not recommitted
+
+
+def test_resume_survives_lost_annotation(spark, tmp_path):
+    """If the commit's annotation is missing (e.g. a crash between
+    commit and annotate), the resumed run falls back to recomputing
+    the stage rows from the committed snapshot / the s1 plan — same
+    five rows, still version 1."""
+    root = str(tmp_path / "ck")
+    clean = _rows(run_funnel(spark, SF, checkpoint_root=root))
+    tbl = ManifestTable(os.path.join(root, "s23"))
+    # strip the annotation the resume path would normally use
+    p = tbl._log_path(1)
+    import json
+
+    with open(p) as fh:
+        entry = json.load(fh)
+    entry.pop("meta", None)
+    with open(p, "w") as fh:
+        json.dump(entry, fh)
+    got = _rows(run_funnel(spark, SF, checkpoint_root=root))
+    assert got == clean
+    assert tbl.version() == 1
