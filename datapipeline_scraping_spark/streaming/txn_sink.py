@@ -1,0 +1,92 @@
+"""Exactly-once micro-batch sink into the transactional manifest table
+(VERDICT r8 item 7 — joining the streaming surface to the txn layer).
+
+Structured Streaming's ``foreachBatch`` is AT-LEAST-ONCE: after a crash
+between the sink's side effect and the checkpoint write, the restarted
+query re-delivers the same epoch with the same ``batch_id``. The sink
+here makes the composed pipeline exactly-once the same way Delta's
+``txnAppId``/``txnVersion`` idempotent writes do: every micro-batch
+MERGE commits through :class:`..operators.txn.ManifestTable` with the
+epoch id recorded ATOMICALLY in the commit's log entry, and a
+re-delivered epoch observes a committed epoch >= its own and no-ops —
+no second commit, no double-applied side effects.
+
+Reference anchor: the reference's daily incremental loop ends in a
+Postgres upsert whose transactionality makes replays harmless
+(``src/storage.py:41-53``, SURVEY §1.4); this is that guarantee on the
+engine's snapshot-ledger sink, for real micro-batched streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.merge import merge_into
+from ..operators.txn import ConcurrentWriteError, ManifestTable
+
+
+def last_applied_epoch(tbl: ManifestTable) -> int | None:
+    """The newest committed epoch id in the table's history, or None.
+    Scans history newest-first so maintenance commits interleaved by
+    other writers (compaction, manual repairs — which carry no epoch)
+    do not mask the guard."""
+    for e in tbl.history():
+        epoch = (e.get("meta") or {}).get("epoch")
+        if epoch is not None:
+            return int(epoch)
+    return None
+
+
+def manifest_epoch_sink(
+    root: str,
+    pk: str,
+    *,
+    transform=None,
+    keep_snapshots: int = 2,
+):
+    """Build a ``foreachBatch`` function writing exactly-once into the
+    :class:`ManifestTable` at ``root``.
+
+    Each delivery MERGEs the (optionally ``transform``-ed) batch into
+    the table by ``pk`` and commits with ``meta={"epoch": batch_id}``
+    under an ``expect_version`` CAS. Idempotence: a batch whose id is
+    <= the newest epoch in the commit log is a REPLAY (crash between
+    commit and checkpoint) and returns without committing — the
+    replayed epoch's effects are already durable, so the table version
+    does not advance. The CAS retry loop absorbs interleaved
+    maintenance writers (e.g. compaction); epoch ORDER is the
+    streaming engine's single-writer contract per checkpoint, which
+    Structured Streaming guarantees (one active query per checkpoint
+    location).
+
+    Scale shape: per micro-batch cost is one keyed merge join of
+    O(batch) source rows against the snapshot plus the atomic pointer
+    swap — the accreted small files are reclaimed by
+    ``compact_table`` without breaking the epoch guard (its commits
+    carry no epoch and are skipped by :func:`last_applied_epoch`)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tbl = ManifestTable(root)
+        df = transform(batch_df) if transform is not None else batch_df
+        for attempt in range(5):
+            applied = last_applied_epoch(tbl)
+            if applied is not None and int(batch_id) <= applied:
+                return  # replayed epoch: already durably committed
+            ver = tbl.version()
+            merged = merge_into(tbl.read(spark), df, pk) if ver else df
+            try:
+                tbl.commit(
+                    merged,
+                    expect_version=ver or 0,
+                    keep_snapshots=keep_snapshots,
+                    meta={"epoch": int(batch_id)},
+                )
+                return
+            except ConcurrentWriteError:
+                continue  # maintenance writer interleaved: rebase
+        raise ConcurrentWriteError(
+            f"{root}: epoch {batch_id} kept losing the commit CAS"
+        )
+
+    return sink

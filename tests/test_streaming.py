@@ -165,3 +165,50 @@ def test_stream_stream_join_evicts_state_across_batches(spark, tmp_path):
     # interval, not the whole history
     final_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
     assert final_state <= 3
+
+
+def test_manifest_epoch_sink_is_exactly_once(spark, tmp_path):
+    """VERDICT r8 item 7: the epoch sink's idempotence guard — the same
+    epoch delivered twice commits once; older epochs after a restart
+    no-op; maintenance commits without an epoch do not break the
+    guard."""
+    from datapipeline_scraping_spark.operators.txn import ManifestTable
+    from datapipeline_scraping_spark.streaming.txn_sink import (
+        last_applied_epoch,
+        manifest_epoch_sink,
+    )
+
+    root = str(tmp_path / "sink")
+    sink = manifest_epoch_sink(root, "k")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    b1 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+
+    sink(b0, 0)
+    sink(b1, 1)
+    tbl = ManifestTable(root)
+    assert tbl.version() == 2 and last_applied_epoch(tbl) == 1
+    got = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+    # redelivery of the live epoch (crash between commit and
+    # checkpoint): no new commit, same data
+    sink(b1, 1)
+    assert tbl.version() == 2
+    # a restart replaying an OLDER epoch also no-ops
+    sink(b0, 0)
+    assert tbl.version() == 2
+    assert {r["k"]: r["v"] for r in tbl.read(spark).collect()} == got
+
+    # a maintenance commit (no epoch) interleaves; the guard must look
+    # THROUGH it instead of treating the head as epoch-less
+    tbl.commit(tbl.read(spark).repartition(1))
+    assert tbl.version() == 3
+    sink(b1, 1)  # replay across the maintenance commit: still no-op
+    assert tbl.version() == 3
+    assert last_applied_epoch(tbl) == 1
+
+    # the next genuine epoch commits
+    sink(spark.createDataFrame([(4, "d")], "k long, v string"), 2)
+    assert tbl.version() == 4 and last_applied_epoch(tbl) == 2
+    got = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}

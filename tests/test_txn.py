@@ -974,3 +974,109 @@ def test_annotate_concurrent_updates_all_land(spark, tmp_path):
     assert all(results)
     meta = tbl.commit_meta(ver)
     assert {f"k{i}" for i in range(8)} <= set(meta)
+
+
+def test_file_stats_skipping_and_compaction_inheritance(spark, tmp_path):
+    """VERDICT r8 item 6: a stats_by commit records per-file [min,max]
+    in the log; pruned_files skips non-overlapping files; read_range
+    equals the full filtered read; and compaction inherits stats_by
+    like a table property, re-recording stats for its rewritten
+    files."""
+    from datapipeline_scraping_spark.operators.txn import compact_table
+
+    tbl = ManifestTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, i % 7, f"v{i}") for i in range(4000)], "k long, g long, v string"
+    )
+    tbl.commit(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        stats_by=["k"],
+    )
+    entry = tbl._log_entry(1)
+    assert entry["stats_cols"] == ["k"]
+    assert entry["file_stats"] and all(
+        "k" in st for st in entry["file_stats"].values()
+    )
+    kept, total = tbl.pruned_files("k", 100, 299)
+    assert total == 8 and 0 < len(kept) < total
+    got = (
+        tbl.read_range(spark, "k", 100, 299)
+        .filter("k between 100 and 299")
+        .count()
+    )
+    assert got == 200
+    # files with no overlap at all -> empty frame with the table schema
+    none = tbl.read_range(spark, "k", 10_000, 20_000)
+    assert none.count() == 0 and none.columns == ["k", "g", "v"]
+    # compaction inherits the stats columns (table property)
+    res = compact_table(
+        spark, str(tmp_path / "t"), target_file_bytes=1 << 30, sort_by=["k"]
+    )
+    if res["compacted"]:
+        e2 = tbl._log_entry(res["version"])
+        assert e2["stats_cols"] == ["k"] and e2["file_stats"]
+        full = tbl.read(spark).filter("k between 100 and 299").count()
+        pruned = (
+            tbl.read_range(spark, "k", 100, 299)
+            .filter("k between 100 and 299")
+            .count()
+        )
+        assert full == pruned == 200
+
+
+def test_read_range_rejects_partitioned_snapshots(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(10)], "k long, day string"
+    )
+    tbl.commit(df, partition_by=["day"], stats_by=["k"])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        tbl.read_range(spark, "k", 1, 5)
+
+
+def test_apply_diff_equals_full_rebuild(spark, tmp_path):
+    """VERDICT r8 item 3 (the distributed half of the property test):
+    maintaining a derived table by applying the CDF with recomputed
+    derived columns equals rebuilding it from the head state."""
+    from datapipeline_scraping_spark.operators.txn import apply_diff
+
+    base = ManifestTable(str(tmp_path / "base"))
+    v1 = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "k long, x long"
+    )
+    base.commit(v1)
+    # churn: drop %13, bump %9, insert 100..104
+    v2 = (
+        v1.filter("k % 13 != 0")
+        .withColumn(
+            "x",
+            F.when(F.col("k") % 9 == 0, F.col("x") + 1).otherwise(F.col("x")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(100 + i, i) for i in range(5)], "k long, x long"
+            )
+        )
+    )
+    base.commit(v2)
+    derive = lambda df: df.select("k", (F.col("x") * 2).alias("y"))  # noqa: E731
+    derived_v1 = derive(base.read(spark, version=1))
+    changes = base.diff(spark, 1, 2, ["k"])
+    applied = apply_diff(
+        derived_v1,
+        changes.select("_change_type", "k", (F.col("x") * 2).alias("y")),
+        ["k"],
+    )
+    rebuilt = derive(base.read(spark, version=2))
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+
+def test_commit_meta_is_atomic_with_commit(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a")]), meta={"epoch": 7})
+    assert tbl.commit_meta(1) == {"epoch": 7}
+    # annotate merges INTO the commit-time meta, not over it
+    tbl.annotate(1, extra="x")
+    assert tbl.commit_meta(1) == {"epoch": 7, "extra": "x"}
