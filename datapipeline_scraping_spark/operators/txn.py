@@ -26,7 +26,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -46,6 +46,13 @@ class SnapshotExpiredError(FileNotFoundError):
     version from an expired one — the same split Delta makes between
     `versionAsOf` out of range and `FileNotFoundException` on vacuumed
     data files."""
+
+
+class ConstraintViolationError(ValueError):
+    """A committed CHECK constraint evaluated FALSE for at least one
+    row of the incoming snapshot — the commit is aborted and the
+    staged files removed (Delta CHECK-constraint semantics: NULL
+    satisfies, FALSE rejects the whole transaction)."""
 
 
 class SchemaEvolutionError(ValueError):
@@ -137,7 +144,16 @@ def _stat_scalar(v):
 def _stat_overlaps(fmin, fmax, lo, hi) -> bool:
     """Conservative range-overlap test between a file's [fmin, fmax]
     and the query's [lo, hi] (either bound may be None = unbounded).
-    Mixed/unknown kinds keep the file (never skip on uncertainty)."""
+    Mixed/unknown kinds keep the file (never skip on uncertainty).
+
+    String comparisons truncate BOTH sides to the shorter length and
+    treat truncated-equal as overlap: a timestamp-backed date column
+    records file stats like ``'1997-08-31 00:00:00'`` while the
+    caller's bound is the bare date ``'1997-08-31'`` — a plain
+    lexicographic compare would call the stat *greater* than the
+    bound and wrongly SKIP a file whose min sits exactly on the
+    window's hi edge (silently dropping qualifying rows). Prefix-
+    equal means "same day, sub-day resolution unknown" — keep."""
     def norm(x):
         if isinstance(x, bool):
             return None
@@ -147,6 +163,13 @@ def _stat_overlaps(fmin, fmax, lo, hi) -> bool:
             return (1, x)
         return (1, str(x))  # dates etc.: ISO strings compare correctly
 
+    def lt(a, b) -> bool:
+        # strictly-less under conservative string truncation
+        if a[0] == 1:
+            k = min(len(a[1]), len(b[1]))
+            return a[1][:k] < b[1][:k]
+        return a < b
+
     nmin, nmax = norm(fmin), norm(fmax)
     if nmin is None or nmax is None:
         return True
@@ -154,13 +177,13 @@ def _stat_overlaps(fmin, fmax, lo, hi) -> bool:
         nlo = norm(lo)
         if nlo is None or nlo[0] != nmax[0]:
             return True
-        if nmax < nlo:
+        if lt(nmax, nlo):
             return False
     if hi is not None:
         nhi = norm(hi)
         if nhi is None or nhi[0] != nmin[0]:
             return True
-        if nmin > nhi:
+        if lt(nhi, nmin):
             return False
     return True
 
@@ -327,6 +350,7 @@ class ManifestTable:
         meta: dict | None = None,
         stats_cols: list[str] | None = None,
         file_stats: dict | None = None,
+        checks: dict | None = None,
     ) -> None:
         """Write the commit's log entry atomically (tmp + replace).
         Called inside the commit lock BEFORE the pointer swap; a crash
@@ -351,6 +375,8 @@ class ManifestTable:
             entry["stats_cols"] = list(stats_cols)
         if file_stats is not None:
             entry["file_stats"] = file_stats
+        if checks:
+            entry["checks"] = dict(checks)
         tmp = f"{self._log_path(version)}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -557,6 +583,102 @@ class ManifestTable:
             f"{self.root}: no commit at or before ts={ts}"
         )
 
+    def restore(
+        self,
+        version: int,
+        *,
+        expect_version: int | None = None,
+        keep_snapshots: int = 2,
+    ) -> int:
+        """Roll the table back to ``version`` as a NEW commit — Delta
+        ``RESTORE TABLE ... TO VERSION AS OF``: history is preserved
+        (the bad commits stay inspectable / re-restorable), readers
+        see the rollback atomically via the same pointer swap as any
+        writer, and concurrent commits are serialized by the same
+        lock + optional ``expect_version`` CAS.
+
+        METADATA-ONLY: the restored snapshot's files are HARDLINKED
+        from the source snapshot (falling back to copy where the
+        filesystem refuses), so restoring a 100 TB table moves zero
+        data bytes — exactly Delta's trick of re-listing the old
+        version's files in a new commit rather than rewriting them.
+        GC stays safe under links: removing the source snapshot's
+        directory only drops an inode refcount; the restored
+        snapshot's links keep the bytes alive. The new log entry
+        carries the source entry's schema, layout, stats, and CHECK
+        constraints forward, plus ``meta.restore_of``.
+
+        Raises :class:`SnapshotExpiredError` if ``version``'s files
+        were already GC'd (same contract as ``read(version=)``), and
+        :class:`ConcurrentWriteError` on a CAS miss."""
+        entry = self._log_entry(version)
+        if entry is None:
+            raise FileNotFoundError(
+                f"{self.root}: no commit log entry for version {version}"
+            )
+        src = os.path.join(self.root, entry["snapshot"])
+        if not os.path.isdir(src):
+            raise SnapshotExpiredError(
+                f"{self.root}: version {version} snapshot was garbage-"
+                f"collected; restore needs its files (raise retention)"
+            )
+        staged = os.path.join(
+            self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
+        )
+        try:
+            for d, _dirs, files in os.walk(src):
+                rel = os.path.relpath(d, src)
+                dst_dir = staged if rel == "." else os.path.join(staged, rel)
+                os.makedirs(dst_dir, exist_ok=True)
+                for f in files:
+                    sp, dp = os.path.join(d, f), os.path.join(dst_dir, f)
+                    try:
+                        os.link(sp, dp)
+                    except OSError:
+                        shutil.copy2(sp, dp)
+        except FileNotFoundError as exc:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise SnapshotExpiredError(
+                f"{self.root}: version {version} snapshot vanished during "
+                f"restore (concurrent GC) — retry or raise retention"
+            ) from exc
+        committed_ver: int | None = None
+        self._acquire_lock()
+        try:
+            ptr = self._pointer()
+            cur_ver = 0 if ptr is None else ptr[1]
+            if expect_version is not None and cur_ver != expect_version:
+                raise ConcurrentWriteError(
+                    f"{self.root}: version {cur_ver} != expected "
+                    f"{expect_version}"
+                )
+            new_ver = cur_ver + 1
+            snap = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
+            os.rename(staged, os.path.join(self.root, snap))
+            staged = os.path.join(self.root, snap)  # for error cleanup
+            self._write_log(
+                new_ver,
+                snap,
+                list(entry.get("partition_by") or []),
+                entry.get("schema"),
+                meta={**(entry.get("meta") or {}), "restore_of": version},
+                stats_cols=entry.get("stats_cols"),
+                file_stats=entry.get("file_stats"),
+                checks=entry.get("checks"),
+            )
+            tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
+            with open(tmp_ptr, "w") as fh:
+                fh.write(f"{snap}\n{new_ver}\n")
+            os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
+            self.last_snapshot = snap
+            committed_ver = new_ver
+        finally:
+            self._release_lock()
+            if committed_ver is None:
+                shutil.rmtree(staged, ignore_errors=True)
+        self._gc(keep=keep_snapshots)
+        return committed_ver
+
     def pruned_files(
         self,
         col: str,
@@ -615,15 +737,35 @@ class ManifestTable:
         is the mechanism. At 100 TB this is the difference between
         listing+scanning O(table) files and O(window) files for the
         date-windowed reads every incremental consumer issues."""
+        return self.read_where(spark, {col: (lo, hi)}, version=version)
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        ranges: dict,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Multi-column file-skipping read: scan only files whose
+        committed [min, max] overlaps EVERY ``{col: (lo, hi)}`` range
+        (conjunctive predicate). On a z-ordered snapshot
+        (:func:`zorder_key` via ``compact_table(zorder_by=...)``)
+        each listed dimension prunes independently — the point of
+        multi-dimensional clustering. Same coarse-pruning contract
+        and unpartitioned-snapshot restriction as :meth:`read_range`."""
         entry = self._log_entry(
             version if version is not None else (self.version() or 0)
         )
         if entry and entry.get("partition_by"):
             raise ValueError(
-                f"{self.root}: read_range targets unpartitioned snapshots "
-                f"(partitioned tables prune via partition filters)"
+                f"{self.root}: read_range/read_where target unpartitioned "
+                f"snapshots (partitioned tables prune via partition filters)"
             )
-        kept, _total = self.pruned_files(col, lo, hi, version=version)
+        if not ranges:
+            raise ValueError("read_where requires at least one column range")
+        kept: set[str] | None = None
+        for col, (lo, hi) in ranges.items():
+            files, _total = self.pruned_files(col, lo, hi, version=version)
+            kept = set(files) if kept is None else kept & set(files)
         schema = None
         if entry and entry.get("schema"):
             try:
@@ -637,7 +779,7 @@ class ManifestTable:
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(*kept)
+        return reader.parquet(*sorted(kept))
 
     # -- commit protocol ---------------------------------------------------
     def _acquire_lock(self, timeout: float = 30.0) -> None:
@@ -733,6 +875,7 @@ class ManifestTable:
         schema_mode: str = "evolve",
         meta: dict | None = None,
         stats_by: list[str] | None = None,
+        check: dict[str, str] | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot and atomically repoint.
 
@@ -780,13 +923,29 @@ class ManifestTable:
         predicates over a non-partition column (VERDICT r8 item 6 —
         Delta's dataSkipping stats). ``None`` inherits the live
         entry's stats columns (so compaction re-records them for the
-        rewritten files); ``[]`` disables deliberately."""
+        rewritten files); ``[]`` disables deliberately.
+
+        ``check``: named CHECK constraints (``{name: sql_predicate}``,
+        names must be valid identifiers) enforced on every commit —
+        Delta CHECK-constraint semantics: a row where the predicate
+        is FALSE aborts the whole commit with
+        :class:`ConstraintViolationError` (staged files removed,
+        pointer untouched); NULL satisfies. Violation counts ride the
+        snapshot write job itself via ``Observation`` — enforcement
+        costs ZERO extra scans, exactly how Delta validates
+        invariants during the write. ``None`` inherits the live
+        entry's constraints (a table property, like layout);
+        ``{}`` drops them deliberately. Inherited enforcement means
+        every path that funnels through ``commit`` — ``merge_write``,
+        the epoch sink, compaction — honors the table's constraints
+        automatically."""
         if schema_mode not in ("evolve", "replace"):
             raise ValueError(f"unknown schema_mode {schema_mode!r}")
         os.makedirs(self.root, exist_ok=True)
         orig_df = df
         want_partition_by = partition_by
         want_stats_by = stats_by
+        want_check = check
 
         def _shape(schema: T.StructType) -> list[tuple[str, T.DataType]]:
             # compare name+type only: align_to_schema's select cannot
@@ -818,11 +977,42 @@ class ManifestTable:
                 stats_cols = list(prev.get("stats_cols") or []) if prev else []
             else:
                 stats_cols = list(want_stats_by)
+            if want_check is None:
+                checks = dict(prev.get("checks") or {}) if prev else {}
+            else:
+                checks = dict(want_check)
             staged = f"snap-staging-{uuid.uuid4().hex[:12]}"
-            writer = df.write.mode("overwrite")
+            obs = None
+            df_w = df
+            if checks:
+                obs = Observation()
+                df_w = df.observe(
+                    obs,
+                    *[
+                        F.sum(
+                            F.when(
+                                ~F.coalesce(F.expr(pred), F.lit(True)), 1
+                            ).otherwise(0)
+                        ).alias(name)
+                        for name, pred in checks.items()
+                    ],
+                )
+            writer = df_w.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(os.path.join(self.root, staged))
+            if obs is not None:
+                bad = {n: v for n, v in obs.get.items() if v}
+                if bad:
+                    shutil.rmtree(
+                        os.path.join(self.root, staged), ignore_errors=True
+                    )
+                    raise ConstraintViolationError(
+                        f"{self.root}: CHECK constraint(s) violated, "
+                        f"commit aborted — rows failing each: {bad} "
+                        f"(predicates: "
+                        f"{ {n: checks[n] for n in bad} })"
+                    )
             schema_json = df.schema.json()
             file_stats = (
                 collect_file_stats(os.path.join(self.root, staged), stats_cols)
@@ -882,6 +1072,7 @@ class ManifestTable:
                         meta=meta,
                         stats_cols=stats_cols,
                         file_stats=file_stats,
+                        checks=checks,
                     )
                     tmp_ptr = os.path.join(
                         self.root, f".ptr-{uuid.uuid4().hex[:8]}"
@@ -1318,7 +1509,9 @@ def compact_table(
     root: str,
     *,
     target_file_bytes: int = 128 * 1024 * 1024,
+    target_files: int | None = None,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
     min_gain_files: int = 2,
 ) -> dict:
     """Small-files compaction for a :class:`ManifestTable` — the table
@@ -1342,7 +1535,24 @@ def compact_table(
     idempotent and cheap between real accretions. Reference anchor:
     maintenance the reference outsources to Postgres autovacuum
     (``src/storage.py:90-131``); same role as Delta OPTIMIZE /
-    Iceberg rewrite_data_files."""
+    Iceberg rewrite_data_files.
+
+    ``zorder_by`` (mutually exclusive with ``sort_by``) clusters the
+    rewrite on the interleaved-bit :func:`zorder_key` over 2+ columns
+    — Delta ``OPTIMIZE ZORDER BY``: each rewritten file covers a
+    small hyper-rectangle of the listed dimensions, so commit-log
+    min/max stats (``stats_by``, inherited) prune range reads on ANY
+    of them, not just a lexicographic leader. A z-order request
+    always rewrites (re-clustering is the point, not file count).
+
+    ``target_files`` pins the output file count directly (overrides
+    the bytes-derived count). Clustered layouts want this: skipping
+    selectivity is a function of how finely the curve is cut — a
+    z-order over k dims needs ≥ 2^k files before every dimension can
+    prune — and a fixed cut keeps layout (hence pruning behavior)
+    deterministic across table sizes."""
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
     mt = ManifestTable(root)
     # resolve the pointer ONCE: snapshot dir + version from the same
     # read, so the files measured, the data rewritten, and the CAS
@@ -1361,8 +1571,10 @@ def compact_table(
         )
     try:
         files_before, bytes_before = _snapshot_files(snap)
-        n_target = max(1, -(-bytes_before // max(1, target_file_bytes)))
-        if files_before - n_target < min_gain_files:
+        n_target = target_files or max(
+            1, -(-bytes_before // max(1, target_file_bytes))
+        )
+        if not zorder_by and files_before - n_target < min_gain_files:
             return {
                 "compacted": False,
                 "version": version,
@@ -1387,13 +1599,24 @@ def compact_table(
         # on the sort keys still survives within each dir.
         entry = mt._log_entry(version)
         part_cols = list((entry or {}).get("partition_by") or [])
-        keys = part_cols + [c for c in (sort_by or []) if c not in part_cols]
-        if keys:
-            rewritten = df.repartitionByRange(n_target, *keys)
-            if sort_by:
-                rewritten = rewritten.sortWithinPartitions(*keys)
+        if zorder_by:
+            zdf = df.withColumn("__zorder", zorder_key(df, list(zorder_by)))
+            zkeys = part_cols + ["__zorder"]
+            rewritten = (
+                zdf.repartitionByRange(n_target, *zkeys)
+                .sortWithinPartitions(*zkeys)
+                .drop("__zorder")
+            )
         else:
-            rewritten = df.repartition(n_target)
+            keys = part_cols + [
+                c for c in (sort_by or []) if c not in part_cols
+            ]
+            if keys:
+                rewritten = df.repartitionByRange(n_target, *keys)
+                if sort_by:
+                    rewritten = rewritten.sortWithinPartitions(*keys)
+            else:
+                rewritten = df.repartition(n_target)
         new_ver = mt.commit(rewritten, expect_version=version)
     except FileNotFoundError as exc:
         # a racing writer committed and its GC dropped our snapshot
@@ -1419,6 +1642,59 @@ def compact_table(
         "files_after": files_after,
         "bytes": bytes_before,
     }
+
+
+def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> Column:
+    """Interleaved-bit (Morton) clustering key over numeric / date /
+    timestamp columns — the multi-dimensional analogue of a sort key
+    (Delta ``OPTIMIZE ZORDER BY``): rows close in the z-key are close
+    in EVERY listed dimension, so range-clustering files by it gives
+    per-file min/max stats that prune on ANY of the columns, where a
+    lexicographic sort prunes only on its leading column.
+
+    Each column is affinely quantized to ``bits`` levels between its
+    global min and max (ONE tiny aggregate collects the 2×n driver
+    scalars — the same metadata pass Delta's optimizer runs), then the
+    bit planes are interleaved with pure JVM-side shift/mask
+    expressions — no UDF, stays in whole-stage codegen. NULLs quantize
+    to level 0 (cluster together at the low edge)."""
+    dts = dict(df.dtypes)
+    levels = (1 << bits) - 1
+
+    def as_num(c: str) -> Column:
+        col = F.col(c)
+        dt = dts[c]
+        if dt == "date":
+            return F.datediff(col, F.to_date(F.lit("1970-01-01"))).cast(
+                "double"
+            )
+        if dt.startswith("timestamp"):
+            return F.unix_micros(col.cast("timestamp")).cast("double")
+        return col.cast("double")
+
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.min(as_num(c)).alias(f"mn{i}"))
+        aggs.append(F.max(as_num(c)).alias(f"mx{i}"))
+    b = df.agg(*aggs).collect()[0]  # 2n scalars: metadata-pass only
+
+    n = len(cols)
+    z: Column | None = None
+    for i, c in enumerate(cols):
+        mn, mx = b[f"mn{i}"], b[f"mx{i}"]
+        if mn is None or mx is None or mx <= mn:
+            q = F.lit(0).cast("long")
+        else:
+            scaled = (as_num(c) - F.lit(float(mn))) / F.lit(float(mx - mn))
+            q = F.coalesce(
+                F.floor(scaled * levels), F.lit(0)
+            ).cast("long")
+            q = F.greatest(F.lit(0), F.least(F.lit(levels), q))
+        for j in range(bits):
+            bit = F.shiftrightunsigned(q, j).bitwiseAND(F.lit(1))
+            plane = F.shiftleft(bit, j * n + (n - 1 - i))
+            z = plane if z is None else z + plane
+    return z
 
 
 def sweep_stale_dirs(base: str, ttl_sec: float = 6 * 3600.0) -> int:

@@ -308,3 +308,216 @@ def q153_exactly_once_stream_sink(spark, sf_dir):
     assert tbl.version() == ver_before, "replayed epoch must not commit"
 
     return tbl.read(spark).select("user_id", "n_events", "n_types")
+
+
+# ===========================================================================
+# z-order clustering: data skipping on BOTH dimensions of a predicate
+# ===========================================================================
+
+_Q154_D0, _Q154_D1 = "1997-06-01", "1997-08-31"
+_Q154_S0, _Q154_S1 = 10, 25
+_Q154_LAYOUT = "z32-v1"  # bump to force re-clustering of stale scratch
+
+
+@q(
+    "q154_zorder_clustering",
+    oracle=f"""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+  {sql_exact_sum('l_extendedprice', 18, 2)} AS sum_price,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem
+WHERE l_shipdate BETWEEN DATE '{_Q154_D0}' AND DATE '{_Q154_D1}'
+  AND l_suppkey BETWEEN {_Q154_S0} AND {_Q154_S1}
+GROUP BY l_returnflag
+""",
+)
+def q154_zorder_clustering(spark, sf_dir):
+    """Z-order (Morton-interleaved) clustering — Delta's ``OPTIMIZE
+    ZORDER BY`` re-expressed on the manifest table: the ledger is
+    compacted on ``zorder_key(l_shipdate, l_suppkey)`` (bit planes of
+    both quantized dimensions interleaved, pure JVM shift/mask
+    expressions), so every rewritten file covers a small
+    date × supplier hyper-rectangle and the commit-log min/max stats
+    prune range reads on EITHER column. A lexicographic
+    ``sort_by=[l_shipdate]`` would prune only its leading column —
+    the in-query asserts require BOTH dimensions to skip files, which
+    is exactly what interleaving buys and sorting cannot.
+
+    The two-dimensional windowed read then resolves its file list via
+    ``read_where`` (intersection of per-column overlaps) and applies
+    the exact predicate on top. At 100 TB this is the standard layout
+    for fact tables probed by (time window × key range) — the scan
+    cost tracks the query rectangle, not the table."""
+    from .functions.numeric import exact_sum
+    from .operators.txn import ManifestTable, compact_table
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_suppkey", "l_returnflag", "l_extendedprice"
+    )
+    root = os.path.join(SCRATCH, f"ztable_{_key(sf_dir)}")
+    tbl = ManifestTable(root)
+    if not tbl.exists():
+        # accreted state: many unclustered files, stats recorded but
+        # useless for skipping (every file spans both full ranges)
+        tbl.commit(l.repartition(16), stats_by=["l_shipdate", "l_suppkey"])
+    if tbl.commit_meta(tbl.version() or 0).get("zordered") != _Q154_LAYOUT:
+        # 32 files = 5 leading z-bits (3 date × 2 supplier octants):
+        # enough cuts that EVERY dimension prunes, at any table size
+        compact_table(
+            spark,
+            root,
+            target_files=32,
+            zorder_by=["l_shipdate", "l_suppkey"],
+            min_gain_files=0,
+        )
+        tbl.annotate(tbl.version(), zordered=_Q154_LAYOUT)
+    kept_d, total = tbl.pruned_files("l_shipdate", _Q154_D0, _Q154_D1)
+    kept_s, _ = tbl.pruned_files("l_suppkey", _Q154_S0, _Q154_S1)
+    assert len(kept_d) < total, "no date-dimension skipping after z-order"
+    assert len(kept_s) < total, "no supplier-dimension skipping after z-order"
+    pruned = tbl.read_where(
+        spark,
+        {
+            "l_shipdate": (_Q154_D0, _Q154_D1),
+            "l_suppkey": (_Q154_S0, _Q154_S1),
+        },
+    )
+    return (
+        pruned.filter(
+            F.col("l_shipdate").between(_Q154_D0, _Q154_D1)
+            & F.col("l_suppkey").between(_Q154_S0, _Q154_S1)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            exact_sum("l_extendedprice", 18, 2).alias("sum_price"),
+            F.count_distinct("l_suppkey").cast("long").alias("n_suppliers"),
+        )
+    )
+
+
+# ===========================================================================
+# RESTORE: metadata-only rollback as a new commit (Delta RESTORE role)
+# ===========================================================================
+
+
+@q(
+    "q155_restore_rollback",
+    oracle=f"""
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {sql_exact_sum('o_totalprice', 18, 2)} AS sum_total
+FROM orders
+WHERE o_orderkey % 3 = 0
+GROUP BY o_orderpriority
+""",
+)
+def q155_restore_rollback(spark, sf_dir):
+    """Delta ``RESTORE TABLE ... TO VERSION AS OF`` re-expressed on the
+    manifest ledger: v1 is the good baseline, v2 is a corrupting
+    writer (totals negated), ``restore(1)`` rolls back AS A NEW
+    COMMIT — v3 — whose files are HARDLINKED from v1's snapshot
+    (``operators/txn.py::restore``): zero data bytes move, history
+    keeps the bad commit inspectable, and readers flip atomically via
+    the same pointer swap every writer uses. Reference anchor: the
+    operational answer to a bad scrape batch landing in the
+    reference's Postgres sink (``src/storage.py:41-53``), where the
+    only recourse is a manual DELETE — here it's one metadata commit.
+
+    At 100 TB the restore costs O(files) metadata ops, not O(data):
+    exactly Delta's trick of re-listing the old version's files in a
+    new commit. The aggregate then runs on the restored head and must
+    equal the v1 baseline bit-for-bit."""
+    from .functions.numeric import exact_sum
+    from .operators.txn import ManifestTable
+
+    base = _t(spark, sf_dir, "orders").filter("o_orderkey % 3 = 0").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = os.path.join(SCRATCH, f"restore_ledger_{_key(sf_dir)}")
+    tbl = ManifestTable(root)
+    if not tbl.exists():
+        tbl.commit(base)
+        tbl.commit(
+            base.withColumn(
+                "o_totalprice", -F.col("o_totalprice")
+            )  # the bad batch a buggy writer lands
+        )
+    head = tbl.version() or 0
+    if tbl.commit_meta(head).get("restore_of") != 1:
+        head = tbl.restore(1)
+    assert tbl.commit_meta(head).get("restore_of") == 1
+    # the rolled-back bad commit stays inspectable in history
+    assert any(e["version"] == 2 for e in tbl.history())
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            exact_sum("o_totalprice", 18, 2).alias("sum_total"),
+        )
+    )
+
+
+# ===========================================================================
+# CHECK constraints: commit-time invariant enforcement (zero extra scans)
+# ===========================================================================
+
+
+@q(
+    "q156_check_constraints",
+    oracle=f"""
+SELECT l_linestatus,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(MIN(l_quantity) AS BIGINT) AS min_qty
+FROM lineitem
+WHERE l_orderkey % 4 = 0
+GROUP BY l_linestatus
+""",
+)
+def q156_check_constraints(spark, sf_dir):
+    """Commit-time CHECK constraints (Delta invariants): the table is
+    created with ``check={"qty_pos": "l_quantity > 0"}``; a later
+    corrupted batch (negated quantities) is REJECTED atomically —
+    ``ConstraintViolationError``, staged files removed, pointer
+    untouched — and the table still reads as the last good commit.
+    Enforcement rides the snapshot write job via ``Observation``
+    (``operators/txn.py::commit``): violation counts come from the
+    same pass that writes the files, ZERO extra scans — exactly how
+    Delta validates invariants during the write, and the only
+    affordable shape at 100 TB. Constraints inherit as a table
+    property, so every writer that funnels through ``commit`` —
+    upserts, compaction, the streaming epoch sink — enforces them
+    without restating (the data-quality gate a training-data
+    ingestion pipeline needs at the storage layer, not in every
+    producer).
+
+    Reference anchor: the reference's only invariant is Postgres
+    column types (``src/storage.py:20-38``); arbitrary SQL
+    predicates at commit time are its generalization."""
+    from .operators.txn import ConstraintViolationError, ManifestTable
+
+    base = _t(spark, sf_dir, "lineitem").filter("l_orderkey % 4 = 0").select(
+        "l_orderkey", "l_linenumber", "l_linestatus", "l_quantity"
+    )
+    root = os.path.join(SCRATCH, f"check_ledger_{_key(sf_dir)}")
+    tbl = ManifestTable(root)
+    if not tbl.exists():
+        tbl.commit(base, check={"qty_pos": "l_quantity > 0"})
+    good_ver = tbl.version() or 0
+    # the corrupted batch must be rejected by the INHERITED constraint
+    rejected = False
+    try:
+        tbl.commit(base.withColumn("l_quantity", -F.col("l_quantity")))
+    except ConstraintViolationError:
+        rejected = True
+    assert rejected, "constraint did not reject the corrupted batch"
+    assert (tbl.version() or 0) == good_ver, "failed commit moved the pointer"
+    return (
+        tbl.read(spark)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("l_quantity").cast("long").alias("min_qty"),
+        )
+    )

@@ -1080,3 +1080,194 @@ def test_commit_meta_is_atomic_with_commit(spark, tmp_path):
     # annotate merges INTO the commit-time meta, not over it
     tbl.annotate(1, extra="x")
     assert tbl.commit_meta(1) == {"epoch": 7, "extra": "x"}
+
+
+def test_merge_write_concurrent_writers_both_land(spark, tmp_path):
+    """VERDICT r8 item 4's done criterion: two writers merge-upsert
+    concurrently with no manual coordination; merge_write's optimistic
+    rebase-and-retry (re-read + re-merge on ConcurrentWriteError)
+    serializes them so BOTH upserts land — no last-writer-wins, no
+    failure surfaced to either caller."""
+    import threading
+
+    path = str(tmp_path / "t")
+    ManifestTable(path).commit(_df(spark, [(0, "seed"), (1, "old")]))
+    errs: list[Exception] = []
+
+    def writer(rows):
+        try:
+            merge_write(spark, path, _df(spark, rows), "pk", writer="manifest")
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    t1 = threading.Thread(target=writer, args=([(1, "W1"), (10, "w1new")],))
+    t2 = threading.Thread(target=writer, args=([(2, "W2"), (20, "w2new")],))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert errs == []
+    got = {r["pk"]: r["v"] for r in ManifestTable(path).read(spark).collect()}
+    # both writers' keys present, seed untouched, writer-1's update applied
+    assert got == {
+        0: "seed", 1: "W1", 2: "W2", 10: "w1new", 20: "w2new",
+    }
+
+
+def test_stat_overlap_boundary_date_vs_timestamp_stat():
+    """Regression: a timestamp-backed date column records file stats as
+    '1997-08-31 00:00:00' while callers pass bare-date bounds
+    ('1997-08-31'). Plain lexicographic compare calls the stat GREATER
+    than the bound and skips a file whose min sits exactly on the
+    window's hi edge — dropping qualifying rows. The conservative
+    truncate-compare must keep such boundary files (and still prune
+    genuinely disjoint ones)."""
+    from datapipeline_scraping_spark.operators.txn import _stat_overlaps
+
+    # file min == hi bound at day resolution -> MUST keep
+    assert _stat_overlaps(
+        "1997-08-31 00:00:00", "1997-12-01 00:00:00", None, "1997-08-31"
+    )
+    # file max == lo bound at day resolution -> MUST keep
+    assert _stat_overlaps(
+        "1997-01-01 00:00:00", "1997-06-01 00:00:00", "1997-06-01", None
+    )
+    # genuinely disjoint stays pruned in both directions
+    assert not _stat_overlaps(
+        "1997-09-01 00:00:00", "1997-12-01 00:00:00", None, "1997-08-31"
+    )
+    assert not _stat_overlaps(
+        "1997-01-01 00:00:00", "1997-05-31 00:00:00", "1997-06-01", None
+    )
+    # numeric bounds unaffected
+    assert _stat_overlaps(10, 20, 20, 30)
+    assert not _stat_overlaps(10, 20, 21, 30)
+
+
+def test_zorder_prunes_every_listed_dimension(spark, tmp_path):
+    """compact_table(zorder_by=[a, b], target_files=...) must produce a
+    layout whose commit-log stats prune range reads on BOTH columns —
+    the property a lexicographic sort cannot give its trailing key —
+    and read_where (conjunctive ranges) must equal the full filtered
+    read."""
+    from datapipeline_scraping_spark.operators.txn import compact_table
+
+    tbl = ManifestTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, i % 97, (i * 31) % 89, f"v{i}") for i in range(6000)],
+        "k long, a long, b long, v string",
+    )
+    tbl.commit(df.repartition(8), stats_by=["a", "b"])
+    res = compact_table(
+        spark,
+        str(tmp_path / "t"),
+        target_files=16,
+        zorder_by=["a", "b"],
+        min_gain_files=0,
+    )
+    assert res["compacted"] and res["files_after"] == 16
+    kept_a, total = tbl.pruned_files("a", 10, 30)
+    kept_b, _ = tbl.pruned_files("b", 10, 30)
+    assert total == 16
+    assert len(kept_a) < total, "dimension a did not prune"
+    assert len(kept_b) < total, "dimension b did not prune"
+    pred = "a between 10 and 30 and b between 10 and 30"
+    full = tbl.read(spark).filter(pred).count()
+    pruned = (
+        tbl.read_where(spark, {"a": (10, 30), "b": (10, 30)})
+        .filter(pred)
+        .count()
+    )
+    assert full == pruned > 0
+    # sort_by/zorder_by are mutually exclusive
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact_table(
+            spark, str(tmp_path / "t"), sort_by=["a"], zorder_by=["b"]
+        )
+
+
+def test_restore_is_metadata_only_rollback(spark, tmp_path):
+    """Delta RESTORE semantics: restore(v) rolls the table back AS A
+    NEW COMMIT (history preserved), the restored read equals the old
+    version exactly, files are HARDLINKED (no data copy), and the
+    restored snapshot survives GC of its source snapshot."""
+    path = str(tmp_path / "t")
+    tbl = ManifestTable(path)  # default retention: source snapshot stays
+    tbl.commit(_df(spark, [(1, "good"), (2, "good2")]))
+    tbl.commit(_df(spark, [(1, "BAD"), (2, "BAD2"), (3, "BAD3")]))
+    ver = tbl.restore(1)
+    assert ver == 3 and tbl.version() == 3
+    got = {r["pk"]: r["v"] for r in tbl.read(spark).collect()}
+    assert got == {1: "good", 2: "good2"}
+    # history preserved: the bad commit is still inspectable
+    assert any(e["version"] == 2 for e in tbl.history())
+    # metadata-only: restored files share inodes with the source
+    entry = tbl._log_entry(3)
+    snap = os.path.join(path, entry["snapshot"])
+    links = [
+        os.stat(os.path.join(d, f)).st_nlink
+        for d, _sub, fs in os.walk(snap)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert links and all(n >= 2 for n in links)
+    # provenance recorded atomically with the commit
+    assert tbl.commit_meta(3).get("restore_of") == 1
+    # GC the hardlink SOURCE (v1) while keeping the restored snapshot
+    # (v3): unlinking the source only drops an inode refcount — the
+    # restored bytes must survive and the pinned read still succeed
+    src_snap = os.path.join(path, tbl._log_entry(1)["snapshot"])
+    aggressive = ManifestTable(path, retention_sec=0.0)
+    aggressive.commit(_df(spark, [(9, "x")]), keep_snapshots=2)  # v4
+    assert not os.path.isdir(src_snap), "GC should have removed v1"
+    got3 = {r["pk"]: r["v"] for r in aggressive.read(spark, version=3).collect()}
+    assert got3 == {1: "good", 2: "good2"}
+    # restoring a GC'd version is a clean error, not a crash
+    gone = [
+        v
+        for v in (1, 2)
+        if (e := aggressive._log_entry(v)) is not None
+        and not os.path.isdir(os.path.join(path, e["snapshot"]))
+    ]
+    if gone:
+        with pytest.raises(SnapshotExpiredError):
+            aggressive.restore(gone[0])
+    tbl = aggressive
+    # CAS miss surfaces as ConcurrentWriteError
+    with pytest.raises(ConcurrentWriteError):
+        tbl.restore(3, expect_version=1)
+
+
+def test_check_constraints_enforced_and_inherited(spark, tmp_path):
+    """Delta CHECK-constraint semantics on commit(): FALSE rows abort
+    the whole commit (staged files removed, pointer untouched), NULL
+    satisfies, constraints inherit as a table property so later
+    commits — including merge_write's — enforce them without
+    restating, and check={} drops them deliberately."""
+    from datapipeline_scraping_spark.operators.txn import (
+        ConstraintViolationError,
+    )
+
+    path = str(tmp_path / "t")
+    tbl = ManifestTable(path)
+    df_ok = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "pk long, qty int"
+    )
+    tbl.commit(df_ok, check={"qty_nonneg": "qty >= 0"})
+    assert tbl._log_entry(1)["checks"] == {"qty_nonneg": "qty >= 0"}
+
+    bad = spark.createDataFrame([(4, -5), (5, 50)], "pk long, qty int")
+    with pytest.raises(ConstraintViolationError, match="qty_nonneg"):
+        tbl.commit(bad)  # inherited — not restated
+    assert tbl.version() == 1  # pointer untouched
+    assert not [
+        d for d in os.listdir(path) if d.startswith("snap-staging")
+    ], "aborted commit must remove its staged files"
+
+    # a clean commit inherits and passes; restore carries checks too
+    tbl.commit(spark.createDataFrame([(6, 60)], "pk long, qty int"))
+    assert tbl._log_entry(2)["checks"] == {"qty_nonneg": "qty >= 0"}
+    tbl.restore(1)
+    assert tbl._log_entry(3)["checks"] == {"qty_nonneg": "qty >= 0"}
+
+    # check={} drops the table property
+    tbl.commit(bad, check={})
+    assert tbl.version() == 4
+    assert "checks" not in (tbl._log_entry(4) or {})
