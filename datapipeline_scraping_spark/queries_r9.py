@@ -521,3 +521,205 @@ def q156_check_constraints(spark, sf_dir):
             F.min("l_quantity").cast("long").alias("min_qty"),
         )
     )
+
+
+# ===========================================================================
+# TPC-H Q5 / Q10 / Q14 shapes — completes all 22 TPC-H query shapes
+# ===========================================================================
+
+_REV_SQL = (
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))"
+    " * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS DOUBLE)"
+)
+
+
+def _rev_col():
+    from .functions.numeric import dec
+
+    return dec("l_extendedprice", 12, 4) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+
+
+@q(
+    "q157_regional_supplier_volume",
+    oracle=f"""
+SELECT n_name, {_REV_SQL} AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def q157_regional_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape — local supplier volume: revenue per nation for
+    one region-year, counting only lineitems whose SUPPLIER sits in
+    the customer's own nation (the distinctive non-key equi condition
+    ``s_nationkey = c_nationkey`` rides the supplier join as a second
+    equi conjunct — Catalyst keys the shuffle on ``l_suppkey =
+    s_suppkey`` and evaluates the nation match in the same join, no
+    residual pass). nation ⋈ region collapses to a broadcast of ~25
+    pre-filtered rows; the only big shuffles are orders⋈customer and
+    lineitem⋈orders on their natural keys. The year filter prunes
+    orders at the scan (PushedFilters), shrinking both big joins'
+    probe sides before any shuffle.
+
+    Completes the 6-table TPC-H join family (with q02/q84/q85);
+    from-scratch PySpark, reference has no SQL surface."""
+    from .functions.numeric import to_double
+
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(asia_nations, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            to_double(F.sum(_rev_col())).alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q158_returned_items",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, n.n_name, {_REV_SQL} AS revenue,
+  CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q158_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape — returned-item reporting: the top 20 customers
+    by revenue lost to returns ('R' lineitems) in one quarter. The
+    group key carries the customer attributes (name, nation,
+    balance), so the aggregate keys on c_custkey and the attributes
+    ride along functionally dependent — no second join back to
+    customer after the agg. TopK is the per-partition-limit + 20-row
+    single-reducer merge (never a full sort); nation broadcasts; the
+    quarter filter prunes orders at the scan and the returnflag
+    filter prunes lineitem before its only shuffle. Tie-break pinned
+    by c_custkey for cross-engine determinism."""
+    from .functions.numeric import to_double
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(to_double(F.sum(_rev_col())).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "q159_promo_revenue",
+    oracle=f"""
+SELECT
+  CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(12,4))
+             * CAST(1 - l_discount AS DECIMAL(8,4))
+        ELSE CAST(0 AS DECIMAL(12,4)) END) AS DECIMAL(38,6)) AS DOUBLE)
+    AS promo_revenue,
+  {_REV_SQL} AS total_revenue,
+  CAST(100.0 AS DOUBLE)
+    * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(12,4))
+             * CAST(1 - l_discount AS DECIMAL(8,4))
+        ELSE CAST(0 AS DECIMAL(12,4)) END) AS DECIMAL(38,6)) AS DOUBLE)
+    / {_REV_SQL} AS promo_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l.l_shipdate < TIMESTAMP '1997-04-01'
+""",
+)
+def q159_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape — promotion effect: the share of one month's
+    revenue earned by PROMO-type parts, as a conditional aggregate
+    ratio in a single pass (no self-join, no second scan). Both sums
+    run through the exact-decimal funnel, so the final double
+    division is a correctly-rounded IEEE op on identical operands in
+    both engines — the ratio is bit-stable cross-engine. part joins
+    on partkey after the month filter prunes lineitem at the scan;
+    completes the TPC-H shape inventory at 22/22."""
+    from .functions.numeric import to_double
+
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _rev_col()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(12,4)")
+    )
+    agged = (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            to_double(F.sum(promo)).alias("promo_revenue"),
+            to_double(F.sum(rev)).alias("total_revenue"),
+        )
+    )
+    return agged.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+    )
