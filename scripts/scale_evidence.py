@@ -365,6 +365,15 @@ TXN_QUERIES = (
     "q151_cdf_incremental_index",
     "q152_file_skipping_scan",
     "q153_exactly_once_stream_sink",
+    # r9b: z-order keeps BOTH query dimensions pruning as lineitem
+    # grows 10x (the cut count is pinned, so per-file rectangles
+    # cover the same key fractions); restore stays metadata-only
+    # (hardlinks — cost tracks file count, not the 10x bytes);
+    # constraint enforcement rides the write job (no extra scan, and
+    # the rejected 10x batch must abort without moving the pointer)
+    "q154_zorder_clustering",
+    "q155_restore_rollback",
+    "q156_check_constraints",
 )
 
 CURATION_QUERIES = (
