@@ -189,3 +189,72 @@ def load_config(path: str) -> ClassifierConfig:
         fallback=raw.get("fallback", "otros"),
         batch_size=int(raw.get("gemini", {}).get("batch_size", 20)),
     )
+
+
+def hashed_feature_weights(spark, n_buckets: int = 512) -> DataFrame:
+    """Deterministic stand-in (bucket, w_milli) model table for
+    :func:`hashed_linear_score`: integer milli-weights in
+    [-1000, 1000] derived from md5 so the scoring aggregate stays
+    exact-integer (bit-stable cross-engine). A trained model's
+    (bucket, weight) export has exactly this shape."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("b"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w|"), F.col("id").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
+        ).alias("w_milli"),
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 512,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Model-based quality scoring with the feature-hashing trick —
+    the fastText/CCNet linear-classifier shape (hash each token into
+    ``n_buckets`` buckets, dot the bucket counts with a weight vector):
+    the learned filter a pretraining pipeline runs after rule-based
+    quality and before dedup. Returns ``[id, n_tokens, sum_w]``; the
+    caller thresholds (``sum_w > 0``) or normalizes
+    (``sum_w / (n_tokens * 1000.0)``).
+
+    ``weights`` is a ``(b, w_milli)`` DataFrame joined as a BROADCAST
+    dimension — exactly how a trained model's export plugs in; defaults
+    to :func:`hashed_feature_weights`.
+
+    Scale: corpus-state-free — one map-side explode+hash, a broadcast
+    hash join against the tiny model table (the fact side never
+    shuffles for the join), and ONE id-keyed aggregation with map-side
+    partial sums. Unlike corpus-statistics scores (rarity, entropy —
+    q117/q93), a fixed model scores each partition independently: the
+    shape that survives 100 TB."""
+    if weights is None:
+        weights = hashed_feature_weights(df.sparkSession, n_buckets)
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+    ).select(
+        F.col(id_col),
+        (
+            F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("b"),
+    )
+    return (
+        toks.join(F.broadcast(weights), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w_milli").cast("long").alias("sum_w"),
+        )
+    )

@@ -451,3 +451,100 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def positional_shingles(
+    df: DataFrame, id_col: str, text_col: str, *, k: int
+) -> DataFrame:
+    """Exploded k-token window relation ``[id, pos, s]`` where ``pos``
+    is the 1-based start token index — :func:`shingle_relation` with
+    the position kept, for consumers that need to know WHERE a window
+    sits (span dedup, winnowing-style fingerprint localization).
+
+    Same codegen-safe shape as :func:`shingle_relation` (explode the
+    start index, flat slice/concat_ws — nested HOFs miscompile on
+    Spark 4.1), same explicit repartition so a one-file corpus does
+    not serialize the explode onto a single task."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .repartition(n_part, F.col(id_col))
+        .filter(F.size(F.col("__toks")) >= k)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(
+                F.sequence(F.lit(1), F.size(F.col("__toks")) - F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.concat_ws(" ", F.slice(F.col("__toks"), F.col("pos"), F.lit(k))).alias(
+                "s"
+            ),
+        )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 7,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN statistics per document — the distributed
+    form of Lee et al. 2021's suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better"): any
+    k-token window whose exact text occurs >= ``min_count`` times
+    anywhere in the corpus marks its tokens as duplicated; per
+    document, overlapping/adjacent marked windows merge into maximal
+    spans. Returns ``[id, n_dup_spans, dup_tokens, max_span]`` for
+    documents that have at least one duplicated span (left-join onto
+    the corpus and coalesce to zero for full coverage). Repeats WITHIN
+    one document count toward ``min_count`` too, as in the paper.
+
+    Uniform window length makes the merge a pure gap-and-island test —
+    a new span starts when ``pos - prev > k`` (windows at gap <= k
+    cover a contiguous token range), so the union of windows in an
+    island is exactly ``[min_pos, max_pos + k - 1]`` and
+    ``span_len = max_pos - min_pos + k`` with no per-token bookkeeping.
+
+    Sub-document granularity the reference cannot express (its dedup is
+    whole-row checksum first-wins, ``src/transform.py:118-126``).
+
+    Scale: one shuffle groups exploded windows by exact text (map-side
+    partial counts collapse the unique majority before the wire), one
+    shuffle joins the duplicated set back (at 100 TB key both sides on
+    the 128-bit digest instead of the raw string — same plan, narrower
+    rows), and the island merge runs in an id-partitioned window whose
+    partitioning both downstream aggregates reuse (hash(id) satisfies
+    the (id, island) clustering — no fourth exchange)."""
+    sh = positional_shingles(df, id_col, text_col, k=k)
+    dup = sh.groupBy("s").count().filter(F.col("count") >= min_count).select("s")
+    hits = sh.join(dup, "s").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = (
+        hits.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "flag",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "island",
+            F.sum("flag").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = isl.groupBy(id_col, "island").agg(
+        (F.max("pos") - F.min("pos") + F.lit(k)).alias("span_len")
+    )
+    return spans.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum("span_len").cast("long").alias("dup_tokens"),
+        F.max("span_len").cast("long").alias("max_span"),
+    )

@@ -113,3 +113,50 @@ def pack_sequences(
         "seq_id",
         F.floor((F.col("_psum") - F.col(weight)) / float(ctx)).cast("long"),
     ).drop("_psum")
+
+
+def overlapping_chunks(
+    df, id_col: str, text_col: str, *, chunk: int = 32, stride: int = 24
+):
+    """Overlapping token-window chunking — the retrieval-indexing /
+    context-window step between curation and embedding in a RAG or
+    long-context pipeline: fixed ``chunk``-token windows every
+    ``stride`` tokens (``chunk - stride`` token overlap so no boundary
+    sentence is lost), each with an md5 content hash for chunk-level
+    dedup/caching downstream. Returns ``[id, chunk_id, start_tok,
+    chunk_tokens, chunk_text, chunk_hash]``.
+
+    The start grid ``1, 1+stride, ...`` is capped at
+    ``max(1, n - chunk + stride)``: the largest start then exceeds
+    ``n - chunk``, so the final window always reaches the last token,
+    and a short document still yields its one (short) chunk.
+
+    Scale: map-only — explode a bounded arithmetic sequence, then flat
+    slice/concat_ws (codegen-safe; nested HOFs miscompile on Spark
+    4.1); ZERO exchanges, so output stays co-partitioned with the scan
+    and pipelines into whatever consumes it. ~ceil(n/stride) rows per
+    document, linear in corpus size."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(F.col("__toks"))
+    starts = df.select(F.col(id_col), toks.alias("__toks")).select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.lit(1), n - F.lit(chunk) + F.lit(stride)),
+                F.lit(stride),
+            )
+        ).alias("__s"),
+    )
+    chunk_text = F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__s"), F.lit(chunk)))
+    return starts.select(
+        F.col(id_col),
+        ((F.col("__s") - 1) / stride).cast("long").alias("chunk_id"),
+        F.col("__s").cast("long").alias("start_tok"),
+        F.least(F.lit(chunk), F.size(F.col("__toks")) - F.col("__s") + 1)
+        .cast("long")
+        .alias("chunk_tokens"),
+        chunk_text.alias("chunk_text"),
+        F.md5(chunk_text).alias("chunk_hash"),
+    )

@@ -1,0 +1,208 @@
+"""Round-9 second wave — training-data hygiene ops beyond the
+reference's surface: exact duplicate-SPAN detection (the substring
+dedup of Lee et al. 2021, "Deduplicating Training Data Makes Language
+Models Better"), RAG-style overlapping token chunking, and
+feature-hashed model-based quality scoring (the fastText/CCNet filter
+shape, with the model as a broadcast dimension table).
+
+Reference anchors: the reference dedups whole rows by checksum only
+(``src/transform.py:118-126`` first-wins); these generalize that to
+sub-document granularity (spans), retrieval granularity (chunks), and
+learned-filter granularity (hashed linear scorer) — the three shapes a
+pretraining pipeline layers on top of row-level dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import _t, q
+
+# ===========================================================================
+# exact duplicate-span detection (Lee et al. 2021 substring dedup)
+# ===========================================================================
+
+_SPAN_K = 7  # tokens per exact-match window
+_SPAN_MAX_FRAC = 0.5  # keep docs whose duplicated-token share is below this
+
+
+@q(
+    "q160_duplicate_spans",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+posrel AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - {_SPAN_K - 1})) AS pos, t
+  FROM base WHERE len(t) >= {_SPAN_K}
+),
+sh AS (
+  SELECT doc_id, pos, array_to_string(t[pos:pos + {_SPAN_K - 1}], ' ') AS s
+  FROM posrel
+),
+dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (s)),
+isl AS (
+  SELECT doc_id, pos,
+    SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_K} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM hits
+  )
+),
+spans AS (
+  SELECT doc_id, island, MAX(pos) - MIN(pos) + {_SPAN_K} AS span_len
+  FROM isl GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+    CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+    CAST(MAX(span_len) AS BIGINT) AS max_span
+  FROM spans GROUP BY 1
+)
+SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_tokens,
+  COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+  COALESCE(a.dup_tokens, 0) AS dup_tokens,
+  COALESCE(a.max_span, 0) AS max_span,
+  round(COALESCE(a.dup_tokens, 0) / CAST(len(b.t) AS DOUBLE), 4) AS dup_frac,
+  CAST(COALESCE(a.dup_tokens, 0) / CAST(len(b.t) AS DOUBLE)
+       < {_SPAN_MAX_FRAC} AS BIGINT) AS keep
+FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+""",
+)
+def q160_duplicate_spans(spark, sf_dir):
+    """Exact duplicate-SPAN detection over ``documents`` — the
+    distributed form of Lee et al. 2021's suffix-array substring dedup
+    via :func:`operators.dedup.duplicate_spans` (see its docstring for
+    the gap-and-island merge and the 100 TB shuffle budget): any 7-token
+    window occurring >= 2 times anywhere in the corpus marks its tokens,
+    marked windows merge into maximal spans per doc, and the doc keeps
+    only if its duplicated-token share stays under 50 %. Left join back
+    onto the corpus so clean documents report zeros (row per doc)."""
+    from .operators.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    agg = duplicate_spans(docs, "doc_id", "text", k=_SPAN_K)
+    nt = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        docs.select("doc_id", nt.alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.coalesce("max_span", F.lit(0)).alias("max_span"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("dup_frac"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens").cast("double")
+                < _SPAN_MAX_FRAC
+            )
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
+# ===========================================================================
+# overlapping token chunking (RAG / context-window indexing)
+# ===========================================================================
+
+_CHUNK = 32  # tokens per chunk
+_STRIDE = 24  # tokens between chunk starts (overlap = _CHUNK - _STRIDE)
+
+
+@q(
+    "q161_overlapping_chunks",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+    unnest(generate_series(
+      1, greatest(1, len(t) - {_CHUNK} + {_STRIDE}), {_STRIDE})) AS s
+  FROM base
+)
+SELECT doc_id,
+  CAST((s - 1) / {_STRIDE} AS BIGINT) AS chunk_id,
+  CAST(s AS BIGINT) AS start_tok,
+  CAST(least({_CHUNK}, len(t) - s + 1) AS BIGINT) AS chunk_tokens,
+  array_to_string(t[s:s + {_CHUNK - 1}], ' ') AS chunk_text,
+  md5(array_to_string(t[s:s + {_CHUNK - 1}], ' ')) AS chunk_hash
+FROM starts
+""",
+)
+def q161_overlapping_chunks(spark, sf_dir):
+    """Overlapping token-window chunking of ``documents`` — the
+    retrieval-indexing / context-window step every RAG or long-context
+    pipeline runs between curation and embedding, via
+    :func:`operators.packing.overlapping_chunks` (32-token chunks every
+    24 tokens; map-only, ZERO exchanges — see the operator docstring).
+    Distinct from q120/q132 (greedy packing into a budget) and q119
+    (paragraph-hash dedup): chunking is a pure per-document
+    projection."""
+    from .operators.packing import overlapping_chunks
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return overlapping_chunks(docs, "doc_id", "text", chunk=_CHUNK, stride=_STRIDE)
+
+
+# ===========================================================================
+# feature-hashed model-based quality scoring (fastText/CCNet filter shape)
+# ===========================================================================
+
+_FH_BUCKETS = 512
+
+
+@q(
+    "q162_hashed_classifier",
+    oracle=f"""
+WITH weights AS (
+  SELECT b, CAST('0x' || substr(md5('w|' || CAST(b AS VARCHAR)), 1, 8)
+               AS BIGINT) % 2001 - 1000 AS w_milli
+  FROM (SELECT unnest(generate_series(0, {_FH_BUCKETS - 1})) AS b)
+),
+toks AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_FH_BUCKETS} AS b
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+scored AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(w.w_milli) AS BIGINT) AS sum_w
+  FROM toks t JOIN weights w ON w.b = t.b
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+  round(sum_w / (n_tokens * 1000.0), 6) AS score,
+  CAST(sum_w > 0 AS BIGINT) AS keep
+FROM scored
+""",
+)
+def q162_hashed_classifier(spark, sf_dir):
+    """Feature-hashed model-based quality filtering of ``documents`` —
+    the fastText/CCNet linear-classifier shape via
+    :func:`operators.classify.hashed_linear_score` (hash tokens into
+    512 buckets, broadcast-join the (bucket, weight) model table, one
+    map-side-combinable doc aggregation — see the operator docstring
+    for why the corpus-state-free shape is the one that survives
+    100 TB). Weights are the deterministic md5-derived stand-in
+    (exact integer milli-weights), thresholded at sum > 0."""
+    from .operators.classify import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = hashed_linear_score(docs, "doc_id", "text", n_buckets=_FH_BUCKETS)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("sum_w") / (F.col("n_tokens") * F.lit(1000.0)), 6).alias(
+            "score"
+        ),
+        (F.col("sum_w") > 0).cast("long").alias("keep"),
+    )

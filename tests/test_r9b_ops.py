@@ -1,0 +1,169 @@
+"""Unit tests for the round-9 second-wave operators: duplicate-span
+detection (Lee et al. substring dedup), overlapping token chunking,
+and feature-hashed linear scoring."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from datapipeline_scraping_spark.operators.classify import (
+    hashed_feature_weights,
+    hashed_linear_score,
+)
+from datapipeline_scraping_spark.operators.dedup import (
+    duplicate_spans,
+    positional_shingles,
+)
+from datapipeline_scraping_spark.operators.packing import overlapping_chunks
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_cross_doc_merge(spark):
+    # docs 1 and 2 share an 8-token run -> two overlapping 7-windows
+    # each (pos 3,4 in doc 1; pos 1,2 in doc 2), merging to ONE span of
+    # 8 tokens per doc.
+    shared = "a b c d e f g h"
+    d1 = "x y " + shared + " z"  # run at tokens 3..10 of 11
+    d2 = shared + " p q r"  # run at tokens 1..8 of 11
+    d3 = "unique tokens only here nothing repeats at all ok fine yes"
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_spans(
+            _docs(spark, [(1, d1), (2, d2), (3, d3)]), "doc_id", "text", k=7
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_dup_spans"] == 1
+    assert out[1]["dup_tokens"] == 8
+    assert out[1]["max_span"] == 8
+    assert out[2]["dup_tokens"] == 8
+
+
+def test_duplicate_spans_within_doc_repeat_counts(spark):
+    # a 7-gram repeated WITHIN one doc reaches min_count=2 on its own
+    # (as in Lee et al.: any second occurrence marks both).
+    seven = "t1 t2 t3 t4 t5 t6 t7"
+    doc = seven + " mid " + seven
+    out = duplicate_spans(
+        _docs(spark, [(1, doc)]), "doc_id", "text", k=7
+    ).collect()
+    assert len(out) == 1
+    # occurrences at pos 1 and pos 9: gap 8 > k=7 -> two separate spans
+    assert out[0]["n_dup_spans"] == 2
+    assert out[0]["dup_tokens"] == 14
+
+
+def test_duplicate_spans_short_and_clean_docs_absent(spark):
+    out = duplicate_spans(
+        _docs(spark, [(1, "too short"), (2, "all these words differ fully now yes")]),
+        "doc_id",
+        "text",
+        k=7,
+    ).collect()
+    assert out == []
+
+
+def test_positional_shingles_positions(spark):
+    rows = positional_shingles(
+        _docs(spark, [(1, "a b c d")]), "doc_id", "text", k=3
+    ).collect()
+    got = {(r["pos"], r["s"]) for r in rows}
+    assert got == {(1, "a b c"), (2, "b c d")}
+
+
+# ---------------------------------------------------------------------------
+# overlapping_chunks
+# ---------------------------------------------------------------------------
+
+
+def test_overlapping_chunks_grid_and_tail(spark):
+    toks = [f"w{i}" for i in range(1, 57)]  # 56 tokens
+    out = (
+        overlapping_chunks(
+            _docs(spark, [(1, " ".join(toks))]), "doc_id", "text"
+        )
+        .orderBy("chunk_id")
+        .collect()
+    )
+    # cap = n - chunk + stride = 48, so starts are 1 and 25; the
+    # 25-start window reaches token 56 — full coverage, no third chunk
+    assert [r["start_tok"] for r in out] == [1, 25]
+    assert [r["chunk_tokens"] for r in out] == [32, 32]
+    # the last chunk reaches the final token
+    assert out[-1]["chunk_text"].split(" ")[-1] == "w56"
+    # overlap: chunk 1 ends at token 32, chunk 2 starts at 25
+    assert out[1]["chunk_text"].split(" ")[0] == "w25"
+    # content hash matches md5 of the chunk text
+    assert (
+        out[0]["chunk_hash"]
+        == hashlib.md5(out[0]["chunk_text"].encode()).hexdigest()
+    )
+
+
+def test_overlapping_chunks_short_doc_single_chunk(spark):
+    out = overlapping_chunks(
+        _docs(spark, [(1, "a b c")]), "doc_id", "text"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["chunk_tokens"] == 3
+    assert out[0]["chunk_text"] == "a b c"
+
+
+def test_overlapping_chunks_is_shuffle_free(spark):
+    plan = overlapping_chunks(
+        _docs(spark, [(1, "a b c")]), "doc_id", "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# hashed_linear_score
+# ---------------------------------------------------------------------------
+
+
+def _py_bucket(tok: str, n_buckets: int) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _py_weight(b: int) -> int:
+    return int(hashlib.md5(f"w|{b}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+
+def test_hashed_linear_score_matches_pure_python(spark):
+    text = "spark filter join group filter spark"
+    out = hashed_linear_score(
+        _docs(spark, [(1, text)]), "doc_id", "text", n_buckets=512
+    ).collect()
+    toks = text.split(" ")
+    expect = sum(_py_weight(_py_bucket(t, 512)) for t in toks)
+    assert out[0]["n_tokens"] == len(toks)
+    assert out[0]["sum_w"] == expect
+
+
+def test_hashed_linear_score_custom_weights(spark):
+    # all-ones model: sum_w == token count
+    w = spark.range(8).select(
+        F.col("id").alias("b"), F.lit(1).cast("long").alias("w_milli")
+    )
+    out = hashed_linear_score(
+        _docs(spark, [(1, "a b c d e")]), "doc_id", "text", n_buckets=8, weights=w
+    ).collect()
+    assert out[0]["sum_w"] == 5
+
+
+def test_hashed_feature_weights_range_and_determinism(spark):
+    rows = hashed_feature_weights(spark, 64).collect()
+    assert len(rows) == 64
+    assert all(-1000 <= r["w_milli"] <= 1000 for r in rows)
+    again = hashed_feature_weights(spark, 64).collect()
+    assert rows == again
