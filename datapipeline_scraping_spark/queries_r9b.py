@@ -206,3 +206,86 @@ def q162_hashed_classifier(spark, sf_dir):
         ),
         (F.col("sum_w") > 0).cast("long").alias("keep"),
     )
+
+
+# ===========================================================================
+# the scrape source as a registered Spark data source (Python DataSource API)
+# ===========================================================================
+
+
+@q(
+    "q163_scrape_datasource",
+    oracle="""
+SELECT p AS page, i AS row_idx,
+  'p' || CAST(p AS VARCHAR) || '-r' || CAST(i AS VARCHAR) AS lookup_key,
+  'payload-' || CAST(p * 10 + i AS VARCHAR) AS payload
+FROM UNNEST(generate_series(0, 7)) AS t(p),
+  UNNEST(generate_series(0, 9)) AS u(i)
+""",
+)
+def q163_scrape_datasource(spark, sf_dir):
+    """The paginated crawl as a REGISTERED format — Spark 4's Python
+    DataSource API (sources/scrape_datasource.py): the same S1+S3+S4
+    fetch/parse/retry seam as q46, but surfaced as
+    ``spark.read.format("scrape")`` with string options, usable from
+    pure SQL (``CREATE TEMPORARY VIEW ... USING scrape``) and as a
+    checkpointed stream source whose offset is the crawl frontier.
+    One InputPartition per page — the task scheduler is the bounded
+    concurrency executor; fetch runs on executors, never the driver."""
+    from .sources.scrape_datasource import register
+
+    _t(spark, sf_dir, "region")  # session prepare parity with peers
+    register(spark)
+    return spark.read.format("scrape").option("max_pages", 8).load()
+
+
+# ===========================================================================
+# schema-less JSON via VariantType (Spark 4 semi-structured ingestion)
+# ===========================================================================
+
+
+@q(
+    "q164_variant_json",
+    oracle="""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS sum_k,
+  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS min_k,
+  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS max_k,
+  CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+    AS BIGINT) AS n_distinct_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q164_variant_json(spark, sf_dir):
+    """Schema-LESS semi-structured ingestion via Spark 4 VariantType:
+    ``parse_json`` encodes ``events.props`` into the binary variant
+    form once at the scan, ``variant_get('$.k')`` extracts typed paths
+    with no user-declared schema — the ingestion mode for crawl
+    payloads whose shape drifts faster than a ``from_json`` schema can
+    (q37 is the declared-schema twin; variant is what a scraping
+    pipeline actually wants on day one of a site change).
+
+    Scale: variant decode + path extraction are JVM expressions inside
+    the scan projection (no Python, no schema inference pass over the
+    corpus — inference at 100 TB is a full extra scan); the aggregate
+    is one map-side-combinable groupBy on a low-cardinality key."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.variant_get(F.col("v"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )

@@ -167,3 +167,67 @@ def test_hashed_feature_weights_range_and_determinism(spark):
     assert all(-1000 <= r["w_milli"] <= 1000 for r in rows)
     again = hashed_feature_weights(spark, 64).collect()
     assert rows == again
+
+
+# ---------------------------------------------------------------------------
+# scrape DataSource (Python DataSource API)
+# ---------------------------------------------------------------------------
+
+
+def _register_scrape(spark):
+    from datapipeline_scraping_spark.sources.scrape_datasource import register
+
+    register(spark)
+
+
+def test_scrape_datasource_batch_matches_mapinpandas_form(spark):
+    from datapipeline_scraping_spark.sources.scrape import paginated_list_scan
+
+    _register_scrape(spark)
+    ds = spark.read.format("scrape").option("max_pages", 4).load()
+    classic = paginated_list_scan(spark, max_pages=4)
+    assert ds.rdd.getNumPartitions() == 4  # one task per page (S3)
+    a = sorted(map(tuple, ds.collect()))
+    b = sorted(map(tuple, classic.collect()))
+    assert a == b
+
+
+def test_scrape_datasource_sql_view(spark):
+    _register_scrape(spark)
+    spark.sql("DROP VIEW IF EXISTS crawl_pages")
+    spark.sql(
+        "CREATE TEMPORARY VIEW crawl_pages USING scrape OPTIONS (max_pages '3')"
+    )
+    got = spark.sql(
+        "SELECT page, COUNT(*) AS n FROM crawl_pages GROUP BY page ORDER BY page"
+    ).collect()
+    assert [(r["page"], r["n"]) for r in got] == [(0, 10), (1, 10), (2, 10)]
+    spark.sql("DROP VIEW crawl_pages")
+
+
+def test_scrape_stream_frontier_growth_and_idempotent_restart(spark, tmp_path):
+    _register_scrape(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run(max_pages: int):
+        q = (
+            spark.readStream.format("scrape")
+            .option("max_pages", str(max_pages))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            {r["page"] for r in spark.read.parquet(out).select("page").collect()}
+        )
+
+    assert run(2) == [0, 1]  # initial frontier
+    assert run(4) == [0, 1, 2, 3]  # frontier grew: only new pages fetched
+    assert run(4) == [0, 1, 2, 3]  # unchanged frontier: no-op restart
+    total = spark.read.parquet(out).count()
+    assert total == 40  # exactly once — no page double-ingested
