@@ -14,6 +14,8 @@ pretraining pipeline layers on top of row-level dedup.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from .queries import _t, q
@@ -289,3 +291,85 @@ def q164_variant_json(spark, sf_dir):
             F.countDistinct("k").alias("n_distinct_k"),
         )
     )
+
+
+# ===========================================================================
+# crawl frontier -> transactional ledger, exactly-once (SURVEY §1.4 closed
+# on the registered stream source)
+# ===========================================================================
+
+
+@q(
+    "q165_crawl_to_ledger",
+    oracle="""
+SELECT p AS page, i AS row_idx,
+  'p' || CAST(p AS VARCHAR) || '-r' || CAST(i AS VARCHAR) AS lookup_key,
+  'payload-' || CAST(p * 10 + i AS VARCHAR) AS payload
+FROM UNNEST(generate_series(0, 5)) AS t(p),
+  UNNEST(generate_series(0, 9)) AS u(i)
+""",
+)
+def q165_crawl_to_ledger(spark, sf_dir):
+    """The reference's whole daily loop, end-to-end on engine parts:
+    the REGISTERED scrape stream source (q163) feeding the EXACTLY-ONCE
+    manifest epoch sink (q153) across two frontier advances — day 1
+    crawls pages 0-2 (epoch 0 commits them), day 2's frontier grows to
+    6 and the same checkpoint picks up ONLY pages 3-5 (epoch 1). Both
+    sides of the exactly-once contract are asserted in-query: the
+    second day's stream re-fetches nothing already committed (offset in
+    the checkpoint), and re-delivering the final epoch (the
+    crash-after-commit case foreachBatch allows) does not advance the
+    table version. The returned ledger state is the pure union of all
+    six pages — byte-identical to the batch oracle, which is the whole
+    point: incremental + replay must be observationally equal to one
+    clean batch run.
+
+    Scale: page fetches run one task per InputPartition on executors;
+    each epoch's merge shuffles only that epoch's rows against the
+    ledger (churn-proportional, q151's contract); the ledger commit is
+    one CAS pointer swap per day regardless of corpus size."""
+    import uuid
+
+    from .operators.txn import ManifestTable
+    from .sources.scrape import LIST_ROW_SCHEMA
+    from .sources.scrape_datasource import register
+    from .streaming.events import SCRATCH as _SC, pinned_shuffle_partitions
+    from .streaming.txn_sink import last_applied_epoch, manifest_epoch_sink
+
+    register(spark)
+    run_id = uuid.uuid4().hex[:12]
+    target = os.path.join(_SC, f"crawl_ledger_{run_id}")
+    ckpt = os.path.join(_SC, "ckpt", f"crawl_{run_id}")
+
+    tbl = ManifestTable(target)
+    tbl.init(spark.createDataFrame([], LIST_ROW_SCHEMA))
+    sink = manifest_epoch_sink(target, "lookup_key")
+
+    def crawl(frontier: int) -> None:
+        sdf = (
+            spark.readStream.format("scrape")
+            .option("max_pages", str(frontier))
+            .load()
+        )
+        with pinned_shuffle_partitions(spark, 8):
+            q_ = (
+                sdf.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination()
+
+    crawl(3)  # day 1: pages 0-2 -> epoch 0
+    v_day1 = tbl.version()
+    crawl(6)  # day 2: frontier grew; only pages 3-5 fetched -> epoch 1
+    assert tbl.version() == v_day1 + 1, "day 2 must commit exactly one epoch"
+
+    # crash-after-commit redelivery: same epoch id, no new commit
+    ver_before = tbl.version()
+    last = last_applied_epoch(tbl)
+    assert last is not None and last >= 1, f"expected two epochs, got {last}"
+    sink(spark.read.format("scrape").option("max_pages", "1").load(), last)
+    assert tbl.version() == ver_before, "replayed epoch must not commit"
+
+    return tbl.read(spark).select("page", "row_idx", "lookup_key", "payload")
