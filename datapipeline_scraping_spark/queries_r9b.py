@@ -15,6 +15,7 @@ pretraining pipeline layers on top of row-level dedup.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import functions as F
 
@@ -373,3 +374,114 @@ def q165_crawl_to_ledger(spark, sf_dir):
     assert tbl.version() == ver_before, "replayed epoch must not commit"
 
     return tbl.read(spark).select("page", "row_idx", "lookup_key", "payload")
+
+
+# ===========================================================================
+# incremental view maintenance: aggregate MV refreshed from the CDF alone
+# ===========================================================================
+
+
+@q(
+    "q166_incremental_agg_view",
+    oracle="""
+WITH head AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 9 = 0 THEN '9-MOVED' ELSE o_orderpriority END
+      AS pri,
+    CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 100.0
+         ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority AS pri, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS DOUBLE)
+    AS sum_price
+FROM head GROUP BY pri
+""",
+)
+def q166_incremental_agg_view(spark, sf_dir):
+    """Incremental view maintenance of an AGGREGATE materialized view
+    from the change feed alone (operators/ivm.py — the aggregate lift
+    of q151's row-level loop): a per-priority (count, exact decimal
+    sum) view of an orders ledger is built once at v1, the base then
+    churns to v2 (deletes %13, inserts %5, and %9 keys UPDATED so the
+    row both changes price and MIGRATES to a new '9-MOVED' group — the
+    case that breaks naive one-sided maintenance), and the view
+    refreshes by aggregating signed deltas over ``diff(1, 2)`` and
+    merging them in: +1 on the post-image group, −1 on the pre-image
+    group, decimal sums exact in any order. The in-query assert pins
+    incremental == full rebuild row-for-row; the DuckDB oracle
+    aggregates the reconstructed head state directly.
+
+    Scale: the refresh touches the CDF (churn-sized) and two
+    group-cardinality frames — never the base table; at 100 TB this
+    replaces the reference's rebuild-the-report-after-every-delta loop
+    (``dags/scraping_etl.py:59-69``) with O(day's churn) work."""
+    from .functions.numeric import dec, to_double
+    from .operators.ivm import apply_agg_delta, delta_aggregate
+    from .operators.txn import ManifestTable
+    from .queries_r9 import _key
+    from .streaming.events import SCRATCH
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base_root = os.path.join(SCRATCH, f"ivm_base_{_key(sf_dir)}")
+    mv_root = os.path.join(SCRATCH, f"ivm_mv_{_key(sf_dir)}")
+    shutil.rmtree(base_root, ignore_errors=True)
+    shutil.rmtree(mv_root, ignore_errors=True)
+    base = ManifestTable(base_root)
+    mv = ManifestTable(mv_root)
+
+    def agg(df):
+        return df.groupBy(F.col("pri")).agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(dec("price", 18, 2)).cast("decimal(38,2)").alias("sum_price"),
+        )
+
+    v1 = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("price"),
+    )
+    base.commit(v1)
+    mv.commit(agg(base.read(spark)))  # the once-ever full build
+
+    moved = F.col("o_orderkey") % 9 == 0
+    v2 = (
+        v1.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn("pri", F.when(moved, F.lit("9-MOVED")).otherwise(F.col("pri")))
+        .withColumn("price", F.when(moved, F.col("price") + 100.0).otherwise(F.col("price")))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 5 == 0).select(
+                "o_orderkey",
+                F.col("o_orderpriority").alias("pri"),
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+    )
+    base.commit(v2)
+
+    # refresh from the CDF alone: churn-sized work, base never re-read
+    changes = base.diff(spark, 1, 2, ["o_orderkey"])
+    delta = delta_aggregate(
+        changes, ["pri"], {"sum_price": dec("price", 18, 2)}, count_name="n_orders"
+    )
+    refreshed = apply_agg_delta(
+        mv.read(spark), delta, ["pri"],
+        count_name="n_orders", sum_names=("sum_price",),
+    )
+    mv.commit(refreshed)
+    assert mv.version() == 2
+
+    # exactness gate: incremental must equal the full rebuild
+    rebuilt = agg(base.read(spark))
+    got = mv.read(spark)
+    assert got.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(got).count() == 0
+
+    return got.select(
+        "pri", "n_orders", to_double(F.col("sum_price")).alias("sum_price")
+    )

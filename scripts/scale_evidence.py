@@ -389,6 +389,13 @@ CURATION_QUERIES = (
     "q120_sequence_packing",   # keyed prefix-sum packing manifest
     "q132_sequence_packing_twopass",  # two-pass scan: hot source spread
     "q134_semantic_dedup",     # SemDeDup: oversized-cluster worst case
+    # r9b: the hot shared text makes EVERY window of 500 docs a
+    # duplicated span (hot group key + hot doc windows — worst case for
+    # the count/join/island stages); chunking must stay map-only at
+    # 10x; the hashed classifier's broadcast model is size-invariant
+    "q160_duplicate_spans",
+    "q161_overlapping_chunks",
+    "q162_hashed_classifier",
 )
 
 

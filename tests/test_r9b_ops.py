@@ -231,3 +231,124 @@ def test_scrape_stream_frontier_growth_and_idempotent_restart(spark, tmp_path):
     assert run(4) == [0, 1, 2, 3]  # unchanged frontier: no-op restart
     total = spark.read.parquet(out).count()
     assert total == 40  # exactly once — no page double-ingested
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance (operators/ivm.py)
+# ---------------------------------------------------------------------------
+
+
+def _cdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "_change_type string, k string, g string, v double"
+    )
+
+
+def _mv(spark, rows):
+    df = spark.createDataFrame(rows, "g string, n long, s double")
+    return df.select("g", "n", F.col("s").cast("decimal(38,2)").alias("s"))
+
+
+def _refresh(spark, mv_rows, cdf_rows):
+    from datapipeline_scraping_spark.operators.ivm import (
+        apply_agg_delta,
+        delta_aggregate,
+    )
+
+    delta = delta_aggregate(
+        _cdf(spark, cdf_rows),
+        ["g"],
+        {"s": F.col("v").cast("decimal(18,2)")},
+        count_name="n",
+    )
+    return {
+        r["g"]: (r["n"], float(r["s"]))
+        for r in apply_agg_delta(
+            _mv(spark, mv_rows), delta, ["g"], count_name="n", sum_names=("s",)
+        ).collect()
+    }
+
+
+def test_ivm_group_migration_moves_both_sides(spark):
+    # row k1 moves from group a to group b with a value change
+    out = _refresh(
+        spark,
+        [("a", 2, 10.0), ("b", 1, 5.0)],
+        [
+            ("update_preimage", "k1", "a", 4.0),
+            ("update_postimage", "k1", "b", 6.0),
+        ],
+    )
+    assert out == {"a": (1, 6.0), "b": (2, 11.0)}
+
+
+def test_ivm_zero_count_group_vanishes_and_new_group_appears(spark):
+    out = _refresh(
+        spark,
+        [("a", 1, 4.0)],
+        [
+            ("delete", "k1", "a", 4.0),
+            ("insert", "k2", "c", 7.0),
+        ],
+    )
+    assert out == {"c": (1, 7.0)}
+
+
+def test_ivm_null_group_key_is_matched_null_safe(spark):
+    out = _refresh(
+        spark,
+        [(None, 1, 1.0)],
+        [("insert", "k9", None, 2.0)],
+    )
+    assert out == {None: (2, 3.0)}
+
+
+def test_ivm_refresh_equals_rebuild_over_random_churn(spark):
+    import random
+
+    rng = random.Random(7)
+    base = {f"k{i}": (rng.choice("abc"), rng.randrange(100) / 4.0) for i in range(40)}
+    mv_rows = {}
+    for g in "abc":
+        rows = [v for (gg, v) in base.values() if gg == g]
+        mv_rows[g] = (len(rows), sum(rows))
+    cdf, new = [], dict(base)
+    for k in list(base)[::3]:  # delete a third
+        g, v = new.pop(k)
+        cdf.append(("delete", k, g, v))
+    for k in list(new)[::4]:  # migrate a quarter
+        g, v = new[k]
+        g2 = "d" if g == "a" else "a"
+        new[k] = (g2, v + 1.0)
+        cdf.append(("update_preimage", k, g, v))
+        cdf.append(("update_postimage", k, g2, v + 1.0))
+    for i in range(5):  # fresh inserts
+        new[f"n{i}"] = ("e", float(i))
+        cdf.append(("insert", f"n{i}", "e", float(i)))
+    got = _refresh(spark, [(g, n, s) for g, (n, s) in mv_rows.items()], cdf)
+    want = {}
+    for g in "abcde":
+        rows = [v for (gg, v) in new.values() if gg == g]
+        if rows:
+            want[g] = (len(rows), round(sum(rows), 2))
+    assert {g: (n, round(s, 2)) for g, (n, s) in got.items()} == want
+
+
+def test_ivm_repeated_refresh_keeps_sum_type(spark):
+    from datapipeline_scraping_spark.operators.ivm import (
+        apply_agg_delta,
+        delta_aggregate,
+    )
+
+    mv = _mv(spark, [("a", 1, 1.0)])
+    for i in range(3):
+        delta = delta_aggregate(
+            _cdf(spark, [("insert", f"k{i}", "a", 1.0)]),
+            ["g"],
+            {"s": F.col("v").cast("decimal(18,2)")},
+            count_name="n",
+        )
+        mv = apply_agg_delta(mv, delta, ["g"], count_name="n", sum_names=("s",))
+    [row] = mv.collect()
+    assert (row["n"], float(row["s"])) == (4, 4.0)
+    assert dict(mv.dtypes)["s"] == "decimal(38,2)"  # no precision creep
