@@ -47,12 +47,14 @@ def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
     the s2 quality+dedup survivors are committed with a ``keep3``
     decontamination flag column, so the s3 state is a FILTER of the
     same snapshot instead of a second written table — one write job,
-    |s2| rows written instead of |s2|+|s3|. The decontaminated-id set
-    is derived from the ``documents`` table alone (equivalent under
-    the anti-join: membership is only ever tested against s2 rows),
-    which keeps the observed s1 subtree single-traversal — the
-    Observation double-count hazard that shingling the s2 output
-    itself would reintroduce. All stage rows (s1 rider, s2, s3) ride
+    |s2| rows written instead of |s2|+|s3|. The contamination flag
+    rides the quality stage's own explode (r9, VERDICT r8 item 5's
+    second lever): each position's 4-gram broadcast-joins the distinct
+    bench-shingle set map-side and per-doc ``cont`` falls out of the
+    same two-level aggregation, so the corpus text is exploded exactly
+    ONCE per run and the observed s1 subtree stays single-traversal —
+    no second shingle pipeline, no id join. All stage rows (s1 rider,
+    s2, s3) ride
     that one write job as :class:`pyspark.sql.Observation` metrics
     and the commit is ``annotate``-d with them (Delta
     operationMetrics style), so a crash-RESUMED run — or any rerun
@@ -119,7 +121,7 @@ def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
         got = obs.get  # the commit's write job already ran: no action
         return (int(got["docs_out"]), int(got["chars_out"] or 0))
 
-    # -- stage 1: quality rules (q108's predicate) ------------------------
+    # -- stage 1: quality rules (q108's predicate) + contamination --------
     # r8 rewrite: ONE shingle pipeline instead of two. The 2- and
     # 3-gram statistics previously ran two separate explode ->
     # groupBy(doc,s) -> groupBy(doc) pipelines and joined both (with
@@ -131,6 +133,32 @@ def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
     # AQE broadcasts the tiny survivor side). Same explode idiom as
     # operators/dedup.py:145 — index generator first, flat
     # slice/concat_ws, no nested HOFs.
+    #
+    # r9 (VERDICT r8 item 5, second lever): the decontamination
+    # membership test rides the SAME explode. Each position also
+    # projects its 4-gram, a broadcast left join against the (small by
+    # construction) distinct bench-shingle set marks contaminated
+    # positions map-side, and per-doc `cont` falls out of the
+    # two-level aggregation as one extra max() — the second
+    # full-corpus explode the old cont_ids() pipeline ran is gone.
+    # Candidate 4-gram windows always have exactly 4 tokens, so a
+    # short bench doc's degenerate (<4-token) shingle can never match
+    # one — identical membership to the old two-pipeline form for
+    # every doc that can survive quality (n >= QR_MIN_TOK).
+    def _bench_shingles():
+        # distinct 4-shingles of the bench slice (doc_id % 37): 1/37th
+        # of the corpus — a benchmark suite is SMALL relative to a
+        # training corpus by construction — so it broadcasts; at 100 TB
+        # this is the only viable shape (corpus side stays pipelined
+        # into the scan, nothing corpus-sized shuffles for membership).
+        return (
+            D.shingle_relation(
+                docs.filter(F.col("doc_id") % 37 == 0), "doc_id", "text", k=4
+            )
+            .select(F.col("s").alias("__bs"))
+            .distinct()
+        )
+
     def build_s1():
         toks = F.split(F.col("text"), " ")
         qdocs = docs.filter(F.size(toks) >= 4)
@@ -161,13 +189,28 @@ def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
                 F.col("i") <= F.size("t") - F.lit(2),
                 F.concat_ws(" ", F.slice("t", F.col("i"), 3)),
             ).alias("s3"),  # last position has no 3-gram
+            F.when(
+                F.col("i") <= F.size("t") - F.lit(3),
+                F.concat_ws(" ", F.slice("t", F.col("i"), 4)),
+            ).alias("s4"),  # contamination probe (exactly-4-token window)
         )
+        # map-side contamination mark: broadcast hash join, no shuffle
+        marked = grams.join(
+            F.broadcast(_bench_shingles()),
+            grams["s4"] == F.col("__bs"),
+            "left",
+        ).withColumn("__cont", F.col("__bs").isNotNull())
         counts = (
-            grams.selectExpr(
-                "doc_id", "n", "mwl", "stack(2, 2, s2, 3, s3) as (k, s)"
+            marked.selectExpr(
+                "doc_id", "n", "mwl", "__cont",
+                "stack(2, 2, s2, 3, s3) as (k, s)",
             )
             .filter(F.col("s").isNotNull())
-            .groupBy("doc_id", "n", "mwl", "k", "s").count()
+            .groupBy("doc_id", "n", "mwl", "k", "s")
+            .agg(
+                F.count(F.lit(1)).alias("count"),
+                F.max("__cont").alias("c1"),
+            )
         )
         keep = (
             counts.groupBy("doc_id", "n", "mwl")
@@ -184,6 +227,7 @@ def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
                     ),
                     F.lit(0),
                 ).alias("dup_c"),
+                F.max("c1").alias("cont"),
             )
             .filter(
                 F.col("n").between(QR_MIN_TOK, QR_MAX_TOK)
@@ -197,41 +241,10 @@ def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
                     < QR_MAX_DTF
                 )
             )
-            .select("doc_id")
+            .select("doc_id", "cont")
         )
         return qdocs.select("doc_id", "text", "source", "n_chars").join(
             keep, "doc_id"
-        )
-
-    # -- stage 3's contaminated-id set, from the docs table ALONE ---------
-    # Membership is only ever tested against s2 rows (anti join), so
-    # "docs sharing a bench shingle" and "s2 survivors sharing a bench
-    # shingle" remove exactly the same rows — and deriving it from the
-    # base table keeps the observed s1 subtree single-traversal in the
-    # combined durable commit below (shingling the s2 output itself
-    # would traverse the Observation node twice and double-count).
-    def cont_ids():
-        # The bench side is 1/37th of the corpus — a benchmark suite is
-        # SMALL relative to a training corpus by construction — so its
-        # distinct shingle set broadcasts and the candidate side's
-        # occurrences semi-join map-side: NO shuffle of the exploded
-        # candidate shingles at all (r9; previously the full occurrence
-        # relation rode a shuffle join). At 100 TB this is the only
-        # viable shape: the corpus-side explode stays pipelined into
-        # the scan, and only matched doc_ids (churn-sized) shuffle for
-        # the final distinct.
-        bsh = F.broadcast(
-            D.shingle_relation(
-                docs.filter(F.col("doc_id") % 37 == 0), "doc_id", "text", k=4
-            )
-            .select("s").distinct()
-        )
-        return (
-            D.shingle_relation(
-                docs.filter(F.col("doc_id") % 37 != 0), "doc_id", "text", k=4
-            )
-            .join(bsh, "s", "left_semi")
-            .select("doc_id").distinct()
         )
 
     # -- stages 1+2+3 as ONE durable commit (VERDICT r8 item 5) -----------
@@ -258,20 +271,13 @@ def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
             # doc_id); locally this cuts the write from the full text
             # column to a few longs per row.
             s2df = D.first_wins(s1df, ["text"], ["doc_id"]).select(
-                "doc_id", "source", "n_chars"
+                "doc_id", "source", "n_chars", "cont"
             )
-            flagged = (
-                s2df.join(
-                    cont_ids().withColumn("__cont", F.lit(True)),
-                    "doc_id",
-                    "left",
-                )
-                .withColumn(
-                    "keep3",
-                    (F.col("doc_id") % 37 != 0) & F.col("__cont").isNull(),
-                )
-                .drop("__cont")
-            )
+            # the cont flag arrived with the row (same explode as the
+            # quality stats) — no second corpus pass, no join
+            flagged = s2df.withColumn(
+                "keep3", (F.col("doc_id") % 37 != 0) & ~F.col("cont")
+            ).drop("cont")
             obs23 = Observation(f"funnel_s23_{uuid.uuid4().hex[:8]}")
             out = flagged.observe(
                 obs23,
@@ -307,8 +313,7 @@ def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
         )
         s2 = s1.join(keep_ids, "doc_id", "left_semi")
         s3 = (
-            s2.filter(F.col("doc_id") % 37 != 0)
-            .join(cont_ids(), "doc_id", "left_anti")
+            s2.filter((F.col("doc_id") % 37 != 0) & ~F.col("cont"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
