@@ -233,6 +233,27 @@ def collect_file_stats(path: str, cols: list[str]) -> dict:
     return out
 
 
+def _link_tree(src: str, dst: str, *, skip_top: tuple[str, ...] = ()) -> None:
+    """Hardlink ``src``'s tree under ``dst`` (copy where the filesystem
+    refuses links) — the metadata-only snapshot duplication RESTORE and
+    merge-on-read DELETE share: zero data bytes move, and GC stays safe
+    because removing either directory only drops inode refcounts.
+    ``skip_top`` names top-level entries of ``src`` to leave out."""
+    for d, dirs, files in os.walk(src):
+        rel = os.path.relpath(d, src)
+        if rel == ".":
+            dirs[:] = [x for x in dirs if x not in skip_top]
+            files = [x for x in files if x not in skip_top]
+        dst_dir = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in files:
+            sp, dp = os.path.join(d, f), os.path.join(dst_dir, f)
+            try:
+                os.link(sp, dp)
+            except OSError:
+                shutil.copy2(sp, dp)
+
+
 class ManifestTable:
     """Snapshot-pointer table: atomic commits on a plain filesystem.
 
@@ -294,6 +315,9 @@ class ManifestTable:
     POINTER = "CURRENT"
     LOCK = "COMMIT_LOCK"
     LOG_DIR = "_log"
+    #: deletion-vector sidecar dir INSIDE a snapshot: underscore-
+    #: prefixed so Hadoop/Spark parquet listing treats it as hidden
+    DV_DIR = "_dv"
 
     def __init__(
         self,
@@ -351,6 +375,7 @@ class ManifestTable:
         stats_cols: list[str] | None = None,
         file_stats: dict | None = None,
         checks: dict | None = None,
+        dv: dict | None = None,
     ) -> None:
         """Write the commit's log entry atomically (tmp + replace).
         Called inside the commit lock BEFORE the pointer swap; a crash
@@ -377,6 +402,8 @@ class ManifestTable:
             entry["file_stats"] = file_stats
         if checks:
             entry["checks"] = dict(checks)
+        if dv:
+            entry["dv"] = dict(dv)
         tmp = f"{self._log_path(version)}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -488,11 +515,49 @@ class ManifestTable:
         ``version``. The returned scan is PINNED to the resolved
         snapshot directory — a writer advancing the pointer mid-scan
         cannot redirect it, and the retention contract keeps the files
-        alive for ``retention_sec`` after the commit."""
-        path = self.snapshot_path(version)
-        if path is None:
-            raise FileNotFoundError(f"no committed snapshot under {self.root}")
-        return spark.read.parquet(path)
+        alive for ``retention_sec`` after the commit. A merge-on-read
+        deletion vector (:meth:`delete_where`) recorded for the
+        resolved version is applied automatically."""
+        if version is None:
+            # resolve the pointer ONCE: the snapshot scanned and the
+            # log entry consulted for the deletion vector must belong
+            # to the same version even if a writer races this read
+            ptr = self._pointer()
+            if ptr is None:
+                raise FileNotFoundError(
+                    f"no committed snapshot under {self.root}"
+                )
+            snap_name, version = ptr
+            path = os.path.join(self.root, snap_name)
+        else:
+            path = self.snapshot_path(version)
+            if path is None:
+                raise FileNotFoundError(
+                    f"no committed snapshot under {self.root}"
+                )
+        return self._apply_dv(
+            spark, spark.read.parquet(path), self._log_entry(version), path
+        )
+
+    def _apply_dv(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        entry: dict | None,
+        snap_path: str,
+    ) -> DataFrame:
+        """Apply the snapshot's merge-on-read deletion vector, if its
+        log entry records one: one left-anti equi-join on the declared
+        key columns against the ``_dv/`` sidecar living INSIDE the
+        snapshot dir (underscore-prefixed, so plain parquet listing
+        never sees it as data). The DV is churn-sized by construction
+        — AQE broadcasts it under the threshold, and a genuinely huge
+        DV degrades to a shuffle anti-join rather than failing."""
+        dv = (entry or {}).get("dv")
+        if not dv:
+            return df
+        keys = spark.read.parquet(os.path.join(snap_path, self.DV_DIR))
+        return df.join(keys, on=list(dv["key_cols"]), how="left_anti")
 
     def diff(
         self,
@@ -626,16 +691,7 @@ class ManifestTable:
             self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
         )
         try:
-            for d, _dirs, files in os.walk(src):
-                rel = os.path.relpath(d, src)
-                dst_dir = staged if rel == "." else os.path.join(staged, rel)
-                os.makedirs(dst_dir, exist_ok=True)
-                for f in files:
-                    sp, dp = os.path.join(d, f), os.path.join(dst_dir, f)
-                    try:
-                        os.link(sp, dp)
-                    except OSError:
-                        shutil.copy2(sp, dp)
+            _link_tree(src, staged)
         except FileNotFoundError as exc:
             shutil.rmtree(staged, ignore_errors=True)
             raise SnapshotExpiredError(
@@ -665,6 +721,145 @@ class ManifestTable:
                 stats_cols=entry.get("stats_cols"),
                 file_stats=entry.get("file_stats"),
                 checks=entry.get("checks"),
+                dv=entry.get("dv"),  # restored files include its _dv
+            )
+            tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
+            with open(tmp_ptr, "w") as fh:
+                fh.write(f"{snap}\n{new_ver}\n")
+            os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
+            self.last_snapshot = snap
+            committed_ver = new_ver
+        finally:
+            self._release_lock()
+            if committed_ver is None:
+                shutil.rmtree(staged, ignore_errors=True)
+        self._gc(keep=keep_snapshots)
+        return committed_ver
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        key_cols: list[str],
+        *,
+        expect_version: int | None = None,
+        keep_snapshots: int = 2,
+    ) -> int:
+        """Merge-on-read DELETE via a deletion vector — Delta/Iceberg
+        DV semantics re-expressed on the manifest protocol: the new
+        commit HARDLINKS the current snapshot's data files (zero data
+        bytes rewritten) and records the matching rows' keys in a
+        ``_dv/`` parquet sidecar inside the new snapshot dir; every
+        read path (:meth:`read`, time travel, :meth:`read_where`,
+        :meth:`diff`) applies the vector as one left-anti join on
+        ``key_cols``. At 100 TB this is the difference between a
+        DELETE costing O(matched keys) and one rewriting the table —
+        copy-on-write is deferred to :func:`compact_table`, which
+        materializes the deletes and drops the vector (exactly Delta's
+        ``OPTIMIZE`` purging DVs).
+
+        ``condition``: a Column or SQL-string predicate selecting rows
+        to delete. ``key_cols`` must uniquely identify rows (the same
+        primary-key contract :func:`merge_write` has) — the vector
+        stores keys, not row positions, so a duplicated key would
+        delete every copy. Chained deletes accumulate: the new vector
+        is the union of the previous version's vector and the newly
+        matched keys, so each version's sidecar is self-contained
+        (time travel to any version applies exactly that version's
+        accumulated deletes). Raises ``ValueError`` if a chained
+        delete changes ``key_cols``.
+
+        Concurrency: same CAS + lock protocol as :meth:`commit`;
+        ``expect_version`` turns a lost race into
+        :class:`ConcurrentWriteError` instead of last-writer-wins.
+        Inherited from the source version: schema, partition layout,
+        CHECK constraints, and per-file stats (stats stay
+        conservative — a file whose rows are all deleted still prunes
+        correctly, it just scans unnecessarily until compaction)."""
+        ptr = self._pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        snap_name, cur_ver = ptr
+        src = os.path.join(self.root, snap_name)
+        entry = self._log_entry(cur_ver) or {}
+        prev_dv = entry.get("dv")
+        if prev_dv and list(prev_dv["key_cols"]) != list(key_cols):
+            raise ValueError(
+                f"{self.root}: deletion vector key_cols "
+                f"{prev_dv['key_cols']} != {list(key_cols)} — compact "
+                f"to materialize before re-keying"
+            )
+        pred = F.expr(condition) if isinstance(condition, str) else condition
+        # keys of matching rows from the RAW pinned snapshot (not the
+        # DV-filtered view): re-deleting an already-deleted key is a
+        # no-op under the union below, and skipping the anti-join here
+        # keeps the match scan one pass over the data files
+        fresh = (
+            spark.read.parquet(src)
+            .filter(pred)
+            .select(*[F.col(c) for c in key_cols])
+            .distinct()
+        )
+        if prev_dv:
+            fresh = fresh.unionByName(
+                spark.read.parquet(os.path.join(src, self.DV_DIR))
+            ).distinct()
+        staged = os.path.join(
+            self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
+        )
+        try:
+            _link_tree(src, staged, skip_top=(self.DV_DIR,))
+            # churn-sized by contract: one file keeps the read-side
+            # anti-join build tiny and the sidecar listing O(1)
+            fresh.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(staged, self.DV_DIR)
+            )
+            n_keys = int(
+                spark.read.parquet(os.path.join(staged, self.DV_DIR)).count()
+            )
+        except FileNotFoundError as exc:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{self.root}: snapshot {snap_name} vanished during "
+                f"delete_where (concurrent writer + gc) — retry"
+            ) from exc
+        except Exception:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise
+        committed_ver: int | None = None
+        self._acquire_lock()
+        try:
+            now = self._pointer()
+            live_ver = 0 if now is None else now[1]
+            if expect_version is not None and live_ver != expect_version:
+                raise ConcurrentWriteError(
+                    f"{self.root}: version {live_ver} != expected "
+                    f"{expect_version}"
+                )
+            if live_ver != cur_ver:
+                # the vector was built against a superseded snapshot —
+                # committing it would silently undo the racing writer
+                raise ConcurrentWriteError(
+                    f"{self.root}: table advanced {cur_ver} -> {live_ver} "
+                    f"during delete_where — re-run against the new head"
+                )
+            new_ver = cur_ver + 1
+            snap = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
+            os.rename(staged, os.path.join(self.root, snap))
+            staged = os.path.join(self.root, snap)  # for error cleanup
+            self._write_log(
+                new_ver,
+                snap,
+                list(entry.get("partition_by") or []),
+                entry.get("schema"),
+                meta={
+                    **(entry.get("meta") or {}),
+                    "delete_predicate": str(condition),
+                },
+                stats_cols=entry.get("stats_cols"),
+                file_stats=entry.get("file_stats"),
+                checks=entry.get("checks"),
+                dv={"key_cols": list(key_cols), "n_keys": n_keys},
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -704,7 +899,9 @@ class ManifestTable:
         stats = entry.get("file_stats") or {}
         total = 0
         kept: list[str] = []
-        for root, _dirs, files in os.walk(snap):
+        for root, dirs, files in os.walk(snap):
+            # hidden sidecars (the _dv deletion vector) are not data
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             for f in files:
                 if not f.endswith(".parquet"):
                     continue
@@ -779,7 +976,8 @@ class ManifestTable:
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(*sorted(kept))
+        snap = self.snapshot_path(version)
+        return self._apply_dv(spark, reader.parquet(*sorted(kept)), entry, snap)
 
     # -- commit protocol ---------------------------------------------------
     def _acquire_lock(self, timeout: float = 30.0) -> None:
@@ -1494,9 +1692,10 @@ def recover_swap(target_path: str) -> bool:
 
 def _snapshot_files(path: str) -> tuple[int, int]:
     """(n_data_files, total_bytes) of a snapshot directory's parquet
-    parts (metadata/_SUCCESS excluded)."""
+    parts (metadata/_SUCCESS and hidden sidecars like _dv excluded)."""
     n = b = 0
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if f.endswith(".parquet"):
                 n += 1
@@ -1574,7 +1773,8 @@ def compact_table(
         n_target = target_files or max(
             1, -(-bytes_before // max(1, target_file_bytes))
         )
-        if not zorder_by and files_before - n_target < min_gain_files:
+        dv = (mt._log_entry(version) or {}).get("dv")
+        if not zorder_by and not dv and files_before - n_target < min_gain_files:
             return {
                 "compacted": False,
                 "version": version,
@@ -1587,6 +1787,12 @@ def compact_table(
         # could have advanced it; the version CAS below then catches
         # the conflict instead of silently compacting the wrong data)
         df = spark.read.parquet(snap)
+        if dv:
+            # materialize the deletion vector (Delta OPTIMIZE purges
+            # DVs the same way): the rewrite drops the deleted rows
+            # and the new commit carries no dv entry. A live DV also
+            # forces the rewrite above — purging it is the point.
+            df = mt._apply_dv(spark, df, mt._log_entry(version), snap)
         # a hive-partitioned table (layout inherited by the commit
         # below) must cluster tasks BY the partition columns: a plain
         # repartition(n) gives every task rows of every partition

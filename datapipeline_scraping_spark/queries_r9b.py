@@ -485,3 +485,70 @@ def q166_incremental_agg_view(spark, sf_dir):
     return got.select(
         "pri", "n_orders", to_double(F.col("sum_price")).alias("sum_price")
     )
+
+
+# ===========================================================================
+# merge-on-read DELETE: deletion vectors on the versioned ledger
+# ===========================================================================
+
+
+@q(
+    "q167_deletion_vectors",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+  CAST(o_totalprice AS DOUBLE) AS price
+FROM orders
+WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+""",
+)
+def q167_deletion_vectors(spark, sf_dir):
+    """Merge-on-read DELETE on the transactional ledger
+    (``ManifestTable.delete_where`` — Delta/Iceberg deletion-vector
+    semantics): an orders ledger takes two chained DELETEs, each
+    committing only a hardlinked snapshot plus a churn-sized ``_dv/``
+    key sidecar — the in-query asserts pin that ZERO data files were
+    rewritten (every v1 parquet inode reappears in v3) and that time
+    travel applies exactly each version's accumulated vector. The
+    final read is the head scan with the vector applied as one
+    left-anti join; the DuckDB oracle filters the base table directly.
+
+    Scale: at 100 TB a predicate DELETE that rewrites the table IS the
+    workload; here it costs O(matched keys) write + one pass to find
+    matches, and copy-on-write is deferred to ``compact_table`` (which
+    purges the vector — tested in tests/test_txn.py). Reference
+    anchor: the reference can only delete by re-scraping into a fresh
+    table (``src/storage.py:90-131``); this is the operation it lacks."""
+    import glob
+
+    from .operators.txn import ManifestTable
+    from .queries_r9 import _key
+    from .streaming.events import SCRATCH
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    root = os.path.join(SCRATCH, f"dv_ledger_{_key(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = ManifestTable(root, retention_sec=3600)
+    tbl.commit(orders)
+    tbl.delete_where(spark, "o_orderkey % 7 = 0", ["o_orderkey"])
+    tbl.delete_where(
+        spark, F.col("o_orderkey") % 11 == 0, ["o_orderkey"]
+    )
+
+    # metadata-only proof: every v1 data file's inode is in v3
+    def inodes(ver):
+        snap = tbl.snapshot_path(ver)
+        return {os.stat(p).st_ino for p in glob.glob(snap + "/*.parquet")}
+
+    assert inodes(1) and inodes(1) == inodes(3), "DELETE rewrote data files"
+    # each version applies exactly its own accumulated vector
+    n_all = orders.count()
+    assert tbl.read(spark, version=1).count() == n_all
+    assert (
+        tbl.read(spark, version=2).count()
+        == orders.filter("o_orderkey % 7 <> 0").count()
+    )
+    return tbl.read(spark)

@@ -1271,3 +1271,101 @@ def test_check_constraints_enforced_and_inherited(spark, tmp_path):
     tbl.commit(bad, check={})
     assert tbl.version() == 4
     assert "checks" not in (tbl._log_entry(4) or {})
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read DELETE via deletion vectors (delete_where)
+# ---------------------------------------------------------------------------
+
+
+def _ids(tbl, spark, **kw):
+    return sorted(r["pk"] for r in tbl.read(spark, **kw).collect())
+
+
+def test_delete_where_is_metadata_only_and_chains(spark, tmp_path):
+    import glob
+
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    assert tbl.delete_where(spark, "pk % 5 = 0", ["pk"]) == 2
+    assert _ids(tbl, spark) == [i for i in range(20) if i % 5]
+    # chained delete accumulates into a self-contained vector
+    assert tbl.delete_where(spark, F.col("pk") % 7 == 0, ["pk"]) == 3
+    assert _ids(tbl, spark) == [i for i in range(20) if i % 5 and i % 7]
+    # zero data bytes rewritten: every v1 data file is hardlinked
+    # (same inode) into the v3 snapshot
+    def inodes(ver):
+        snap = tbl.snapshot_path(ver)
+        return {
+            os.stat(p).st_ino for p in glob.glob(snap + "/*.parquet")
+        }
+    assert inodes(1) and inodes(1) == inodes(3)
+    # vector metadata rides the commit log
+    assert (tbl._log_entry(3) or {})["dv"]["key_cols"] == ["pk"]
+
+
+def test_delete_where_time_travel_and_diff(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    tbl.commit(_df(spark, [(i, "x") for i in range(10)]))
+    tbl.delete_where(spark, "pk >= 7", ["pk"])
+    # each version applies exactly its own accumulated vector
+    assert _ids(tbl, spark, version=1) == list(range(10))
+    assert _ids(tbl, spark, version=2) == list(range(7))
+    d = tbl.diff(spark, 1, 2, ["pk"])
+    got = {(r["_change_type"], r["pk"]) for r in d.collect()}
+    assert got == {("delete", 7), ("delete", 8), ("delete", 9)}
+
+
+def test_compaction_materializes_and_purges_vector(spark, tmp_path):
+    from datapipeline_scraping_spark.operators.txn import compact_table
+
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(i, "x") for i in range(50)]))
+    tbl.delete_where(spark, "pk % 2 = 0", ["pk"])
+    # a live DV forces the rewrite even when file count wouldn't
+    res = compact_table(spark, str(tmp_path / "t"), target_files=1)
+    assert res["compacted"]
+    assert "dv" not in (tbl._log_entry(tbl.version()) or {})
+    assert _ids(tbl, spark) == [i for i in range(50) if i % 2]
+    # no _dv sidecar survives in the rewritten snapshot
+    assert not os.path.isdir(
+        os.path.join(tbl.snapshot_path(tbl.version()), tbl.DV_DIR)
+    )
+
+
+def test_delete_where_cas_and_rekey_guards(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a"), (2, "b")]))
+    with pytest.raises(ConcurrentWriteError):
+        tbl.delete_where(spark, "pk = 1", ["pk"], expect_version=99)
+    assert tbl.version() == 1  # failed CAS leaves no commit behind
+    tbl.delete_where(spark, "pk = 1", ["pk"])
+    with pytest.raises(ValueError):
+        tbl.delete_where(spark, "pk = 2", ["v"])  # re-key without compact
+
+
+def test_delete_where_applies_on_pruned_reads(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"))
+    df = spark.range(100).select(
+        F.col("id").alias("pk"), (F.col("id") % 10).alias("b")
+    ).repartition(4, "pk")
+    tbl.commit(df, stats_by=["pk"])
+    tbl.delete_where(spark, "pk < 50", ["pk"])
+    # read_range prunes FILES; the exact predicate is the caller's —
+    # but the deletion vector must already be applied to the scan
+    got = sorted(
+        r["pk"]
+        for r in tbl.read_range(spark, "pk", 40, 60)
+        .filter("pk between 40 and 60")
+        .collect()
+    )
+    assert got == list(range(50, 61))
+
+
+def test_restore_carries_deletion_vector(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    tbl.commit(_df(spark, [(i, "x") for i in range(6)]))       # v1
+    tbl.delete_where(spark, "pk >= 4", ["pk"])                  # v2
+    tbl.commit(_df(spark, [(99, "y")]))                         # v3
+    tbl.restore(2)                                              # v4 = v2
+    assert _ids(tbl, spark) == [0, 1, 2, 3]
