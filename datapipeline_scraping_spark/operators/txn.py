@@ -199,7 +199,9 @@ def collect_file_stats(path: str, cols: list[str]) -> dict:
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        # hidden sidecars (_dv / _cdf) are not data files
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if not f.endswith(".parquet"):
                 continue
@@ -231,6 +233,58 @@ def collect_file_stats(path: str, cols: list[str]) -> dict:
                         per[c] = [lo, hi]
             out[os.path.relpath(fp, path)] = per
     return out
+
+
+def _diff_frames(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Change rows between two table states — the join :meth:`
+    ManifestTable.diff` documents; shared by commit-time CDF
+    materialization so the persisted feed and the lazy diff are the
+    same computation by construction."""
+    if old.columns != new.columns:
+        # align by name so schema evolution between the versions
+        # diffs as value changes (added columns: null pre-image)
+        unioned = evolve_schema(old.schema, new.schema)
+        old = align_to_schema(old, unioned)
+        new = align_to_schema(new, unioned)
+    cols = old.columns
+    vals = [c for c in cols if c not in keys]
+    # presence markers instead of key-null checks: NULL key values
+    # then diff as ordinary (null-safe-matched) rows instead of
+    # being misclassified as inserts/deletes
+    o = old.withColumn("__in_old", F.lit(True)).alias("o")
+    n = new.withColumn("__in_new", F.lit(True)).alias("n")
+    cond = None
+    for k in keys:
+        eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer")
+    row_o = F.struct(*[F.col(f"o.{c}").alias(c) for c in cols])
+    row_n = F.struct(*[F.col(f"n.{c}").alias(c) for c in cols])
+    changed = F.lit(False)
+    for c in vals:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    mk = lambda tag, row: F.struct(  # noqa: E731
+        F.lit(tag).alias("_change_type"), row.alias("r")
+    )
+    # typed empty array for the unchanged branch (F.array() alone
+    # is array<null> and would fail the union of branch types)
+    empty = F.slice(F.array(mk("x", row_o)), 1, 0)
+    cases = (
+        F.when(F.col("o.__in_old").isNull(), F.array(mk("insert", row_n)))
+        .when(F.col("n.__in_new").isNull(), F.array(mk("delete", row_o)))
+        .when(
+            changed,
+            F.array(
+                mk("update_preimage", row_o),
+                mk("update_postimage", row_n),
+            ),
+        )
+        .otherwise(empty)
+    )
+    return (
+        joined.select(F.explode(cases).alias("c"))
+        .select(F.col("c._change_type").alias("_change_type"), "c.r.*")
+    )
 
 
 def _link_tree(src: str, dst: str, *, skip_top: tuple[str, ...] = ()) -> None:
@@ -318,6 +372,9 @@ class ManifestTable:
     #: deletion-vector sidecar dir INSIDE a snapshot: underscore-
     #: prefixed so Hadoop/Spark parquet listing treats it as hidden
     DV_DIR = "_dv"
+    #: change-data-feed sidecar dir INSIDE a snapshot (same hidden
+    #: convention): the version's change rows, written at commit time
+    CDF_DIR = "_cdf"
 
     def __init__(
         self,
@@ -376,6 +433,7 @@ class ManifestTable:
         file_stats: dict | None = None,
         checks: dict | None = None,
         dv: dict | None = None,
+        cdf: dict | None = None,
     ) -> None:
         """Write the commit's log entry atomically (tmp + replace).
         Called inside the commit lock BEFORE the pointer swap; a crash
@@ -404,6 +462,8 @@ class ManifestTable:
             entry["checks"] = dict(checks)
         if dv:
             entry["dv"] = dict(dv)
+        if cdf:
+            entry["cdf"] = dict(cdf)
         tmp = f"{self._log_path(version)}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -580,52 +640,10 @@ class ManifestTable:
         batch reconciliation primitive incremental consumers (q95/q106
         shape) use to catch up from version N to the head without
         re-reading the whole table."""
-        old = self.read(spark, version=v_from)
-        new = self.read(spark, version=v_to)
-        if old.columns != new.columns:
-            # align by name so schema evolution between the versions
-            # diffs as value changes (added columns: null pre-image)
-            unioned = evolve_schema(old.schema, new.schema)
-            old = align_to_schema(old, unioned)
-            new = align_to_schema(new, unioned)
-        cols = old.columns
-        vals = [c for c in cols if c not in keys]
-        # presence markers instead of key-null checks: NULL key values
-        # then diff as ordinary (null-safe-matched) rows instead of
-        # being misclassified as inserts/deletes
-        o = old.withColumn("__in_old", F.lit(True)).alias("o")
-        n = new.withColumn("__in_new", F.lit(True)).alias("n")
-        cond = None
-        for k in keys:
-            eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
-            cond = eq if cond is None else (cond & eq)
-        joined = o.join(n, cond, "full_outer")
-        row_o = F.struct(*[F.col(f"o.{c}").alias(c) for c in cols])
-        row_n = F.struct(*[F.col(f"n.{c}").alias(c) for c in cols])
-        changed = F.lit(False)
-        for c in vals:
-            changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
-        mk = lambda tag, row: F.struct(  # noqa: E731
-            F.lit(tag).alias("_change_type"), row.alias("r")
-        )
-        # typed empty array for the unchanged branch (F.array() alone
-        # is array<null> and would fail the union of branch types)
-        empty = F.slice(F.array(mk("x", row_o)), 1, 0)
-        cases = (
-            F.when(F.col("o.__in_old").isNull(), F.array(mk("insert", row_n)))
-            .when(F.col("n.__in_new").isNull(), F.array(mk("delete", row_o)))
-            .when(
-                changed,
-                F.array(
-                    mk("update_preimage", row_o),
-                    mk("update_postimage", row_n),
-                ),
-            )
-            .otherwise(empty)
-        )
-        return (
-            joined.select(F.explode(cases).alias("c"))
-            .select(F.col("c._change_type").alias("_change_type"), "c.r.*")
+        return _diff_frames(
+            self.read(spark, version=v_from),
+            self.read(spark, version=v_to),
+            keys,
         )
 
     def read_asof(self, spark: SparkSession, ts: float) -> DataFrame:
@@ -691,7 +709,12 @@ class ManifestTable:
             self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
         )
         try:
-            _link_tree(src, staged)
+            # the source's _cdf holds ITS version's change rows — a
+            # restore is a new version whose changes (an un-diffed
+            # rollback) are deliberately NOT materialized: the entry
+            # below carries a `break` marker so feed readers fail
+            # loudly instead of replaying the source's old changes
+            _link_tree(src, staged, skip_top=(self.CDF_DIR,))
         except FileNotFoundError as exc:
             shutil.rmtree(staged, ignore_errors=True)
             raise SnapshotExpiredError(
@@ -722,6 +745,14 @@ class ManifestTable:
                 file_stats=entry.get("file_stats"),
                 checks=entry.get("checks"),
                 dv=entry.get("dv"),  # restored files include its _dv
+                cdf=(
+                    {
+                        "key_cols": list(entry["cdf"]["key_cols"]),
+                        "break": True,
+                    }
+                    if entry.get("cdf")
+                    else None
+                ),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -808,7 +839,7 @@ class ManifestTable:
             self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
         )
         try:
-            _link_tree(src, staged, skip_top=(self.DV_DIR,))
+            _link_tree(src, staged, skip_top=(self.DV_DIR, self.CDF_DIR))
             # churn-sized by contract: one file keeps the read-side
             # anti-join build tiny and the sidecar listing O(1)
             fresh.coalesce(1).write.mode("overwrite").parquet(
@@ -817,6 +848,25 @@ class ManifestTable:
             n_keys = int(
                 spark.read.parquet(os.path.join(staged, self.DV_DIR)).count()
             )
+            cdf_prop = list((entry.get("cdf") or {}).get("key_cols") or [])
+            cdf_entry: dict | None = None
+            if cdf_prop:
+                # the feed's delete rows are the VISIBLE rows the
+                # predicate matches now (already-deleted keys emit
+                # nothing — Delta CDF delete = pre-image of live rows)
+                visible = self._apply_dv(
+                    spark, spark.read.parquet(src), entry, src
+                )
+                cdf_path = os.path.join(staged, self.CDF_DIR)
+                visible.filter(pred).select(
+                    F.lit("delete").alias("_change_type"),
+                    "*",
+                    F.lit(cur_ver + 1).cast("long").alias("_commit_version"),
+                ).write.mode("overwrite").parquet(cdf_path)
+                cdf_entry = {
+                    "key_cols": cdf_prop,
+                    "n_changes": int(spark.read.parquet(cdf_path).count()),
+                }
         except FileNotFoundError as exc:
             shutil.rmtree(staged, ignore_errors=True)
             raise ConcurrentWriteError(
@@ -860,6 +910,7 @@ class ManifestTable:
                 file_stats=entry.get("file_stats"),
                 checks=entry.get("checks"),
                 dv={"key_cols": list(key_cols), "n_keys": n_keys},
+                cdf=cdf_entry,
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -1074,6 +1125,8 @@ class ManifestTable:
         meta: dict | None = None,
         stats_by: list[str] | None = None,
         check: dict[str, str] | None = None,
+        cdf_keys: list[str] | None = None,
+        cdf_mode: str = "auto",
     ) -> int:
         """Write ``df`` as a new snapshot and atomically repoint.
 
@@ -1136,14 +1189,36 @@ class ManifestTable:
         ``{}`` drops them deliberately. Inherited enforcement means
         every path that funnels through ``commit`` — ``merge_write``,
         the epoch sink, compaction — honors the table's constraints
-        automatically."""
+        automatically.
+
+        ``cdf_keys``: enable the change data feed as a table property
+        (Delta ``enableChangeDataFeed``): every subsequent commit
+        MATERIALIZES its change rows (:meth:`diff` output plus a
+        ``_commit_version`` column) into a hidden ``_cdf/`` sidecar
+        inside the new snapshot, so consumers — the ``manifest_cdf``
+        stream/batch source — read each version's churn-sized change
+        files instead of recomputing joins. ``None`` inherits the
+        property; ``[]`` drops it deliberately. Cost honesty: the
+        commit pays one keyed full-outer join of the previous and new
+        states — the same asymptotic class as the MERGE that produced
+        the commit; consumers then pay O(churn) forever after, which
+        is the right trade for any table with more than one reader.
+        ``cdf_mode="noop"`` marks the commit as logically content-
+        preserving (compaction): no join runs, and feed readers skip
+        the version. A commit that would race a concurrent writer
+        restages so the feed is computed against the version it
+        actually supersedes — the feed is SERIALIZED even when
+        writers are not."""
         if schema_mode not in ("evolve", "replace"):
             raise ValueError(f"unknown schema_mode {schema_mode!r}")
+        if cdf_mode not in ("auto", "noop"):
+            raise ValueError(f"unknown cdf_mode {cdf_mode!r}")
         os.makedirs(self.root, exist_ok=True)
         orig_df = df
         want_partition_by = partition_by
         want_stats_by = stats_by
         want_check = check
+        want_cdf_keys = cdf_keys
 
         def _shape(schema: T.StructType) -> list[tuple[str, T.DataType]]:
             # compare name+type only: align_to_schema's select cannot
@@ -1179,6 +1254,14 @@ class ManifestTable:
                 checks = dict(prev.get("checks") or {}) if prev else {}
             else:
                 checks = dict(want_check)
+            if want_cdf_keys is None:
+                cdf_prop = (
+                    list((prev.get("cdf") or {}).get("key_cols") or [])
+                    if prev
+                    else []
+                )
+            else:
+                cdf_prop = list(want_cdf_keys)
             staged = f"snap-staging-{uuid.uuid4().hex[:12]}"
             obs = None
             df_w = df
@@ -1211,6 +1294,50 @@ class ManifestTable:
                         f"(predicates: "
                         f"{ {n: checks[n] for n in bad} })"
                     )
+            cdf_entry: dict | None = None
+            if cdf_prop:
+                if cdf_mode == "noop":
+                    cdf_entry = {"key_cols": cdf_prop, "noop": True}
+                else:
+                    spark = df.sparkSession
+                    staged_path = os.path.join(self.root, staged)
+                    new_state = spark.read.parquet(staged_path)
+                    if ptr is None and not partition_by:
+                        # the initial load is all-insert BY DEFINITION:
+                        # writing an insert sidecar would double the
+                        # table's first write (fatal at 100 TB), so the
+                        # entry marks it `initial` and feed readers
+                        # serve inserts from the DATA files directly —
+                        # Delta's append-commit CDF optimization.
+                        # (Partitioned initial loads fall through to
+                        # the sidecar: their data files don't carry the
+                        # partition columns.)
+                        cdf_entry = {
+                            "key_cols": cdf_prop,
+                            "n_changes": int(new_state.count()),
+                            "initial": True,
+                        }
+                    else:
+                        if ptr is None:
+                            changes = new_state.select(
+                                F.lit("insert").alias("_change_type"), "*"
+                            )
+                        else:
+                            changes = _diff_frames(
+                                self.read(spark, version=base_ver),
+                                new_state,
+                                cdf_prop,
+                            )
+                        cdf_path = os.path.join(staged_path, self.CDF_DIR)
+                        changes.withColumn(
+                            "_commit_version", F.lit(base_ver + 1).cast("long")
+                        ).write.mode("overwrite").parquet(cdf_path)
+                        cdf_entry = {
+                            "key_cols": cdf_prop,
+                            "n_changes": int(
+                                spark.read.parquet(cdf_path).count()
+                            ),
+                        }
             schema_json = df.schema.json()
             file_stats = (
                 collect_file_stats(os.path.join(self.root, staged), stats_cols)
@@ -1231,7 +1358,18 @@ class ManifestTable:
                         f"{expect_version}"
                     )
                 restage = False
-                if expect_version is None and cur_ver != base_ver:
+                if (
+                    cdf_entry is not None
+                    and "n_changes" in cdf_entry
+                    and cur_ver != base_ver
+                ):
+                    # the materialized feed was diffed against a
+                    # version this commit no longer supersedes —
+                    # committing it would record the racing writer's
+                    # changes as this commit's (or lose them). Restage
+                    # so the feed is exact against the real base.
+                    restage = True
+                if not restage and expect_version is None and cur_ver != base_ver:
                     # an unconditional commit whose evolution /
                     # inheritance base is stale: re-check against the
                     # NEW live state. Proceed only if the staged
@@ -1271,6 +1409,7 @@ class ManifestTable:
                         stats_cols=stats_cols,
                         file_stats=file_stats,
                         checks=checks,
+                        cdf=cdf_entry,
                     )
                     tmp_ptr = os.path.join(
                         self.root, f".ptr-{uuid.uuid4().hex[:8]}"
@@ -1823,7 +1962,10 @@ def compact_table(
                     rewritten = rewritten.sortWithinPartitions(*keys)
             else:
                 rewritten = df.repartition(n_target)
-        new_ver = mt.commit(rewritten, expect_version=version)
+        # cdf_mode="noop": compaction (incl. DV purge — the deletes
+        # were already fed by delete_where) preserves logical content;
+        # feed readers skip the version instead of paying a diff join
+        new_ver = mt.commit(rewritten, expect_version=version, cdf_mode="noop")
     except FileNotFoundError as exc:
         # a racing writer committed and its GC dropped our snapshot
         # mid-rewrite: surface the documented retryable conflict, not

@@ -552,3 +552,122 @@ def q167_deletion_vectors(spark, sf_dir):
         == orders.filter("o_orderkey % 7 <> 0").count()
     )
     return tbl.read(spark)
+
+
+# ===========================================================================
+# streaming change feed: continuous materialized-view maintenance
+# ===========================================================================
+
+
+@q(
+    "q168_cdf_stream_view",
+    oracle="""
+SELECT o_orderpriority AS pri,
+  COUNT(*) AS n_orders,
+  CAST(CAST(SUM(CAST(CASE WHEN o_orderkey % 13 = 0
+                     THEN o_totalprice * 2 ELSE o_totalprice END
+                AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderkey % 7 <> 0
+GROUP BY o_orderpriority
+""",
+)
+def q168_cdf_stream_view(spark, sf_dir):
+    """The transactional ledger's change feed as a REGISTERED STREAM
+    source (``format("manifest_cdf")``, sources/cdf_datasource.py —
+    Delta ``readChangeFeed`` semantics) driving continuous aggregate-
+    view maintenance: an orders ledger commits v1 (initial load), v2
+    (prices doubled for %13 keys — update pre/post pairs) and v3
+    (``delete_where`` %7 — deletes derived from the deletion vector),
+    each commit MATERIALIZING its churn-sized change rows at commit
+    time; a checkpointed ``availableNow`` stream then delivers the feed
+    exactly once (the in-query replay assert re-runs the stream on the
+    same checkpoint and requires zero new rows), and the view is the
+    SIGNED aggregate over delivered changes — +1/+price on insert and
+    update_postimage, −1/−price on delete and update_preimage — which
+    the in-query assert pins equal to a full rebuild from the head.
+
+    Scale: offsets are table versions (one pointer read per poll); a
+    micro-batch's tasks are one per change FILE, so consumer cost
+    tracks churn, never table size — and the v1 initial load feeds
+    straight from its data files (zero sidecar bytes; Delta's
+    append-commit CDF optimization). This closes SURVEY §1.4's daily
+    incremental loop as a continuously-maintained view instead of the
+    reference's rebuild-after-every-delta report
+    (``dags/scraping_etl.py:59-69``)."""
+    from .functions.numeric import to_double
+    from .operators.txn import ManifestTable
+    from .queries_r9 import _key
+    from .sources.cdf_datasource import register
+    from .streaming.events import SCRATCH
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = os.path.join(SCRATCH, f"cdfstream_{_key(sf_dir)}")
+    out = os.path.join(SCRATCH, f"cdfstream_out_{_key(sf_dir)}")
+    ck = os.path.join(SCRATCH, f"cdfstream_ck_{_key(sf_dir)}")
+    for p in (root, out, ck):
+        shutil.rmtree(p, ignore_errors=True)
+    tbl = ManifestTable(root, retention_sec=3600)
+    tbl.commit(orders, cdf_keys=["o_orderkey"])
+    doubled = F.col("o_orderkey") % 13 == 0
+    tbl.commit(
+        orders.withColumn(
+            "price",
+            F.when(doubled, F.col("price") * 2)
+            .otherwise(F.col("price"))
+            .cast("decimal(18,2)"),
+        )
+    )
+    tbl.delete_where(spark, "o_orderkey % 7 = 0", ["o_orderkey"])
+
+    register(spark)
+
+    def drain() -> int:
+        q_ = (
+            spark.readStream.format("manifest_cdf")
+            .option("root", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    n1 = drain()
+    assert drain() == n1, "replayed stream delivered duplicate changes"
+
+    feed = spark.read.parquet(out)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    view = (
+        feed.groupBy("pri")
+        .agg(
+            F.sum(sign).cast("long").alias("n_orders"),
+            F.sum(sign * F.col("price"))
+            .cast("decimal(38,2)")
+            .alias("sum_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    rebuild = (
+        tbl.read(spark)
+        .groupBy("pri")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("price").cast("decimal(38,2)").alias("sum_price"),
+        )
+    )
+    assert {tuple(r) for r in view.collect()} == {
+        tuple(r) for r in rebuild.collect()
+    }, "signed feed aggregate != full rebuild"
+    return view.select(
+        "pri", "n_orders", to_double(F.col("sum_price")).alias("sum_price")
+    )

@@ -1,0 +1,278 @@
+"""The ManifestTable change feed as a REGISTERED Spark data source —
+Delta's ``readChangeFeed`` surface re-expressed on the manifest
+protocol (Spark 4 Python DataSource API):
+
+    spark.dataSource.register(ManifestCDFDataSource)
+    # batch: all changes in a version range
+    spark.read.format("manifest_cdf").option("root", root)
+         .option("starting_version", 2).load()
+    # stream: follow the table's commits
+    spark.readStream.format("manifest_cdf").option("root", root).load()
+
+The feed itself is MATERIALIZED at commit time
+(``ManifestTable.commit(cdf_keys=[...])`` writes each version's change
+rows — ``_change_type`` + full row + ``_commit_version`` — into a
+hidden ``_cdf/`` sidecar inside the snapshot; ``delete_where`` derives
+its delete rows directly from the deletion vector's keys). This source
+only LISTS and READS those churn-sized files:
+
+- Offsets are table VERSIONS — ``latestOffset`` is one pointer-file
+  read; a micro-batch covers versions ``(start, end]``; restart picks
+  up exactly the committed-but-unread versions from the checkpoint.
+- One ``InputPartition`` per change FILE, so a huge backfill batch
+  fans out across executors and a trickle of small commits stays one
+  task each. The read path never touches snapshot data files — cost
+  tracks churn, not table size, which is the whole point at 100 TB.
+- Version gaps are loud, not silent: a version committed without the
+  feed enabled, or a RESTORE (whose entry carries a ``break`` marker),
+  raises — a consumer must rebuild from a full scan rather than
+  silently missing changes, exactly Delta's contract. Compaction
+  commits are marked ``noop`` (logical content preserved) and skip.
+- GC: change files live inside their version's snapshot dir, so the
+  retention contract that protects time travel protects the feed; a
+  consumer further behind than the retention window gets
+  ``SnapshotExpiredError`` and must rebuild.
+
+Composes with the exactly-once manifest epoch sink
+(streaming/txn_sink.py): table -> change stream -> derived table, each
+hop transactional — the reference's daily-incremental loop (SURVEY
+§1.4) generalized to continuous materialized-view maintenance.
+
+Reference anchor: the reference recomputes downstream state from full
+re-scrapes (dags/scraping_etl.py:59-69 delta contract); this is the
+multi-consumer, multi-version generalization of that delta feed.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+
+def _pointer_version(root: str) -> int:
+    """Current committed version from the pointer file (0 = none)."""
+    try:
+        with open(os.path.join(root, "CURRENT")) as fh:
+            lines = fh.read().splitlines()
+        return int(lines[1])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
+def _log_entry(root: str, version: int) -> dict | None:
+    try:
+        with open(os.path.join(root, "_log", f"{version:08d}.json")) as fh:
+            return json.load(fh)
+    except OSError:
+        return None
+
+
+def _change_files(
+    root: str, v_from: int, v_to: int
+) -> list[tuple[str, int | None]]:
+    """``(path, synth_version)`` pairs for versions in ``(v_from,
+    v_to]``, validating feed continuity (raise on disabled / broken
+    versions, skip noops). ``synth_version`` is None for a ``_cdf/``
+    change file (markers are in the file); for an ``initial`` commit
+    the pairs point at the snapshot's DATA files and carry the version
+    so the reader synthesizes ``insert`` markers — the initial load's
+    feed costs zero extra bytes at commit time."""
+    out: list[tuple[str, int | None]] = []
+    for v in range(v_from + 1, v_to + 1):
+        entry = _log_entry(root, v)
+        if entry is None:
+            raise ValueError(
+                f"{root}: no commit log entry for version {v} — the "
+                f"change feed cannot skip versions; rebuild the consumer"
+            )
+        cdf = entry.get("cdf")
+        if cdf is None:
+            raise ValueError(
+                f"{root}: version {v} was committed without the change "
+                f"feed (cdf_keys) — feed continuity is broken; rebuild "
+                f"the consumer from a full scan"
+            )
+        if cdf.get("break"):
+            raise ValueError(
+                f"{root}: version {v} is a RESTORE — its changes are "
+                f"not materialized; rebuild the consumer from a full scan"
+            )
+        if cdf.get("noop") or not cdf.get("n_changes"):
+            continue  # compaction / empty commit: nothing to feed
+        snap = os.path.join(root, entry["snapshot"])
+        if cdf.get("initial"):
+            files = []
+            for d, dirs, fs in os.walk(snap):
+                dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+                files.extend(
+                    (os.path.join(d, f), v)
+                    for f in sorted(fs)
+                    if f.endswith(".parquet")
+                )
+        else:
+            files = [
+                (f, None)
+                for f in sorted(
+                    glob.glob(os.path.join(snap, "_cdf", "*.parquet"))
+                )
+            ]
+        if not files:
+            raise FileNotFoundError(
+                f"{root}: version {v}'s change files were garbage-"
+                f"collected (consumer fell behind retention) — rebuild"
+            )
+        out.extend(files)
+    return out
+
+
+def _schema_for(root: str) -> StructType:
+    """Declared feed schema: the LIVE table schema plus the change
+    markers. Mid-stream widening evolution is served as-committed (the
+    files carry the schema their version had); a consumer that needs
+    the evolved view restarts — same guidance as Delta CDF."""
+    ver = _pointer_version(root)
+    entry = _log_entry(root, ver) or {}
+    sj = entry.get("schema")
+    if not sj:
+        raise ValueError(
+            f"{root}: no committed schema — commit with cdf_keys first"
+        )
+    base = StructType.fromJson(json.loads(sj))
+    return StructType(
+        [StructField("_change_type", StringType(), False)]
+        + list(base.fields)
+        + [StructField("_commit_version", LongType(), False)]
+    )
+
+
+def _arrow_schema(schema: StructType):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema)
+
+
+class _CDFReadMixin:
+    """Shared executor-side read: one change FILE per partition,
+    yielded as Arrow batches (zero row-at-a-time Python). Files whose
+    column set or types predate a schema evolution are aligned by name
+    and cast to the declared schema (widenings are lossless by the
+    table's evolution contract)."""
+
+    arrow_schema = None  # set by subclass __init__, pickled to workers
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        want = self.arrow_schema
+        path, synth_version = partition.value
+        tbl = pq.read_table(path)
+        if synth_version is not None:
+            # an `initial` commit's DATA file: the feed markers are
+            # constants, never persisted (zero extra commit bytes)
+            n = tbl.num_rows
+            tbl = tbl.add_column(
+                0,
+                "_change_type",
+                pa.array(["insert"] * n, type=pa.string()),
+            ).append_column(
+                "_commit_version",
+                pa.array([synth_version] * n, type=pa.int64()),
+            )
+        if tbl.schema.names != want.names:
+            n = tbl.num_rows
+            arrays = [
+                tbl.column(f.name)
+                if f.name in tbl.schema.names
+                else pa.nulls(n, type=f.type)  # column added later
+                for f in want
+            ]
+            tbl = pa.Table.from_arrays(arrays, names=list(want.names))
+        yield from tbl.cast(want).to_batches(max_chunksize=1 << 16)
+
+
+class ManifestCDFBatchReader(_CDFReadMixin, DataSourceReader):
+    def __init__(self, options, schema):
+        self.root = options["root"]
+        self.v_from = int(options.get("starting_version", 1)) - 1
+        self.v_to = int(options.get("ending_version", 0)) or _pointer_version(
+            self.root
+        )
+        self.arrow_schema = _arrow_schema(schema)
+
+    def partitions(self):
+        return [
+            InputPartition(f)
+            for f in _change_files(self.root, self.v_from, self.v_to)
+        ]
+
+
+class ManifestCDFStreamReader(_CDFReadMixin, DataSourceStreamReader):
+    """Version-offset stream over the commit log. ``latestOffset`` is
+    one tiny pointer read (driver-side); each micro-batch's partitions
+    are the change files of the versions it covers. Offset state lives
+    in the checkpoint — a replayed epoch lists the same versions,
+    whose change files are immutable, so the batch replays bit-
+    identically and the manifest epoch sink's exactly-once guard
+    composes (same contract as the scrape stream source)."""
+
+    def __init__(self, options, schema):
+        self.root = options["root"]
+        self.start = int(options.get("starting_version", 1)) - 1
+        self.arrow_schema = _arrow_schema(schema)
+
+    def initialOffset(self):
+        return {"version": self.start}
+
+    def latestOffset(self):
+        return {"version": max(self.start, _pointer_version(self.root))}
+
+    def partitions(self, start, end):
+        files = _change_files(
+            self.root, int(start["version"]), int(end["version"])
+        )
+        # an all-noop range still needs >=1 partition: Spark requires
+        # a non-empty plan per batch, so feed one empty file-less task
+        return [InputPartition(f) for f in files] or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:  # all-noop batch placeholder
+            return
+        yield from super().read(partition)
+
+    def commit(self, end):
+        pass
+
+
+class ManifestCDFDataSource(DataSource):
+    """``format("manifest_cdf")`` — see module docstring. Options:
+    ``root`` (required, the ManifestTable root), ``starting_version``
+    (default 1, inclusive), ``ending_version`` (batch only, default =
+    current head)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_cdf"
+
+    def schema(self) -> StructType:
+        return _schema_for(self.options["root"])
+
+    def reader(self, schema):
+        return ManifestCDFBatchReader(self.options, schema)
+
+    def streamReader(self, schema):
+        return ManifestCDFStreamReader(self.options, schema)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the ``manifest_cdf`` format."""
+    spark.dataSource.register(ManifestCDFDataSource)
