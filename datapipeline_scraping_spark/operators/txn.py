@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -235,6 +236,17 @@ def collect_file_stats(path: str, cols: list[str]) -> dict:
     return out
 
 
+def _apply_map(df: DataFrame, entry: dict | None) -> DataFrame:
+    """Rename PHYSICAL parquet column names to the entry's LOGICAL
+    names (``column_map``: logical -> physical, non-identity pairs
+    only) — the read half of metadata-only RENAME (Delta column
+    mapping ``name`` mode). A no-op for tables never renamed."""
+    cmap = (entry or {}).get("column_map")
+    if not cmap:
+        return df
+    return df.withColumnsRenamed({phys: logi for logi, phys in cmap.items()})
+
+
 def _diff_frames(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     """Change rows between two table states — the join :meth:`
     ManifestTable.diff` documents; shared by commit-time CDF
@@ -434,6 +446,7 @@ class ManifestTable:
         checks: dict | None = None,
         dv: dict | None = None,
         cdf: dict | None = None,
+        column_map: dict | None = None,
     ) -> None:
         """Write the commit's log entry atomically (tmp + replace).
         Called inside the commit lock BEFORE the pointer swap; a crash
@@ -464,6 +477,8 @@ class ManifestTable:
             entry["dv"] = dict(dv)
         if cdf:
             entry["cdf"] = dict(cdf)
+        if column_map:
+            entry["column_map"] = dict(column_map)
         tmp = f"{self._log_path(version)}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -595,8 +610,9 @@ class ManifestTable:
                 raise FileNotFoundError(
                     f"no committed snapshot under {self.root}"
                 )
+        entry = self._log_entry(version)
         return self._apply_dv(
-            spark, spark.read.parquet(path), self._log_entry(version), path
+            spark, _apply_map(spark.read.parquet(path), entry), entry, path
         )
 
     def _apply_dv(
@@ -753,6 +769,149 @@ class ManifestTable:
                     if entry.get("cdf")
                     else None
                 ),
+                column_map=entry.get("column_map"),
+            )
+            tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
+            with open(tmp_ptr, "w") as fh:
+                fh.write(f"{snap}\n{new_ver}\n")
+            os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
+            self.last_snapshot = snap
+            committed_ver = new_ver
+        finally:
+            self._release_lock()
+            if committed_ver is None:
+                shutil.rmtree(staged, ignore_errors=True)
+        self._gc(keep=keep_snapshots)
+        return committed_ver
+
+    def rename_column(
+        self,
+        old: str,
+        new: str,
+        *,
+        expect_version: int | None = None,
+        keep_snapshots: int = 2,
+    ) -> int:
+        """METADATA-ONLY column rename — Delta column mapping (``name``
+        mode): the new commit HARDLINKS the current snapshot's data
+        files untouched and records a LOGICAL->PHYSICAL ``column_map``
+        in the log; every read path renames on the way out, so
+        renaming a column on a 100 TB table moves zero data bytes.
+        Renames chain (the map always points at the files' real
+        names); the next full-rewrite commit — any :meth:`commit`, or
+        :func:`compact_table` — writes files under the logical names
+        and drops the map, exactly how OPTIMIZE materializes deletion
+        vectors.
+
+        Guarded refusals (each names its escape hatch): renaming a
+        partition column (physical dir names — rewrite with a new
+        ``partition_by``), a live deletion-vector key (compact
+        first), or a column referenced by a CHECK constraint (drop or
+        re-state the constraint). ``stats_by``/``read_range`` keep
+        working: stats stay keyed by physical name and lookups
+        translate. A rename under an enabled change feed records a
+        ``break`` (past change files carry the old name; consumers
+        rebuild — Delta requires a feed restart across column-mapping
+        renames for the same reason).
+
+        Same CAS + lock protocol as every writer; raises
+        :class:`ConcurrentWriteError` if the table advances mid-
+        rename."""
+        ptr = self._pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        snap_name, cur_ver = ptr
+        src = os.path.join(self.root, snap_name)
+        entry = self._log_entry(cur_ver) or {}
+        schema = T.StructType.fromJson(json.loads(entry["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"{self.root}: no column {old!r} to rename")
+        if new in names:
+            raise ValueError(f"{self.root}: column {new!r} already exists")
+        if old in (entry.get("partition_by") or []):
+            raise ValueError(
+                f"{self.root}: {old!r} is a partition column (physical "
+                f"directory names) — rewrite with a new partition_by"
+            )
+        if old in ((entry.get("dv") or {}).get("key_cols") or []):
+            raise ValueError(
+                f"{self.root}: {old!r} keys the live deletion vector — "
+                f"compact_table first to materialize it"
+            )
+        for cname, pred_sql in (entry.get("checks") or {}).items():
+            if re.search(rf"\b{re.escape(old)}\b", pred_sql):
+                raise ValueError(
+                    f"{self.root}: {old!r} is referenced by CHECK "
+                    f"constraint {cname!r} ({pred_sql}) — drop or "
+                    f"re-state the constraint in the same commit instead"
+                )
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        cmap = dict(entry.get("column_map") or {})
+        phys = cmap.pop(old, old)
+        if new != phys:
+            cmap[new] = phys
+        stats_cols = [
+            new if c == old else c for c in (entry.get("stats_cols") or [])
+        ]
+        prev_cdf = entry.get("cdf")
+        staged = os.path.join(
+            self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
+        )
+        try:
+            _link_tree(src, staged, skip_top=(self.CDF_DIR,))
+        except FileNotFoundError as exc:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{self.root}: snapshot {snap_name} vanished during "
+                f"rename_column (concurrent writer + gc) — retry"
+            ) from exc
+        committed_ver: int | None = None
+        self._acquire_lock()
+        try:
+            now = self._pointer()
+            live_ver = 0 if now is None else now[1]
+            if expect_version is not None and live_ver != expect_version:
+                raise ConcurrentWriteError(
+                    f"{self.root}: version {live_ver} != expected "
+                    f"{expect_version}"
+                )
+            if live_ver != cur_ver:
+                raise ConcurrentWriteError(
+                    f"{self.root}: table advanced {cur_ver} -> {live_ver} "
+                    f"during rename_column — re-run against the new head"
+                )
+            new_ver = cur_ver + 1
+            snap = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
+            os.rename(staged, os.path.join(self.root, snap))
+            staged = os.path.join(self.root, snap)  # for error cleanup
+            self._write_log(
+                new_ver,
+                snap,
+                list(entry.get("partition_by") or []),
+                new_schema.json(),
+                meta={**(entry.get("meta") or {}), "renamed": {old: new}},
+                stats_cols=stats_cols,
+                file_stats=entry.get("file_stats"),
+                checks=entry.get("checks"),
+                dv=entry.get("dv"),
+                cdf=(
+                    {
+                        "key_cols": [
+                            new if k == old else k
+                            for k in prev_cdf["key_cols"]
+                        ],
+                        "break": True,
+                    }
+                    if prev_cdf
+                    else None
+                ),
+                column_map=cmap or None,
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -826,7 +985,7 @@ class ManifestTable:
         # no-op under the union below, and skipping the anti-join here
         # keeps the match scan one pass over the data files
         fresh = (
-            spark.read.parquet(src)
+            _apply_map(spark.read.parquet(src), entry)
             .filter(pred)
             .select(*[F.col(c) for c in key_cols])
             .distinct()
@@ -855,7 +1014,7 @@ class ManifestTable:
                 # predicate matches now (already-deleted keys emit
                 # nothing — Delta CDF delete = pre-image of live rows)
                 visible = self._apply_dv(
-                    spark, spark.read.parquet(src), entry, src
+                    spark, _apply_map(spark.read.parquet(src), entry), entry, src
                 )
                 cdf_path = os.path.join(staged, self.CDF_DIR)
                 visible.filter(pred).select(
@@ -911,6 +1070,7 @@ class ManifestTable:
                 checks=entry.get("checks"),
                 dv={"key_cols": list(key_cols), "n_keys": n_keys},
                 cdf=cdf_entry,
+                column_map=entry.get("column_map"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -948,6 +1108,9 @@ class ManifestTable:
         snap = self.snapshot_path(ver)
         entry = self._log_entry(ver) or {}
         stats = entry.get("file_stats") or {}
+        # stats are keyed by the files' PHYSICAL column names; callers
+        # pass logical names (metadata-only rename, column_map)
+        col = (entry.get("column_map") or {}).get(col, col)
         total = 0
         kept: list[str] = []
         for root, dirs, files in os.walk(snap):
@@ -1025,10 +1188,26 @@ class ManifestTable:
                 schema = self.read(spark, version=version).schema
             return spark.createDataFrame([], schema)
         reader = spark.read
+        cmap = (entry or {}).get("column_map") or {}
         if schema is not None:
-            reader = reader.schema(schema)
+            # the files carry PHYSICAL names: declare the schema in
+            # physical terms (parquet matches by name), rename after
+            phys_schema = T.StructType(
+                [
+                    T.StructField(
+                        cmap.get(f.name, f.name), f.dataType, f.nullable
+                    )
+                    for f in schema.fields
+                ]
+            )
+            reader = reader.schema(phys_schema)
         snap = self.snapshot_path(version)
-        return self._apply_dv(spark, reader.parquet(*sorted(kept)), entry, snap)
+        return self._apply_dv(
+            spark,
+            _apply_map(reader.parquet(*sorted(kept)), entry),
+            entry,
+            snap,
+        )
 
     # -- commit protocol ---------------------------------------------------
     def _acquire_lock(self, timeout: float = 30.0) -> None:
@@ -1925,7 +2104,11 @@ def compact_table(
         # must not re-resolve the pointer at job time (a racing writer
         # could have advanced it; the version CAS below then catches
         # the conflict instead of silently compacting the wrong data)
-        df = spark.read.parquet(snap)
+        # logical view: apply any metadata-only renames; the rewrite
+        # then writes files under the LOGICAL names, so the new commit
+        # carries no column_map — compaction materializes renames the
+        # same way it materializes deletion vectors
+        df = _apply_map(spark.read.parquet(snap), mt._log_entry(version))
         if dv:
             # materialize the deletion vector (Delta OPTIMIZE purges
             # DVs the same way): the rewrite drops the deleted rows

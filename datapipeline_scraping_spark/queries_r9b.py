@@ -671,3 +671,80 @@ def q168_cdf_stream_view(spark, sf_dir):
     return view.select(
         "pri", "n_orders", to_double(F.col("sum_price")).alias("sum_price")
     )
+
+
+# ===========================================================================
+# metadata-only column rename (Delta column mapping)
+# ===========================================================================
+
+
+@q(
+    "q169_column_mapping_rename",
+    oracle="""
+SELECT o_orderkey AS order_id,
+  o_orderpriority AS priority,
+  CAST(o_totalprice AS DOUBLE) AS amount
+FROM orders
+WHERE o_orderkey % 3 <> 0
+  AND o_orderkey BETWEEN 1000 AND 40000
+""",
+)
+def q169_column_mapping_rename(spark, sf_dir):
+    """METADATA-ONLY column rename on the versioned ledger
+    (``ManifestTable.rename_column`` — Delta column mapping ``name``
+    mode): three chained renames commit only a hardlinked snapshot
+    plus a logical->physical ``column_map`` log record — the in-query
+    asserts pin that every v1 data-file inode survives to v4 (zero
+    data bytes moved for three renames) and that chaining collapses to
+    single-hop mappings. The renamed logical names then drive every
+    downstream path exercised here: a merge-on-read DELETE whose
+    predicate and keys use the NEW name, and a stats-pruned
+    ``read_range`` whose logical->physical translation must consult
+    the files' original column names. Time travel still serves v1
+    under its own old names.
+
+    Scale: renaming a column on a 100 TB table is a log write, not a
+    rewrite; the map is materialized away by the NEXT full rewrite
+    (any commit / compaction), exactly how OPTIMIZE purges deletion
+    vectors. Reference anchor: the reference renames by editing the
+    YAML schema and re-scraping into a fresh table
+    (``configs/*.yml`` + ``src/storage.py:90-131``)."""
+    import glob
+
+    from .operators.txn import ManifestTable
+    from .queries_r9 import _key
+    from .streaming.events import SCRATCH
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = os.path.join(SCRATCH, f"rename_ledger_{_key(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = ManifestTable(root, retention_sec=3600)
+    tbl.commit(orders, stats_by=["o_orderkey"])
+    tbl.rename_column("o_orderkey", "order_id")
+    tbl.rename_column("o_orderpriority", "priority")
+    tbl.rename_column("o_totalprice", "amount")
+
+    def inodes(ver):
+        snap = tbl.snapshot_path(ver)
+        return {os.stat(p).st_ino for p in glob.glob(snap + "/*.parquet")}
+
+    assert inodes(1) and inodes(1) == inodes(4), "rename moved data bytes"
+    assert tbl._log_entry(4)["column_map"] == {
+        "order_id": "o_orderkey",
+        "priority": "o_orderpriority",
+        "amount": "o_totalprice",
+    }
+    assert tbl.read(spark, version=1).columns == [
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+    ]
+    # the new logical names drive DELETE and the stats-pruned read
+    tbl.delete_where(spark, "order_id % 3 = 0", ["order_id"])
+    return tbl.read_range(spark, "order_id", 1000, 40000).filter(
+        "order_id between 1000 and 40000"
+    )

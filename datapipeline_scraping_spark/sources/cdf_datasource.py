@@ -103,8 +103,9 @@ def _change_files(
             )
         if cdf.get("break"):
             raise ValueError(
-                f"{root}: version {v} is a RESTORE — its changes are "
-                f"not materialized; rebuild the consumer from a full scan"
+                f"{root}: version {v} breaks feed continuity (RESTORE "
+                f"or column rename — its changes are not materialized); "
+                f"rebuild the consumer from a full scan"
             )
         if cdf.get("noop") or not cdf.get("n_changes"):
             continue  # compaction / empty commit: nothing to feed

@@ -1369,3 +1369,114 @@ def test_restore_carries_deletion_vector(spark, tmp_path):
     tbl.commit(_df(spark, [(99, "y")]))                         # v3
     tbl.restore(2)                                              # v4 = v2
     assert _ids(tbl, spark) == [0, 1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# metadata-only column rename (rename_column / column_map)
+# ---------------------------------------------------------------------------
+
+
+def test_rename_column_is_metadata_only_and_chains(spark, tmp_path):
+    import glob
+
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    tbl.commit(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    tbl.rename_column("v", "label")
+
+    def inodes(ver):
+        snap = tbl.snapshot_path(ver)
+        return {os.stat(p).st_ino for p in glob.glob(snap + "/*.parquet")}
+
+    assert inodes(1) and inodes(1) == inodes(2)  # zero data bytes moved
+    assert tbl.read(spark).columns == ["pk", "label"]
+    assert tbl._log_entry(2)["column_map"] == {"label": "v"}
+    # chained rename collapses to one physical mapping
+    tbl.rename_column("label", "name")
+    assert tbl._log_entry(3)["column_map"] == {"name": "v"}
+    assert {r["name"] for r in tbl.read(spark).collect()} == {
+        f"v{i}" for i in range(10)
+    }
+    # time travel serves each version's OWN logical names
+    assert tbl.read(spark, version=1).columns == ["pk", "v"]
+    # rename back to the physical name drops the map entirely
+    tbl.rename_column("name", "v")
+    assert "column_map" not in (tbl._log_entry(4) or {})
+
+
+def test_rename_column_guards(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"))
+    df = _df(spark, [(1, "a"), (2, "b")]).withColumn("b", F.col("pk") % 2)
+    tbl.commit(df, partition_by=["b"], check={"pk_pos": "pk > 0"})
+    with pytest.raises(ValueError, match="partition column"):
+        tbl.rename_column("b", "bucket")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        tbl.rename_column("pk", "id")
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.rename_column("v", "pk")
+    with pytest.raises(ValueError, match="no column"):
+        tbl.rename_column("zzz", "y")
+    t2 = ManifestTable(str(tmp_path / "t2"))
+    t2.commit(_df(spark, [(1, "a"), (2, "b")]))
+    t2.delete_where(spark, "pk = 1", ["pk"])
+    with pytest.raises(ValueError, match="deletion vector"):
+        t2.rename_column("pk", "id")
+    t2.rename_column("v", "val")  # non-key renames stay allowed
+
+
+def test_rename_column_interplay(spark, tmp_path):
+    from datapipeline_scraping_spark.operators.txn import compact_table
+
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    df = spark.range(20).select(
+        F.col("id").alias("pk"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    tbl.commit(df, stats_by=["pk"])
+    tbl.rename_column("pk", "id")
+    # file-skipping stats translate logical -> physical
+    kept, total = tbl.pruned_files("id", 3, 5)
+    assert kept and len(kept) < total
+    got = sorted(
+        r["id"]
+        for r in tbl.read_range(spark, "id", 3, 5)
+        .filter("id between 3 and 5")
+        .collect()
+    )
+    assert got == [3, 4, 5]
+    # DV predicate + keys in logical names
+    tbl.delete_where(spark, "id >= 15", ["id"])
+    assert sorted(r["id"] for r in tbl.read(spark).collect()) == list(
+        range(15)
+    )
+    # restore carries the map (hardlinked physical files)
+    tbl.restore(2)
+    assert tbl._log_entry(tbl.version())["column_map"] == {"id": "pk"}
+    assert tbl.read(spark).columns == ["id", "v"]
+    # a full-rewrite commit materializes logical names and drops the map
+    tbl.commit(tbl.read(spark))
+    assert "column_map" not in (tbl._log_entry(tbl.version()) or {})
+    assert tbl.read(spark).columns == ["id", "v"]
+    # compaction also materializes (fresh table to isolate)
+    t2 = ManifestTable(str(tmp_path / "t2"))
+    t2.commit(df)
+    t2.rename_column("v", "name")
+    compact_table(spark, str(tmp_path / "t2"), target_files=1)
+    assert "column_map" not in (t2._log_entry(t2.version()) or {})
+    assert t2.read(spark).columns == ["pk", "name"]
+
+
+def test_rename_column_breaks_change_feed(spark, tmp_path):
+    from datapipeline_scraping_spark.sources.cdf_datasource import register
+
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(1, "a")]), cdf_keys=["pk"])
+    tbl.rename_column("v", "label")
+    entry = tbl._log_entry(2)["cdf"]
+    assert entry["break"] is True and entry["key_cols"] == ["pk"]
+    register(spark)
+    with pytest.raises(Exception, match="not materialized|RESTORE"):
+        (
+            spark.read.format("manifest_cdf")
+            .option("root", str(tmp_path / "t"))
+            .load()
+            .collect()
+        )
