@@ -387,6 +387,9 @@ class ManifestTable:
     #: change-data-feed sidecar dir INSIDE a snapshot (same hidden
     #: convention): the version's change rows, written at commit time
     CDF_DIR = "_cdf"
+    #: merge-on-read update delta dir INSIDE a snapshot: the CURRENT
+    #: post-image rows of every key updated since the last rewrite
+    UPD_DIR = "_upd"
 
     def __init__(
         self,
@@ -447,6 +450,7 @@ class ManifestTable:
         dv: dict | None = None,
         cdf: dict | None = None,
         column_map: dict | None = None,
+        mor_delta: dict | None = None,
     ) -> None:
         """Write the commit's log entry atomically (tmp + replace).
         Called inside the commit lock BEFORE the pointer swap; a crash
@@ -479,6 +483,8 @@ class ManifestTable:
             entry["cdf"] = dict(cdf)
         if column_map:
             entry["column_map"] = dict(column_map)
+        if mor_delta:
+            entry["mor_delta"] = dict(mor_delta)
         tmp = f"{self._log_path(version)}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -622,18 +628,30 @@ class ManifestTable:
         entry: dict | None,
         snap_path: str,
     ) -> DataFrame:
-        """Apply the snapshot's merge-on-read deletion vector, if its
-        log entry records one: one left-anti equi-join on the declared
-        key columns against the ``_dv/`` sidecar living INSIDE the
-        snapshot dir (underscore-prefixed, so plain parquet listing
-        never sees it as data). The DV is churn-sized by construction
-        — AQE broadcasts it under the threshold, and a genuinely huge
-        DV degrades to a shuffle anti-join rather than failing."""
+        """Finish a raw data-file scan into the snapshot's VISIBLE
+        state: apply the merge-on-read deletion vector (one left-anti
+        equi-join on the declared key columns against the ``_dv/``
+        sidecar), then union the merge-on-read update delta (the
+        ``_upd/`` post-image rows — :meth:`update_where` — which are
+        post-vector BY CONSTRUCTION and must never be anti-joined).
+        Both sidecars live INSIDE the snapshot dir, underscore-
+        prefixed so plain parquet listing never sees them as data;
+        both are churn-sized, so AQE broadcasts the anti-join build
+        side and the union adds no shuffle."""
         dv = (entry or {}).get("dv")
-        if not dv:
-            return df
-        keys = spark.read.parquet(os.path.join(snap_path, self.DV_DIR))
-        return df.join(keys, on=list(dv["key_cols"]), how="left_anti")
+        if dv:
+            keys = spark.read.parquet(os.path.join(snap_path, self.DV_DIR))
+            df = df.join(keys, on=list(dv["key_cols"]), how="left_anti")
+        if (entry or {}).get("mor_delta"):
+            df = df.unionByName(
+                _apply_map(
+                    spark.read.parquet(
+                        os.path.join(snap_path, self.UPD_DIR)
+                    ),
+                    entry,
+                )
+            )
+        return df
 
     def diff(
         self,
@@ -770,6 +788,7 @@ class ManifestTable:
                     else None
                 ),
                 column_map=entry.get("column_map"),
+                mor_delta=entry.get("mor_delta"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -912,6 +931,7 @@ class ManifestTable:
                     else None
                 ),
                 column_map=cmap or None,
+                mor_delta=entry.get("mor_delta"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -980,16 +1000,31 @@ class ManifestTable:
                 f"to materialize before re-keying"
             )
         pred = F.expr(condition) if isinstance(condition, str) else condition
-        # keys of matching rows from the RAW pinned snapshot (not the
-        # DV-filtered view): re-deleting an already-deleted key is a
-        # no-op under the union below, and skipping the anti-join here
-        # keeps the match scan one pass over the data files
-        fresh = (
-            _apply_map(spark.read.parquet(src), entry)
-            .filter(pred)
-            .select(*[F.col(c) for c in key_cols])
-            .distinct()
-        )
+        prev_delta = entry.get("mor_delta")
+        if prev_delta:
+            # an update delta exists: the predicate must see the
+            # POST-update values (a row updated INTO the predicate
+            # lives only in _upd/), so match on the visible view
+            matched = (
+                self._apply_dv(
+                    spark, _apply_map(spark.read.parquet(src), entry), entry, src
+                )
+                .filter(pred)
+                .select(*[F.col(c) for c in key_cols])
+                .distinct()
+            )
+        else:
+            # keys of matching rows from the RAW pinned snapshot (not
+            # the DV-filtered view): re-deleting an already-deleted key
+            # is a no-op under the union below, and skipping the
+            # anti-join keeps the match scan one pass over the files
+            matched = (
+                _apply_map(spark.read.parquet(src), entry)
+                .filter(pred)
+                .select(*[F.col(c) for c in key_cols])
+                .distinct()
+            )
+        fresh = matched
         if prev_dv:
             fresh = fresh.unionByName(
                 spark.read.parquet(os.path.join(src, self.DV_DIR))
@@ -997,8 +1032,13 @@ class ManifestTable:
         staged = os.path.join(
             self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
         )
+        new_delta_entry: dict | None = None
         try:
-            _link_tree(src, staged, skip_top=(self.DV_DIR, self.CDF_DIR))
+            _link_tree(
+                src,
+                staged,
+                skip_top=(self.DV_DIR, self.CDF_DIR, self.UPD_DIR),
+            )
             # churn-sized by contract: one file keeps the read-side
             # anti-join build tiny and the sidecar listing O(1)
             fresh.coalesce(1).write.mode("overwrite").parquet(
@@ -1007,6 +1047,22 @@ class ManifestTable:
             n_keys = int(
                 spark.read.parquet(os.path.join(staged, self.DV_DIR)).count()
             )
+            if prev_delta:
+                # deleted keys leave the update delta too (their only
+                # visible copy may live there)
+                old_delta = _apply_map(
+                    spark.read.parquet(os.path.join(src, self.UPD_DIR)),
+                    entry,
+                )
+                kept_delta = old_delta.join(
+                    matched, on=list(key_cols), how="left_anti"
+                )
+                n_delta = int(kept_delta.count())
+                if n_delta:
+                    kept_delta.write.mode("overwrite").parquet(
+                        os.path.join(staged, self.UPD_DIR)
+                    )
+                    new_delta_entry = {"n_rows": n_delta}
             cdf_prop = list((entry.get("cdf") or {}).get("key_cols") or [])
             cdf_entry: dict | None = None
             if cdf_prop:
@@ -1071,6 +1127,206 @@ class ManifestTable:
                 dv={"key_cols": list(key_cols), "n_keys": n_keys},
                 cdf=cdf_entry,
                 column_map=entry.get("column_map"),
+                mor_delta=new_delta_entry,
+            )
+            tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
+            with open(tmp_ptr, "w") as fh:
+                fh.write(f"{snap}\n{new_ver}\n")
+            os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
+            self.last_snapshot = snap
+            committed_ver = new_ver
+        finally:
+            self._release_lock()
+            if committed_ver is None:
+                shutil.rmtree(staged, ignore_errors=True)
+        self._gc(keep=keep_snapshots)
+        return committed_ver
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition,
+        updates: dict,
+        key_cols: list[str],
+        *,
+        expect_version: int | None = None,
+        keep_snapshots: int = 2,
+    ) -> int:
+        """Merge-on-read UPDATE — the third leg of the DML family,
+        completing :meth:`delete_where`'s mechanism: the new commit
+        HARDLINKS the data files untouched, extends the deletion
+        vector with the matched keys (hiding the PRE-images), and
+        writes the POST-image rows to a churn-sized ``_upd/`` sidecar
+        that every read path unions back in after the anti-join. At
+        100 TB an UPDATE touching 0.1%% of rows costs O(matched rows),
+        not a table rewrite; ``compact_table`` (OPTIMIZE role) folds
+        the delta in and drops both sidecars.
+
+        ``updates``: ``{column: Column-or-SQL-expression}`` evaluated
+        against the PRE-image row (Delta ``UPDATE SET`` semantics);
+        results are cast back to the column's committed type so the
+        delta's schema always equals the table's. Updating a key
+        column is rejected (that is a delete+insert — use
+        :func:`merge_write`). Chained updates compose: each version's
+        delta holds the CURRENT post-images of every key updated since
+        the last rewrite, so time travel to any version sees exactly
+        that version's state, and a later DELETE that matches on
+        post-update values finds them (delete matches the visible
+        view when a delta exists). Same CAS + lock + change-feed
+        behavior as ``delete_where`` (the feed gets the
+        pre/post-image pair per matched row)."""
+        ptr = self._pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        snap_name, cur_ver = ptr
+        src = os.path.join(self.root, snap_name)
+        entry = self._log_entry(cur_ver) or {}
+        prev_dv = entry.get("dv")
+        if prev_dv and list(prev_dv["key_cols"]) != list(key_cols):
+            raise ValueError(
+                f"{self.root}: deletion vector key_cols "
+                f"{prev_dv['key_cols']} != {list(key_cols)} — compact "
+                f"to materialize before re-keying"
+            )
+        bad = [c for c in updates if c in key_cols]
+        if bad:
+            raise ValueError(
+                f"{self.root}: updating key column(s) {bad} is a "
+                f"delete+insert — use merge_write"
+            )
+        pred = F.expr(condition) if isinstance(condition, str) else condition
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in updates.items()
+        }
+        visible = self._apply_dv(
+            spark, _apply_map(spark.read.parquet(src), entry), entry, src
+        )
+        missing = [c for c in updates if c not in visible.columns]
+        if missing:
+            raise ValueError(f"{self.root}: no column(s) {missing} to update")
+        matched = visible.filter(pred)
+        matched_keys = matched.select(*[F.col(c) for c in key_cols]).distinct()
+        # post-images keep the committed schema exactly (casts back),
+        # so the delta unions cleanly against the data files forever
+        post = align_to_schema(matched.withColumns(exprs), visible.schema)
+        checks = entry.get("checks") or {}
+        if checks:
+            # enforce the table's CHECK constraints on the ONLY new
+            # rows this commit introduces (Delta validates UPDATE
+            # results the same way); pre-images are already committed
+            viol = post.select(
+                *[
+                    F.sum(
+                        F.when(
+                            ~F.coalesce(F.expr(p), F.lit(True)), 1
+                        ).otherwise(0)
+                    ).alias(n)
+                    for n, p in checks.items()
+                ]
+            ).collect()[0]
+            bad_checks = {n: viol[n] for n in checks if viol[n]}
+            if bad_checks:
+                raise ConstraintViolationError(
+                    f"{self.root}: CHECK constraint(s) violated by "
+                    f"update_where post-images, commit aborted — rows "
+                    f"failing each: {bad_checks}"
+                )
+        staged = os.path.join(
+            self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
+        )
+        try:
+            _link_tree(
+                src,
+                staged,
+                skip_top=(self.DV_DIR, self.CDF_DIR, self.UPD_DIR),
+            )
+            fresh = matched_keys
+            if prev_dv:
+                fresh = fresh.unionByName(
+                    spark.read.parquet(os.path.join(src, self.DV_DIR))
+                ).distinct()
+            fresh.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(staged, self.DV_DIR)
+            )
+            n_keys = int(
+                spark.read.parquet(os.path.join(staged, self.DV_DIR)).count()
+            )
+            new_delta = post
+            if entry.get("mor_delta"):
+                kept = _apply_map(
+                    spark.read.parquet(os.path.join(src, self.UPD_DIR)),
+                    entry,
+                ).join(matched_keys, on=list(key_cols), how="left_anti")
+                new_delta = kept.unionByName(post)
+            new_delta.write.mode("overwrite").parquet(
+                os.path.join(staged, self.UPD_DIR)
+            )
+            n_delta = int(
+                spark.read.parquet(os.path.join(staged, self.UPD_DIR)).count()
+            )
+            cdf_prop = list((entry.get("cdf") or {}).get("key_cols") or [])
+            cdf_entry: dict | None = None
+            if cdf_prop:
+                cdf_path = os.path.join(staged, self.CDF_DIR)
+                changes = matched.select(
+                    F.lit("update_preimage").alias("_change_type"), "*"
+                ).unionByName(
+                    post.select(
+                        F.lit("update_postimage").alias("_change_type"), "*"
+                    )
+                )
+                changes.withColumn(
+                    "_commit_version", F.lit(cur_ver + 1).cast("long")
+                ).write.mode("overwrite").parquet(cdf_path)
+                cdf_entry = {
+                    "key_cols": cdf_prop,
+                    "n_changes": int(spark.read.parquet(cdf_path).count()),
+                }
+        except FileNotFoundError as exc:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{self.root}: snapshot {snap_name} vanished during "
+                f"update_where (concurrent writer + gc) — retry"
+            ) from exc
+        except Exception:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise
+        committed_ver: int | None = None
+        self._acquire_lock()
+        try:
+            now = self._pointer()
+            live_ver = 0 if now is None else now[1]
+            if expect_version is not None and live_ver != expect_version:
+                raise ConcurrentWriteError(
+                    f"{self.root}: version {live_ver} != expected "
+                    f"{expect_version}"
+                )
+            if live_ver != cur_ver:
+                raise ConcurrentWriteError(
+                    f"{self.root}: table advanced {cur_ver} -> {live_ver} "
+                    f"during update_where — re-run against the new head"
+                )
+            new_ver = cur_ver + 1
+            snap = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
+            os.rename(staged, os.path.join(self.root, snap))
+            staged = os.path.join(self.root, snap)  # for error cleanup
+            self._write_log(
+                new_ver,
+                snap,
+                list(entry.get("partition_by") or []),
+                entry.get("schema"),
+                meta={
+                    **(entry.get("meta") or {}),
+                    "update_predicate": str(condition),
+                },
+                stats_cols=entry.get("stats_cols"),
+                file_stats=entry.get("file_stats"),
+                checks=entry.get("checks"),
+                dv={"key_cols": list(key_cols), "n_keys": n_keys},
+                cdf=cdf_entry,
+                column_map=entry.get("column_map"),
+                mor_delta={"n_rows": n_delta} if n_delta else None,
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -2091,8 +2347,10 @@ def compact_table(
         n_target = target_files or max(
             1, -(-bytes_before // max(1, target_file_bytes))
         )
-        dv = (mt._log_entry(version) or {}).get("dv")
-        if not zorder_by and not dv and files_before - n_target < min_gain_files:
+        c_entry = mt._log_entry(version) or {}
+        dv = c_entry.get("dv")
+        mor = dv or c_entry.get("mor_delta")
+        if not zorder_by and not mor and files_before - n_target < min_gain_files:
             return {
                 "compacted": False,
                 "version": version,
@@ -2108,13 +2366,14 @@ def compact_table(
         # then writes files under the LOGICAL names, so the new commit
         # carries no column_map — compaction materializes renames the
         # same way it materializes deletion vectors
-        df = _apply_map(spark.read.parquet(snap), mt._log_entry(version))
-        if dv:
-            # materialize the deletion vector (Delta OPTIMIZE purges
-            # DVs the same way): the rewrite drops the deleted rows
-            # and the new commit carries no dv entry. A live DV also
-            # forces the rewrite above — purging it is the point.
-            df = mt._apply_dv(spark, df, mt._log_entry(version), snap)
+        df = _apply_map(spark.read.parquet(snap), c_entry)
+        if mor:
+            # materialize the merge-on-read state (Delta OPTIMIZE
+            # purges DVs the same way): the rewrite drops deleted rows
+            # and folds the update delta in, and the new commit
+            # carries neither sidecar. Live MoR state also forces the
+            # rewrite above — purging it is the point.
+            df = mt._apply_dv(spark, df, c_entry, snap)
         # a hive-partitioned table (layout inherited by the commit
         # below) must cluster tasks BY the partition columns: a plain
         # repartition(n) gives every task rows of every partition

@@ -748,3 +748,84 @@ def q169_column_mapping_rename(spark, sf_dir):
     return tbl.read_range(spark, "order_id", 1000, 40000).filter(
         "order_id between 1000 and 40000"
     )
+
+
+# ===========================================================================
+# merge-on-read UPDATE: post-image delta on the versioned ledger
+# ===========================================================================
+
+
+@q(
+    "q170_mor_update",
+    oracle="""
+WITH up AS (
+  SELECT o_orderkey AS id,
+    CASE WHEN o_orderpriority = '1-URGENT'
+         THEN CAST(o_totalprice AS DOUBLE) * 1.1
+         ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+    o_orderpriority AS pri0
+  FROM orders
+)
+SELECT id,
+  CASE WHEN price > 400000 THEN 'X-LARGE' ELSE pri0 END AS pri,
+  price
+FROM up WHERE id % 5 <> 0
+""",
+)
+def q170_mor_update(spark, sf_dir):
+    """Merge-on-read UPDATE on the transactional ledger
+    (``ManifestTable.update_where`` — the DML leg Delta serves with
+    copy-on-write file rewrites, here at O(matched rows)): urgent
+    orders get a 10%% surcharge (v2), a CHAINED update then reflags
+    rows on their POST-surcharge price (v3 — the predicate must see
+    v2's delta, not the base files), and a DELETE prunes %5 keys (v4).
+    Every commit hardlinks the data files and writes only churn-sized
+    ``_dv``/``_upd`` sidecars — the in-query assert pins every v1
+    parquet inode alive in v4 (three DML statements, zero data files
+    rewritten), and time travel replays each intermediate state.
+
+    Scale: an UPDATE touching 4%% of a 100 TB table costs O(matched
+    rows) write + one visible-view match scan; the read tax is one
+    broadcast anti-join plus a churn-sized union, reclaimed by
+    ``compact_table`` (OPTIMIZE role, tested in tests/test_txn.py).
+    Reference anchor: the reference updates rows by full re-scrape +
+    upsert (``src/storage.py:41-53``); this is the predicate-UPDATE
+    it cannot express."""
+    import glob
+
+    from .operators.txn import ManifestTable
+    from .queries_r9 import _key
+    from .streaming.events import SCRATCH
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    root = os.path.join(SCRATCH, f"morupd_{_key(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = ManifestTable(root, retention_sec=3600)
+    tbl.commit(orders)
+    tbl.update_where(
+        spark, "pri = '1-URGENT'", {"price": "price * 1.1"}, ["id"]
+    )
+    tbl.update_where(spark, "price > 400000", {"pri": "'X-LARGE'"}, ["id"])
+    tbl.delete_where(spark, "id % 5 = 0", ["id"])
+
+    def inodes(ver):
+        snap = tbl.snapshot_path(ver)
+        return {os.stat(p).st_ino for p in glob.glob(snap + "/*.parquet")}
+
+    assert inodes(1) and inodes(1) == inodes(4), "UPDATE rewrote data files"
+    # time travel: the surcharge exists at v2, the reflag only at v3+
+    assert (
+        tbl.read(spark, version=2).filter("pri = 'X-LARGE'").count() == 0
+    )
+    assert (
+        tbl.read(spark, version=3).filter("pri = 'X-LARGE'").count()
+        == orders.filter(
+            "(CASE WHEN pri = '1-URGENT' THEN price * 1.1 ELSE price END)"
+            " > 400000"
+        ).count()
+    )
+    return tbl.read(spark)

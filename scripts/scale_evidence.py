@@ -374,6 +374,15 @@ TXN_QUERIES = (
     "q154_zorder_clustering",
     "q155_restore_rollback",
     "q156_check_constraints",
+    # r9c: merge-on-read DELETE must stay O(matched keys) as the table
+    # grows 10x (hardlink + churn-sized _dv — the inode assert inside
+    # the query proves zero data-file rewrites at BOTH scales); the
+    # materialized change feed's consumer cost tracks churn (the 10x
+    # feed is 10x the churn, never 10x the table scan); renames stay
+    # one log write regardless of bytes
+    "q167_deletion_vectors",
+    "q168_cdf_stream_view",
+    "q169_column_mapping_rename",
 )
 
 CURATION_QUERIES = (

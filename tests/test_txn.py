@@ -1480,3 +1480,118 @@ def test_rename_column_breaks_change_feed(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read UPDATE (update_where / _upd delta)
+# ---------------------------------------------------------------------------
+
+
+def test_update_where_is_metadata_only_and_chains(spark, tmp_path):
+    import glob
+
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(10)], "pk long, v string, x double"
+    )
+    tbl.commit(df)
+    tbl.update_where(spark, "pk >= 7", {"x": "x * 10"}, ["pk"])
+
+    def inodes(ver):
+        snap = tbl.snapshot_path(ver)
+        return {os.stat(p).st_ino for p in glob.glob(snap + "/*.parquet")}
+
+    assert inodes(1) and inodes(1) == inodes(2)  # zero data files rewritten
+    got = {r["pk"]: r["x"] for r in tbl.read(spark).collect()}
+    assert got == {i: (i * 10.0 if i >= 7 else float(i)) for i in range(10)}
+    assert (tbl._log_entry(2) or {})["mor_delta"]["n_rows"] == 3
+    # chained update over already-updated rows composes
+    tbl.update_where(spark, "x >= 70", {"v": F.lit("BIG")}, ["pk"])
+    big = {r["pk"] for r in tbl.read(spark).filter("v = 'BIG'").collect()}
+    assert big == {7, 8, 9}
+    # a DELETE matching the POST-update value finds it
+    tbl.delete_where(spark, "x = 90.0", ["pk"])
+    assert sorted(r["pk"] for r in tbl.read(spark).collect()) == list(range(9))
+    # time travel sees each version's own state
+    assert [r["x"] for r in tbl.read(spark, version=1).collect() if r["pk"] == 7] == [7.0]
+    assert [r["v"] for r in tbl.read(spark, version=2).collect() if r["pk"] == 7] == ["v7"]
+
+
+def test_update_where_guards(spark, tmp_path):
+    from datapipeline_scraping_spark.operators.txn import (
+        ConstraintViolationError,
+    )
+
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.commit(
+        _df(spark, [(1, "a"), (2, "b")]), check={"v_nonempty": "length(v) > 0"}
+    )
+    with pytest.raises(ValueError, match="key column"):
+        tbl.update_where(spark, "pk = 1", {"pk": "pk + 10"}, ["pk"])
+    with pytest.raises(ValueError, match="no column"):
+        tbl.update_where(spark, "pk = 1", {"zzz": "1"}, ["pk"])
+    with pytest.raises(ConstraintViolationError):
+        tbl.update_where(spark, "pk = 1", {"v": "''"}, ["pk"])
+    assert tbl.version() == 1  # aborted commits left nothing behind
+    with pytest.raises(ConcurrentWriteError):
+        tbl.update_where(spark, "pk = 1", {"v": "'z'"}, ["pk"], expect_version=9)
+
+
+def test_update_where_pruned_reads_and_restore(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    df = spark.range(100).select(
+        F.col("id").alias("pk"), (F.col("id") * 1.0).alias("x")
+    ).repartition(4, "pk")
+    tbl.commit(df, stats_by=["x"])
+    # move a row's value INTO a range it never occupied: the pruned
+    # read must still find it (delta rows union after file skipping)
+    tbl.update_where(spark, "pk = 90", {"x": "5.5"}, ["pk"])
+    got = sorted(
+        r["pk"]
+        for r in tbl.read_range(spark, "x", 5.0, 6.0)
+        .filter("x between 5.0 and 6.0")
+        .collect()
+    )
+    assert 90 in got and 5 in got and 6 in got
+    # restore rolls the update back; a later restore forward works too
+    tbl.restore(1)
+    assert [r["x"] for r in tbl.read(spark).filter("pk = 90").collect()] == [90.0]
+    tbl.restore(2)
+    assert [r["x"] for r in tbl.read(spark).filter("pk = 90").collect()] == [5.5]
+
+
+def test_update_where_change_feed_and_diff(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    tbl.commit(
+        _df(spark, [(i, f"v{i}") for i in range(6)]), cdf_keys=["pk"]
+    )
+    tbl.update_where(spark, "pk >= 4", {"v": "upper(v)"}, ["pk"])
+    entry = tbl._log_entry(2)["cdf"]
+    assert entry["n_changes"] == 4  # 2 pre + 2 post
+    d = {
+        (r["_change_type"], r["pk"], r["v"])
+        for r in tbl.diff(spark, 1, 2, ["pk"]).collect()
+    }
+    assert d == {
+        ("update_preimage", 4, "v4"),
+        ("update_postimage", 4, "V4"),
+        ("update_preimage", 5, "v5"),
+        ("update_postimage", 5, "V5"),
+    }
+
+
+def test_update_where_compaction_materializes(spark, tmp_path):
+    from datapipeline_scraping_spark.operators.txn import compact_table
+
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [(i, "x") for i in range(20)]))
+    tbl.update_where(spark, "pk % 2 = 0", {"v": "'even'"}, ["pk"])
+    res = compact_table(spark, str(tmp_path / "t"), target_files=1)
+    assert res["compacted"]
+    e = tbl._log_entry(tbl.version()) or {}
+    assert "dv" not in e and "mor_delta" not in e
+    assert not os.path.isdir(
+        os.path.join(tbl.snapshot_path(tbl.version()), tbl.UPD_DIR)
+    )
+    got = {r["pk"]: r["v"] for r in tbl.read(spark).collect()}
+    assert got == {i: ("even" if i % 2 == 0 else "x") for i in range(20)}
