@@ -383,6 +383,7 @@ TXN_QUERIES = (
     "q167_deletion_vectors",
     "q168_cdf_stream_view",
     "q169_column_mapping_rename",
+    "q170_mor_update",
 )
 
 CURATION_QUERIES = (
