@@ -1595,3 +1595,19 @@ def test_update_where_compaction_materializes(spark, tmp_path):
     )
     got = {r["pk"]: r["v"] for r in tbl.read(spark).collect()}
     assert got == {i: ("even" if i % 2 == 0 else "x") for i in range(20)}
+
+
+def test_rename_after_update_maps_delta_files(spark, tmp_path):
+    """A rename AFTER a MoR update: the _upd delta files carry the old
+    physical name and must be mapped on read like the base files; a
+    further update then writes NEW-name delta rows and both unite."""
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    tbl.commit(_df(spark, [(i, f"v{i}") for i in range(6)]))
+    tbl.update_where(spark, "pk >= 4", {"v": "upper(v)"}, ["pk"])
+    tbl.rename_column("v", "label")
+    got = {r["pk"]: r["label"] for r in tbl.read(spark).collect()}
+    assert got == {0: "v0", 1: "v1", 2: "v2", 3: "v3", 4: "V4", 5: "V5"}
+    # update under the NEW logical name, touching old-name delta rows
+    tbl.update_where(spark, "pk in (3, 4)", {"label": "'X'"}, ["pk"])
+    got = {r["pk"]: r["label"] for r in tbl.read(spark).collect()}
+    assert got == {0: "v0", 1: "v1", 2: "v2", 3: "X", 4: "X", 5: "V5"}
