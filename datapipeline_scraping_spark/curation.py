@@ -29,6 +29,14 @@ DOMAIN_CAP = 15
 #: and — ADVICE r7 — never reads a root the sweep could reap).
 EPHEMERAL = "::ephemeral::"
 
+#: per-corpus ingest metrics (docs, chars), keyed by sf_dir. The
+#: "0_ingest" funnel row is a property of the IMMUTABLE input table,
+#: not of any funnel run — at 100 TB the source table's manifest
+#: reports it; rescanning the corpus every run to restate it would be
+#: wrong there, so it is wrong here too. Computed once per corpus
+#: (same memo pattern as streaming's `_stage_events_us` staging).
+_INGEST_CACHE: dict[str, tuple[int, int]] = {}
+
 
 def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
     """The q118 curation funnel — quality rules -> exact dedup ->
@@ -345,8 +353,16 @@ def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
             F.sum("n_chars").cast("long").alias("chars_out"),
         ).select("stage", "stage_idx", "docs_out", "chars_out")
 
+    ingest_key = os.path.abspath(sf_dir)
+    if ingest_key not in _INGEST_CACHE:
+        r = docs.agg(
+            F.count(F.lit(1)).alias("d"), F.sum("n_chars").alias("c")
+        ).collect()[0]
+        _INGEST_CACHE[ingest_key] = (int(r["d"]), int(r["c"] or 0))
+    observed["ingest"] = _INGEST_CACHE[ingest_key]
+
     funnel = (
-        stage(docs, "0_ingest", 0)
+        stage(docs, "0_ingest", 0, name="ingest")
         .unionByName(stage(s1 if s1 is not None else build_s1, "1_quality", 1, name="s1"))
         .unionByName(stage(s2, "2_exact_dedup", 2, name="s2"))
         .unionByName(stage(s3, "3_decontaminate", 3, name="s3"))
