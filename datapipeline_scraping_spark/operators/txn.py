@@ -1049,14 +1049,12 @@ class ManifestTable:
             )
             if prev_delta:
                 # deleted keys leave the update delta too (their only
-                # visible copy may live there)
-                old_delta = _apply_map(
-                    spark.read.parquet(os.path.join(src, self.UPD_DIR)),
-                    entry,
-                )
-                kept_delta = old_delta.join(
-                    matched, on=list(key_cols), how="left_anti"
-                )
+                # visible copy may live there). The delta is stored
+                # under PHYSICAL names; keys are never renamed while
+                # MoR state lives, so the raw anti-join is exact.
+                kept_delta = spark.read.parquet(
+                    os.path.join(src, self.UPD_DIR)
+                ).join(matched, on=list(key_cols), how="left_anti")
                 n_delta = int(kept_delta.count())
                 if n_delta:
                     kept_delta.write.mode("overwrite").parquet(
@@ -1252,13 +1250,20 @@ class ManifestTable:
             n_keys = int(
                 spark.read.parquet(os.path.join(staged, self.DV_DIR)).count()
             )
-            new_delta = post
+            # the delta is PERSISTED under the base files' PHYSICAL
+            # names (column_map applies uniformly to every file on
+            # read): a delta written under the current logical names
+            # would go unmappable after a further rename. Key columns
+            # are never renamed while MoR state lives (rename guard),
+            # so the anti-join below works on the raw files.
+            cmap = entry.get("column_map") or {}
+            post_phys = post.withColumnsRenamed(dict(cmap))
+            new_delta = post_phys
             if entry.get("mor_delta"):
-                kept = _apply_map(
-                    spark.read.parquet(os.path.join(src, self.UPD_DIR)),
-                    entry,
+                kept = spark.read.parquet(
+                    os.path.join(src, self.UPD_DIR)
                 ).join(matched_keys, on=list(key_cols), how="left_anti")
-                new_delta = kept.unionByName(post)
+                new_delta = kept.unionByName(post_phys)
             new_delta.write.mode("overwrite").parquet(
                 os.path.join(staged, self.UPD_DIR)
             )

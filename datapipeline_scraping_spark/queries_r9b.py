@@ -829,3 +829,94 @@ def q170_mor_update(spark, sf_dir):
         ).count()
     )
     return tbl.read(spark)
+
+
+# ===========================================================================
+# the transaction layer from PURE SQL: `USING manifest` + time travel
+# ===========================================================================
+
+
+@q(
+    "q171_sql_manifest_read",
+    oracle="""
+WITH head AS (
+  SELECT o_orderkey AS id, o_orderpriority AS pri,
+    CAST(CASE WHEN o_orderpriority = '2-HIGH'
+         THEN o_totalprice + 5 ELSE o_totalprice END
+         AS DECIMAL(18,2)) AS amount
+  FROM orders WHERE o_orderkey % 4 <> 0
+)
+SELECT pri, COUNT(*) AS n_orders,
+  CAST(CAST(SUM(amount) AS DECIMAL(38,6)) AS DOUBLE) AS sum_amount
+FROM head
+GROUP BY pri
+""",
+)
+def q171_sql_manifest_read(spark, sf_dir):
+    """The transaction layer consumed from PURE SQL — the registered
+    ``manifest`` data source (sources/manifest_datasource.py, Delta's
+    ``versionAsOf`` surface): an orders ledger takes a merge-on-read
+    DELETE, a merge-on-read UPDATE, and a metadata-only RENAME, and is
+    then queried through ``CREATE TEMPORARY VIEW ... USING manifest``
+    — no DataFrame API on the read side. The per-task Arrow reader
+    composes the FULL visibility pipeline (hive partition columns,
+    deletion-vector anti-join, update-delta union, column-map
+    renames); the in-query asserts time-travel the SQL surface to v1
+    (pre-DML row count) and pin head parity against
+    ``ManifestTable.read``.
+
+    Scale: one InputPartition per data file (a 100 TB snapshot fans
+    out exactly like a parquet scan); the DV is the one churn-sized
+    file every task can afford to load; version resolution happens
+    once at reader construction so a racing writer cannot redirect
+    the scan. Reference anchor: the reference's only query surface is
+    psql against the live table (``src/storage.py``) — no versioned
+    reads at all."""
+    from .operators.txn import ManifestTable
+    from .queries_r9 import _key
+    from .sources.manifest_datasource import register
+    from .streaming.events import SCRATCH
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = os.path.join(SCRATCH, f"sqlmanifest_{_key(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = ManifestTable(root, retention_sec=3600)
+    # right-size the snapshot's file count for the corpus (a real
+    # table targets file SIZE; 32 sliver files would mean 32 Python
+    # source tasks per SQL action here, pure overhead)
+    tbl.commit(orders.repartition(8, "id"))
+    tbl.delete_where(spark, "id % 4 = 0", ["id"])
+    tbl.update_where(spark, "pri = '2-HIGH'", {"price": "price + 5"}, ["id"])
+    tbl.rename_column("price", "amount")
+
+    register(spark)
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY VIEW orders_ledger
+            USING manifest OPTIONS (root '{root}')"""
+    )
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY VIEW orders_ledger_v1
+            USING manifest OPTIONS (root '{root}', version '1')"""
+    )
+    # time travel through SQL: v1 predates every DML statement (full
+    # head-vs-DataFrame parity is pinned per sidecar combination in
+    # tests/test_manifest_source.py — one assert here keeps the query
+    # at two Python-source actions instead of four)
+    n_v1 = spark.sql("SELECT count(*) AS n FROM orders_ledger_v1").collect()[
+        0
+    ]["n"]
+    assert n_v1 == orders.count()
+    from .functions.numeric import to_double
+
+    return spark.sql(
+        "SELECT pri, count(*) AS n_orders, sum(amount) AS s "
+        "FROM orders_ledger GROUP BY pri"
+    ).select(
+        "pri",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        to_double(F.col("s")).alias("sum_amount"),
+    )

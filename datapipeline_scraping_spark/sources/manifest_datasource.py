@@ -1,0 +1,207 @@
+"""The ManifestTable as a REGISTERED Spark data source — the
+transaction layer readable from PURE SQL (Spark 4 Python DataSource
+API), including time travel:
+
+    spark.dataSource.register(ManifestDataSource)
+    spark.read.format("manifest").option("root", root).load()
+    spark.sql(\"\"\"
+      CREATE TEMPORARY VIEW ledger
+      USING manifest OPTIONS (root '...', version '3')
+    \"\"\")
+
+This is Delta's ``spark.read.format("delta").option("versionAsOf")``
+surface re-expressed on the manifest protocol. The reader implements
+the FULL merge-on-read visibility composition per task, in Arrow:
+
+- one ``InputPartition`` per data file (a 100 TB snapshot fans out
+  file-granular, like any parquet scan);
+- hive partition values parsed from the file's directory path and
+  attached as constant columns (data files under ``col=value`` dirs
+  don't carry the column);
+- the deletion vector applied as a per-task Arrow anti-join (the
+  ``_dv/`` sidecar is churn-sized by contract — one small file every
+  task can afford to load);
+- the ``_upd/`` update delta served by its own partitions (post-DV by
+  construction);
+- metadata-only renames applied by name (``column_map``).
+
+Parity with :meth:`ManifestTable.read` is pinned in
+``tests/test_manifest_source.py`` for every sidecar combination —
+same rows, same logical schema, through the SQL surface.
+
+Options: ``root`` (required), ``version`` (int, optional — default
+head), ``asof`` (float unix ts, optional — Delta ``timestampAsOf``;
+mutually exclusive with ``version``). Version resolution happens ONCE
+at reader construction, so a racing writer cannot redirect the scan
+mid-query (same pin the DataFrame API gives), and a GC'd version
+raises the documented errors instead of silently reading older state.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from .cdf_datasource import _log_entry, _pointer_version
+
+
+def _resolve_version(options) -> tuple[str, int, dict]:
+    """(root, version, entry) with Delta-style time-travel semantics.
+    Raises on a GC'd or unknown version — never silently older state."""
+    root = options["root"]
+    if "version" in options and "asof" in options:
+        raise ValueError("options version and asof are mutually exclusive")
+    if "version" in options:
+        ver = int(options["version"])
+    elif "asof" in options:
+        ts = float(options["asof"])
+        live = _pointer_version(root)
+        ver = None
+        for v in range(live, 0, -1):
+            e = _log_entry(root, v)
+            if e is not None and e.get("ts", float("inf")) <= ts:
+                ver = v
+                break
+        if ver is None:
+            raise FileNotFoundError(f"{root}: no commit at or before ts={ts}")
+    else:
+        ver = _pointer_version(root)
+        if not ver:
+            raise FileNotFoundError(f"no committed snapshot under {root}")
+    entry = _log_entry(root, ver)
+    if entry is None:
+        raise FileNotFoundError(f"{root}: no commit log entry for v{ver}")
+    snap = os.path.join(root, entry["snapshot"])
+    if not os.path.isdir(snap):
+        raise FileNotFoundError(
+            f"{root}: version {ver} aged past the retention contract and "
+            f"its snapshot was garbage-collected"
+        )
+    return root, ver, entry
+
+
+def _data_files(snap: str) -> list[str]:
+    out = []
+    for d, dirs, fs in os.walk(snap):
+        dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+        out.extend(
+            os.path.join(d, f) for f in sorted(fs) if f.endswith(".parquet")
+        )
+    return out
+
+
+def _partition_values(path: str, snap: str) -> dict:
+    """Hive partition values from the file's directory path."""
+    vals = {}
+    rel = os.path.relpath(os.path.dirname(path), snap)
+    for seg in rel.split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return vals
+
+
+class ManifestReader(DataSourceReader):
+    """Per-task MoR read: parquet file -> rename map -> attach hive
+    partition constants -> DV anti-join -> declared-schema cast. The
+    ``_upd/`` delta files skip the anti-join (post-DV rows)."""
+
+    def __init__(self, options, schema: StructType):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        root, ver, entry = _resolve_version(options)
+        self.snap = os.path.join(root, entry["snapshot"])
+        self.cmap = dict(entry.get("column_map") or {})  # logical->physical
+        self.dv_keys = list((entry.get("dv") or {}).get("key_cols") or [])
+        self.dv_files = (
+            sorted(glob.glob(os.path.join(self.snap, "_dv", "*.parquet")))
+            if entry.get("dv")
+            else []
+        )
+        self.arrow_schema = to_arrow_schema(schema)
+
+    def partitions(self):
+        parts = [
+            InputPartition((f, _partition_values(f, self.snap), True))
+            for f in _data_files(self.snap)
+        ]
+        parts.extend(
+            InputPartition((f, {}, False))
+            for f in sorted(
+                glob.glob(os.path.join(self.snap, "_upd", "*.parquet"))
+            )
+        )
+        return parts
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path, part_vals, apply_dv = partition.value
+        want = self.arrow_schema
+        tbl = pq.read_table(path)
+        # physical -> logical renames (metadata-only rename commits)
+        if self.cmap:
+            phys_to_logi = {p: l for l, p in self.cmap.items()}
+            tbl = tbl.rename_columns(
+                [phys_to_logi.get(c, c) for c in tbl.schema.names]
+            )
+        # hive partition constants (dir names carry the values)
+        for col, raw in part_vals.items():
+            if col in tbl.schema.names:
+                continue
+            typ = want.field(col).type
+            arr = pa.array([raw] * tbl.num_rows, type=pa.string()).cast(typ)
+            tbl = tbl.append_column(col, arr)
+        # deletion vector: per-task Arrow anti-join on the key columns
+        if apply_dv and self.dv_files and all(
+            k in tbl.schema.names for k in self.dv_keys
+        ):
+            dv = pa.concat_tables(
+                [pq.read_table(f) for f in self.dv_files]
+            )
+            tbl = tbl.join(
+                dv, keys=self.dv_keys, join_type="left anti"
+            )
+        # align + cast to the declared logical schema (null-fill
+        # columns added by later schema evolution)
+        if tbl.schema.names != want.names:
+            arrays = [
+                tbl.column(f.name)
+                if f.name in tbl.schema.names
+                else pa.nulls(tbl.num_rows, type=f.type)
+                for f in want
+            ]
+            tbl = pa.Table.from_arrays(arrays, names=list(want.names))
+        yield from tbl.cast(want).to_batches(max_chunksize=1 << 16)
+
+
+class ManifestDataSource(DataSource):
+    """``format("manifest")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest"
+
+    def schema(self) -> StructType:
+        _root, _ver, entry = _resolve_version(self.options)
+        sj = entry.get("schema")
+        if not sj:
+            raise ValueError(f"{self.options['root']}: no committed schema")
+        return StructType.fromJson(json.loads(sj))
+
+    def reader(self, schema):
+        return ManifestReader(self.options, schema)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the ``manifest`` format."""
+    spark.dataSource.register(ManifestDataSource)

@@ -1611,3 +1611,20 @@ def test_rename_after_update_maps_delta_files(spark, tmp_path):
     tbl.update_where(spark, "pk in (3, 4)", {"label": "'X'"}, ["pk"])
     got = {r["pk"]: r["label"] for r in tbl.read(spark).collect()}
     assert got == {0: "v0", 1: "v1", 2: "v2", 3: "X", 4: "X", 5: "V5"}
+
+
+def test_update_then_rename_then_rename_again(spark, tmp_path):
+    """The delta sidecar is stored under PHYSICAL names, so any chain
+    of renames around updates maps correctly (a delta written under an
+    intermediate logical name would break the second rename)."""
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    tbl.commit(_df(spark, [(i, f"v{i}") for i in range(4)]))
+    tbl.rename_column("v", "b")                      # v2: logical b
+    tbl.update_where(spark, "pk >= 2", {"b": "upper(b)"}, ["pk"])  # v3
+    tbl.rename_column("b", "c")                      # v4: logical c
+    got = {r["pk"]: r["c"] for r in tbl.read(spark).collect()}
+    assert got == {0: "v0", 1: "v1", 2: "V2", 3: "V3"}
+    # and a further update under the final name still composes
+    tbl.update_where(spark, "pk = 0", {"c": "'z'"}, ["pk"])
+    got = {r["pk"]: r["c"] for r in tbl.read(spark).collect()}
+    assert got == {0: "z", 1: "v1", 2: "V2", 3: "V3"}
