@@ -954,6 +954,7 @@ class ManifestTable:
         *,
         expect_version: int | None = None,
         keep_snapshots: int = 2,
+        retries: int = 3,
     ) -> int:
         """Merge-on-read DELETE via a deletion vector — Delta/Iceberg
         DV semantics re-expressed on the manifest protocol: the new
@@ -979,13 +980,58 @@ class ManifestTable:
         accumulated deletes). Raises ``ValueError`` if a chained
         delete changes ``key_cols``.
 
-        Concurrency: same CAS + lock protocol as :meth:`commit`;
-        ``expect_version`` turns a lost race into
-        :class:`ConcurrentWriteError` instead of last-writer-wins.
-        Inherited from the source version: schema, partition layout,
-        CHECK constraints, and per-file stats (stats stay
-        conservative — a file whose rows are all deleted still prunes
-        correctly, it just scans unnecessarily until compaction)."""
+        Concurrency: same CAS + lock protocol as :meth:`commit`, plus
+        Delta-style OPTIMISTIC RETRY — a table that advanced mid-
+        delete is re-resolved and the predicate re-evaluated against
+        the new head, up to ``retries`` times (serialized outcome
+        with no caller loop). ``expect_version`` disables the retry
+        (the caller owns the CAS) and turns a lost race into
+        :class:`ConcurrentWriteError`. Inherited from the source
+        version: schema, partition layout, CHECK constraints, and
+        per-file stats (stats stay conservative — a file whose rows
+        are all deleted still prunes correctly, it just scans
+        unnecessarily until compaction)."""
+        return self._dml_retry(
+            lambda: self._delete_where_once(
+                spark,
+                condition,
+                key_cols,
+                expect_version=expect_version,
+                keep_snapshots=keep_snapshots,
+            ),
+            expect_version,
+            retries,
+            "delete_where",
+        )
+
+    def _dml_retry(self, once, expect_version, retries: int, op: str) -> int:
+        """Optimistic-concurrency loop shared by the merge-on-read DML
+        writers: a retryable conflict (table advanced / snapshot
+        vanished mid-statement) re-runs the WHOLE statement against
+        the new head — matching, sidecar build, commit — exactly
+        Delta's rebase-and-retry. A caller-supplied ``expect_version``
+        owns the CAS, so no retry happens for it."""
+        attempts = 1 if expect_version is not None else retries + 1
+        last: Exception | None = None
+        for _ in range(attempts):
+            try:
+                return once()
+            except ConcurrentWriteError as exc:
+                last = exc
+        raise ConcurrentWriteError(
+            f"{self.root}: {op} kept losing to concurrent writers "
+            f"({attempts} attempts)"
+        ) from last
+
+    def _delete_where_once(
+        self,
+        spark: SparkSession,
+        condition,
+        key_cols: list[str],
+        *,
+        expect_version: int | None,
+        keep_snapshots: int,
+    ) -> int:
         ptr = self._pointer()
         if ptr is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
@@ -1149,6 +1195,7 @@ class ManifestTable:
         *,
         expect_version: int | None = None,
         keep_snapshots: int = 2,
+        retries: int = 3,
     ) -> int:
         """Merge-on-read UPDATE — the third leg of the DML family,
         completing :meth:`delete_where`'s mechanism: the new commit
@@ -1170,9 +1217,34 @@ class ManifestTable:
         the last rewrite, so time travel to any version sees exactly
         that version's state, and a later DELETE that matches on
         post-update values finds them (delete matches the visible
-        view when a delta exists). Same CAS + lock + change-feed
-        behavior as ``delete_where`` (the feed gets the
-        pre/post-image pair per matched row)."""
+        view when a delta exists). Same CAS + lock + change-feed +
+        optimistic-retry behavior as ``delete_where`` (the feed gets
+        the pre/post-image pair per matched row; a raced statement
+        rebases and re-runs against the new head)."""
+        return self._dml_retry(
+            lambda: self._update_where_once(
+                spark,
+                condition,
+                updates,
+                key_cols,
+                expect_version=expect_version,
+                keep_snapshots=keep_snapshots,
+            ),
+            expect_version,
+            retries,
+            "update_where",
+        )
+
+    def _update_where_once(
+        self,
+        spark: SparkSession,
+        condition,
+        updates: dict,
+        key_cols: list[str],
+        *,
+        expect_version: int | None,
+        keep_snapshots: int,
+    ) -> int:
         ptr = self._pointer()
         if ptr is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")

@@ -263,3 +263,72 @@ def test_cdf_applies_v1_to_v2(spark, tmp_path_factory, v1, v2):
         elif op in ("insert", "update_postimage"):
             out[k] = x
     assert out == v2_rows
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read DML: model-based sequences
+# ---------------------------------------------------------------------------
+
+#: op = (kind, a, b) interpreted against keys 0..19:
+#:   delete: remove keys with a <= pk % 10 <= b
+#:   update: set v = v + "!" for keys with a <= pk % 10 <= b
+#:   compact / restore_prev: maintenance commits interleaved
+_DML_OP = st.tuples(
+    st.sampled_from(["delete", "update", "compact", "commit_extra"]),
+    st.integers(0, 9),
+    st.integers(0, 9),
+)
+
+
+@given(ops=st.lists(_DML_OP, min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_dml_sequence_matches_model(spark, tmp_path_factory, ops):
+    """Any interleaving of MoR DELETE / MoR UPDATE / compaction /
+    full-rewrite commits equals a plain Python dict model — the
+    read-path visibility composition (DV anti-join + update delta +
+    materialization) is exact for arbitrary statement sequences."""
+    from datapipeline_scraping_spark.operators.txn import (
+        ManifestTable,
+        compact_table,
+    )
+
+    root = str(tmp_path_factory.mktemp("dmlseq") / "t")
+    tbl = ManifestTable(root, retention_sec=3600)
+    model = {i: f"v{i}" for i in range(20)}
+    tbl.commit(
+        spark.createDataFrame(
+            sorted(model.items()), "pk long, v string"
+        )
+    )
+    for kind, a, b in ops:
+        lo, hi = min(a, b), max(a, b)
+        if kind == "delete":
+            tbl.delete_where(
+                spark, f"pk % 10 between {lo} and {hi}", ["pk"]
+            )
+            model = {
+                k: v for k, v in model.items() if not lo <= k % 10 <= hi
+            }
+        elif kind == "update":
+            tbl.update_where(
+                spark,
+                f"pk % 10 between {lo} and {hi}",
+                {"v": "concat(v, '!')"},
+                ["pk"],
+            )
+            model = {
+                k: (v + "!" if lo <= k % 10 <= hi else v)
+                for k, v in model.items()
+            }
+        elif kind == "compact":
+            compact_table(spark, root, target_files=1)
+        else:  # commit_extra: full rewrite + one new key
+            new_key = 100 + len(model)
+            model[new_key] = "x"
+            tbl.commit(
+                spark.createDataFrame(
+                    sorted(model.items()), "pk long, v string"
+                )
+            )
+        got = {r["pk"]: r["v"] for r in tbl.read(spark).collect()}
+        assert got == model, f"divergence after {kind}({lo},{hi})"

@@ -1628,3 +1628,42 @@ def test_update_then_rename_then_rename_again(spark, tmp_path):
     tbl.update_where(spark, "pk = 0", {"c": "'z'"}, ["pk"])
     got = {r["pk"]: r["c"] for r in tbl.read(spark).collect()}
     assert got == {0: "z", 1: "v1", 2: "V2", 3: "V3"}
+
+
+def test_concurrent_dml_statements_rebase_and_retry(spark, tmp_path):
+    """Two racing unconditional DML statements both land (Delta-style
+    optimistic retry): the loser rebases against the winner's head and
+    re-evaluates its predicate — no caller loop, no lost writes."""
+    import threading
+
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    tbl.commit(
+        spark.createDataFrame(
+            [(i, f"v{i}", float(i)) for i in range(20)],
+            "pk long, v string, x double",
+        )
+    )
+    errs = []
+
+    def do_delete():
+        try:
+            tbl.delete_where(spark, "pk >= 15", ["pk"])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def do_update():
+        try:
+            tbl.update_where(spark, "pk < 5", {"v": "upper(v)"}, ["pk"])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=do_delete), threading.Thread(target=do_update)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs and tbl.version() == 3
+    got = {r["pk"]: r["v"] for r in tbl.read(spark).collect()}
+    assert set(got) == set(range(15))  # delete applied
+    assert all(got[i] == f"V{i}" for i in range(5))  # update applied
+    assert all(got[i] == f"v{i}" for i in range(5, 15))
