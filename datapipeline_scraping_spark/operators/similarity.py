@@ -424,3 +424,135 @@ def lsh_cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ8) — the compressed-index scale path
+# ---------------------------------------------------------------------------
+#
+# Per-dimension affine quantization to 8-bit codes: at 100 TB the float32
+# corpus (dim * 4 bytes/vector) becomes dim bytes/vector — a 4x smaller
+# candidate-generation scan that also turns the hot inner loop into
+# integer arithmetic. The full-precision vectors are read ONLY for the
+# top-C candidates during the exact rerank (a semi-join-sized probe, never
+# a second full scan). Oracle-stability: min/max are comparisons (exact),
+# the affine transform + floor is deterministic IEEE double arithmetic
+# mirrored verbatim in SQL, and the candidate score is an integer dot
+# product (sums < 2^53 — exact in any addition order on every engine),
+# so unlike a raw float score the candidate CUT cannot flip cross-engine.
+
+def sq8_params(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension (min, step) of the corpus as ONE broadcastable row
+    ``(mins array<double>, steps array<double>)`` with
+    ``step = (max - min) / 255``; a constant dimension has step 0 and
+    always encodes to 0."""
+    v = as_double(vec_col)
+    dims = (
+        corpus.select(F.posexplode(v).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    packed = F.sort_array(F.collect_list(F.struct("pos", "mn", "mx")))
+    return dims.groupBy().agg(
+        F.transform(packed, lambda s: s["mn"]).alias("mins"),
+        F.transform(packed, lambda s: (s["mx"] - s["mn"]) / F.lit(255.0)).alias(
+            "steps"
+        ),
+    )
+
+
+def sq8_codes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    params: DataFrame,
+    *,
+    out_id: str = "vec_id",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Encode vectors against broadcast ``params``: per dimension
+    ``clamp(floor((x - min) / step), 0, 255)`` (an out-of-range QUERY
+    vector clamps into the corpus range; corpus rows are in range by
+    construction). Two staged ``zip_with`` projections — arithmetic
+    only, the HOF-nesting shape q21's ``dot`` already pins cross-engine."""
+    diff = F.zip_with(as_double(vec_col), F.col("mins"), lambda x, m: x - m)
+    code = F.zip_with(
+        F.col("_d"),
+        F.col("steps"),
+        lambda d, s: F.when(s == 0.0, F.lit(0.0))
+        .otherwise(F.least(F.lit(255.0), F.greatest(F.lit(0.0), F.floor(d / s))))
+        .cast("int"),
+    )
+    return (
+        df.crossJoin(F.broadcast(params))
+        .withColumn("_d", diff)
+        .select(F.col(id_col).alias(out_id), code.alias(out_col))
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 5,
+    candidates: int = 20,
+    round_to: int = 4,
+) -> DataFrame:
+    """Quantize -> integer-dot candidate generation (top ``candidates``
+    per query on the 4x-smaller code table) -> exact float rerank of the
+    candidates only. Output: (query_id, neighbor_id, qscore, cosine,
+    rank); self-matches excluded, ties broken by neighbor id."""
+    params = sq8_params(corpus, vec_col)
+    cc = sq8_codes(corpus, id_col, vec_col, params, out_id="neighbor_id")
+    qc = sq8_codes(
+        queries, id_col, vec_col, params, out_id="query_id", out_col="qcodes"
+    )
+    scored = (
+        qc.crossJoin(cc)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(as_double("qcodes"), as_double("codes"))
+            .cast("bigint")
+            .alias("qscore"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= candidates)
+        .drop("crank")
+    )
+    # exact rerank: full-precision vectors are read only for candidates
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    reranked = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qscore",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (norm(F.col("qv")) * norm(F.col("cv"))),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )

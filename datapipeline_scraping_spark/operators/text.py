@@ -316,3 +316,103 @@ def lang_id_trigram(df, id_col: str, text_col: str):
         F.col(id_col),
         F.when(best_hits > 0, best_lang).otherwise(F.lit("und")).alias("predicted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source boilerplate removal (document-frequency threshold)
+# ---------------------------------------------------------------------------
+
+def boilerplate_strip(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    *,
+    chunk_tokens: int = 12,
+    min_df: int = 2,
+    df_frac: float = 0.05,
+):
+    """CCNet/RefinedWeb-style boilerplate removal: drop EVERY copy of a
+    chunk that appears in >= max(min_df, ceil(df_frac * group's docs))
+    distinct documents of the same group (site navigation, footers,
+    cookie banners — text that repeats across a host's pages).
+    Complements first-wins paragraph dedup (q119): dedup keeps one
+    copy, boilerplate removal keeps none, and the scope is per group,
+    not global.
+
+    Output: (id, group, n_chunks, n_kept, clean_hash) — the md5 of the
+    reassembled text pins reassembly order for the oracle without
+    shipping the text.
+
+    Scale: one explode of the corpus into fixed-token chunks; the
+    document-frequency aggregation is a map-side-combinable
+    count(distinct id) keyed by (group, chunk) — a boilerplate chunk
+    repeated a billion times contributes one row per map partition per
+    doc batch, and the per-group doc count is a broadcastable dim.
+    Reassembly is one doc-keyed sort_array(collect_list) bounded by
+    chunks-per-doc. The threshold comparison is integer-exact, so the
+    kept set cannot flip cross-engine."""
+    from pyspark.sql import Window as W  # noqa: F401  (parity with q119)
+
+    toks = F.split(F.col(text_col), " ")
+    chunks = (
+        docs.select(F.col(id_col), F.col(group_col), toks.alias("t"))
+        .select(
+            id_col,
+            group_col,
+            F.explode(
+                F.sequence(F.lit(1), F.size("t"), F.lit(chunk_tokens))
+            ).alias("pos"),
+            "t",
+        )
+        .select(
+            id_col,
+            group_col,
+            "pos",
+            F.concat_ws(" ", F.slice("t", F.col("pos"), chunk_tokens)).alias(
+                "chunk"
+            ),
+        )
+    )
+    group_docs = docs.groupBy(group_col).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    df_counts = chunks.groupBy(group_col, "chunk").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    boiler = (
+        df_counts.join(F.broadcast(group_docs), group_col)
+        .filter(
+            F.col("df")
+            >= F.greatest(
+                F.lit(min_df), F.ceil(F.lit(df_frac) * F.col("n_docs"))
+            )
+        )
+        .select(group_col, "chunk")
+    )
+    kept = (
+        chunks.join(boiler, [group_col, "chunk"], "left_anti")
+        .groupBy(id_col, group_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    total = chunks.groupBy(id_col, group_col).agg(
+        F.count("*").alias("n_chunks")
+    )
+    return total.join(
+        kept.select(id_col, "n_kept", "clean_text"), id_col, "left"
+    ).select(
+        id_col,
+        group_col,
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias("clean_hash"),
+    )

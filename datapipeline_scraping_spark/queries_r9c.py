@@ -1,0 +1,172 @@
+"""Round-9 third wave — two scale-path curation operators beyond the
+reference's surface:
+
+- **SQ8 quantized ANN** (q172): per-dimension affine int8 scalar
+  quantization of the embedding corpus, integer-dot candidate
+  generation over the 4x-smaller code table, exact float rerank of the
+  candidates only — the compressed-index pattern (FAISS's SQ8 /
+  IndexScalarQuantizer) that makes a 100 TB float32 embedding store
+  scannable. Complements q35 (LSH buckets prune WHICH pairs are
+  scored; SQ8 shrinks WHAT is read per scored pair — production
+  stacks compose both).
+- **Per-source boilerplate removal** (q173): drop EVERY copy of a
+  chunk that repeats across a threshold fraction of one source's
+  documents (site chrome: navigation, footers, cookie banners) — the
+  CCNet/RefinedWeb pass that document-level (q13/q19) and first-wins
+  paragraph (q119) dedup both leave behind.
+
+Reference anchors: the reference has no embedding or sub-document
+operators at all (its dedup is whole-row checksum first-wins,
+``src/transform.py:118-126``); these extend the north-star
+training-data surface SURVEY §2's "beyond the reference" mandate
+covers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import similarity as SIM
+from .operators import text as TX
+from .queries import _t, q
+
+# ===========================================================================
+# SQ8 scalar-quantized ANN
+# ===========================================================================
+
+_SQ8_K = 5
+_SQ8_CANDIDATES = 20
+
+
+@q(
+    "q172_sq8_quantized_ann",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (
+  SELECT pos, min(x) AS mn, (max(x) - min(x)) / 255.0 AS step
+  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+  GROUP BY pos
+),
+params AS (
+  SELECT list(mn ORDER BY pos) AS mins, list(step ORDER BY pos) AS steps
+  FROM dims
+),
+codes AS (
+  SELECT vec_id, list_transform(list_zip(v, mins, steps),
+    z -> CASE WHEN z[3] = 0 THEN 0
+              ELSE CAST(least(255.0, greatest(0.0, floor((z[1] - z[2]) / z[3])))
+                   AS INT) END) AS c
+  FROM e, params
+),
+qc AS (SELECT vec_id AS query_id, c AS qcodes FROM codes WHERE vec_id < 8),
+scored AS (
+  SELECT qc.query_id, codes.vec_id AS neighbor_id,
+    CAST(list_dot_product(CAST(qcodes AS DOUBLE[]), CAST(c AS DOUBLE[]))
+         AS BIGINT) AS qscore
+  FROM qc, codes WHERE qc.query_id <> codes.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, qscore FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS crank
+    FROM scored) WHERE crank <= {_SQ8_CANDIDATES}
+),
+reranked AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.qscore,
+    round(list_dot_product(qe.v, ce.v)
+      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))),
+      4) AS cosine
+  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+            JOIN e ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, qscore, cosine, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM reranked)
+WHERE rank <= {_SQ8_K}
+""",
+)
+def q172_sq8_quantized_ann(spark, sf_dir):
+    """Int8 scalar-quantized ANN (operators/similarity.py::sq8_topk):
+    train per-dimension (min, step) on the corpus, encode to 8-bit
+    codes, generate top-{candidates} candidates per query by INTEGER
+    dot product on the codes (exact in any addition order — the
+    candidate cut cannot flip cross-engine), then rerank only the
+    candidates with the exact double cosine. At 100 TB the code table
+    is 1/4 the scan bytes and the full-precision read is
+    candidate-sized."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = SIM.sq8_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=_SQ8_K,
+        candidates=_SQ8_CANDIDATES,
+        round_to=4,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ===========================================================================
+# per-source boilerplate removal
+# ===========================================================================
+
+_BP_CHUNK = 12  # tokens per chunk (q119's paragraph stand-in)
+_BP_MIN_DF = 2
+_BP_FRAC = 0.05
+
+
+@q(
+    "q173_boilerplate_removal",
+    oracle=f"""
+WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id, source, pos,
+    array_to_string(t[pos:pos + {_BP_CHUNK - 1}], ' ') AS chunk
+  FROM (
+    SELECT doc_id, source,
+      unnest(generate_series(1, len(t), {_BP_CHUNK})) AS pos, t
+    FROM base)
+),
+gd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM base GROUP BY source),
+dfc AS (
+  SELECT source, chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY 1, 2
+),
+boiler AS (
+  SELECT dfc.source, chunk FROM dfc JOIN gd USING (source)
+  WHERE df >= greatest({_BP_MIN_DF}, CAST(ceil({_BP_FRAC} * n_docs) AS BIGINT))
+),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+    array_to_string(list(chunk ORDER BY pos), ' ') AS clean_text
+  FROM chunks ANTI JOIN boiler USING (source, chunk)
+  GROUP BY doc_id
+),
+total AS (SELECT doc_id, source, count(*) AS n_chunks FROM chunks GROUP BY 1, 2)
+SELECT t.doc_id, t.source, CAST(t.n_chunks AS BIGINT) AS n_chunks,
+  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+  md5(coalesce(k.clean_text, '')) AS clean_hash
+FROM total t LEFT JOIN kept k USING (doc_id)
+""",
+)
+def q173_boilerplate_removal(spark, sf_dir):
+    """Per-source boilerplate removal
+    (operators/text.py::boilerplate_strip): drop every copy of a chunk
+    whose document frequency within its source reaches
+    max({_BP_MIN_DF}, ceil({_BP_FRAC} * source docs)) — the repeated
+    site chrome that survives both document dedup and first-wins
+    paragraph dedup. Integer-exact threshold; the md5 of the
+    reassembled text pins reassembly order for the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.boilerplate_strip(
+        docs,
+        "doc_id",
+        "text",
+        "source",
+        chunk_tokens=_BP_CHUNK,
+        min_df=_BP_MIN_DF,
+        df_frac=_BP_FRAC,
+    )

@@ -50,6 +50,7 @@ NESTED_LOOP_ALLOW = {
     "q130_important_stock": "scalar nation-total row (1-row broadcast gate)",
     "q134_semantic_dedup": "centroid assignment; broadcast side is k centroids",
     "q148_length_buckets": "scalar corpus-total row (1-row broadcast gate)",
+    "q172_sq8_quantized_ann": "SQ8 candidate kernel; broadcast sides are the 1-row quantization params and the query set",
 }
 
 # Arrow-vectorized Python seams (MapInPandas / grouped-map / cogroup).
@@ -99,6 +100,7 @@ MUST_BROADCAST = [
     "q130_important_stock",
     "q131_excess_shippers",
     "q144_supplier_diversity",
+    "q173_boilerplate_removal",
 ]
 
 # Queries whose plan must push a per-group limit BELOW the window
