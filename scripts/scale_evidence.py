@@ -406,6 +406,13 @@ CURATION_QUERIES = (
     "q160_duplicate_spans",
     "q161_overlapping_chunks",
     "q162_hashed_classifier",
+    # r9c: SQ8 candidate generation faces near-dup-heavy embeddings
+    # (ties in integer scores — worst case for the candidate window);
+    # boilerplate removal faces the 30%-hot source whose shared hot
+    # text makes whole documents boilerplate (maximal anti-join hit
+    # rate AND a hot (source, chunk) aggregation key)
+    "q172_sq8_quantized_ann",
+    "q173_boilerplate_removal",
 )
 
 
