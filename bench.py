@@ -40,6 +40,27 @@ BENCH_QUERIES = [
 ]
 
 
+def host_calibration() -> float:
+    """Fixed single-thread CPU workload (md5 over 128 MiB in 1 KiB
+    chunks, best of 3): a host-speed constant that lets a reader
+    separate engine regressions from VM-speed variance across rounds.
+    Observed motivation: consecutive round benches of UNCHANGED plans
+    have differed by a uniform 30-50 % across every query including
+    constant-plan trivials — i.e. the host clock, not the engine.
+    Compare two rounds' totals as total/host_calib_sec."""
+    import hashlib
+
+    blob = bytes(range(256)) * 4
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.md5()
+        for _ in range(131072):
+            h.update(blob)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -131,6 +152,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "rejected_samples": rejected,
+                "host_calib_sec": round(host_calibration(), 4),
                 "sf": sf,
             }
         )

@@ -30,6 +30,20 @@ from datapipeline_scraping_spark.queries import REGISTRY  # noqa: E402
 from datapipeline_scraping_spark.session import build_spark  # noqa: E402
 
 
+def _host_calib() -> float:
+    """Same host-speed constant as bench.py (single-thread md5 over
+    128 MiB, best of 3) — normalizes cross-round totals against VM
+    clock variance."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return round(mod.host_calibration(), 4)
+
+
 def regressions(
     current: dict[str, float],
     baseline: dict[str, float],
@@ -129,6 +143,7 @@ def main() -> None:
         # samples the agreement filter discarded per query (runs - 1):
         # high counts flag host CPU-steal noise, not code regressions
         "rejected_samples": rejected,
+        "host_calib_sec": _host_calib(),
         "sf": sf_dir,
         "runs": n_runs,
         "slowest": sorted(per_query, key=per_query.get, reverse=True)[:5],
