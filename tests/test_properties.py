@@ -332,3 +332,124 @@ def test_dml_sequence_matches_model(spark, tmp_path_factory, ops):
             )
         got = {r["pk"]: r["v"] for r in tbl.read(spark).collect()}
         assert got == model, f"divergence after {kind}({lo},{hi})"
+
+
+# ---------------------------------------------------------------------------
+# SQ8 quantization / boilerplate removal: pure-Python models
+# ---------------------------------------------------------------------------
+
+_vec = st.lists(
+    st.floats(
+        min_value=-8.0,
+        max_value=8.0,
+        allow_nan=False,
+        allow_infinity=False,
+        width=32,
+    ),
+    min_size=4,
+    max_size=4,
+)
+
+
+@given(vecs=st.lists(_vec, min_size=2, max_size=10))
+@settings(**_SETTINGS)
+def test_sq8_codes_match_model_on_random_vectors(spark, tmp_path_factory, vecs):
+    """SQ8 encoding equals the pure-Python affine model for arbitrary
+    float32 vectors (array-HOF rule: a Spark HOF miscompilation cannot
+    hide behind a SQL oracle that shares its expression tree)."""
+    import math
+
+    from datapipeline_scraping_spark.operators.similarity import (
+        sq8_codes,
+        sq8_params,
+    )
+
+    import struct
+
+    # snap to exact float32 values so Spark's float cast is lossless
+    vecs = [
+        [struct.unpack("f", struct.pack("f", x))[0] for x in v] for v in vecs
+    ]
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    params = sq8_params(emb, "embedding")
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in sq8_codes(emb, "vec_id", "embedding", params).collect()
+    }
+    dim = 4
+    mins = [min(v[d] for v in vecs) for d in range(dim)]
+    steps = [(max(v[d] for v in vecs) - mins[d]) / 255.0 for d in range(dim)]
+
+    def code(x, d):
+        if steps[d] == 0.0:
+            return 0
+        return int(min(255.0, max(0.0, math.floor((x - mins[d]) / steps[d]))))
+
+    want = {i: [code(v[d], d) for d in range(dim)] for i, v in enumerate(vecs)}
+    assert got == want
+    assert all(0 <= c <= 255 for cs in got.values() for c in cs)
+
+
+_bp_word = st.sampled_from(["aa", "bb", "cc", "dd"])
+_bp_doc = st.lists(_bp_word, min_size=1, max_size=6)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(_bp_doc, st.sampled_from(["s1", "s2"])),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk=st.integers(2, 3),
+)
+@settings(**_SETTINGS)
+def test_boilerplate_strip_matches_model(spark, tmp_path_factory, docs, chunk):
+    """boilerplate_strip equals a pure-Python model for arbitrary tiny
+    corpora: chunking grid, per-source df threshold, drop-all-copies,
+    ordered reassembly."""
+    import hashlib
+    import math
+
+    from datapipeline_scraping_spark.operators.text import boilerplate_strip
+
+    rows = [(i, " ".join(words), src) for i, (words, src) in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        r["doc_id"]: (r["source"], r["n_chunks"], r["n_kept"], r["clean_hash"])
+        for r in boilerplate_strip(
+            df, chunk_tokens=chunk, min_df=2, df_frac=0.05
+        ).collect()
+    }
+
+    # model
+    def chunks_of(words):
+        return [
+            (p + 1, " ".join(words[p : p + chunk]))
+            for p in range(0, len(words), chunk)
+        ]
+
+    per_source_docs = {}
+    df_count: dict[tuple[str, str], set] = {}
+    for i, (words, src) in enumerate(docs):
+        per_source_docs.setdefault(src, set()).add(i)
+        for _, c in chunks_of(words):
+            df_count.setdefault((src, c), set()).add(i)
+    boiler = {
+        key
+        for key, ds in df_count.items()
+        if len(ds) >= max(2, math.ceil(0.05 * len(per_source_docs[key[0]])))
+    }
+    want = {}
+    for i, (words, src) in enumerate(docs):
+        ch = chunks_of(words)
+        kept = [(p, c) for p, c in ch if (src, c) not in boiler]
+        clean = " ".join(c for _, c in sorted(kept))
+        want[i] = (
+            src,
+            len(ch),
+            len(kept),
+            hashlib.md5(clean.encode()).hexdigest(),
+        )
+    assert got == want
