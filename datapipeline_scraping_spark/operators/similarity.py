@@ -469,6 +469,7 @@ def sq8_codes(
     *,
     out_id: str = "vec_id",
     out_col: str = "codes",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode vectors against broadcast ``params``: per dimension
     ``clamp(floor((x - min) / step), 0, 255)`` (an out-of-range QUERY
@@ -486,7 +487,11 @@ def sq8_codes(
     return (
         df.crossJoin(F.broadcast(params))
         .withColumn("_d", diff)
-        .select(F.col(id_col).alias(out_id), code.alias(out_col))
+        .select(
+            F.col(id_col).alias(out_id),
+            code.alias(out_col),
+            *[F.col(c) for c in extra_cols],
+        )
     )
 
 
@@ -531,6 +536,117 @@ def sq8_topk(
     # exact rerank: full-precision vectors are read only for candidates
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    reranked = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qscore",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (norm(F.col("qv")) * norm(F.col("cv"))),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_every: int = 100,
+    candidates: int = 20,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF lists of SQ8 codes — the production composition
+    (FAISS ``IndexIVFScalarQuantizer``): the coarse quantizer prunes
+    WHICH lists a query scans (nprobe/|centroids| of the corpus), the
+    scalar quantizer shrinks WHAT each scanned row reads (int8 codes,
+    1/4 the bytes), and full-precision vectors are touched only for
+    the final top-``candidates`` rerank.
+
+    Pipeline: deterministic coarse centroids (every
+    ``centroid_every``-th id — swap for trained k-means in
+    production) -> broadcast assignment of corpus rows to lists ->
+    global SQ8 params trained on the corpus (FAISS's default global
+    scalar quantizer) -> per-list code tables -> probe join on cid
+    only (the single shuffle of the scan) -> integer-dot candidate cut
+    (exact in any addition order; deterministic cross-engine) -> exact
+    cosine rerank. Output: (query_id, neighbor_id, qscore, cosine,
+    rank)."""
+    cent = corpus.filter((F.col(id_col) % centroid_every) == 0).select(
+        F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
+    )
+    corp = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    assigned = ivf_assign(corp, cent, id_col, "v", round_to=round_to)
+
+    params = sq8_params(corpus, vec_col)
+    ccodes = sq8_codes(
+        assigned.withColumnRenamed(id_col, "neighbor_id"),
+        "neighbor_id",
+        "v",
+        params,
+        out_id="neighbor_id",
+        extra_cols=("cid",),
+    )
+    qcodes = sq8_codes(
+        queries, id_col, vec_col, params, out_id="query_id", out_col="qcodes"
+    )
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    qscored = qv.join(F.broadcast(cent)).select(
+        "query_id",
+        "cid",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv"))),
+            round_to,
+        ).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    probes = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "cid")
+    )
+
+    scored = (
+        probes.join(F.broadcast(qcodes), "query_id")
+        .join(ccodes, on="cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(as_double("qcodes"), as_double("codes"))
+            .cast("bigint")
+            .alias("qscore"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= candidates)
+        .drop("crank")
     )
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")

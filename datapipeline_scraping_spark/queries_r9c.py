@@ -170,3 +170,114 @@ def q173_boilerplate_removal(spark, sf_dir):
         min_df=_BP_MIN_DF,
         df_frac=_BP_FRAC,
     )
+
+
+# ===========================================================================
+# IVF lists of SQ8 codes — the production ANN composition
+# ===========================================================================
+
+_IVF_NPROBE = 2
+_IVF_EVERY = 100
+
+_SQ8_ENC = """list_transform(list_zip({v}, mins, steps),
+    z -> CASE WHEN z[3] = 0 THEN 0
+              ELSE CAST(least(255.0, greatest(0.0, floor((z[1] - z[2]) / z[3])))
+                   AS INT) END)"""
+
+
+@q(
+    "q174_ivf_sq8_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {_IVF_EVERY} = 0),
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round(list_dot_product(e.v, c.cv)
+          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+          4) DESC, c.cid) AS rn
+    FROM e CROSS JOIN cent c)
+  WHERE rn = 1
+),
+dims AS (
+  SELECT pos, min(x) AS mn, (max(x) - min(x)) / 255.0 AS step
+  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+  GROUP BY pos
+),
+params AS (
+  SELECT list(mn ORDER BY pos) AS mins, list(step ORDER BY pos) AS steps
+  FROM dims
+),
+enc AS (
+  SELECT vec_id, cid, {_SQ8_ENC.format(v="v")} AS c FROM asg, params
+),
+qenc AS (
+  SELECT e.vec_id AS query_id, {_SQ8_ENC.format(v="e.v")} AS qc
+  FROM e, params WHERE e.vec_id < 8
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+      ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY round(list_dot_product(q.v, c.cv)
+          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+          4) DESC, c.cid) AS rn
+    FROM e q CROSS JOIN cent c WHERE q.vec_id < 8)
+  WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, enc.vec_id AS neighbor_id,
+    CAST(list_dot_product(CAST(qenc.qc AS DOUBLE[]), CAST(enc.c AS DOUBLE[]))
+         AS BIGINT) AS qscore
+  FROM probes p JOIN qenc ON qenc.query_id = p.query_id
+                JOIN enc ON enc.cid = p.cid
+  WHERE p.query_id <> enc.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, qscore FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS crank
+    FROM scored) WHERE crank <= {_SQ8_CANDIDATES}
+),
+reranked AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.qscore,
+    round(list_dot_product(qe.v, ce.v)
+      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))),
+      4) AS cosine
+  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+            JOIN e ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, qscore, cosine, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM reranked)
+WHERE rank <= {_SQ8_K}
+""",
+)
+def q174_ivf_sq8_topk(spark, sf_dir):
+    """IVF lists of SQ8 codes (operators/similarity.py::ivf_sq8_topk)
+    — the production ANN composition SCALE.md's q172 notes promise:
+    the coarse quantizer prunes WHICH lists are scanned
+    (nprobe/|centroids| of the corpus), SQ8 shrinks WHAT each scanned
+    row reads (1/4 bytes, integer dot — exact in any addition order),
+    and full-precision vectors are read only for the candidate rerank.
+    FAISS IndexIVFScalarQuantizer re-expressed as three joins and two
+    windows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = SIM.ivf_sq8_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=_SQ8_K,
+        nprobe=_IVF_NPROBE,
+        centroid_every=_IVF_EVERY,
+        candidates=_SQ8_CANDIDATES,
+        round_to=4,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -413,6 +413,9 @@ CURATION_QUERIES = (
     # rate AND a hot (source, chunk) aggregation key)
     "q172_sq8_quantized_ann",
     "q173_boilerplate_removal",
+    # the composed IVF-SQ8 index on the same near-dup-heavy corpus:
+    # centroid ties + integer-score ties together are its worst case
+    "q174_ivf_sq8_topk",
 )
 
 
@@ -835,7 +838,15 @@ def main() -> None:
         "q106's persisted SRP index) and per-query cost is",
         "O(probed lists) only. `srp_ann_topk` (the scale path) stays flat",
         "because bucket hashing is map-side and the probe joins only",
-        "matching buckets.",
+        "matching buckets. q174 (IVF-SQ8) carries the same in-query",
+        "index-build artifact AMPLIFIED: the deterministic every-100th-id",
+        "centroid rule grows the centroid set 10x with the corpus, so",
+        "assignment work grows ~100x (corpus x centroids) — wall grows",
+        "only ~3-4x because assignment is a broadcast map stage. In",
+        "production k is fixed by the k-means training budget and the",
+        "code table is PERSISTED (q106's maintenance pattern applies",
+        "verbatim to SQ8 codes); the per-query cost is the probe join +",
+        "candidate rerank only.",
         "",
         "## AQE skew split on the LSH bucket self-join",
         "",

@@ -51,6 +51,7 @@ NESTED_LOOP_ALLOW = {
     "q134_semantic_dedup": "centroid assignment; broadcast side is k centroids",
     "q148_length_buckets": "scalar corpus-total row (1-row broadcast gate)",
     "q172_sq8_quantized_ann": "SQ8 candidate kernel; broadcast sides are the 1-row quantization params and the query set",
+    "q174_ivf_sq8_topk": "centroid assignment + SQ8 params: broadcast sides are k centroids, the 1-row params, and the query set",
 }
 
 # Arrow-vectorized Python seams (MapInPandas / grouped-map / cogroup).

@@ -212,3 +212,53 @@ def test_boilerplate_frac_threshold_scales_with_group_size(spark):
         ).collect()
     }
     assert lax[100] == 1 and lax[101] == 1
+
+
+def test_ivf_sq8_topk_probes_own_cluster(spark):
+    from datapipeline_scraping_spark.operators.similarity import ivf_sq8_topk
+
+    # same separable corpus as the SQ8 test; centroids at ids 0/4/8 are
+    # the cluster anchors, so nprobe=1 scans exactly the query's list
+    vecs = []
+    for c in range(3):
+        for j in range(4):
+            v = [0.0, 0.0, 0.0]
+            v[c] = 10.0 + j
+            v[(c + 1) % 3] = 0.1 * j
+            vecs.append(v)
+    emb = _emb(spark, vecs)
+    queries = emb.filter(F.col("vec_id").isin(0, 4, 8))
+    out = ivf_sq8_topk(
+        emb, queries, k=3, nprobe=1, centroid_every=4, candidates=4
+    ).collect()
+    assert len(out) == 9
+    for r in out:
+        assert r["neighbor_id"] // 4 == r["query_id"] // 4  # own list only
+        assert r["neighbor_id"] != r["query_id"]
+        assert r["cosine"] > 0.99
+
+
+def test_ivf_sq8_topk_degenerates_to_bruteforce(spark):
+    from datapipeline_scraping_spark.operators.similarity import (
+        cosine_topk,
+        ivf_sq8_topk,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(30)]
+    emb = _emb(spark, vecs)
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(emb, queries, k=4).collect()
+    }
+    # every list probed + candidates == corpus => identical final ranks
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_sq8_topk(
+            emb, queries, k=4, nprobe=30, centroid_every=1, candidates=30
+        ).collect()
+    }
+    assert got == exact
