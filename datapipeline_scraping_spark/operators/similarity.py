@@ -672,3 +672,58 @@ def ivf_sq8_topk(
         reranked.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.99,
+    n_planes: int = 6,
+    dim: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-level eval-set leakage scan — the SEMANTIC complement
+    of exact n-gram decontamination: flag every training vector whose
+    cosine to some eval vector reaches ``threshold`` (verbatim leaks
+    score 1.0; paraphrase-level leaks score just below), reporting the
+    best-matching eval item per flagged row.
+
+    Output: (train_id, eval_id, cosine) — one row per contaminated
+    training vector, eval_id = argmax-cosine match (eval-id tiebreak).
+
+    Scale: the eval set is SMALL by nature (benchmarks), so its
+    bucketed table broadcasts; the train side is touched once, map-side
+    bucket-hashed, and only same-SRP-bucket pairs are scored — the
+    q35 candidate discipline applied asymmetrically. Bucket bits come
+    from exact integer-scaled projections (SRP_SCALE), so candidate
+    membership — and therefore the flagged set — is oracle-stable."""
+    t = train.select(
+        F.col(id_col).alias("train_id"), as_double(vec_col).alias("tv")
+    ).withColumn("bucket", srp_bucket(F.col("tv"), n_planes, dim))
+    e = evalset.select(
+        F.col(id_col).alias("eval_id"), as_double(vec_col).alias("ev")
+    ).withColumn("bucket", srp_bucket(F.col("ev"), n_planes, dim))
+    scored = (
+        t.join(F.broadcast(e), on="bucket")
+        .select(
+            "train_id",
+            "eval_id",
+            F.round(
+                dot(F.col("tv"), F.col("ev"))
+                / (norm(F.col("tv")) * norm(F.col("ev"))),
+                round_to,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("cosine").desc(), F.col("eval_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

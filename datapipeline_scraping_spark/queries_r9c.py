@@ -281,3 +281,62 @@ def q174_ivf_sq8_topk(spark, sf_dir):
         round_to=4,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ===========================================================================
+# semantic decontamination (embedding-level eval-set leakage)
+# ===========================================================================
+
+_DECON_T = 0.99
+_DECON_PLANES = 6
+
+
+def _q175_oracle() -> str:
+    bucket = SIM.srp_bucket_sql("v", n_planes=_DECON_PLANES, dim=64)
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, v FROM base WHERE vec_id % 37 = 0),
+leaked AS (SELECT eval_id + 2000000 AS vec_id, v FROM ev),
+train AS (
+  SELECT vec_id, v FROM base WHERE vec_id % 37 <> 0
+  UNION ALL SELECT * FROM leaked
+),
+tb AS (SELECT vec_id AS train_id, v AS tv, {bucket} AS bucket FROM train),
+eb AS (SELECT eval_id, v AS ev2, {bucket} AS bucket FROM ev),
+scored AS (
+  SELECT tb.train_id, eb.eval_id,
+    round(list_dot_product(tb.tv, eb.ev2)
+      / (sqrt(list_dot_product(tb.tv, tb.tv)) * sqrt(list_dot_product(eb.ev2, eb.ev2))),
+      4) AS cosine
+  FROM tb JOIN eb USING (bucket)
+)
+SELECT train_id, eval_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY train_id ORDER BY cosine DESC, eval_id) AS rn
+  FROM scored WHERE cosine >= {_DECON_T}
+) WHERE rn = 1
+"""
+
+
+@q("q175_semantic_decontamination", oracle=_q175_oracle())
+def q175_semantic_decontamination(spark, sf_dir):
+    """Embedding-level eval-set leakage scan
+    (operators/similarity.py::semantic_decontaminate) — the SEMANTIC
+    complement of q109's exact n-gram decontamination, over a
+    simulated leak (the eval slice re-ingested verbatim into the train
+    corpus under new ids, q51's re-scan model): every leaked row must
+    surface at cosine 1.0 with its eval source as the argmax match.
+    Only same-SRP-bucket pairs are scored (the benchmark side
+    broadcasts; the corpus is touched once)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    evalset = emb.filter(F.col("vec_id") % 37 == 0)
+    leaked = evalset.withColumn("vec_id", F.col("vec_id") + 2_000_000)
+    train = emb.filter(F.col("vec_id") % 37 != 0).unionByName(leaked)
+    return SIM.semantic_decontaminate(
+        train,
+        evalset,
+        "vec_id",
+        "embedding",
+        threshold=_DECON_T,
+        n_planes=_DECON_PLANES,
+    )

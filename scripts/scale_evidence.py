@@ -416,6 +416,9 @@ CURATION_QUERIES = (
     # the composed IVF-SQ8 index on the same near-dup-heavy corpus:
     # centroid ties + integer-score ties together are its worst case
     "q174_ivf_sq8_topk",
+    # near-dup-heavy copies of the eval slice flood q175 with organic
+    # contamination hits (output grows with real leak mass, not corpus)
+    "q175_semantic_decontamination",
 )
 
 

@@ -102,6 +102,7 @@ MUST_BROADCAST = [
     "q131_excess_shippers",
     "q144_supplier_diversity",
     "q173_boilerplate_removal",
+    "q175_semantic_decontamination",
 ]
 
 # Queries whose plan must push a per-group limit BELOW the window

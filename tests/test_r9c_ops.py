@@ -262,3 +262,29 @@ def test_ivf_sq8_topk_degenerates_to_bruteforce(spark):
         ).collect()
     }
     assert got == exact
+
+
+def test_semantic_decontaminate_flags_exact_leaks(spark):
+    from datapipeline_scraping_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(40)]
+    emb = _emb(spark, vecs)
+    evalset = emb.filter(F.col("vec_id") < 4)
+    # leak eval rows 0/1 into train under new ids; rows 2/3 stay clean
+    leaked = evalset.filter(F.col("vec_id") < 2).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    train = emb.filter(F.col("vec_id") >= 4).unionByName(leaked)
+    got = {
+        r["train_id"]: (r["eval_id"], r["cosine"])
+        for r in semantic_decontaminate(
+            train, evalset, threshold=0.99
+        ).collect()
+    }
+    # exactly the two leaks, each matched to its source at cosine 1.0
+    assert got == {1000: (0, 1.0), 1001: (1, 1.0)}
