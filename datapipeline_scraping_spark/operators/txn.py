@@ -803,6 +803,127 @@ class ManifestTable:
         self._gc(keep=keep_snapshots)
         return committed_ver
 
+    def clone_to(
+        self,
+        dest_root: str,
+        *,
+        version: int | None = None,
+        retention_sec: float | None = None,
+    ) -> "ManifestTable":
+        """Zero-copy table clone — Delta ``CLONE`` with deep-clone
+        SEMANTICS at shallow-clone COST: the destination's version-1
+        snapshot is HARDLINKED from the source snapshot (falling back
+        to copy where the filesystem refuses), so cloning a 100 TB
+        table moves zero data bytes, yet the clone owns its inode
+        refcounts — the source can be GC'd, restored, or dropped
+        without dangling the clone (the hazard Delta's path-referencing
+        shallow clone carries). Writes to either table never affect
+        the other: snapshots are immutable, and each root has its own
+        pointer, lock, log, and GC lifecycle.
+
+        ``version`` pins the source version to clone (default: head).
+        The clone's log entry carries the source entry's schema,
+        layout, stats, CHECK constraints, DV, column map, and MoR
+        delta forward (reads through the clone see exactly the pinned
+        source version's visible state), plus ``meta.clone_of``; the
+        source's change feed is NOT carried — the clone starts its own
+        history (a ``break`` marker makes a feed reader fail loudly
+        rather than replay the source's changes).
+
+        Refuses to clobber: raises ``FileExistsError`` if ``dest_root``
+        already has a committed pointer. Raises
+        :class:`SnapshotExpiredError` if the pinned version's files
+        were already GC'd (same contract as ``read(version=)``)."""
+        ptr = self._pointer()
+        if version is None:
+            if ptr is None:
+                raise FileNotFoundError(
+                    f"no committed snapshot under {self.root}"
+                )
+            version = ptr[1]
+        entry = self._log_entry(version)
+        if entry is None:
+            raise FileNotFoundError(
+                f"{self.root}: no commit log entry for version {version}"
+            )
+        src = os.path.join(self.root, entry["snapshot"])
+        if not os.path.isdir(src):
+            raise SnapshotExpiredError(
+                f"{self.root}: version {version} snapshot was garbage-"
+                f"collected; clone needs its files (raise retention)"
+            )
+        dest = ManifestTable(
+            dest_root,
+            stale_lock_sec=self.stale_lock_sec,
+            staging_ttl_sec=self.staging_ttl_sec,
+            retention_sec=(
+                self.retention_sec if retention_sec is None else retention_sec
+            ),
+        )
+        if dest.exists():
+            raise FileExistsError(
+                f"{dest.root}: already a committed table — refusing to "
+                f"clone over it"
+            )
+        os.makedirs(dest.root, exist_ok=True)
+        staged = os.path.join(
+            dest.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
+        )
+        try:
+            _link_tree(src, staged, skip_top=(self.CDF_DIR,))
+        except FileNotFoundError as exc:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise SnapshotExpiredError(
+                f"{self.root}: version {version} snapshot vanished during "
+                f"clone (concurrent GC) — retry or raise retention"
+            ) from exc
+        committed = False
+        dest._acquire_lock()
+        try:
+            if dest._pointer() is not None:
+                raise FileExistsError(
+                    f"{dest.root}: a concurrent writer committed first — "
+                    f"refusing to clone over it"
+                )
+            snap = f"snap-{1:06d}-{uuid.uuid4().hex[:8]}"
+            os.rename(staged, os.path.join(dest.root, snap))
+            staged = os.path.join(dest.root, snap)  # for error cleanup
+            dest._write_log(
+                1,
+                snap,
+                list(entry.get("partition_by") or []),
+                entry.get("schema"),
+                meta={
+                    **(entry.get("meta") or {}),
+                    "clone_of": {"root": self.root, "version": version},
+                },
+                stats_cols=entry.get("stats_cols"),
+                file_stats=entry.get("file_stats"),
+                checks=entry.get("checks"),
+                dv=entry.get("dv"),  # linked files include its _dv
+                cdf=(
+                    {
+                        "key_cols": list(entry["cdf"]["key_cols"]),
+                        "break": True,
+                    }
+                    if entry.get("cdf")
+                    else None
+                ),
+                column_map=entry.get("column_map"),
+                mor_delta=entry.get("mor_delta"),
+            )
+            tmp_ptr = os.path.join(dest.root, f".ptr-{uuid.uuid4().hex[:8]}")
+            with open(tmp_ptr, "w") as fh:
+                fh.write(f"{snap}\n1\n")
+            os.replace(tmp_ptr, os.path.join(dest.root, dest.POINTER))
+            dest.last_snapshot = snap
+            committed = True
+        finally:
+            dest._release_lock()
+            if not committed:
+                shutil.rmtree(staged, ignore_errors=True)
+        return dest
+
     def rename_column(
         self,
         old: str,

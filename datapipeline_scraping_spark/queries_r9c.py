@@ -24,6 +24,9 @@ covers.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import functions as F
 
 from .operators import similarity as SIM
@@ -339,4 +342,96 @@ def q175_semantic_decontamination(spark, sf_dir):
         "embedding",
         threshold=_DECON_T,
         n_planes=_DECON_PLANES,
+    )
+
+
+# ===========================================================================
+# zero-copy table clone (Delta CLONE role)
+# ===========================================================================
+
+
+@q(
+    "q176_zero_copy_clone",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS id, o_orderpriority AS pri,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+v2 AS (SELECT * FROM base WHERE id % 4 <> 0),
+src_final AS (
+  SELECT id, pri,
+    CASE WHEN pri = '1-URGENT' THEN price + 10 ELSE price END AS price
+  FROM v2
+),
+clone_final AS (SELECT * FROM v2 WHERE id % 3 <> 0),
+u AS (
+  SELECT 'src' AS tbl, pri, price FROM src_final
+  UNION ALL
+  SELECT 'clone' AS tbl, pri, price FROM clone_final
+)
+SELECT tbl, pri, COUNT(*) AS n_orders,
+  CAST(CAST(SUM(price) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
+FROM u GROUP BY tbl, pri
+""",
+)
+def q176_zero_copy_clone(spark, sf_dir):
+    """Zero-copy table clone (operators/txn.py::ManifestTable.clone_to
+    — Delta ``CLONE`` with deep-clone semantics at shallow-clone cost):
+    an orders ledger takes a merge-on-read DELETE, is CLONED (version-1
+    snapshot hardlinked, zero data bytes — inode-asserted in-query),
+    and the two tables then DIVERGE (UPDATE on the source, DELETE on
+    the clone) with each lineage invisible to the other. The output
+    aggregates BOTH final states so the oracle replays both lineages;
+    the clone also survives aggressive source GC by construction
+    (links own refcounts — test-pinned in test_txn.py)."""
+    import glob
+
+    from .operators.txn import ManifestTable
+    from .queries_r9 import _key
+    from .streaming.events import SCRATCH
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    src_root = os.path.join(SCRATCH, f"clonesrc_{_key(sf_dir)}")
+    dst_root = os.path.join(SCRATCH, f"clonedst_{_key(sf_dir)}")
+    shutil.rmtree(src_root, ignore_errors=True)
+    shutil.rmtree(dst_root, ignore_errors=True)
+    src = ManifestTable(src_root, retention_sec=3600)
+    src.commit(orders.repartition(8, "id"))
+    src.delete_where(spark, "id % 4 = 0", ["id"])
+
+    dst = src.clone_to(dst_root)
+
+    # zero-copy assertion: every cloned parquet shares its source inode
+    def _inos(tbl):
+        snap = os.path.join(tbl.root, tbl.last_snapshot)
+        return {
+            os.path.basename(p): os.stat(p).st_ino
+            for p in glob.glob(snap + "/**/*.parquet", recursive=True)
+        }
+
+    src_inos = {
+        os.path.basename(p): os.stat(p).st_ino
+        for p in glob.glob(
+            src.snapshot_path(2) + "/**/*.parquet", recursive=True
+        )
+    }
+    assert _inos(dst) == src_inos and src_inos
+
+    # diverge: each table's DML is invisible to the other
+    src.update_where(spark, "pri = '1-URGENT'", {"price": "price + 10"}, ["id"])
+    dst.delete_where(spark, "id % 3 = 0", ["id"])
+
+    u = src.read(spark).withColumn("tbl", F.lit("src")).unionByName(
+        dst.read(spark).withColumn("tbl", F.lit("clone"))
+    )
+    from .functions.numeric import to_double
+
+    return u.groupBy("tbl", "pri").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        to_double(F.sum("price").cast("decimal(38,6)")).alias("sum_price"),
     )

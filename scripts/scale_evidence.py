@@ -384,6 +384,8 @@ TXN_QUERIES = (
     "q168_cdf_stream_view",
     "q169_column_mapping_rename",
     "q170_mor_update",
+    # zero-copy clone + divergence: both lineages DML on the 10x table
+    "q176_zero_copy_clone",
 )
 
 CURATION_QUERIES = (

@@ -1667,3 +1667,81 @@ def test_concurrent_dml_statements_rebase_and_retry(spark, tmp_path):
     assert set(got) == set(range(15))  # delete applied
     assert all(got[i] == f"V{i}" for i in range(5))  # update applied
     assert all(got[i] == f"v{i}" for i in range(5, 15))
+
+
+# ---------------------------------------------------------------------------
+# zero-copy clone
+# ---------------------------------------------------------------------------
+
+
+def test_clone_is_zero_copy_and_read_equal(spark, tmp_path):
+    import glob
+
+    src = ManifestTable(str(tmp_path / "src"), retention_sec=3600)
+    src.commit(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    src.delete_where(spark, "pk >= 8", ["pk"])
+    src.update_where(spark, "pk < 2", {"v": "upper(v)"}, ["pk"])
+
+    dst = src.clone_to(str(tmp_path / "dst"))
+    assert dst.version() == 1
+    got = {r["pk"]: r["v"] for r in dst.read(spark).collect()}
+    want = {r["pk"]: r["v"] for r in src.read(spark).collect()}
+    assert got == want == {0: "V0", 1: "V1", **{i: f"v{i}" for i in range(2, 8)}}
+
+    # zero data bytes moved: every cloned parquet shares its inode
+    def inos(tbl):
+        snap = os.path.join(tbl.root, tbl.last_snapshot)
+        return {
+            os.path.basename(p): os.stat(p).st_ino
+            for p in glob.glob(snap + "/**/*.parquet", recursive=True)
+        }
+
+    s, d = inos(src), inos(dst)
+    assert s and s == d
+    # clone_of provenance rides the log entry atomically
+    meta = dst.commit_meta(1)
+    assert meta["clone_of"]["version"] == 3
+    assert meta["clone_of"]["root"] == src.root
+
+
+def test_clone_diverges_independently_and_survives_source_gc(spark, tmp_path):
+    src = ManifestTable(str(tmp_path / "src"), retention_sec=0)
+    src.commit(_df(spark, [(i, f"v{i}") for i in range(6)]))
+    dst = src.clone_to(str(tmp_path / "dst"))
+
+    # writes to the clone never touch the source, and vice versa
+    dst.update_where(spark, "pk = 0", {"v": "'x'"}, ["pk"])
+    src.delete_where(spark, "pk = 5", ["pk"])
+    assert {r["pk"] for r in src.read(spark).collect()} == set(range(5))
+    got = {r["pk"]: r["v"] for r in dst.read(spark).collect()}
+    assert got[0] == "x"
+    assert set(got) == set(range(6))
+
+    # source GC (retention 0, keep 1) cannot strand the clone: links
+    # own their refcounts
+    src.commit(_df(spark, [(1, "only")]), keep_snapshots=1)
+    src._gc(keep=1)
+    got2 = {r["pk"]: r["v"] for r in dst.read(spark).collect()}
+    assert got2 == got
+
+
+def test_clone_pinned_version_and_clobber_refusal(spark, tmp_path):
+    src = ManifestTable(str(tmp_path / "src"), retention_sec=3600)
+    src.commit(_df(spark, [(0, "a")]))
+    src.commit(_df(spark, [(0, "b")]))
+
+    dst = src.clone_to(str(tmp_path / "dst"), version=1)
+    assert [r["v"] for r in dst.read(spark).collect()] == ["a"]
+
+    with pytest.raises(FileExistsError):
+        src.clone_to(str(tmp_path / "dst"))
+
+    # expired pin: count+age GC drops version 1's snapshot AND its log
+    # entry, so the pin fails loudly (FileNotFoundError when the entry
+    # is gone — same contract as read(version=); SnapshotExpiredError
+    # covers the entry-present/dir-gone crash window)
+    src2 = ManifestTable(str(tmp_path / "src2"), retention_sec=0)
+    src2.commit(_df(spark, [(0, "a")]))
+    src2.commit(_df(spark, [(0, "b")]), keep_snapshots=1)
+    with pytest.raises((FileNotFoundError, SnapshotExpiredError)):
+        src2.clone_to(str(tmp_path / "dst2"), version=1)
