@@ -64,7 +64,8 @@ codes AS (
 qc AS (SELECT vec_id AS query_id, c AS qcodes FROM codes WHERE vec_id < 8),
 scored AS (
   SELECT qc.query_id, codes.vec_id AS neighbor_id,
-    CAST(list_dot_product(CAST(qcodes AS DOUBLE[]), CAST(c AS DOUBLE[]))
+    CAST(list_dot_product(list_transform(qcodes, x -> CAST(x - 128 AS DOUBLE)),
+                          list_transform(c, x -> CAST(x - 128 AS DOUBLE)))
          AS BIGINT) AS qscore
   FROM qc, codes WHERE qc.query_id <> codes.vec_id
 ),
@@ -93,9 +94,11 @@ WHERE rank <= {_SQ8_K}
 def q172_sq8_quantized_ann(spark, sf_dir):
     """Int8 scalar-quantized ANN (operators/similarity.py::sq8_topk):
     train per-dimension (min, step) on the corpus, encode to 8-bit
-    codes, generate top-{candidates} candidates per query by INTEGER
-    dot product on the codes (exact in any addition order — the
-    candidate cut cannot flip cross-engine), then rerank only the
+    codes, generate top-{candidates} candidates per query by the CENTERED
+    integer dot product on the codes (codes - 128: cancels the
+    affine bias a raw-code dot carries — measured recall@5 0.125
+    raw vs 0.975 centered; still exact in any addition order, so
+    the candidate cut cannot flip cross-engine), then rerank only the
     candidates with the exact double cosine. At 100 TB the code table
     is 1/4 the scan bytes and the full-precision read is
     candidate-sized."""
@@ -233,7 +236,8 @@ probes AS (
 ),
 scored AS (
   SELECT p.query_id, enc.vec_id AS neighbor_id,
-    CAST(list_dot_product(CAST(qenc.qc AS DOUBLE[]), CAST(enc.c AS DOUBLE[]))
+    CAST(list_dot_product(list_transform(qenc.qc, x -> CAST(x - 128 AS DOUBLE)),
+                          list_transform(enc.c, x -> CAST(x - 128 AS DOUBLE)))
          AS BIGINT) AS qscore
   FROM probes p JOIN qenc ON qenc.query_id = p.query_id
                 JOIN enc ON enc.cid = p.cid
@@ -434,4 +438,153 @@ def q176_zero_copy_clone(spark, sf_dir):
     return u.groupBy("tbl", "pri").agg(
         F.count("*").cast("long").alias("n_orders"),
         to_double(F.sum("price").cast("decimal(38,6)")).alias("sum_price"),
+    )
+
+
+# ===========================================================================
+# recall evaluation of the quantized indexes
+# ===========================================================================
+
+_COS4 = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 4)"
+)
+_CDOT = (
+    "CAST(list_dot_product(list_transform({a}, x -> CAST(x - 128 AS DOUBLE)),"
+    " list_transform({b}, x -> CAST(x - 128 AS DOUBLE))) AS BIGINT)"
+)
+
+
+def _q177_oracle() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qs.query_id, c.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY qs.query_id
+        ORDER BY {_COS4.format(a='qs.qv', b='c.v')} DESC, c.vec_id) AS rank
+    FROM qs, e c WHERE qs.query_id <> c.vec_id) WHERE rank <= {_SQ8_K}
+),
+dims AS (
+  SELECT pos, min(x) AS mn, (max(x) - min(x)) / 255.0 AS step
+  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+  GROUP BY pos
+),
+params AS (
+  SELECT list(mn ORDER BY pos) AS mins, list(step ORDER BY pos) AS steps
+  FROM dims
+),
+codes AS (SELECT vec_id, {_SQ8_ENC.format(v="v")} AS c FROM e, params),
+qcod AS (SELECT vec_id AS query_id, c AS qc FROM codes WHERE vec_id < 8),
+sq8cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qcod.query_id, codes.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY qcod.query_id
+        ORDER BY {_CDOT.format(a='qc', b='c')} DESC, codes.vec_id) AS crank
+    FROM qcod, codes WHERE qcod.query_id <> codes.vec_id)
+  WHERE crank <= {_SQ8_CANDIDATES}
+),
+sq8top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY s.query_id
+        ORDER BY {_COS4.format(a='qe.v', b='ce.v')} DESC, s.neighbor_id) AS rank
+    FROM sq8cand s JOIN e qe ON qe.vec_id = s.query_id
+                   JOIN e ce ON ce.vec_id = s.neighbor_id) WHERE rank <= {_SQ8_K}
+),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {_IVF_EVERY} = 0),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {_COS4.format(a='e.v', b='c.cv')} DESC, c.cid) AS rn
+    FROM e CROSS JOIN cent c) WHERE rn = 1
+),
+enc AS (
+  SELECT codes.vec_id, asg.cid, codes.c
+  FROM codes JOIN asg ON asg.vec_id = codes.vec_id
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY {_COS4.format(a='q.v', b='c.cv')} DESC, c.cid) AS rn
+    FROM e q CROSS JOIN cent c WHERE q.vec_id < 8) WHERE rn <= {_IVF_NPROBE}
+),
+ivfcand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, enc.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY p.query_id
+        ORDER BY {_CDOT.format(a='qcod.qc', b='enc.c')} DESC, enc.vec_id) AS crank
+    FROM probes p JOIN qcod ON qcod.query_id = p.query_id
+                  JOIN enc ON enc.cid = p.cid
+    WHERE p.query_id <> enc.vec_id) WHERE crank <= {_SQ8_CANDIDATES}
+),
+ivftop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY s.query_id
+        ORDER BY {_COS4.format(a='qe.v', b='ce.v')} DESC, s.neighbor_id) AS rank
+    FROM ivfcand s JOIN e qe ON qe.vec_id = s.query_id
+                   JOIN e ce ON ce.vec_id = s.neighbor_id) WHERE rank <= {_SQ8_K}
+),
+hs AS (SELECT x.query_id AS qid, COUNT(*) AS n
+       FROM exact x JOIN sq8top USING (query_id, neighbor_id) GROUP BY 1),
+hi AS (SELECT x.query_id AS qid, COUNT(*) AS n
+       FROM exact x JOIN ivftop USING (query_id, neighbor_id) GROUP BY 1)
+SELECT q.query_id AS query_id,
+  CAST(coalesce(hs.n, 0) AS BIGINT) AS sq8_hits,
+  coalesce(hs.n, 0) / {_SQ8_K} AS sq8_recall,
+  CAST(coalesce(hi.n, 0) AS BIGINT) AS ivfsq8_hits,
+  coalesce(hi.n, 0) / {_SQ8_K} AS ivfsq8_recall
+FROM (SELECT query_id FROM qs) q
+LEFT JOIN hs ON hs.qid = q.query_id
+LEFT JOIN hi ON hi.qid = q.query_id
+"""
+
+
+@q("q177_quantized_ann_recall", oracle=_q177_oracle())
+def q177_quantized_ann_recall(spark, sf_dir):
+    """Recall@{k} of BOTH quantized indexes (q172's full-scan SQ8 and
+    q174's IVF-SQ8) against the exact brute-force ground truth — q94's
+    'measure, don't guess' discipline applied to the compressed tier.
+    The gap between the two columns is exactly the nprobe budget: SQ8
+    full-scan loses only to quantization error (0.975 here), IVF-SQ8
+    additionally to unprobed lists (0.7 at nprobe=2 of 5 lists) — the
+    tunable recall/cost dial a production deployment sets per
+    workload."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = SIM.cosine_topk(emb, queries, "vec_id", "embedding", k=_SQ8_K).select(
+        "query_id", "neighbor_id"
+    )
+    sq8 = SIM.sq8_topk(
+        emb, queries, "vec_id", "embedding", k=_SQ8_K,
+        candidates=_SQ8_CANDIDATES,
+    ).select("query_id", "neighbor_id")
+    ivf = SIM.ivf_sq8_topk(
+        emb, queries, "vec_id", "embedding", k=_SQ8_K,
+        nprobe=_IVF_NPROBE, centroid_every=_IVF_EVERY,
+        candidates=_SQ8_CANDIDATES,
+    ).select("query_id", "neighbor_id")
+    hs = exact.join(sq8, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("ns")
+    )
+    hi = exact.join(ivf, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("ni")
+    )
+    ns = F.coalesce(F.col("ns"), F.lit(0))
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hs, "query_id", "left")
+        .join(hi, "query_id", "left")
+        .select(
+            "query_id",
+            ns.cast("long").alias("sq8_hits"),
+            (ns / F.lit(_SQ8_K)).alias("sq8_recall"),
+            ni.cast("long").alias("ivfsq8_hits"),
+            (ni / F.lit(_SQ8_K)).alias("ivfsq8_recall"),
+        )
     )
