@@ -421,6 +421,8 @@ CURATION_QUERIES = (
     # near-dup-heavy copies of the eval slice flood q175 with organic
     # contamination hits (output grows with real leak mass, not corpus)
     "q175_semantic_decontamination",
+    # recall of the quantized tier vs exact ground truth at 10x
+    "q177_quantized_ann_recall",
 )
 
 
