@@ -239,12 +239,23 @@ def collect_file_stats(path: str, cols: list[str]) -> dict:
 def _apply_map(df: DataFrame, entry: dict | None) -> DataFrame:
     """Rename PHYSICAL parquet column names to the entry's LOGICAL
     names (``column_map``: logical -> physical, non-identity pairs
-    only) — the read half of metadata-only RENAME (Delta column
-    mapping ``name`` mode). A no-op for tables never renamed."""
+    only) and project away DROPPED physical columns (``dropped``) —
+    the read half of metadata-only RENAME and DROP COLUMN (Delta
+    column mapping ``name`` mode). A no-op for tables never renamed
+    or dropped from."""
+    # drop BEFORE rename: both lists hold PHYSICAL names and are
+    # disjoint, but a later rename may reuse a dropped column's name
+    # as its new LOGICAL name — the stale physical column must be gone
+    # before that rename lands, or the two would collide.
+    dropped = (entry or {}).get("dropped")
+    if dropped:
+        df = df.drop(*[c for c in dropped if c in df.columns])
     cmap = (entry or {}).get("column_map")
-    if not cmap:
-        return df
-    return df.withColumnsRenamed({phys: logi for logi, phys in cmap.items()})
+    if cmap:
+        df = df.withColumnsRenamed(
+            {phys: logi for logi, phys in cmap.items()}
+        )
+    return df
 
 
 def _diff_frames(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
@@ -451,6 +462,7 @@ class ManifestTable:
         cdf: dict | None = None,
         column_map: dict | None = None,
         mor_delta: dict | None = None,
+        dropped: list[str] | None = None,
     ) -> None:
         """Write the commit's log entry atomically (tmp + replace).
         Called inside the commit lock BEFORE the pointer swap; a crash
@@ -485,6 +497,8 @@ class ManifestTable:
             entry["column_map"] = dict(column_map)
         if mor_delta:
             entry["mor_delta"] = dict(mor_delta)
+        if dropped:
+            entry["dropped"] = list(dropped)
         tmp = f"{self._log_path(version)}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -789,6 +803,7 @@ class ManifestTable:
                 ),
                 column_map=entry.get("column_map"),
                 mor_delta=entry.get("mor_delta"),
+                dropped=entry.get("dropped"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -911,6 +926,7 @@ class ManifestTable:
                 ),
                 column_map=entry.get("column_map"),
                 mor_delta=entry.get("mor_delta"),
+                dropped=entry.get("dropped"),
             )
             tmp_ptr = os.path.join(dest.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -1053,6 +1069,147 @@ class ManifestTable:
                 ),
                 column_map=cmap or None,
                 mor_delta=entry.get("mor_delta"),
+                dropped=entry.get("dropped"),
+            )
+            tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
+            with open(tmp_ptr, "w") as fh:
+                fh.write(f"{snap}\n{new_ver}\n")
+            os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
+            self.last_snapshot = snap
+            committed_ver = new_ver
+        finally:
+            self._release_lock()
+            if committed_ver is None:
+                shutil.rmtree(staged, ignore_errors=True)
+        self._gc(keep=keep_snapshots)
+        return committed_ver
+
+    def drop_column(
+        self,
+        name: str,
+        *,
+        expect_version: int | None = None,
+        keep_snapshots: int = 2,
+    ) -> int:
+        """METADATA-ONLY column drop — ``rename_column``'s twin (Delta
+        ``ALTER TABLE ... DROP COLUMN`` under column mapping): the new
+        commit HARDLINKS the data files untouched, removes the column
+        from the logical schema, and records its PHYSICAL name in the
+        entry's ``dropped`` list; every read path projects it away on
+        the way out, so dropping a column on a 100 TB table moves zero
+        data bytes. The bytes linger in the files until the next full
+        rewrite (any :meth:`commit` or :func:`compact_table`)
+        materializes the logical schema and clears the list — exactly
+        how Delta physically removes dropped columns only on REORG/
+        OPTIMIZE. Time travel to earlier versions still sees the
+        column (their entries don't carry the drop). A later
+        :meth:`commit` may re-add the same logical name: full rewrites
+        write fresh files, so the stale physical bytes can't leak into
+        the new column; a later RENAME may likewise reuse the name
+        (reads drop the stale physical column before applying the
+        map).
+
+        Guarded refusals (each names its escape hatch): dropping a
+        partition column (physical dir names — rewrite with a new
+        ``partition_by``), a live deletion-vector or change-feed key
+        (compact / disable the feed first), or a column referenced by
+        a CHECK constraint (drop or re-state the constraint). Same
+        CAS + lock protocol as every writer."""
+        ptr = self._pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        snap_name, cur_ver = ptr
+        src = os.path.join(self.root, snap_name)
+        entry = self._log_entry(cur_ver) or {}
+        schema = T.StructType.fromJson(json.loads(entry["schema"]))
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"{self.root}: no column {name!r} to drop")
+        if len(names) == 1:
+            raise ValueError(
+                f"{self.root}: {name!r} is the table's only column"
+            )
+        if name in (entry.get("partition_by") or []):
+            raise ValueError(
+                f"{self.root}: {name!r} is a partition column (physical "
+                f"directory names) — rewrite with a new partition_by"
+            )
+        if name in ((entry.get("dv") or {}).get("key_cols") or []):
+            raise ValueError(
+                f"{self.root}: {name!r} keys the live deletion vector — "
+                f"compact_table first to materialize it"
+            )
+        if name in ((entry.get("cdf") or {}).get("key_cols") or []):
+            raise ValueError(
+                f"{self.root}: {name!r} keys the change feed — disable "
+                f"the feed (cdf_keys=[]) or re-key it first"
+            )
+        for cname, pred_sql in (entry.get("checks") or {}).items():
+            if re.search(rf"\b{re.escape(name)}\b", pred_sql):
+                raise ValueError(
+                    f"{self.root}: {name!r} is referenced by CHECK "
+                    f"constraint {cname!r} ({pred_sql}) — drop or "
+                    f"re-state the constraint first"
+                )
+        new_schema = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        cmap = dict(entry.get("column_map") or {})
+        phys = cmap.pop(name, name)
+        dropped = list(entry.get("dropped") or []) + [phys]
+        stats_cols = [c for c in (entry.get("stats_cols") or []) if c != name]
+        prev_cdf = entry.get("cdf")
+        staged = os.path.join(
+            self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
+        )
+        try:
+            _link_tree(src, staged, skip_top=(self.CDF_DIR,))
+        except FileNotFoundError as exc:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{self.root}: snapshot {snap_name} vanished during "
+                f"drop_column (concurrent writer + gc) — retry"
+            ) from exc
+        committed_ver: int | None = None
+        self._acquire_lock()
+        try:
+            now = self._pointer()
+            live_ver = 0 if now is None else now[1]
+            if expect_version is not None and live_ver != expect_version:
+                raise ConcurrentWriteError(
+                    f"{self.root}: version {live_ver} != expected "
+                    f"{expect_version}"
+                )
+            if live_ver != cur_ver:
+                raise ConcurrentWriteError(
+                    f"{self.root}: table advanced {cur_ver} -> {live_ver} "
+                    f"during drop_column — re-run against the new head"
+                )
+            new_ver = cur_ver + 1
+            snap = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
+            os.rename(staged, os.path.join(self.root, snap))
+            staged = os.path.join(self.root, snap)  # for error cleanup
+            self._write_log(
+                new_ver,
+                snap,
+                list(entry.get("partition_by") or []),
+                new_schema.json(),
+                meta={**(entry.get("meta") or {}), "dropped_column": name},
+                stats_cols=stats_cols,
+                file_stats=entry.get("file_stats"),
+                checks=entry.get("checks"),
+                dv=entry.get("dv"),
+                cdf=(
+                    {
+                        "key_cols": list(prev_cdf["key_cols"]),
+                        "break": True,
+                    }
+                    if prev_cdf
+                    else None
+                ),
+                column_map=cmap or None,
+                mor_delta=entry.get("mor_delta"),
+                dropped=dropped,
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -1293,6 +1450,7 @@ class ManifestTable:
                 cdf=cdf_entry,
                 column_map=entry.get("column_map"),
                 mor_delta=new_delta_entry,
+                dropped=entry.get("dropped"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -1525,6 +1683,7 @@ class ManifestTable:
                 cdf=cdf_entry,
                 column_map=entry.get("column_map"),
                 mor_delta={"n_rows": n_delta} if n_delta else None,
+                dropped=entry.get("dropped"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:

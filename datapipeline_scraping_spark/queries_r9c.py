@@ -588,3 +588,70 @@ def q177_quantized_ann_recall(spark, sf_dir):
             (ni / F.lit(_SQ8_K)).alias("ivfsq8_recall"),
         )
     )
+
+
+# ===========================================================================
+# metadata-only DROP COLUMN (column-mapping family, q169's twin)
+# ===========================================================================
+
+
+@q(
+    "q178_drop_column",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS id, o_orderpriority AS pri,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+    o_orderstatus AS ship
+  FROM orders
+),
+v2 AS (SELECT * FROM base WHERE id % 5 <> 0),
+v3 AS (
+  SELECT id, pri,
+    CASE WHEN pri = '2-HIGH' THEN price + 7 ELSE price END AS price
+  FROM v2
+)
+SELECT pri, COUNT(*) AS n_orders,
+  CAST(CAST(SUM(amount) AS DECIMAL(38,6)) AS DOUBLE) AS sum_amount
+FROM (SELECT id, pri, price AS amount FROM v3)
+GROUP BY pri
+""",
+)
+def q178_drop_column(spark, sf_dir):
+    """Metadata-only DROP COLUMN
+    (operators/txn.py::ManifestTable.drop_column — Delta
+    ``ALTER TABLE DROP COLUMN`` under column mapping, q169's twin): an
+    orders ledger takes a merge-on-read DELETE, a merge-on-read
+    UPDATE, then DROPS a column (hardlinked files untouched — the
+    physical bytes linger until the next rewrite; every read path
+    projects them away) and RENAMES another onto the read path. The
+    aggregate never sees the dropped column; the oracle replays the
+    surviving lineage. Time travel to pre-drop versions still carries
+    the column (test-pinned), and the next full rewrite materializes
+    the logical schema."""
+    from .operators.txn import ManifestTable
+    from .queries_r9 import _key
+    from .streaming.events import SCRATCH
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.col("o_orderstatus").alias("ship"),
+    )
+    root = os.path.join(SCRATCH, f"dropcol_{_key(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = ManifestTable(root, retention_sec=3600)
+    tbl.commit(orders.repartition(8, "id"))
+    tbl.delete_where(spark, "id % 5 = 0", ["id"])
+    tbl.update_where(spark, "pri = '2-HIGH'", {"price": "price + 7"}, ["id"])
+    tbl.drop_column("ship")
+    tbl.rename_column("price", "amount")
+    assert tbl.read(spark).columns == ["id", "pri", "amount"]
+    # the pre-drop version still carries the column
+    assert "ship" in tbl.read(spark, version=3).columns
+    from .functions.numeric import to_double
+
+    return tbl.read(spark).groupBy("pri").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        to_double(F.sum("amount").cast("decimal(38,6)")).alias("sum_amount"),
+    )

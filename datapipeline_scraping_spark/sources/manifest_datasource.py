@@ -120,6 +120,7 @@ class ManifestReader(DataSourceReader):
         root, ver, entry = _resolve_version(options)
         self.snap = os.path.join(root, entry["snapshot"])
         self.cmap = dict(entry.get("column_map") or {})  # logical->physical
+        self.dropped = list(entry.get("dropped") or [])  # physical names
         self.dv_keys = list((entry.get("dv") or {}).get("key_cols") or [])
         self.dv_files = (
             sorted(glob.glob(os.path.join(self.snap, "_dv", "*.parquet")))
@@ -148,6 +149,13 @@ class ManifestReader(DataSourceReader):
         path, part_vals, apply_dv = partition.value
         want = self.arrow_schema
         tbl = pq.read_table(path)
+        # dropped physical columns go FIRST (metadata-only DROP): a
+        # later rename may reuse a dropped name as its logical target,
+        # and the stale physical column must be gone before the rename
+        # lands or the two names collide (mirrors txn._apply_map)
+        if self.dropped:
+            keep = [c for c in tbl.schema.names if c not in self.dropped]
+            tbl = tbl.select(keep)
         # physical -> logical renames (metadata-only rename commits)
         if self.cmap:
             phys_to_logi = {p: l for l, p in self.cmap.items()}

@@ -386,6 +386,8 @@ TXN_QUERIES = (
     "q170_mor_update",
     # zero-copy clone + divergence: both lineages DML on the 10x table
     "q176_zero_copy_clone",
+    # metadata-only DROP + rename composition on the 10x ledger
+    "q178_drop_column",
 )
 
 CURATION_QUERIES = (

@@ -1745,3 +1745,120 @@ def test_clone_pinned_version_and_clobber_refusal(spark, tmp_path):
     src2.commit(_df(spark, [(0, "b")]), keep_snapshots=1)
     with pytest.raises((FileNotFoundError, SnapshotExpiredError)):
         src2.clone_to(str(tmp_path / "dst2"), version=1)
+
+
+# ---------------------------------------------------------------------------
+# metadata-only DROP COLUMN
+# ---------------------------------------------------------------------------
+
+
+def _df3(spark, rows):
+    return spark.createDataFrame(rows, "pk long, v string, x double")
+
+
+def test_drop_column_is_metadata_only(spark, tmp_path):
+    import glob
+
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    tbl.commit(_df3(spark, [(i, f"v{i}", float(i)) for i in range(6)]))
+    v1_inos = {
+        os.stat(p).st_ino
+        for p in glob.glob(tbl.snapshot_path(1) + "/*.parquet")
+    }
+    tbl.drop_column("x")
+    got = tbl.read(spark)
+    assert got.columns == ["pk", "v"]
+    assert {r["pk"]: r["v"] for r in got.collect()} == {
+        i: f"v{i}" for i in range(6)
+    }
+    # zero data bytes moved
+    v2_inos = {
+        os.stat(p).st_ino
+        for p in glob.glob(tbl.snapshot_path(2) + "/*.parquet")
+    }
+    assert v2_inos == v1_inos
+    # time travel still sees the column
+    old = tbl.read(spark, version=1)
+    assert old.columns == ["pk", "v", "x"]
+    assert old.filter(F.col("x") == 3.0).count() == 1
+
+
+def test_drop_column_composes_with_rename_and_dml(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    tbl.commit(_df3(spark, [(i, f"v{i}", float(i)) for i in range(8)]))
+    tbl.rename_column("v", "w")     # logical w -> physical v
+    tbl.drop_column("x")
+    tbl.update_where(spark, "pk < 2", {"w": "upper(w)"}, ["pk"])
+    tbl.delete_where(spark, "pk >= 6", ["pk"])
+    got = tbl.read(spark)
+    assert got.columns == ["pk", "w"]
+    vals = {r["pk"]: r["w"] for r in got.collect()}
+    assert vals == {0: "V0", 1: "V1", **{i: f"v{i}" for i in range(2, 6)}}
+    # rename ANOTHER column onto the dropped name: stale physical x is
+    # projected away before the map applies
+    tbl.rename_column("w", "x")
+    got2 = {r["pk"]: r["x"] for r in tbl.read(spark).collect()}
+    assert got2 == vals
+    # the SQL surface composes the same pipeline per task
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        register,
+    )
+
+    register(spark)
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY VIEW dropt
+            USING manifest OPTIONS (root '{tbl.root}')"""
+    )
+    sql_rows = {
+        r["pk"]: r["x"] for r in spark.sql("SELECT * FROM dropt").collect()
+    }
+    assert sql_rows == vals
+
+
+def test_drop_column_materializes_on_rewrite(spark, tmp_path):
+    import glob
+    import pyarrow.parquet as pq
+
+    from datapipeline_scraping_spark.operators.txn import compact_table
+
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    tbl.commit(_df3(spark, [(i, f"v{i}", float(i)) for i in range(6)]))
+    tbl.drop_column("x")
+    compact_table(spark, tbl.root, target_files=1)
+    head = tbl._log_entry(tbl.version())
+    assert not head.get("dropped")  # full rewrite cleared the list
+    files = glob.glob(tbl.snapshot_path(tbl.version()) + "/*.parquet")
+    assert all(
+        "x" not in pq.read_schema(f).names for f in files
+    )  # bytes physically gone
+    # re-adding the same logical name via a fresh commit is clean
+    tbl.commit(
+        spark.createDataFrame(
+            [(0, "a", 99)], "pk long, v string, x long"
+        )
+    )
+    assert {r["x"] for r in tbl.read(spark).collect()} == {99}
+
+
+def test_drop_column_refusals(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "p"), retention_sec=3600)
+    tbl.commit(
+        _df3(spark, [(i, f"v{i}", float(i % 2)) for i in range(4)]),
+        partition_by=["v"],
+        check={"x_nonneg": "x >= 0"},
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        tbl.drop_column("v")
+    with pytest.raises(ValueError, match="CHECK"):
+        tbl.drop_column("x")
+    t2 = ManifestTable(str(tmp_path / "d"), retention_sec=3600)
+    t2.commit(_df3(spark, [(0, "a", 1.0)]))
+    t2.delete_where(spark, "pk < 0", ["pk"])
+    with pytest.raises(ValueError, match="deletion vector"):
+        t2.drop_column("pk")
+    with pytest.raises(ValueError, match="no column"):
+        t2.drop_column("zz")
+    t3 = ManifestTable(str(tmp_path / "one"), retention_sec=3600)
+    t3.commit(spark.createDataFrame([(1,)], "pk long"))
+    with pytest.raises(ValueError, match="only column"):
+        t3.drop_column("pk")
