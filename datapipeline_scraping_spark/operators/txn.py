@@ -244,9 +244,11 @@ def _apply_map(df: DataFrame, entry: dict | None) -> DataFrame:
     column mapping ``name`` mode). A no-op for tables never renamed
     or dropped from."""
     # drop BEFORE rename: both lists hold PHYSICAL names and are
-    # disjoint, but a later rename may reuse a dropped column's name
-    # as its new LOGICAL name — the stale physical column must be gone
-    # before that rename lands, or the two would collide.
+    # disjoint, but a later rename (or metadata-only ADD) may reuse a
+    # dropped column's name as its new LOGICAL name — the stale
+    # physical column must be gone before that name lands, or the two
+    # would collide (for ADD, the stale bytes would silently
+    # resurrect as the new column's values).
     dropped = (entry or {}).get("dropped")
     if dropped:
         df = df.drop(*[c for c in dropped if c in df.columns])
@@ -255,6 +257,16 @@ def _apply_map(df: DataFrame, entry: dict | None) -> DataFrame:
         df = df.withColumnsRenamed(
             {phys: logi for logi, phys in cmap.items()}
         )
+    # metadata-only ADD COLUMN: the entry schema carries fields the
+    # hardlinked files don't — null-fill them with their declared type
+    # (parquet-declared reads and the Arrow data source do the same
+    # fill natively; this is the plain-DataFrame read's half).
+    if (entry or {}).get("added"):
+        schema = T.StructType.fromJson(json.loads(entry["schema"]))
+        for f in schema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        df = df.select(*[f.name for f in schema.fields])
     return df
 
 
@@ -463,6 +475,7 @@ class ManifestTable:
         column_map: dict | None = None,
         mor_delta: dict | None = None,
         dropped: list[str] | None = None,
+        added: list[str] | None = None,
     ) -> None:
         """Write the commit's log entry atomically (tmp + replace).
         Called inside the commit lock BEFORE the pointer swap; a crash
@@ -499,6 +512,8 @@ class ManifestTable:
             entry["mor_delta"] = dict(mor_delta)
         if dropped:
             entry["dropped"] = list(dropped)
+        if added:
+            entry["added"] = list(added)
         tmp = f"{self._log_path(version)}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -804,6 +819,7 @@ class ManifestTable:
                 column_map=entry.get("column_map"),
                 mor_delta=entry.get("mor_delta"),
                 dropped=entry.get("dropped"),
+                added=entry.get("added"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -927,6 +943,7 @@ class ManifestTable:
                 column_map=entry.get("column_map"),
                 mor_delta=entry.get("mor_delta"),
                 dropped=entry.get("dropped"),
+                added=entry.get("added"),
             )
             tmp_ptr = os.path.join(dest.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -1070,6 +1087,115 @@ class ManifestTable:
                 column_map=cmap or None,
                 mor_delta=entry.get("mor_delta"),
                 dropped=entry.get("dropped"),
+                added=entry.get("added"),
+            )
+            tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
+            with open(tmp_ptr, "w") as fh:
+                fh.write(f"{snap}\n{new_ver}\n")
+            os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
+            self.last_snapshot = snap
+            committed_ver = new_ver
+        finally:
+            self._release_lock()
+            if committed_ver is None:
+                shutil.rmtree(staged, ignore_errors=True)
+        self._gc(keep=keep_snapshots)
+        return committed_ver
+
+    def add_column(
+        self,
+        name: str,
+        dtype: str | T.DataType,
+        *,
+        expect_version: int | None = None,
+        keep_snapshots: int = 2,
+    ) -> int:
+        """METADATA-ONLY column add — the third leg of the ALTER
+        family (Delta ``ALTER TABLE ... ADD COLUMN``): the new commit
+        HARDLINKS the data files untouched and appends a nullable
+        field to the logical schema; every read path null-fills it
+        with the declared type (the Arrow data-source reader and
+        declared-schema ``read_range`` scans already do, natively), so
+        adding a column to a 100 TB table moves zero data bytes. A
+        later :meth:`update_where` backfills values merge-on-read; a
+        full rewrite materializes the column into the files.
+
+        The new name must not collide with a live logical column;
+        reusing a previously DROPPED name is safe — reads project the
+        stale physical bytes away BEFORE the fill, so they can never
+        resurrect as the new column's values (test-pinned). The
+        change feed stays intact (Delta likewise needs no feed restart
+        for ADD COLUMN: pre-add change files align by name with null
+        fill)."""
+        ptr = self._pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        snap_name, cur_ver = ptr
+        src = os.path.join(self.root, snap_name)
+        entry = self._log_entry(cur_ver) or {}
+        schema = T.StructType.fromJson(json.loads(entry["schema"]))
+        if name in [f.name for f in schema.fields]:
+            raise ValueError(f"{self.root}: column {name!r} already exists")
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+        new_schema = T.StructType(
+            list(schema.fields) + [T.StructField(name, dtype, True)]
+        )
+        staged = os.path.join(
+            self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
+        )
+        try:
+            _link_tree(src, staged, skip_top=(self.CDF_DIR,))
+        except FileNotFoundError as exc:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{self.root}: snapshot {snap_name} vanished during "
+                f"add_column (concurrent writer + gc) — retry"
+            ) from exc
+        committed_ver: int | None = None
+        self._acquire_lock()
+        try:
+            now = self._pointer()
+            live_ver = 0 if now is None else now[1]
+            if expect_version is not None and live_ver != expect_version:
+                raise ConcurrentWriteError(
+                    f"{self.root}: version {live_ver} != expected "
+                    f"{expect_version}"
+                )
+            if live_ver != cur_ver:
+                raise ConcurrentWriteError(
+                    f"{self.root}: table advanced {cur_ver} -> {live_ver} "
+                    f"during add_column — re-run against the new head"
+                )
+            new_ver = cur_ver + 1
+            snap = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
+            os.rename(staged, os.path.join(self.root, snap))
+            staged = os.path.join(self.root, snap)  # for error cleanup
+            self._write_log(
+                new_ver,
+                snap,
+                list(entry.get("partition_by") or []),
+                new_schema.json(),
+                meta={**(entry.get("meta") or {}), "added_column": name},
+                stats_cols=entry.get("stats_cols"),
+                file_stats=entry.get("file_stats"),
+                checks=entry.get("checks"),
+                dv=entry.get("dv"),
+                # content-preserving commit: feed readers skip it (the
+                # add changes no rows; copying the previous entry's cdf
+                # dict verbatim would point at ITS change files)
+                cdf=(
+                    {
+                        "key_cols": list(entry["cdf"]["key_cols"]),
+                        "noop": True,
+                    }
+                    if entry.get("cdf")
+                    else None
+                ),
+                column_map=entry.get("column_map"),
+                mor_delta=entry.get("mor_delta"),
+                dropped=entry.get("dropped"),
+                added=list(entry.get("added") or []) + [name],
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -1210,6 +1336,7 @@ class ManifestTable:
                 column_map=cmap or None,
                 mor_delta=entry.get("mor_delta"),
                 dropped=dropped,
+                added=entry.get("added"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -1451,6 +1578,7 @@ class ManifestTable:
                 column_map=entry.get("column_map"),
                 mor_delta=new_delta_entry,
                 dropped=entry.get("dropped"),
+                added=entry.get("added"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -1684,6 +1812,7 @@ class ManifestTable:
                 column_map=entry.get("column_map"),
                 mor_delta={"n_rows": n_delta} if n_delta else None,
                 dropped=entry.get("dropped"),
+                added=entry.get("added"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:

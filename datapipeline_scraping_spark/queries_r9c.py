@@ -655,3 +655,69 @@ def q178_drop_column(spark, sf_dir):
         F.count("*").cast("long").alias("n_orders"),
         to_double(F.sum("amount").cast("decimal(38,6)")).alias("sum_amount"),
     )
+
+
+# ===========================================================================
+# metadata-only ADD COLUMN + merge-on-read backfill
+# ===========================================================================
+
+
+@q(
+    "q179_add_column_backfill",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS id, o_orderpriority AS pri,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+b AS (
+  SELECT id, pri, price,
+    CASE WHEN pri IN ('1-URGENT', '2-HIGH')
+         THEN CAST(price + 1 AS DECIMAL(18,2)) END AS bonus
+  FROM base
+)
+SELECT pri, COUNT(*) AS n_orders,
+  CAST(COUNT(bonus) AS BIGINT) AS n_backfilled,
+  CAST(CAST(SUM(bonus) AS DECIMAL(38,6)) AS DOUBLE) AS sum_bonus
+FROM b GROUP BY pri
+""",
+)
+def q179_add_column_backfill(spark, sf_dir):
+    """Metadata-only ADD COLUMN + merge-on-read backfill
+    (operators/txn.py::ManifestTable.add_column — the third leg of the
+    ALTER family, with q169 rename and q178 drop): the column lands as
+    one log write (hardlinked files, reads null-fill with the declared
+    type), then an UPDATE backfills a slice merge-on-read — the
+    standard zero-downtime column rollout on a 100 TB table, no
+    rewrite until the next compaction materializes. The aggregate
+    counts backfilled vs null rows per priority; the oracle replays
+    the lineage. Pre-add time travel has no such column
+    (test-pinned)."""
+    from .operators.txn import ManifestTable
+    from .queries_r9 import _key
+    from .streaming.events import SCRATCH
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = os.path.join(SCRATCH, f"addcol_{_key(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = ManifestTable(root, retention_sec=3600)
+    tbl.commit(orders.repartition(8, "id"))
+    tbl.add_column("bonus", "decimal(18,2)")
+    tbl.update_where(
+        spark,
+        "pri IN ('1-URGENT', '2-HIGH')",
+        {"bonus": "CAST(price + 1 AS DECIMAL(18,2))"},
+        ["id"],
+    )
+    assert tbl.read(spark).columns == ["id", "pri", "price", "bonus"]
+    from .functions.numeric import to_double
+
+    return tbl.read(spark).groupBy("pri").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.count("bonus").cast("long").alias("n_backfilled"),
+        to_double(F.sum("bonus").cast("decimal(38,6)")).alias("sum_bonus"),
+    )

@@ -388,6 +388,8 @@ TXN_QUERIES = (
     "q176_zero_copy_clone",
     # metadata-only DROP + rename composition on the 10x ledger
     "q178_drop_column",
+    # add + MoR backfill rollout on the 10x ledger
+    "q179_add_column_backfill",
 )
 
 CURATION_QUERIES = (

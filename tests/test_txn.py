@@ -1862,3 +1862,81 @@ def test_drop_column_refusals(spark, tmp_path):
     t3.commit(spark.createDataFrame([(1,)], "pk long"))
     with pytest.raises(ValueError, match="only column"):
         t3.drop_column("pk")
+
+
+# ---------------------------------------------------------------------------
+# metadata-only ADD COLUMN
+# ---------------------------------------------------------------------------
+
+
+def test_add_column_is_metadata_only_then_backfills(spark, tmp_path):
+    import glob
+
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    tbl.commit(_df(spark, [(i, f"v{i}") for i in range(6)]))
+    v1_inos = {
+        os.stat(p).st_ino
+        for p in glob.glob(tbl.snapshot_path(1) + "/*.parquet")
+    }
+    tbl.add_column("score", "double")
+    got = tbl.read(spark)
+    assert got.columns == ["pk", "v", "score"]
+    assert all(r["score"] is None for r in got.collect())
+    v2_inos = {
+        os.stat(p).st_ino
+        for p in glob.glob(tbl.snapshot_path(2) + "/*.parquet")
+    }
+    assert v2_inos == v1_inos  # zero data bytes moved
+    # time travel: the pre-add version has no such column
+    assert "score" not in tbl.read(spark, version=1).columns
+    # merge-on-read backfill, then a full rewrite materializes
+    tbl.update_where(spark, "pk < 3", {"score": "pk * 1.5"}, ["pk"])
+    vals = {r["pk"]: r["score"] for r in tbl.read(spark).collect()}
+    assert vals == {0: 0.0, 1: 1.5, 2: 3.0, 3: None, 4: None, 5: None}
+    from datapipeline_scraping_spark.operators.txn import compact_table
+
+    compact_table(spark, tbl.root, target_files=1)
+    head = tbl._log_entry(tbl.version())
+    assert not head.get("added")  # rewrite cleared the marker
+    assert {r["pk"]: r["score"] for r in tbl.read(spark).collect()} == vals
+
+
+def test_add_column_reusing_dropped_name_does_not_resurrect(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    tbl.commit(_df3(spark, [(i, f"v{i}", float(i + 7)) for i in range(4)]))
+    tbl.drop_column("x")
+    tbl.add_column("x", "double")
+    got = tbl.read(spark)
+    assert got.columns == ["pk", "v", "x"]
+    # the old x bytes (7.0..10.0) are still in the files, but must
+    # NEVER surface as the new column's values
+    assert all(r["x"] is None for r in got.collect())
+    # SQL surface agrees
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        register,
+    )
+
+    register(spark)
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY VIEW addt
+            USING manifest OPTIONS (root '{tbl.root}')"""
+    )
+    assert all(
+        r["x"] is None for r in spark.sql("SELECT * FROM addt").collect()
+    )
+
+
+def test_add_column_refusals_and_read_range(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    tbl.commit(
+        _df(spark, [(i, f"v{i}") for i in range(8)]), stats_by=["pk"]
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.add_column("v", "string")
+    tbl.add_column("w", "long")
+    # declared-schema range read null-fills the added column natively
+    got = tbl.read_range(spark, "pk", 2, 5)
+    assert got.columns == ["pk", "v", "w"]
+    rows = got.collect()
+    assert {r["pk"] for r in rows} == {2, 3, 4, 5}
+    assert all(r["w"] is None for r in rows)
