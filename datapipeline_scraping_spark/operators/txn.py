@@ -236,6 +236,40 @@ def collect_file_stats(path: str, cols: list[str]) -> dict:
     return out
 
 
+#: meta keys that describe ONE commit's own action (the epoch sink's
+#: replay stamp, a DML's predicate, a restore/clone's provenance, an
+#: ALTER's column) — everything else in meta is treated as a table
+#: property and carried forward by derived-version writers.
+_OPERATIONAL_META_KEYS = frozenset(
+    {
+        "epoch",
+        "delete_predicate",
+        "update_predicate",
+        "restore_of",
+        "clone_of",
+        "renamed",
+        "added_column",
+        "dropped_column",
+    }
+)
+
+
+def _inherited_meta(entry: dict | None) -> dict:
+    """The table-PROPERTY subset of a log entry's meta, for writers
+    that derive a new version from ``entry`` (restore, clone, DML,
+    ALTER). Operational keys are dropped instead of copied forward
+    verbatim (ADVICE r9): re-attributing an epoch stamp or a stale
+    delete/update predicate to a later unrelated commit corrupts
+    ``history()`` provenance and — for ``epoch`` — can make
+    ``last_applied_epoch`` report a REGRESSED value after restore,
+    weakening the exactly-once sink's replay guard."""
+    return {
+        k: v
+        for k, v in ((entry or {}).get("meta") or {}).items()
+        if k not in _OPERATIONAL_META_KEYS
+    }
+
+
 def _apply_map(df: DataFrame, entry: dict | None) -> DataFrame:
     """Rename PHYSICAL parquet column names to the entry's LOGICAL
     names (``column_map``: logical -> physical, non-identity pairs
@@ -803,7 +837,7 @@ class ManifestTable:
                 snap,
                 list(entry.get("partition_by") or []),
                 entry.get("schema"),
-                meta={**(entry.get("meta") or {}), "restore_of": version},
+                meta={**_inherited_meta(entry), "restore_of": version},
                 stats_cols=entry.get("stats_cols"),
                 file_stats=entry.get("file_stats"),
                 checks=entry.get("checks"),
@@ -925,7 +959,7 @@ class ManifestTable:
                 list(entry.get("partition_by") or []),
                 entry.get("schema"),
                 meta={
-                    **(entry.get("meta") or {}),
+                    **_inherited_meta(entry),
                     "clone_of": {"root": self.root, "version": version},
                 },
                 stats_cols=entry.get("stats_cols"),
@@ -1068,7 +1102,7 @@ class ManifestTable:
                 snap,
                 list(entry.get("partition_by") or []),
                 new_schema.json(),
-                meta={**(entry.get("meta") or {}), "renamed": {old: new}},
+                meta={**_inherited_meta(entry), "renamed": {old: new}},
                 stats_cols=stats_cols,
                 file_stats=entry.get("file_stats"),
                 checks=entry.get("checks"),
@@ -1176,7 +1210,7 @@ class ManifestTable:
                 snap,
                 list(entry.get("partition_by") or []),
                 new_schema.json(),
-                meta={**(entry.get("meta") or {}), "added_column": name},
+                meta={**_inherited_meta(entry), "added_column": name},
                 stats_cols=entry.get("stats_cols"),
                 file_stats=entry.get("file_stats"),
                 checks=entry.get("checks"),
@@ -1320,7 +1354,7 @@ class ManifestTable:
                 snap,
                 list(entry.get("partition_by") or []),
                 new_schema.json(),
-                meta={**(entry.get("meta") or {}), "dropped_column": name},
+                meta={**_inherited_meta(entry), "dropped_column": name},
                 stats_cols=stats_cols,
                 file_stats=entry.get("file_stats"),
                 checks=entry.get("checks"),
@@ -1567,7 +1601,7 @@ class ManifestTable:
                 list(entry.get("partition_by") or []),
                 entry.get("schema"),
                 meta={
-                    **(entry.get("meta") or {}),
+                    **_inherited_meta(entry),
                     "delete_predicate": str(condition),
                 },
                 stats_cols=entry.get("stats_cols"),
@@ -1801,7 +1835,7 @@ class ManifestTable:
                 list(entry.get("partition_by") or []),
                 entry.get("schema"),
                 meta={
-                    **(entry.get("meta") or {}),
+                    **_inherited_meta(entry),
                     "update_predicate": str(condition),
                 },
                 stats_cols=entry.get("stats_cols"),
@@ -1928,7 +1962,18 @@ class ManifestTable:
         if not kept:
             if schema is None:
                 schema = self.read(spark, version=version).schema
-            return spark.createDataFrame([], schema)
+            empty = spark.createDataFrame([], schema)
+            if entry and (entry.get("dv") or entry.get("mor_delta")):
+                # ALL base files stats-pruned, but merge-on-read
+                # sidecars can hold rows update_where moved INTO the
+                # queried range (post-images live only in _upd/, file
+                # stats describe the stale base files) — the 'no
+                # qualifying row is skipped' contract still requires
+                # the _apply_dv union on the empty base (ADVICE r9)
+                return self._apply_dv(
+                    spark, empty, entry, self.snapshot_path(version)
+                )
+            return empty
         reader = spark.read
         cmap = (entry or {}).get("column_map") or {}
         if schema is not None:
@@ -2933,7 +2978,22 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> Column:
     scalars — the same metadata pass Delta's optimizer runs), then the
     bit planes are interleaved with pure JVM-side shift/mask
     expressions — no UDF, stays in whole-stage codegen. NULLs quantize
-    to level 0 (cluster together at the low edge)."""
+    to level 0 (cluster together at the low edge).
+
+    ``bits`` is clamped so the interleaved key always fits a SIGNED
+    long: ``len(cols) * bits <= 63`` (ADVICE r9 — with the old
+    unclamped default, 4 columns put the top plane on bit 63, the sign
+    bit, and 5+ columns wrapped the shift mod 64, silently corrupting
+    the Morton order; row correctness was unaffected since file stats
+    stay true, but clustering/pruning quality degraded)."""
+    if not cols:
+        raise ValueError("zorder_key requires at least one column")
+    if len(cols) > 63:
+        raise ValueError(
+            f"zorder_key: {len(cols)} columns cannot interleave even "
+            f"1 bit each inside a signed 64-bit key (max 63 columns)"
+        )
+    bits = min(bits, 63 // len(cols))
     dts = dict(df.dtypes)
     levels = (1 << bits) - 1
 

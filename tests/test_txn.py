@@ -1940,3 +1940,108 @@ def test_add_column_refusals_and_read_range(spark, tmp_path):
     rows = got.collect()
     assert {r["pk"] for r in rows} == {2, 3, 4, 5}
     assert all(r["w"] is None for r in rows)
+
+
+def test_read_range_empty_prune_still_sees_mor_delta(spark, tmp_path):
+    """ADVICE r9 (high): when file stats prune EVERY base file, the
+    merge-on-read ``_upd`` delta must still union in — update_where
+    can move a row into a range no base file's [min,max] covers."""
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    df = spark.range(100).select(
+        F.col("id").alias("pk"), (F.col("id") * 1.0).alias("x")
+    ).repartition(4, "pk")
+    tbl.commit(df, stats_by=["x"])
+    # base files cover x in [0, 99]; move one row far outside
+    tbl.update_where(spark, "pk = 42", {"x": "5000.0"}, ["pk"])
+    kept, total = tbl.pruned_files("x", 4000.0, 6000.0)
+    assert kept == [] and total > 0  # the range prunes every base file
+    got = (
+        tbl.read_range(spark, "x", 4000.0, 6000.0)
+        .filter("x between 4000 and 6000")
+        .collect()
+    )
+    assert [(r["pk"], r["x"]) for r in got] == [(42, 5000.0)]
+    # read_where multi-column conjunction hits the same path
+    got2 = tbl.read_where(spark, {"x": (4000.0, 6000.0)}).collect()
+    assert {r["pk"] for r in got2} == {42}
+    # a deleted row must NOT resurrect through the empty-prune path
+    tbl.delete_where(spark, "pk = 42", ["pk"])
+    assert tbl.read_range(spark, "x", 4000.0, 6000.0).count() == 0
+
+
+def test_zorder_bits_clamped_to_signed_long(spark, tmp_path):
+    """ADVICE r9: with 4+ columns the default 16 bits/column used to
+    push planes onto (or past) bit 63 — the key must stay a non-
+    negative signed long and keep its clustering power."""
+    from datapipeline_scraping_spark.operators.txn import zorder_key
+
+    df = spark.range(1024).select(
+        (F.col("id") % 4).alias("a"),
+        (F.col("id") / 4).cast("long").__mod__(4).alias("b"),
+        (F.col("id") / 16).cast("long").__mod__(4).alias("c"),
+        (F.col("id") / 64).cast("long").__mod__(4).alias("d"),
+        (F.col("id") / 256).cast("long").__mod__(4).alias("e"),
+    )
+    for cols in (["a", "b", "c", "d"], ["a", "b", "c", "d", "e"]):
+        z = df.select(zorder_key(df, cols).alias("z"))
+        lo, hi = z.agg(F.min("z"), F.max("z")).first()
+        assert lo >= 0, f"{cols}: sign bit leaked (min {lo})"
+        bits = 63 // len(cols)
+        assert hi < (1 << (bits * len(cols)))
+    # clustering power retained after the clamp: with every other
+    # dimension held fixed the key is strictly monotone in the varying
+    # one (the property the pre-clamp sign-bit/wraparound corruption
+    # destroyed for 4+ columns)
+    rows = (
+        df.filter("b = 0 and c = 0 and d = 0")
+        .select("a", zorder_key(df, ["a", "b", "c", "d"]).alias("z"))
+        .distinct()
+        .orderBy("a")
+        .collect()
+    )
+    assert len(rows) >= 2
+    zs = [r["z"] for r in rows]
+    assert zs == sorted(zs) and len(set(zs)) == len(zs)
+    with pytest.raises(ValueError, match="at least one column"):
+        zorder_key(df, [])
+
+
+def test_operational_meta_not_reattributed(spark, tmp_path):
+    """ADVICE r9: restore/DML/ALTER writers must inherit only table-
+    property meta — epoch stamps and DML predicates describe ONE
+    commit and may not leak into later unrelated commits' history."""
+    from datapipeline_scraping_spark.streaming.txn_sink import (
+        last_applied_epoch,
+    )
+
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    tbl.commit(
+        _df(spark, [(i, f"v{i}") for i in range(10)]),
+        meta={"epoch": 7, "owner": "pipeline-a"},
+    )
+    tbl.delete_where(spark, "pk = 3", ["pk"])
+    e2 = tbl._log_entry(2)["meta"]
+    # the DML commit carries its own predicate + inherited properties,
+    # but NOT the epoch stamp of the commit it derived from
+    assert e2.get("delete_predicate") == "pk = 3"
+    assert "epoch" not in e2 and e2.get("owner") == "pipeline-a"
+    tbl.update_where(spark, "pk = 4", {"v": "'z'"}, ["pk"])
+    e3 = tbl._log_entry(3)["meta"]
+    assert "epoch" not in e3 and "delete_predicate" not in e3
+    assert e3.get("update_predicate") == "pk = 4"
+    # restore back to v1: provenance recorded, epoch NOT re-stamped —
+    # the exactly-once sink's guard must still see epoch 7 (from v1),
+    # not a fresh commit claiming epoch 7 happened "now"
+    ver = tbl.restore(1)
+    er = tbl._log_entry(ver)["meta"]
+    assert er.get("restore_of") == 1 and "epoch" not in er
+    assert "update_predicate" not in er and "delete_predicate" not in er
+    assert last_applied_epoch(tbl) == 7
+    # ALTER writers: same contract
+    tbl.rename_column("v", "w")
+    assert "epoch" not in tbl._log_entry(tbl.version())["meta"]
+    # clone: destination inherits properties, not the epoch stamp
+    clone = tbl.clone_to(str(tmp_path / "c"))
+    ec = clone._log_entry(1)["meta"]
+    assert ec.get("clone_of", {}).get("version") == tbl.version()
+    assert "epoch" not in ec and ec.get("owner") == "pipeline-a"
