@@ -37,6 +37,17 @@ EPHEMERAL = "::ephemeral::"
 #: (same memo pattern as streaming's `_stage_events_us` staging).
 _INGEST_CACHE: dict[str, tuple[int, int]] = {}
 
+#: the constructed (UN-observed) stage-1 DataFrame, keyed by
+#: (spark application id, sf_dir). Building the s1 DAG costs ~0.6 s of
+#: driver-side py4j round-trips per call (measured under cProfile) —
+#: pure plan CONSTRUCTION, no data touched — and the plan is a pure
+#: function of (session, corpus), so repeat funnel runs reuse the tree
+#: and attach a fresh per-run Observation on top. Keyed by application
+#: id so a new session rebuilds instead of referencing another
+#: session's plan objects. Execution is NOT cached: every run's commit
+#: job recomputes from the immutable input (clearCache-safe).
+_S1_PLAN_CACHE: dict = {}
+
 
 def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
     """The q118 curation funnel — quality rules -> exact dedup ->
@@ -255,6 +266,14 @@ def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
             keep, "doc_id"
         )
 
+    def s1_plan():
+        # plan-construction memo (see _S1_PLAN_CACHE): same tree, fresh
+        # Observations attach on top per run
+        key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+        if key not in _S1_PLAN_CACHE:
+            _S1_PLAN_CACHE[key] = build_s1()
+        return _S1_PLAN_CACHE[key]
+
     # -- stages 1+2+3 as ONE durable commit (VERDICT r8 item 5) -----------
     # The dedup set carries a `keep3` decontamination flag instead of a
     # second written table: one write job, |s2| rows written (previously
@@ -271,7 +290,7 @@ def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
             if _fail_before == "s23":
                 raise RuntimeError("injected crash before s23 commit")
             obs_s1 = Observation(f"funnel_s1_{uuid.uuid4().hex[:8]}")
-            s1df = build_s1().observe(obs_s1, *_metrics())
+            s1df = s1_plan().observe(obs_s1, *_metrics())
             # checkpoint at ID level (r9): the dedup must group by text,
             # but the committed intermediate carries only ids + metadata
             # — at 100 TB a funnel stage never rewrites the corpus text
@@ -286,6 +305,28 @@ def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
             flagged = s2df.withColumn(
                 "keep3", (F.col("doc_id") % 37 != 0) & ~F.col("cont")
             ).drop("cont")
+            # stage 4 rides the SAME write job (r10): the per-domain
+            # cap is a running count of keep3 rows per source ordered
+            # by doc_id (doc_id is unique, so the running count at a
+            # keep3 row IS its row_number within the keep3 subset) —
+            # one extra id-width window inside the job, and the whole
+            # funnel needs ZERO post-commit actions: all five rows are
+            # literals recovered from Observations / the commit log.
+            w4 = (
+                W.partitionBy("source")
+                .orderBy("doc_id")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            flagged = flagged.withColumn(
+                "keep4",
+                F.col("keep3")
+                & (
+                    F.sum(
+                        F.when(F.col("keep3"), 1).otherwise(0)
+                    ).over(w4)
+                    <= DOMAIN_CAP
+                ),
+            )
             obs23 = Observation(f"funnel_s23_{uuid.uuid4().hex[:8]}")
             out = flagged.observe(
                 obs23,
@@ -295,15 +336,22 @@ def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
                 F.sum(
                     F.when(F.col("keep3"), F.col("n_chars"))
                 ).alias("s3_chars"),
+                F.count(F.when(F.col("keep4"), 1)).alias("s4_docs"),
+                F.sum(
+                    F.when(F.col("keep4"), F.col("n_chars"))
+                ).alias("s4_chars"),
             )
             ver = tbl.commit(out)
             got = obs23.get
             observed["s1"] = _harvest(obs_s1)
             observed["s2"] = (int(got["s2_docs"]), int(got["s2_chars"] or 0))
             observed["s3"] = (int(got["s3_docs"]), int(got["s3_chars"] or 0))
+            observed["s4"] = (int(got["s4_docs"]), int(got["s4_chars"] or 0))
             tbl.annotate(
                 ver,
-                stages={st: list(observed[st]) for st in ("s1", "s2", "s3")},
+                stages={
+                    st: list(observed[st]) for st in ("s1", "s2", "s3", "s4")
+                },
             )
         else:  # resume/rerun: stage rows from the commit's annotation
             stages = tbl.commit_meta(tbl.version()).get("stages", {})
@@ -311,10 +359,11 @@ def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
                 observed[st] = (int(pair[0]), int(pair[1]))
         committed = tbl.read(spark)
         s1 = None  # funnel row comes from the rider / commit meta
-        s2 = committed.drop("keep3")
-        s3 = committed.filter(F.col("keep3")).drop("keep3")
+        flags = [c for c in ("keep3", "keep4") if c in committed.columns]
+        s2 = committed.drop(*flags)
+        s3 = committed.filter(F.col("keep3")).drop(*flags)
     else:
-        s1 = build_s1().persist(StorageLevel.MEMORY_AND_DISK)
+        s1 = s1_plan().persist(StorageLevel.MEMORY_AND_DISK)
         keep_ids = (
             s1.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id")
@@ -325,21 +374,27 @@ def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
-    # -- stage 4: per-domain caps (lazy over s3) --------------------------
-    rn = F.row_number().over(W.partitionBy("source").orderBy("doc_id"))
-    s4 = s3.withColumn("rn", rn).filter(F.col("rn") <= DOMAIN_CAP)
+    # -- stage 4: per-domain caps ------------------------------------------
+    # durable mode observed this on the commit job (keep4); this lazy
+    # window over s3 is the in-memory form and the fallback for a
+    # resume whose commit predates the keep4 column / lost annotation
+    def s4():
+        rn = F.row_number().over(W.partitionBy("source").orderBy("doc_id"))
+        return s3.withColumn("rn", rn).filter(F.col("rn") <= DOMAIN_CAP)
+
+    _FUNNEL_SCHEMA = (
+        "stage string, stage_idx long, docs_out long, chars_out long"
+    )
 
     def stage(df, label, idx, name=None):
         if name in observed:
             # harvested from the stage's own commit job — a literal
-            # row, no snapshot re-read
+            # row, no snapshot re-read. Returned as a (label, idx, n,
+            # c) TUPLE, not a one-row plan: the caller folds all
+            # literal stages into ONE local relation (4 fewer per-run
+            # plan constructions + unions on the driver).
             n, c = observed[name]
-            return spark.range(1).select(
-                F.lit(label).alias("stage"),
-                F.lit(idx).cast("long").alias("stage_idx"),
-                F.lit(n).cast("long").alias("docs_out"),
-                F.lit(c).cast("long").alias("chars_out"),
-            )
+            return (label, int(idx), int(n), int(c))
         if callable(df):
             # deferred build (ADVICE r8): the s1 fallback plan is only
             # constructed when the harvested/annotated row is actually
@@ -361,13 +416,20 @@ def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
         _INGEST_CACHE[ingest_key] = (int(r["d"]), int(r["c"] or 0))
     observed["ingest"] = _INGEST_CACHE[ingest_key]
 
-    funnel = (
-        stage(docs, "0_ingest", 0, name="ingest")
-        .unionByName(stage(s1 if s1 is not None else build_s1, "1_quality", 1, name="s1"))
-        .unionByName(stage(s2, "2_exact_dedup", 2, name="s2"))
-        .unionByName(stage(s3, "3_decontaminate", 3, name="s3"))
-        .unionByName(stage(s4, "4_domain_cap", 4))
-    )
+    parts = [
+        stage(docs, "0_ingest", 0, name="ingest"),
+        stage(s1 if s1 is not None else s1_plan, "1_quality", 1, name="s1"),
+        stage(s2, "2_exact_dedup", 2, name="s2"),
+        stage(s3, "3_decontaminate", 3, name="s3"),
+        stage(s4, "4_domain_cap", 4, name="s4"),
+    ]
+    lits = [p for p in parts if isinstance(p, tuple)]
+    frames = [p for p in parts if not isinstance(p, tuple)]
+    if lits:
+        frames.insert(0, spark.createDataFrame(lits, _FUNNEL_SCHEMA))
+    funnel = frames[0]
+    for fr in frames[1:]:
+        funnel = funnel.unionByName(fr)
     if durable:
         # lazy over committed snapshots — durable intermediates carry
         # the plan; nothing to unpersist

@@ -30,12 +30,13 @@ def test_in_memory_and_checkpointed_modes_agree(spark, tmp_path):
     assert mem == dur
     assert len(mem) == 5
     # durable mode made ONE combined commit (r9: s2 + keep3 flag —
-    # previously two sequential stage commits); its annotation carries
-    # the s1/s2/s3 rows (resume source)
+    # previously two sequential stage commits; r10: + keep4, so the
+    # domain-cap row rides the same job); its annotation carries the
+    # s1/s2/s3/s4 rows (resume source)
     tbl = ManifestTable(str(tmp_path / "ck" / "s23"))
     assert tbl.exists() and tbl.version() == 1
     stages = tbl.commit_meta(1).get("stages", {})
-    assert set(stages) == {"s1", "s2", "s3"}
+    assert set(stages) == {"s1", "s2", "s3", "s4"}
     assert "keep3" in tbl.read(spark).columns
 
 
