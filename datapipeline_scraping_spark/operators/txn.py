@@ -189,14 +189,18 @@ def _stat_overlaps(fmin, fmax, lo, hi) -> bool:
     return True
 
 
-def collect_file_stats(path: str, cols: list[str]) -> dict:
+def collect_file_stats(
+    path: str, cols: list[str], *, only: set | None = None
+) -> dict:
     """Per-file [min, max] for ``cols`` read from the parquet FOOTERS
     of every data file under ``path`` — no data scan; this is the
     commit-time stats pass Delta runs per file for data skipping. A
     file whose footer lacks min/max for a column simply records no
     stat for it (readers then never skip it). Cost is one footer read
     per file — O(files) tiny metadata reads, the same order as the
-    commit's own file listing."""
+    commit's own file listing. ``only`` restricts the walk to the
+    given RELATIVE paths (incremental compaction re-stats only its
+    newly written files; untouched files carry their old entries)."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
@@ -207,6 +211,8 @@ def collect_file_stats(path: str, cols: list[str]) -> dict:
             if not f.endswith(".parquet"):
                 continue
             fp = os.path.join(root, f)
+            if only is not None and os.path.relpath(fp, path) not in only:
+                continue
             try:
                 md = pq.ParquetFile(fp).metadata
             except Exception:
@@ -250,6 +256,7 @@ _OPERATIONAL_META_KEYS = frozenset(
         "renamed",
         "added_column",
         "dropped_column",
+        "bin_pack",
     }
 )
 
@@ -268,6 +275,149 @@ def _inherited_meta(entry: dict | None) -> dict:
         for k, v in ((entry or {}).get("meta") or {}).items()
         if k not in _OPERATIONAL_META_KEYS
     }
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """Classic bloom sizing: bits m = -n ln p / (ln 2)^2, hashes
+    k = (m/n) ln 2; m rounded up to a whole byte, both floored at
+    sane minimums so degenerate inputs (empty file) stay valid."""
+    import math
+
+    n = max(1, int(n))
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, (m + 7) // 8 * 8)
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, min(k, 16)
+
+
+def _bloom_positions(val: str, m: int, k: int) -> list[int]:
+    """The k bit positions of ``val`` via double hashing over the two
+    64-bit halves of md5(utf-8). md5 is engine-independent and stable
+    across Python/JVM versions — build (executor-side) and probe
+    (driver-side) both call THIS function, so there is no
+    JVM-vs-Python hash-parity hazard. h2 is forced odd so the stride
+    cycles the whole table."""
+    import hashlib
+
+    d = hashlib.md5(val.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+#: canonical probe encoding: must match Spark's CAST(col AS STRING)
+#: for the column types the index supports (integral + string)
+def _bloom_key(value) -> str:
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise TypeError(
+            f"bloom point lookup supports integral and string values "
+            f"(got {type(value).__name__}): other types' Python str() "
+            f"need not match Spark's CAST AS STRING"
+        )
+    return str(value)
+
+
+def _write_bloom_sidecar(
+    spark: SparkSession,
+    staged_path: str,
+    cols: list[str],
+    fpp: float,
+    *,
+    files: list | None = None,
+) -> None:
+    """Build the per-(file, column) bloom sidecar for a freshly staged
+    snapshot: one column-pruned scan per indexed column, grouped by
+    ``input_file_name`` so each file's keys land in one Arrow batch
+    group, where a vectorized-enough pandas kernel sets the bits over
+    the file's DISTINCT keys. The sidecar is churn-free metadata
+    (~1.2 bytes/key at fpp=1e-2): at 100 TB the index build is one
+    extra scan of the indexed key columns only — the same cost Delta
+    pays writing its bloom index — and probing is a driver-side
+    sidecar read, no cluster job. ``files`` restricts the build to
+    those data files (incremental compaction indexes only its newly
+    written files; untouched files' rows carry forward)."""
+    import pandas as pd
+
+    staged_abs = os.path.abspath(staged_path)
+    out_schema = "file string, col string, m long, k long, n long, bits binary"
+    frames = []
+    src = list(files) if files else [staged_path]
+    for c in cols:
+        keys = (
+            spark.read.parquet(*src)
+            .select(
+                F.input_file_name().alias("__f"),
+                F.col(c).cast("string").alias("__v"),
+            )
+            .where(F.col("__v").isNotNull())
+        )
+
+        def make_build(_c):
+            # single-arg closure: a second parameter (even with a
+            # default) makes applyInPandas pass (key, pdf) instead
+            def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                vals = pdf["__v"].unique()
+                m, k = _bloom_params(len(vals), fpp)
+                bits = bytearray(m // 8)
+                for v in vals:
+                    for pos in _bloom_positions(v, m, k):
+                        bits[pos >> 3] |= 1 << (pos & 7)
+                uri = pdf["__f"].iloc[0]
+                path = uri.split("://")[-1] if "://" in uri else uri
+                rel = os.path.relpath(path, staged_abs)
+                return pd.DataFrame(
+                    {
+                        "file": [rel],
+                        "col": [_c],
+                        "m": [m],
+                        "k": [k],
+                        "n": [len(vals)],
+                        "bits": [bytes(bits)],
+                    }
+                )
+
+            return build
+
+        frames.append(
+            keys.groupBy("__f").applyInPandas(make_build(c), schema=out_schema)
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    out.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(staged_path, ManifestTable.BLOOM_DIR)
+    )
+
+
+def _phys_schema(entry: dict | None) -> "T.StructType | None":
+    """The entry's committed schema in PHYSICAL column names (what the
+    files actually carry), or None for legacy/adopted entries without
+    a recorded schema."""
+    if not entry or not entry.get("schema"):
+        return None
+    try:
+        logical = T.StructType.fromJson(json.loads(entry["schema"]))
+    except (ValueError, KeyError, TypeError):
+        return None
+    cmap = entry.get("column_map") or {}
+    return T.StructType(
+        [
+            T.StructField(cmap.get(f.name, f.name), f.dataType, f.nullable)
+            for f in logical.fields
+        ]
+    )
+
+
+def _snap_read(spark: SparkSession, path, entry: dict | None) -> DataFrame:
+    """Raw snapshot scan with the DECLARED physical schema. Inference
+    picks one file's footer, which is wrong once a snapshot legally
+    mixes schemas — append-committed files carry columns the
+    hardlinked base files lack (metadata-only ADD + append) — and the
+    declared read also skips the footer-sampling job. Falls back to
+    inference only for legacy entries with no recorded schema."""
+    sch = _phys_schema(entry)
+    reader = spark.read.schema(sch) if sch is not None else spark.read
+    return reader.parquet(path)
 
 
 def _apply_map(df: DataFrame, entry: dict | None) -> DataFrame:
@@ -447,6 +597,13 @@ class ManifestTable:
     #: merge-on-read update delta dir INSIDE a snapshot: the CURRENT
     #: post-image rows of every key updated since the last rewrite
     UPD_DIR = "_upd"
+    #: per-file bloom-filter sidecar dir INSIDE a snapshot (hidden
+    #: convention): one bloom per (data file, indexed column), built at
+    #: commit time — Delta's bloom filter index, for point-lookup file
+    #: skipping on high-cardinality columns where [min,max] stats
+    #: cannot prune (an unsorted id column's per-file range covers
+    #: nearly the whole domain)
+    BLOOM_DIR = "_bloom"
 
     def __init__(
         self,
@@ -510,6 +667,7 @@ class ManifestTable:
         mor_delta: dict | None = None,
         dropped: list[str] | None = None,
         added: list[str] | None = None,
+        bloom: dict | None = None,
     ) -> None:
         """Write the commit's log entry atomically (tmp + replace).
         Called inside the commit lock BEFORE the pointer swap; a crash
@@ -548,6 +706,8 @@ class ManifestTable:
             entry["dropped"] = list(dropped)
         if added:
             entry["added"] = list(added)
+        if bloom:
+            entry["bloom"] = dict(bloom)
         tmp = f"{self._log_path(version)}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -681,7 +841,7 @@ class ManifestTable:
                 )
         entry = self._log_entry(version)
         return self._apply_dv(
-            spark, _apply_map(spark.read.parquet(path), entry), entry, path
+            spark, _apply_map(_snap_read(spark, path, entry), entry), entry, path
         )
 
     def _apply_dv(
@@ -854,6 +1014,7 @@ class ManifestTable:
                 mor_delta=entry.get("mor_delta"),
                 dropped=entry.get("dropped"),
                 added=entry.get("added"),
+                bloom=entry.get("bloom"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -978,6 +1139,7 @@ class ManifestTable:
                 mor_delta=entry.get("mor_delta"),
                 dropped=entry.get("dropped"),
                 added=entry.get("added"),
+                bloom=entry.get("bloom"),
             )
             tmp_ptr = os.path.join(dest.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -1122,6 +1284,7 @@ class ManifestTable:
                 mor_delta=entry.get("mor_delta"),
                 dropped=entry.get("dropped"),
                 added=entry.get("added"),
+                bloom=entry.get("bloom"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -1230,6 +1393,7 @@ class ManifestTable:
                 mor_delta=entry.get("mor_delta"),
                 dropped=entry.get("dropped"),
                 added=list(entry.get("added") or []) + [name],
+                bloom=entry.get("bloom"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -1371,6 +1535,7 @@ class ManifestTable:
                 mor_delta=entry.get("mor_delta"),
                 dropped=dropped,
                 added=entry.get("added"),
+                bloom=entry.get("bloom"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -1492,7 +1657,7 @@ class ManifestTable:
             # lives only in _upd/), so match on the visible view
             matched = (
                 self._apply_dv(
-                    spark, _apply_map(spark.read.parquet(src), entry), entry, src
+                    spark, _apply_map(_snap_read(spark, src, entry), entry), entry, src
                 )
                 .filter(pred)
                 .select(*[F.col(c) for c in key_cols])
@@ -1504,7 +1669,7 @@ class ManifestTable:
             # is a no-op under the union below, and skipping the
             # anti-join keeps the match scan one pass over the files
             matched = (
-                _apply_map(spark.read.parquet(src), entry)
+                _apply_map(_snap_read(spark, src, entry), entry)
                 .filter(pred)
                 .select(*[F.col(c) for c in key_cols])
                 .distinct()
@@ -1553,7 +1718,7 @@ class ManifestTable:
                 # predicate matches now (already-deleted keys emit
                 # nothing — Delta CDF delete = pre-image of live rows)
                 visible = self._apply_dv(
-                    spark, _apply_map(spark.read.parquet(src), entry), entry, src
+                    spark, _apply_map(_snap_read(spark, src, entry), entry), entry, src
                 )
                 cdf_path = os.path.join(staged, self.CDF_DIR)
                 visible.filter(pred).select(
@@ -1613,6 +1778,7 @@ class ManifestTable:
                 mor_delta=new_delta_entry,
                 dropped=entry.get("dropped"),
                 added=entry.get("added"),
+                bloom=entry.get("bloom"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -1711,7 +1877,7 @@ class ManifestTable:
             for c, e in updates.items()
         }
         visible = self._apply_dv(
-            spark, _apply_map(spark.read.parquet(src), entry), entry, src
+            spark, _apply_map(_snap_read(spark, src, entry), entry), entry, src
         )
         missing = [c for c in updates if c not in visible.columns]
         if missing:
@@ -1847,6 +2013,7 @@ class ManifestTable:
                 mor_delta={"n_rows": n_delta} if n_delta else None,
                 dropped=entry.get("dropped"),
                 added=entry.get("added"),
+                bloom=entry.get("bloom"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -1953,6 +2120,114 @@ class ManifestTable:
         for col, (lo, hi) in ranges.items():
             files, _total = self.pruned_files(col, lo, hi, version=version)
             kept = set(files) if kept is None else kept & set(files)
+        return self._read_file_subset(spark, kept or set(), entry, version)
+
+    def bloom_pruned_files(
+        self, col: str, value, version: int | None = None
+    ) -> tuple[list, int, bool]:
+        """(kept_files, total_files, indexed): the data files whose
+        per-file bloom MAY contain ``value`` in ``col``. Driver-side
+        only — the sidecar is tiny metadata (~1.2 bytes/indexed key),
+        so probing reads no data files and runs no cluster job.
+        ``indexed=False`` (no bloom for this column/version) keeps
+        everything. Files missing from the sidecar are kept (never
+        prune on absent evidence). False positives are the caller's
+        exact predicate's job; false negatives cannot happen — the
+        build and probe share one hash (:func:`_bloom_positions`)."""
+        import pyarrow.parquet as pq
+
+        ver = version if version is not None else (self.version() or 0)
+        entry = self._log_entry(ver) or {}
+        snap = self.snapshot_path(version)
+        phys = (entry.get("column_map") or {}).get(col, col)
+        total = 0
+        files: list[str] = []
+        for root, dirs, fs in os.walk(snap):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in fs:
+                if f.endswith(".parquet"):
+                    total += 1
+                    files.append(os.path.join(root, f))
+        bloom_prop = entry.get("bloom") or {}
+        if phys not in (bloom_prop.get("cols") or []):
+            return files, total, False
+        side = os.path.join(snap, self.BLOOM_DIR)
+        try:
+            tbl = pq.read_table(side)
+        except (FileNotFoundError, OSError):
+            return files, total, False
+        key = _bloom_key(value)
+        probes: dict[str, bool] = {}
+        cols_np = tbl.column("col").to_pylist()
+        file_np = tbl.column("file").to_pylist()
+        m_np = tbl.column("m").to_pylist()
+        k_np = tbl.column("k").to_pylist()
+        bits_np = tbl.column("bits").to_pylist()
+        for fn, c, m, k, bits in zip(file_np, cols_np, m_np, k_np, bits_np):
+            if c != phys:
+                continue
+            probes[fn] = all(
+                bits[pos >> 3] & (1 << (pos & 7))
+                for pos in _bloom_positions(key, m, k)
+            )
+        kept = [
+            fp
+            for fp in files
+            if probes.get(os.path.relpath(fp, snap), True)
+        ]
+        return kept, total, True
+
+    def read_point(
+        self,
+        spark: SparkSession,
+        col: str,
+        value,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point-lookup read: scan only the files whose bloom filter
+        may contain ``value`` AND whose [min, max] stats cover it
+        (each index prunes independently; either may be absent). The
+        complement of :meth:`read_range`: min/max stats prune range
+        predicates on clustered columns, the bloom prunes equality
+        probes on high-cardinality columns where every file's range
+        spans the domain — together they are Delta's data-skipping +
+        bloom-index pair. Coarse-pruning contract as
+        :meth:`read_range`: the caller still applies the exact
+        ``col = value`` predicate; no qualifying row is skipped
+        (merge-on-read sidecars union in even when every base file
+        prunes away)."""
+        ver = version if version is not None else (self.version() or 0)
+        entry = self._log_entry(ver)
+        if entry and entry.get("partition_by"):
+            raise ValueError(
+                f"{self.root}: read_point targets unpartitioned "
+                f"snapshots (partitioned tables prune via partition filters)"
+            )
+        b_kept, _total, indexed = self.bloom_pruned_files(
+            col, value, version=version
+        )
+        kept = set(b_kept)
+        stats = (entry or {}).get("file_stats") or {}
+        phys = ((entry or {}).get("column_map") or {}).get(col, col)
+        if any(phys in (st or {}) for st in stats.values()):
+            s_files, _ = self.pruned_files(col, value, value, version=version)
+            kept &= set(s_files)
+        return self._read_file_subset(spark, kept, entry, version)
+
+    def _read_file_subset(
+        self,
+        spark: SparkSession,
+        kept: set,
+        entry: dict | None,
+        version: int | None,
+    ) -> DataFrame:
+        """Finish a file-skipping read over an explicit surviving-file
+        set: declare the physical schema, scan only ``kept``, and run
+        the merge-on-read finisher. When EVERY base file was pruned the
+        ``_upd``/``_dv`` sidecars must still apply on an empty base —
+        update_where can move rows into ranges no base file's stats
+        cover (ADVICE r9) — so the 'no qualifying row is skipped'
+        contract holds on the empty path too."""
         schema = None
         if entry and entry.get("schema"):
             try:
@@ -1964,12 +2239,6 @@ class ManifestTable:
                 schema = self.read(spark, version=version).schema
             empty = spark.createDataFrame([], schema)
             if entry and (entry.get("dv") or entry.get("mor_delta")):
-                # ALL base files stats-pruned, but merge-on-read
-                # sidecars can hold rows update_where moved INTO the
-                # queried range (post-images live only in _upd/, file
-                # stats describe the stale base files) — the 'no
-                # qualifying row is skipped' contract still requires
-                # the _apply_dv union on the empty base (ADVICE r9)
                 return self._apply_dv(
                     spark, empty, entry, self.snapshot_path(version)
                 )
@@ -2090,6 +2359,8 @@ class ManifestTable:
         schema_mode: str = "evolve",
         meta: dict | None = None,
         stats_by: list[str] | None = None,
+        bloom_by: list[str] | None = None,
+        bloom_fpp: float = 0.01,
         check: dict[str, str] | None = None,
         cdf_keys: list[str] | None = None,
         cdf_mode: str = "auto",
@@ -2142,6 +2413,18 @@ class ManifestTable:
         entry's stats columns (so compaction re-records them for the
         rewritten files); ``[]`` disables deliberately.
 
+        ``bloom_by``: build the per-file bloom-filter index for these
+        columns (Delta's bloom filter index): one bloom per (data
+        file, column) in a hidden ``_bloom/`` sidecar, sized by
+        ``bloom_fpp``, enabling :meth:`read_point` file skipping on
+        equality probes over high-cardinality columns that [min, max]
+        stats cannot prune. ``None`` inherits the live entry's indexed
+        columns (compaction re-indexes its rewritten files); ``[]``
+        disables. Integral and string columns only (the probe's
+        canonical encoding must match ``CAST AS STRING``); the index
+        is skipped on partitioned snapshots (partition pruning is the
+        mechanism there, matching :meth:`read_point`'s restriction).
+
         ``check``: named CHECK constraints (``{name: sql_predicate}``,
         names must be valid identifiers) enforced on every commit —
         Delta CHECK-constraint semantics: a row where the predicate
@@ -2183,6 +2466,7 @@ class ManifestTable:
         orig_df = df
         want_partition_by = partition_by
         want_stats_by = stats_by
+        want_bloom_by = bloom_by
         want_check = check
         want_cdf_keys = cdf_keys
 
@@ -2216,6 +2500,13 @@ class ManifestTable:
                 stats_cols = list(prev.get("stats_cols") or []) if prev else []
             else:
                 stats_cols = list(want_stats_by)
+            if want_bloom_by is None:
+                prev_bloom = (prev or {}).get("bloom") or {}
+                bloom_cols = list(prev_bloom.get("cols") or [])
+                fpp = float(prev_bloom.get("fpp") or bloom_fpp)
+            else:
+                bloom_cols = list(want_bloom_by)
+                fpp = float(bloom_fpp)
             if want_check is None:
                 checks = dict(prev.get("checks") or {}) if prev else {}
             else:
@@ -2310,6 +2601,18 @@ class ManifestTable:
                 if stats_cols
                 else None
             )
+            # per-file bloom index (inherited like stats_by; cols that
+            # no longer exist after a drop/re-schema fall away quietly)
+            bloom_cols = [c for c in bloom_cols if c in df.columns]
+            bloom_entry = None
+            if bloom_cols and not partition_by:
+                _write_bloom_sidecar(
+                    df.sparkSession,
+                    os.path.join(self.root, staged),
+                    bloom_cols,
+                    fpp,
+                )
+                bloom_entry = {"cols": bloom_cols, "fpp": fpp}
             committed_ver: int | None = None
             self._acquire_lock()
             try:
@@ -2376,6 +2679,7 @@ class ManifestTable:
                         file_stats=file_stats,
                         checks=checks,
                         cdf=cdf_entry,
+                        bloom=bloom_entry,
                     )
                     tmp_ptr = os.path.join(
                         self.root, f".ptr-{uuid.uuid4().hex[:8]}"
@@ -2397,6 +2701,225 @@ class ManifestTable:
             f"{self.root}: live version kept advancing during evolve/"
             f"inheritance re-validation (5 restage attempts)"
         )
+
+    def append(
+        self,
+        df: DataFrame,
+        *,
+        expect_version: int | None = None,
+        keep_snapshots: int = 2,
+        meta: dict | None = None,
+    ) -> int:
+        """APPEND-commit: add ``df``'s rows as NEW data files next to
+        the previous snapshot's files, which HARDLINK forward
+        untouched — Delta's add-file commit. :meth:`commit` is
+        copy-on-write of the WHOLE table state; at 100 TB an ingest
+        loop cannot rewrite 100 TB to land a 1 GB batch, so this is
+        the write path whose cost is O(batch): link the base (zero
+        data bytes), write only the new rows, carry per-file stats
+        and bloom sidecar rows forward verbatim and index only the
+        new files, and materialize the change feed as the appended
+        rows themselves (insert-only by construction — no diff join,
+        Delta's append-commit CDF optimization).
+
+        Schema evolves exactly like :meth:`commit` (new columns
+        append, missing columns null-fill, lossless widenings;
+        narrowing raises) — the snapshot then legally mixes file
+        schemas, which every reader handles by DECLARING the entry
+        schema instead of inferring from one file. CHECK constraints
+        are enforced on the appended rows only (the base already
+        passed them at its own commit). Appending is row-ADDITION, not
+        upsert: key uniqueness is the caller's contract (as in Delta);
+        use :func:`merge_write` for upsert semantics. Raises if an
+        appended key collides with a live deletion-vector/update key —
+        the key-scoped ``_dv`` would wrongly suppress the new row;
+        compact first to purge MoR state.
+
+        Concurrency: the whole staging runs against one resolved
+        version; any interleaved writer fails the CAS with
+        :class:`ConcurrentWriteError` (re-run the append — cost is
+        O(batch), not O(table)). First append on an empty root is the
+        initial :meth:`commit`."""
+        ptr = self._pointer()
+        if ptr is None:
+            return self.commit(
+                df,
+                expect_version=expect_version,
+                keep_snapshots=keep_snapshots,
+                meta=meta,
+            )
+        snap_name, version = ptr
+        if expect_version is not None and version != expect_version:
+            raise ConcurrentWriteError(
+                f"{self.root}: version {version} != expected {expect_version}"
+            )
+        snap = os.path.join(self.root, snap_name)
+        if not os.path.isdir(snap):
+            raise ConcurrentWriteError(
+                f"{self.root}: snapshot {snap_name} vanished before append "
+                f"(concurrent writer + gc) — retry"
+            )
+        entry = self._log_entry(version) or {}
+        spark = df.sparkSession
+        live = self._live_schema(spark)
+        target_schema = (
+            evolve_schema(live, df.schema) if live is not None else df.schema
+        )
+        aligned = align_to_schema(df, target_schema)
+        dv = entry.get("dv")
+        if dv:
+            key_cols = list(dv["key_cols"])
+            dv_keys = spark.read.parquet(os.path.join(snap, self.DV_DIR))
+            n_bad = (
+                aligned.join(F.broadcast(dv_keys), on=key_cols, how="left_semi")
+                .limit(1)
+                .count()
+            )
+            if n_bad:
+                raise ValueError(
+                    f"{self.root}: append collides with live merge-on-read "
+                    f"keys (deletion vector / update delta on {key_cols}) — "
+                    f"the key-scoped _dv would suppress the appended rows; "
+                    f"compact_table() first to materialize MoR state"
+                )
+        checks = dict(entry.get("checks") or {})
+        obs = None
+        to_write = aligned
+        if checks:
+            obs = Observation()
+            to_write = aligned.observe(
+                obs,
+                *[
+                    F.sum(
+                        F.when(
+                            ~F.coalesce(F.expr(pred), F.lit(True)), 1
+                        ).otherwise(0)
+                    ).alias(name)
+                    for name, pred in checks.items()
+                ],
+            )
+        # write the batch under PHYSICAL column names so the appended
+        # files match the linked base files (metadata-only renames
+        # stay metadata); evolution-added columns map identity
+        cmap = dict(entry.get("column_map") or {})
+        if cmap:
+            to_write = to_write.withColumnsRenamed(cmap)
+        partition_by = list(entry.get("partition_by") or [])
+        tmp = os.path.join(self.root, f".append-{uuid.uuid4().hex[:8]}")
+        writer = to_write.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(
+                *[cmap.get(c, c) for c in partition_by]
+            )
+        writer.parquet(tmp)
+        if obs is not None:
+            bad = {n: v for n, v in obs.get.items() if v}
+            if bad:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise ConstraintViolationError(
+                    f"{self.root}: CHECK constraint(s) violated, append "
+                    f"aborted — rows failing each: {bad} "
+                    f"(predicates: { {n: checks[n] for n in bad} })"
+                )
+        staged = os.path.join(
+            self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
+        )
+        committed_ver: int | None = None
+        try:
+            os.makedirs(staged)
+            keep_rels: list[str] = []
+            for r, dirs, fs in os.walk(snap):
+                rel_dir = os.path.relpath(r, snap)
+                if rel_dir == ".":
+                    # MoR sidecars link below; _cdf stays version-local
+                    dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                    rel_dir = ""
+                for f in fs:
+                    if not f.endswith(".parquet"):
+                        continue
+                    rel = os.path.join(rel_dir, f) if rel_dir else f
+                    dst = os.path.join(staged, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    try:
+                        os.link(os.path.join(snap, rel), dst)
+                    except OSError:
+                        shutil.copy2(os.path.join(snap, rel), dst)
+                    keep_rels.append(rel)
+            for side in (self.DV_DIR, self.UPD_DIR):
+                sp = os.path.join(snap, side)
+                if os.path.isdir(sp):
+                    _link_tree(sp, os.path.join(staged, side))
+            new_rels = _adopt_parts(tmp, staged, "append")
+            file_stats = _incremental_stats(entry, keep_rels, staged, new_rels)
+            _carry_bloom_sidecar(spark, entry, snap, staged, keep_rels, new_rels)
+            # insert-only change feed: the appended rows ARE the changes
+            cdf_prop = list((entry.get("cdf") or {}).get("key_cols") or [])
+            cdf_entry = None
+            if cdf_prop:
+                cdf_path = os.path.join(staged, self.CDF_DIR)
+                changes = aligned.select(
+                    F.lit("insert").alias("_change_type"), "*"
+                ).withColumn(
+                    "_commit_version", F.lit(version + 1).cast("long")
+                )
+                changes.write.mode("overwrite").parquet(cdf_path)
+                cdf_entry = {
+                    "key_cols": cdf_prop,
+                    "n_changes": int(spark.read.parquet(cdf_path).count()),
+                }
+            self._acquire_lock()
+            try:
+                cur = self._pointer()
+                if cur is None or cur[1] != version:
+                    raise ConcurrentWriteError(
+                        f"{self.root}: version advanced during append "
+                        f"(staged against {version}) — retry"
+                    )
+                new_ver = version + 1
+                snap_new = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
+                os.rename(staged, os.path.join(self.root, snap_new))
+                staged = os.path.join(self.root, snap_new)
+                self._write_log(
+                    new_ver,
+                    snap_new,
+                    partition_by,
+                    target_schema.json(),
+                    meta={**_inherited_meta(entry), **(meta or {})},
+                    stats_cols=entry.get("stats_cols"),
+                    file_stats=file_stats,
+                    checks=entry.get("checks"),
+                    dv=entry.get("dv"),
+                    cdf=cdf_entry
+                    or (
+                        {"key_cols": cdf_prop, "noop": True}
+                        if cdf_prop
+                        else None
+                    ),
+                    column_map=entry.get("column_map"),
+                    mor_delta=entry.get("mor_delta"),
+                    dropped=entry.get("dropped"),
+                    added=entry.get("added"),
+                    bloom=entry.get("bloom"),
+                )
+                tmp_ptr = os.path.join(
+                    self.root, f".ptr-{uuid.uuid4().hex[:8]}"
+                )
+                with open(tmp_ptr, "w") as fh:
+                    fh.write(f"{snap_new}\n{new_ver}\n")
+                os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
+                self.last_snapshot = snap_new
+                committed_ver = new_ver
+            finally:
+                self._release_lock()
+                if committed_ver is None:
+                    shutil.rmtree(staged, ignore_errors=True)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if committed_ver is None:
+                shutil.rmtree(staged, ignore_errors=True)
+            raise
+        self._gc(keep=keep_snapshots)
+        return committed_ver
 
     def _snapshot_commit_ts(self, dirname: str) -> float:
         """Commit timestamp of a snapshot dir: its log entry's ts when
@@ -2897,7 +3420,7 @@ def compact_table(
         # then writes files under the LOGICAL names, so the new commit
         # carries no column_map — compaction materializes renames the
         # same way it materializes deletion vectors
-        df = _apply_map(spark.read.parquet(snap), c_entry)
+        df = _apply_map(_snap_read(spark, snap, c_entry), c_entry)
         if mor:
             # materialize the merge-on-read state (Delta OPTIMIZE
             # purges DVs the same way): the rewrite drops deleted rows
@@ -2961,6 +3484,275 @@ def compact_table(
         "version": new_ver,
         "files_before": files_before,
         "files_after": files_after,
+        "bytes": bytes_before,
+    }
+
+
+def _adopt_parts(tmp: str, staged: str, prefix: str) -> list[str]:
+    """Move a Spark write job's part files from ``tmp`` into the
+    staged snapshot under fresh collision-free names, preserving any
+    hive-partition subdirectories; returns the new RELATIVE paths."""
+    new_rels: list[str] = []
+    run = uuid.uuid4().hex[:8]
+    for r, _dirs, fs in os.walk(tmp):
+        rel_dir = os.path.relpath(r, tmp)
+        rel_dir = "" if rel_dir == "." else rel_dir
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            os.makedirs(os.path.join(staged, rel_dir), exist_ok=True)
+            rel = os.path.join(rel_dir, f"{prefix}-{run}-{f}")
+            os.rename(os.path.join(r, f), os.path.join(staged, rel))
+            new_rels.append(rel)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return new_rels
+
+
+def _incremental_stats(
+    entry: dict, keep_rels: list, staged: str, new_rels: list
+) -> dict | None:
+    """Commit-log file stats for an incrementally staged snapshot:
+    untouched files carry their entries VERBATIM, only the newly
+    written files pay a footer walk."""
+    stats_cols = list(entry.get("stats_cols") or [])
+    if entry.get("file_stats") is None and not stats_cols:
+        return None
+    keep_set = set(keep_rels)
+    carried = {
+        rel: st
+        for rel, st in (entry.get("file_stats") or {}).items()
+        if rel in keep_set
+    }
+    fresh = (
+        collect_file_stats(staged, stats_cols, only=set(new_rels))
+        if stats_cols
+        else {}
+    )
+    return {**carried, **fresh}
+
+
+def _carry_bloom_sidecar(
+    spark: SparkSession,
+    entry: dict,
+    snap: str,
+    staged: str,
+    keep_rels: list,
+    new_rels: list,
+) -> None:
+    """Bloom sidecar for an incrementally staged snapshot: index ONLY
+    the new files with a job over them; untouched files' sidecar rows
+    re-write driver-side (tiny metadata). Falls back to indexing
+    everything if the previous sidecar is missing, so the log's bloom
+    property never overstates coverage."""
+    bloom_prop = entry.get("bloom")
+    if not bloom_prop:
+        return
+    import pyarrow.parquet as pq
+
+    cols = list(bloom_prop.get("cols") or [])
+    fpp = float(bloom_prop.get("fpp") or 0.01)
+    _write_bloom_sidecar(
+        spark,
+        staged,
+        cols,
+        fpp,
+        files=[os.path.join(staged, r) for r in new_rels],
+    )
+    try:
+        old = pq.read_table(os.path.join(snap, ManifestTable.BLOOM_DIR))
+        keep_set = set(keep_rels)
+        mask = [f in keep_set for f in old.column("file").to_pylist()]
+        carried = old.filter(mask)
+        if carried.num_rows:
+            pq.write_table(
+                carried,
+                os.path.join(
+                    staged,
+                    ManifestTable.BLOOM_DIR,
+                    f"carried-{uuid.uuid4().hex[:8]}.parquet",
+                ),
+            )
+    except (FileNotFoundError, OSError):
+        _write_bloom_sidecar(spark, staged, cols, fpp)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    root: str,
+    *,
+    min_file_bytes: int = 16 * 1024 * 1024,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_gain_files: int = 2,
+) -> dict:
+    """Incremental bin-packing compaction: rewrite ONLY the files
+    smaller than ``min_file_bytes``; every properly sized file is
+    HARDLINKED into the new snapshot untouched. This is the 100 TB
+    OPTIMIZE mode: :func:`compact_table` rewrites the whole snapshot —
+    right for re-clustering (sort/z-order), ruinous as routine
+    maintenance on a petabyte table where an epoch sink accreted a few
+    thousand small files next to thousands of already-compacted large
+    ones. Here the rewrite cost is O(small-file bytes) and the rest of
+    the table moves zero bytes (inode links), exactly Delta OPTIMIZE's
+    bin-packing which leaves files above minFileSize alone.
+
+    Metadata is maintained incrementally too: kept files carry their
+    commit-log [min, max] stats entries and bloom sidecar rows
+    forward VERBATIM; only the newly written merged files are
+    footer-statted and bloom-indexed. Merge-on-read sidecars (``_dv``
+    deletion vector, ``_upd`` update delta) link forward unchanged —
+    a content-preserving repack keeps them valid (keys survive, the
+    anti-join and union semantics are file-layout-independent); use
+    :func:`compact_table` to PURGE MoR state. The change feed records
+    the version as a no-op (content preserved). Commits through the
+    same CAS as every writer.
+
+    Restricted to unpartitioned snapshots (a partitioned table's
+    small-file problem is per-partition-dir; its full rewrite path
+    handles layout). No-ops unless at least two small files exist and
+    the repack saves ``min_gain_files`` files."""
+    mt = ManifestTable(root)
+    ptr = mt._pointer()
+    if ptr is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    snap_name, version = ptr
+    snap = os.path.join(mt.root, snap_name)
+    if not os.path.isdir(snap):
+        raise ConcurrentWriteError(
+            f"{root}: snapshot {snap_name} vanished before compaction "
+            f"(concurrent writer + gc) — retry"
+        )
+    entry = mt._log_entry(version) or {}
+    if entry.get("partition_by"):
+        raise ValueError(
+            f"{root}: compact_small_files targets unpartitioned snapshots "
+            f"(use compact_table for partitioned layouts)"
+        )
+
+    def _no_op(files_before: int, bytes_before: int) -> dict:
+        return {
+            "compacted": False,
+            "version": version,
+            "files_before": files_before,
+            "files_after": files_before,
+            "files_rewritten": 0,
+            "bytes_rewritten": 0,
+            "bytes": bytes_before,
+        }
+
+    small: list[tuple[str, int]] = []  # (rel, size)
+    keep: list[str] = []  # rel
+    bytes_before = 0
+    for r, dirs, fs in os.walk(snap):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(r, f)
+            try:
+                sz = os.path.getsize(fp)
+            except FileNotFoundError:
+                raise ConcurrentWriteError(
+                    f"{root}: snapshot {snap_name} vanished during "
+                    f"compaction (concurrent writer + gc) — retry"
+                ) from None
+            bytes_before += sz
+            rel = os.path.relpath(fp, snap)
+            if sz < min_file_bytes:
+                small.append((rel, sz))
+            else:
+                keep.append(rel)
+    files_before = len(small) + len(keep)
+    small_bytes = sum(sz for _, sz in small)
+    n_new = max(1, -(-small_bytes // max(1, target_file_bytes)))
+    if len(small) < 2 or len(small) - n_new < min_gain_files:
+        return _no_op(files_before, bytes_before)
+
+    staged = os.path.join(mt.root, f"snap-staging-{uuid.uuid4().hex[:12]}")
+    try:
+        os.makedirs(staged)
+        # metadata-only carry: big data files + MoR sidecars hardlink
+        for rel in keep:
+            dst = os.path.join(staged, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(os.path.join(snap, rel), dst)
+            except OSError:
+                shutil.copy2(os.path.join(snap, rel), dst)
+        for side in (ManifestTable.DV_DIR, ManifestTable.UPD_DIR):
+            sp = os.path.join(snap, side)
+            if os.path.isdir(sp):
+                _link_tree(sp, os.path.join(staged, side))
+        # the rewrite: read ONLY the small files (physical schema —
+        # raw files; renames/drops stay metadata via the carried
+        # column_map/dropped entries) and repack them
+        tmp = os.path.join(mt.root, f".repack-{uuid.uuid4().hex[:8]}")
+        (
+            spark.read.parquet(*[os.path.join(snap, rel) for rel, _ in small])
+            .repartition(n_new)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        new_rels = _adopt_parts(tmp, staged, "repack")
+        file_stats = _incremental_stats(entry, keep, staged, new_rels)
+        _carry_bloom_sidecar(spark, entry, snap, staged, keep, new_rels)
+        committed_ver: int | None = None
+        mt._acquire_lock()
+        try:
+            cur = mt._pointer()
+            if cur is None or cur[1] != version:
+                raise ConcurrentWriteError(
+                    f"{root}: version advanced during small-file "
+                    f"compaction (expected {version}) — retry"
+                )
+            new_ver = version + 1
+            snap_new = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
+            os.rename(staged, os.path.join(mt.root, snap_new))
+            staged = os.path.join(mt.root, snap_new)
+            mt._write_log(
+                new_ver,
+                snap_new,
+                [],
+                entry.get("schema") or "",
+                meta={**_inherited_meta(entry), "bin_pack": len(small)},
+                stats_cols=entry.get("stats_cols"),
+                file_stats=file_stats,
+                checks=entry.get("checks"),
+                dv=entry.get("dv"),
+                cdf=(
+                    {
+                        "key_cols": list(entry["cdf"]["key_cols"]),
+                        "noop": True,
+                    }
+                    if entry.get("cdf")
+                    else None
+                ),
+                column_map=entry.get("column_map"),
+                mor_delta=entry.get("mor_delta"),
+                dropped=entry.get("dropped"),
+                added=entry.get("added"),
+                bloom=entry.get("bloom"),
+            )
+            tmp_ptr = os.path.join(mt.root, f".ptr-{uuid.uuid4().hex[:8]}")
+            with open(tmp_ptr, "w") as fh:
+                fh.write(f"{snap_new}\n{new_ver}\n")
+            os.replace(tmp_ptr, os.path.join(mt.root, mt.POINTER))
+            mt.last_snapshot = snap_new
+            committed_ver = new_ver
+        finally:
+            mt._release_lock()
+            if committed_ver is None:
+                shutil.rmtree(staged, ignore_errors=True)
+    except Exception:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
+    mt._gc(keep=2)
+    return {
+        "compacted": True,
+        "version": committed_ver,
+        "files_before": files_before,
+        "files_after": len(keep) + len(new_rels),
+        "files_rewritten": len(small),
+        "bytes_rewritten": small_bytes,
         "bytes": bytes_before,
     }
 

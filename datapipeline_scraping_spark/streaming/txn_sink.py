@@ -43,6 +43,7 @@ def manifest_epoch_sink(
     *,
     transform=None,
     keep_snapshots: int = 2,
+    insert_only: bool = False,
 ):
     """Build a ``foreachBatch`` function writing exactly-once into the
     :class:`ManifestTable` at ``root``.
@@ -63,7 +64,18 @@ def manifest_epoch_sink(
     O(batch) source rows against the snapshot plus the atomic pointer
     swap — the accreted small files are reclaimed by
     ``compact_table`` without breaking the epoch guard (its commits
-    carry no epoch and are skipped by :func:`last_applied_epoch`)."""
+    carry no epoch and are skipped by :func:`last_applied_epoch`).
+
+    ``insert_only=True`` switches the write from merge-rewrite to the
+    ledger's APPEND commit (r10): an event-log stream never updates a
+    key, so each epoch lands as new data files hardlinking the whole
+    base forward — per-batch cost O(batch) instead of O(table), the
+    shape a 100 TB event sink requires. Exactly-once semantics are
+    identical (same atomic epoch stamp, same replay guard); key
+    uniqueness across epochs is the stream's contract, exactly as
+    with Delta's idempotent append writes. Small files accrete one
+    per epoch and are reclaimed by ``compact_small_files`` (which
+    also carries no epoch)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -74,8 +86,16 @@ def manifest_epoch_sink(
             if applied is not None and int(batch_id) <= applied:
                 return  # replayed epoch: already durably committed
             ver = tbl.version()
-            merged = merge_into(tbl.read(spark), df, pk) if ver else df
             try:
+                if insert_only:
+                    tbl.append(
+                        df,
+                        expect_version=ver,
+                        keep_snapshots=keep_snapshots,
+                        meta={"epoch": int(batch_id)},
+                    )
+                    return
+                merged = merge_into(tbl.read(spark), df, pk) if ver else df
                 tbl.commit(
                     merged,
                     expect_version=ver or 0,

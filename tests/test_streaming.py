@@ -212,3 +212,40 @@ def test_manifest_epoch_sink_is_exactly_once(spark, tmp_path):
     assert tbl.version() == 4 and last_applied_epoch(tbl) == 2
     got = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
     assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_manifest_epoch_sink_insert_only_appends(spark, tmp_path):
+    """r10: insert_only epoch sink rides the APPEND commit — same
+    exactly-once guard, but each epoch lands as new files with every
+    pre-existing file hardlinked forward (O(batch) per epoch)."""
+    import os
+
+    from datapipeline_scraping_spark.operators.txn import ManifestTable
+    from datapipeline_scraping_spark.streaming.txn_sink import (
+        last_applied_epoch,
+        manifest_epoch_sink,
+    )
+
+    root = str(tmp_path / "sink")
+    sink = manifest_epoch_sink(root, "k", insert_only=True)
+    sink(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), 0)
+    tbl = ManifestTable(root)
+    snap1 = tbl.snapshot_path()
+    inodes = {
+        f: os.stat(os.path.join(snap1, f)).st_ino
+        for f in os.listdir(snap1)
+        if f.endswith(".parquet")
+    }
+    sink(spark.createDataFrame([(3, "c")], "k long, v string"), 1)
+    assert tbl.version() == 2 and last_applied_epoch(tbl) == 1
+    snap2 = tbl.snapshot_path()
+    for f, ino in inodes.items():  # epoch 1 rewrote nothing
+        assert os.stat(os.path.join(snap2, f)).st_ino == ino
+    # replay: same epoch twice -> one commit
+    sink(spark.createDataFrame([(3, "c")], "k long, v string"), 1)
+    assert tbl.version() == 2
+    assert {r["k"]: r["v"] for r in tbl.read(spark).collect()} == {
+        1: "a",
+        2: "b",
+        3: "c",
+    }

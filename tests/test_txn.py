@@ -2045,3 +2045,283 @@ def test_operational_meta_not_reattributed(spark, tmp_path):
     ec = clone._log_entry(1)["meta"]
     assert ec.get("clone_of", {}).get("version") == tbl.version()
     assert "epoch" not in ec and ec.get("owner") == "pipeline-a"
+
+
+def test_bloom_point_lookup_prunes_and_stays_exact(spark, tmp_path):
+    """r10: per-file bloom index — point probes prune files min/max
+    stats cannot (unsorted high-cardinality keys), absent keys read
+    nothing, and the merge-on-read + compaction paths stay exact."""
+    from datapipeline_scraping_spark.operators.txn import compact_table
+
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    df = (
+        spark.range(20000)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("u"), F.col("id")).alias("u"),
+            (F.col("id") % 40).alias("g"),
+        )
+        .repartition(8)  # hash layout: every file's k-range ~ full domain
+    )
+    tbl.commit(df, bloom_by=["k", "u"], stats_by=["k"])
+    # stats are useless here (every file covers ~[0, 20000)) ...
+    s_files, s_total = tbl.pruned_files("k", 777, 777)
+    assert len(s_files) == s_total == 8
+    # ... the bloom prunes to ~1 file (fpp 1% over 8 files)
+    b_files, b_total, indexed = tbl.bloom_pruned_files("k", 777)
+    assert indexed and b_total == 8 and len(b_files) <= 2
+    got = tbl.read_point(spark, "k", 777).filter("k = 777").collect()
+    assert [(r["k"], r["u"]) for r in got] == [(777, "u777")]
+    # string column probe
+    assert tbl.read_point(spark, "u", "u19999").filter(
+        "u = 'u19999'"
+    ).count() == 1
+    # absent key: every file prunes, empty result, schema intact
+    absent = tbl.read_point(spark, "k", 10_000_000)
+    assert absent.count() == 0 and absent.columns == ["k", "u", "g"]
+    # non-indexed, non-stats column: no pruning, still correct
+    _, _, idx_g = tbl.bloom_pruned_files("g", 5)
+    assert not idx_g
+    assert tbl.read_point(spark, "g", 5).filter("g = 5").count() == 500
+    # unsupported probe type
+    with pytest.raises(TypeError, match="integral and string"):
+        tbl.bloom_pruned_files("k", 1.5)
+    # merge-on-read: update moves a row's value; the point probe on the
+    # NEW value prunes every base file yet must see the post-image
+    tbl.update_where(spark, "k = 3", {"u": "'moved'"}, ["k"])
+    r = tbl.read_point(spark, "u", "moved").filter("u = 'moved'").collect()
+    assert [(x["k"], x["u"]) for x in r] == [(3, "moved")]
+    # deleted keys must not resurrect
+    tbl.delete_where(spark, "k = 777", ["k"])
+    assert tbl.read_point(spark, "k", 777).filter("k = 777").count() == 0
+    # compaction inherits the index property and re-indexes
+    res = compact_table(spark, str(tmp_path / "t"), target_file_bytes=1 << 30)
+    if res["compacted"]:
+        e = tbl._log_entry(tbl.version())
+        assert (e.get("bloom") or {}).get("cols") == ["k", "u"]
+        assert tbl.read_point(spark, "k", 778).filter("k = 778").count() == 1
+
+
+def test_bloom_index_no_false_negatives(spark, tmp_path):
+    """Every committed key must be found through the pruned read — a
+    bloom may keep too many files, never too few."""
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    n = 3000
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 1000003).alias("k"),
+        F.col("id").alias("pk"),
+    ).repartition(6)
+    tbl.commit(df, bloom_by=["k"])
+    keys = [r["k"] for r in tbl.read(spark).select("k").distinct().collect()]
+    expected = {}
+    for r in tbl.read(spark).collect():
+        expected.setdefault(r["k"], set()).add(r["pk"])
+    import random
+
+    rng = random.Random(7)
+    for k in rng.sample(keys, 50):
+        got = {
+            r["pk"]
+            for r in tbl.read_point(spark, "k", k)
+            .filter(F.col("k") == k)
+            .collect()
+        }
+        assert got == expected[k], f"key {k}: {got} != {expected[k]}"
+
+
+def test_append_links_base_and_adds_rows(spark, tmp_path):
+    """r10 append-commit: base files hardlink forward (zero copy),
+    only the batch is written, readers see the union, time travel
+    still pins the pre-append state."""
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    base = _df(spark, [(i, f"v{i}") for i in range(1000)])
+    tbl.append(base.repartition(2))  # empty root -> initial commit
+    assert tbl.version() == 1
+    snap1 = tbl.snapshot_path()
+    inodes = {
+        f: os.stat(os.path.join(snap1, f)).st_ino
+        for f in os.listdir(snap1)
+        if f.endswith(".parquet")
+    }
+    tbl.append(_df(spark, [(1000, "a"), (1001, "b")]).coalesce(1))
+    assert tbl.version() == 2
+    snap2 = tbl.snapshot_path()
+    for f, ino in inodes.items():
+        assert os.stat(os.path.join(snap2, f)).st_ino == ino
+    assert tbl.read(spark).count() == 1002
+    assert tbl.read(spark, version=1).count() == 1000
+    got = tbl.read(spark).filter("pk >= 1000").orderBy("pk").collect()
+    assert [(r["pk"], r["v"]) for r in got] == [(1000, "a"), (1001, "b")]
+    # CAS guard
+    with pytest.raises(ConcurrentWriteError):
+        tbl.append(_df(spark, [(2000, "x")]), expect_version=1)
+
+
+def test_append_carries_stats_bloom_and_cdf(spark, tmp_path):
+    """Appends maintain every index incrementally: kept files' stats/
+    bloom rows carry verbatim, new files are statted/indexed, and the
+    change feed materializes the batch itself (insert-only)."""
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    base = spark.range(5000).select(
+        F.col("id").alias("pk"), (F.col("id") % 97).alias("g")
+    )
+    tbl.commit(
+        base.repartitionByRange(4, "pk").sortWithinPartitions("pk"),
+        stats_by=["pk"],
+        bloom_by=["g"],
+        cdf_keys=["pk"],
+    )
+    e1 = tbl._log_entry(1)
+    tbl.append(
+        spark.range(5000, 5200)
+        .select(F.col("id").alias("pk"), (F.col("id") % 97).alias("g"))
+        .coalesce(1)
+    )
+    e2 = tbl._log_entry(2)
+    # carried stats rows are bit-identical; exactly the new file added
+    for rel, st in (e1["file_stats"] or {}).items():
+        assert e2["file_stats"][rel] == st
+    new_rels = set(e2["file_stats"]) - set(e1["file_stats"])
+    assert len(new_rels) == 1
+    assert all(r.startswith("append-") for r in new_rels)
+    # range pruning covers the appended range through the new file
+    got = (
+        tbl.read_range(spark, "pk", 5100, 5150)
+        .filter("pk between 5100 and 5150")
+        .count()
+    )
+    assert got == 51
+    # bloom: the appended value is findable, property carried
+    assert (e2.get("bloom") or {}).get("cols") == ["g"]
+    assert tbl.read_point(spark, "g", 96).filter("g = 96").count() == (
+        tbl.read(spark).filter("g = 96").count()
+    )
+    # CDF of the append is exactly the batch, insert-only
+    feed = tbl.diff(spark, 1, 2, ["pk"])
+    rows = feed.collect()
+    assert len(rows) == 200 and all(
+        r["_change_type"] == "insert" for r in rows
+    )
+    assert (e2.get("cdf") or {}).get("n_changes") == 200
+
+
+def test_append_guards(spark, tmp_path):
+    """CHECK constraints apply to the batch; merge-on-read key
+    collisions refuse (the key-scoped _dv would suppress new rows);
+    schema narrowing refuses."""
+    from datapipeline_scraping_spark.operators.txn import (
+        ConstraintViolationError,
+        SchemaEvolutionError,
+    )
+
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    tbl.commit(
+        _df(spark, [(i, f"v{i}") for i in range(100)]),
+        check={"pk_nonneg": "pk >= 0"},
+    )
+    with pytest.raises(ConstraintViolationError):
+        tbl.append(_df(spark, [(-5, "bad")]))
+    assert tbl.version() == 1 and tbl.read(spark).count() == 100
+    tbl.append(_df(spark, [(100, "ok")]))
+    assert tbl.read(spark).count() == 101
+    # narrowing refuses
+    with pytest.raises(SchemaEvolutionError):
+        tbl.append(
+            spark.createDataFrame([(200, 1)], "pk long, v int")
+        )
+    # MoR collision refuses; disjoint keys also refuse only on hit
+    tbl.delete_where(spark, "pk = 7", ["pk"])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        tbl.append(_df(spark, [(7, "resurrect")]))
+
+
+def test_append_partitioned_and_evolving(spark, tmp_path):
+    """Appends respect hive partitioning (new files land in their
+    partition dirs; new partition values create dirs) and schema
+    evolution (old files null-fill the added column)."""
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}", i * 1.0) for i in range(100)],
+        "k long, day string, x double",
+    )
+    tbl.commit(df, partition_by=["day"])
+    tbl.append(
+        spark.createDataFrame(
+            [(100, "d2", 1.0, "new")], "k long, day string, x double, tag string"
+        )
+    )
+    out = tbl.read(spark)
+    assert set(out.columns) == {"k", "day", "x", "tag"}
+    assert out.filter("day = 'd2'").count() == 1
+    assert out.filter("tag is not null").count() == 1
+    assert out.filter("k = 5").first()["tag"] is None
+    assert out.count() == 101
+    # partition dirs: base files untouched, new dir created
+    snap = tbl.snapshot_path()
+    assert os.path.isdir(os.path.join(snap, "day=d2"))
+
+
+def test_compact_small_files_binpacks_incrementally(spark, tmp_path):
+    """r10 bin-packing OPTIMIZE: only small files rewrite; big files
+    keep their inodes; stats/bloom stay correct; MoR sidecars carry;
+    content is preserved bit-for-bit."""
+    from datapipeline_scraping_spark.operators.txn import (
+        compact_small_files,
+    )
+
+    tbl = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    big = spark.range(20000).select(
+        F.col("id").alias("pk"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    tbl.commit(big.repartition(2), stats_by=["pk"], bloom_by=["pk"])
+    for i in range(4):
+        tbl.append(
+            spark.range(20000 + i * 10, 20000 + (i + 1) * 10)
+            .select(
+                F.col("id").alias("pk"),
+                F.concat(F.lit("n"), F.col("id")).alias("v"),
+            )
+            .coalesce(1)
+        )
+    tbl.update_where(spark, "pk = 3", {"v": "'updated'"}, ["pk"])
+    snap = tbl.snapshot_path()
+    big_inodes = {
+        f: os.stat(os.path.join(snap, f)).st_ino
+        for f in os.listdir(snap)
+        if f.endswith(".parquet")
+        and os.path.getsize(os.path.join(snap, f)) >= 50 * 1024
+    }
+    assert big_inodes  # the two base files qualify as big
+    before = tbl.read(spark).orderBy("pk").collect()
+    res = compact_small_files(
+        spark,
+        str(tmp_path / "t"),
+        min_file_bytes=50 * 1024,
+        target_file_bytes=1 << 30,
+    )
+    assert res["compacted"] and res["files_after"] < res["files_before"]
+    assert res["files_rewritten"] == 4
+    snap2 = tbl.snapshot_path()
+    for f, ino in big_inodes.items():
+        assert os.stat(os.path.join(snap2, f)).st_ino == ino
+    after = tbl.read(spark).orderBy("pk").collect()
+    assert before == after
+    assert tbl.read(spark).filter("pk = 3").first()["v"] == "updated"
+    # indexes still serve reads over the repacked layout
+    assert tbl.read_point(spark, "pk", 20035).filter(
+        "pk = 20035"
+    ).count() == 1
+    got = (
+        tbl.read_range(spark, "pk", 20000, 20100)
+        .filter("pk between 20000 and 20100")
+        .count()
+    )
+    assert got == 40
+    # idempotent: a second run no-ops
+    res2 = compact_small_files(
+        spark,
+        str(tmp_path / "t"),
+        min_file_bytes=50 * 1024,
+        target_file_bytes=1 << 30,
+    )
+    assert not res2["compacted"]
