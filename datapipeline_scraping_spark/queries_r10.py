@@ -275,3 +275,92 @@ def q182_small_file_compaction(spark, sf_dir):
         F.sum("o_orderkey").cast("long").alias("sum_keys"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+# ===========================================================================
+# SQL write surface: INSERT INTO the ledger (r10)
+# ===========================================================================
+
+@q(
+    "q183_sql_insert_ledger",
+    oracle="""
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q183_sql_insert_ledger(spark, sf_dir):
+    """The WRITE half of the pure-SQL surface (q171 is the read half):
+    the ledger lands through ``INSERT INTO`` on a ``USING manifest``
+    temporary view and ``df.write.format("manifest").mode("append")``
+    — both route through the Python DataSource's Arrow writer, whose
+    tasks stream record batches straight into staged parquet parts
+    and whose driver-side commit is
+    :func:`..operators.txn.append_files_local`: the whole base
+    snapshot hardlinks forward, per-file stats carry verbatim and the
+    new parts pay one footer walk, the change feed materializes the
+    batch itself, and the commit is the same CAS every writer uses.
+    At 100 TB this gives the engine what Delta gives Spark SQL users:
+    an ingest statement whose cost is O(batch) with full
+    transactional semantics, from SQL. The in-query assert pins the
+    zero-rewrite contract by inode. Final read goes through the SQL
+    view too — write and read surfaces compose.
+
+    Reference anchor: the reference's sink is literally SQL INSERT ...
+    ON CONFLICT through psycopg2 (``src/storage.py:41-53``); this is
+    that statement's append half on the snapshot ledger."""
+    from .operators.txn import ManifestTable
+    from .sources.manifest_datasource import register
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    root = os.path.join(SCRATCH, f"sqlins_{_key(sf_dir)}")
+    tbl = ManifestTable(root, retention_sec=3600)
+    register(spark)
+    if (tbl.version() or 0) != 3:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = ManifestTable(root, retention_sec=3600)
+        tbl.commit(
+            orders.filter(F.col("o_orderkey") % 3 == 0).repartition(2),
+            stats_by=["o_orderkey"],
+        )
+        snap = tbl.snapshot_path()
+        inodes = {
+            f: os.stat(os.path.join(snap, f)).st_ino
+            for f in os.listdir(snap)
+            if f.endswith(".parquet")
+        }
+        # batch 2 via the DataFrame write API
+        orders.filter(F.col("o_orderkey") % 3 == 1).coalesce(2).write.format(
+            "manifest"
+        ).option("root", root).mode("append").save()
+        # batch 3 via pure SQL INSERT INTO ... SELECT
+        spark.sql(
+            f"""CREATE OR REPLACE TEMPORARY VIEW q183_sink
+                USING manifest OPTIONS (root '{root}')"""
+        )
+        orders.filter(F.col("o_orderkey") % 3 == 2).createOrReplaceTempView(
+            "q183_batch3"
+        )
+        spark.sql("INSERT INTO q183_sink SELECT * FROM q183_batch3")
+        assert tbl.version() == 3
+        snap2 = tbl.snapshot_path()
+        assert all(
+            os.stat(os.path.join(snap2, f)).st_ino == ino
+            for f, ino in inodes.items()
+        ), "SQL append rewrote a base file"
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY VIEW q183_sink
+            USING manifest OPTIONS (root '{root}')"""
+    )
+    return spark.sql(
+        """SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+           FROM q183_sink GROUP BY o_orderpriority"""
+    )

@@ -45,8 +45,10 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -208,6 +210,109 @@ class ManifestDataSource(DataSource):
 
     def reader(self, schema):
         return ManifestReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "manifest: mode('overwrite') replaces the whole table — "
+                "use ManifestTable.commit via the DataFrame API; the SQL "
+                "write surface is append-only (INSERT INTO / "
+                "mode('append'))"
+            )
+        return ManifestWriter(self.options)
+
+
+class _PartsMessage(WriterCommitMessage):
+    def __init__(self, path, rows):
+        self.path = path
+        self.rows = rows
+
+
+class ManifestWriter(DataSourceArrowWriter):
+    """``df.write.format("manifest").mode("append")`` / SQL
+    ``INSERT INTO`` on a ``USING manifest`` view — the write half of
+    the SQL surface, riding the ledger's ADD-FILE commit: each task
+    streams its Arrow batches into one parquet part under a hidden
+    staging dir inside the table root (same filesystem — the commit
+    adopts the files by rename, zero copies), and the driver-side
+    ``commit`` runs :func:`..operators.txn.append_files_local` (the
+    datasource's Python worker has no JVM gateway, so the commit is
+    pure pyarrow/duckdb), which links the whole base snapshot forward
+    and applies every append contract (CHECK constraints, MoR-
+    collision refusal, incremental stats/bloom, insert-only change
+    feed, CAS). Tasks write the table's PHYSICAL column names
+    (metadata-only renames stay metadata)."""
+
+    def __init__(self, options):
+        import uuid
+
+        self.root = options["root"]
+        self.keep_snapshots = int(options.get("keep_snapshots", 2))
+        self.parts_dir = os.path.join(
+            self.root, f".dswrite-{uuid.uuid4().hex[:8]}"
+        )
+        try:
+            ver = _pointer_version(self.root)
+            entry = _log_entry(self.root, ver) if ver else None
+        except (FileNotFoundError, OSError):
+            entry = None
+        # logical -> physical rename applied task-side
+        self.column_map = dict((entry or {}).get("column_map") or {})
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        writer = None
+        rows = 0
+        path = os.path.join(
+            self.parts_dir, f"part-{uuid.uuid4().hex}.parquet"
+        )
+        try:
+            for batch in iterator:
+                if self.column_map:
+                    batch = batch.rename_columns(
+                        [
+                            self.column_map.get(n, n)
+                            for n in batch.schema.names
+                        ]
+                    )
+                if writer is None:
+                    os.makedirs(self.parts_dir, exist_ok=True)
+                    writer = pq.ParquetWriter(path, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if rows == 0:
+            return _PartsMessage(None, 0)
+        return _PartsMessage(path, rows)
+
+    def commit(self, messages):
+        import shutil
+
+        from ..operators.txn import append_files_local
+
+        total = sum(m.rows for m in messages if m is not None)
+        if total == 0 or not os.path.isdir(self.parts_dir):
+            shutil.rmtree(self.parts_dir, ignore_errors=True)
+            return
+        try:
+            append_files_local(
+                self.root,
+                self.parts_dir,
+                keep_snapshots=self.keep_snapshots,
+            )
+        finally:
+            shutil.rmtree(self.parts_dir, ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.parts_dir, ignore_errors=True)
 
 
 def register(spark) -> None:

@@ -390,6 +390,15 @@ TXN_QUERIES = (
     "q178_drop_column",
     # add + MoR backfill rollout on the 10x ledger
     "q179_add_column_backfill",
+    # r10: bloom point lookups must stay O(1-2 files) as the table
+    # grows 10x (the sidecar scales with keys, the probe with files);
+    # append ingest must stay O(batch) with the whole 10x base
+    # hardlinking forward (inode-asserted inside the query); the
+    # bin-pack rewrite cost must track small-file bytes, not the 10x
+    # table (big-file inodes asserted unchanged)
+    "q180_bloom_point_lookup",
+    "q181_append_only_ingest",
+    "q182_small_file_compaction",
 )
 
 CURATION_QUERIES = (

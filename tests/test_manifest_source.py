@@ -111,3 +111,103 @@ def test_schema_evolution_nullfills_old_version(spark, tmp_path):
     # old version through the source keeps ITS OWN schema (like read())
     old = _src(spark, tbl.root, version="1")
     assert old.columns == ["pk", "v"]
+
+
+def test_sql_write_appends_through_datasource(spark, tmp_path):
+    """r10: the write half of the SQL surface — df.write append and
+    SQL INSERT INTO both land as add-file commits with every append
+    contract (stats/bloom/CDF maintained, constraints enforced,
+    physical names under renames, MoR collision refusal)."""
+    import os
+
+    from datapipeline_scraping_spark.operators.txn import (
+        ConstraintViolationError,
+    )
+
+    root = str(tmp_path / "t")
+    tbl = ManifestTable(root, retention_sec=3600)
+    tbl.commit(
+        spark.range(500)
+        .select(F.col("id").alias("pk"), F.concat(F.lit("v"), F.col("id")).alias("v"))
+        .repartition(2),
+        stats_by=["pk"],
+        bloom_by=["pk"],
+        cdf_keys=["pk"],
+        check={"pk_pos": "pk >= 0"},
+    )
+    register(spark)
+    snap1 = tbl.snapshot_path()
+    inodes = {
+        f: os.stat(os.path.join(snap1, f)).st_ino
+        for f in os.listdir(snap1)
+        if f.endswith(".parquet")
+    }
+    # DataFrame write API
+    spark.createDataFrame([(500, "a"), (501, "b")], "pk long, v string").coalesce(
+        1
+    ).write.format("manifest").option("root", root).mode("append").save()
+    assert tbl.version() == 2 and tbl.read(spark).count() == 502
+    snap2 = tbl.snapshot_path()
+    for f, ino in inodes.items():  # add-file commit: base untouched
+        assert os.stat(os.path.join(snap2, f)).st_ino == ino
+    e2 = tbl._log_entry(2)
+    assert (e2.get("cdf") or {}).get("n_changes") == 2
+    assert tbl.read_point(spark, "pk", 501).filter("pk = 501").count() == 1
+    got = (
+        tbl.read_range(spark, "pk", 500, 501)
+        .filter("pk between 500 and 501")
+        .count()
+    )
+    assert got == 2
+    # SQL INSERT INTO on the USING view
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY VIEW wledger
+            USING manifest OPTIONS (root '{root}')"""
+    )
+    spark.sql("INSERT INTO wledger VALUES (600, 'sqlrow')")
+    assert tbl.version() == 3
+    assert [
+        (r["pk"], r["v"])
+        for r in tbl.read(spark).filter("pk = 600").collect()
+    ] == [(600, "sqlrow")]
+    # constraint violation aborts atomically (DuckDB-validated)
+    with pytest.raises(Exception) as ei:
+        spark.createDataFrame([(-1, "bad")], "pk long, v string").write.format(
+            "manifest"
+        ).option("root", root).mode("append").save()
+    assert "CHECK" in str(ei.value) or isinstance(
+        ei.value, ConstraintViolationError
+    )
+    assert tbl.version() == 3 and tbl.read(spark).count() == 503
+    # overwrite refuses with direction to the DataFrame API
+    with pytest.raises(Exception, match="append-only"):
+        spark.range(1).select(
+            F.col("id").alias("pk"), F.lit("x").alias("v")
+        ).write.format("manifest").option("root", root).mode(
+            "overwrite"
+        ).save()
+
+
+def test_sql_write_respects_renames_and_mor_guard(spark, tmp_path):
+    """Writes through the SQL surface keep metadata-only renames
+    metadata (parts carry PHYSICAL names) and refuse appending keys a
+    live deletion vector covers."""
+    root = str(tmp_path / "t")
+    tbl = ManifestTable(root, retention_sec=3600)
+    tbl.commit(_df(spark, [(i, f"v{i}") for i in range(50)]).coalesce(1))
+    tbl.rename_column("v", "val")
+    register(spark)
+    spark.createDataFrame([(50, "new")], "pk long, val string").write.format(
+        "manifest"
+    ).option("root", root).mode("append").save()
+    out = tbl.read(spark)
+    assert out.columns == ["pk", "val"]
+    assert out.filter("pk = 50").first()["val"] == "new"
+    # parity through the read surface too
+    assert _src(spark, root).filter("pk = 50").first()["val"] == "new"
+    # appending a dv-covered key refuses
+    tbl.delete_where(spark, "pk = 10", ["pk"])
+    with pytest.raises(Exception, match="merge-on-read"):
+        spark.createDataFrame(
+            [(10, "resurrect")], "pk long, val string"
+        ).write.format("manifest").option("root", root).mode("append").save()
