@@ -2069,6 +2069,61 @@ class ManifestTable:
                     kept.append(fp)
         return kept, total
 
+    def _partition_pruned_files(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> "tuple[list, int] | None":
+        """Partition-directory pruning: (kept_files, total) for a
+        range over a PARTITION column, by parsing each data file's
+        ``col=value`` path segment — or None when ``col`` is not a
+        partition column of this version. Hive null partitions
+        (``__HIVE_DEFAULT_PARTITION__``) are always kept (never prune
+        on unknowable values); numeric partition columns compare
+        numerically (dir values are strings)."""
+        ver = version if version is not None else (self.version() or 0)
+        entry = self._log_entry(ver) or {}
+        if col not in (entry.get("partition_by") or []):
+            return None
+        numeric = False
+        sch = _phys_schema(entry)
+        if sch is not None:
+            for f in sch.fields:
+                if f.name == col:
+                    numeric = f.dataType.simpleString() in (
+                        "tinyint",
+                        "smallint",
+                        "int",
+                        "bigint",
+                        "float",
+                        "double",
+                    )
+        snap = self.snapshot_path(version)
+        seg = f"{col}="
+        kept: list[str] = []
+        total = 0
+        for r, dirs, fs in os.walk(snap):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                total += 1
+                fp = os.path.join(r, f)
+                val = None
+                for part in os.path.relpath(r, snap).split(os.sep):
+                    if part.startswith(seg):
+                        val = part[len(seg):]
+                if val is None or val == "__HIVE_DEFAULT_PARTITION__":
+                    kept.append(fp)
+                    continue
+                v = val
+                if numeric:
+                    try:
+                        v = float(val)
+                    except ValueError:
+                        pass
+                if _stat_overlaps(v, v, lo, hi):
+                    kept.append(fp)
+        return kept, total
+
     def read_range(
         self,
         spark: SparkSession,
@@ -2085,12 +2140,13 @@ class ManifestTable:
         predicate on the returned frame; this method only guarantees
         no qualifying row is skipped.
 
-        Restricted to unpartitioned snapshots: reading an explicit
-        file list under hive-partition dirs would drop the partition
-        columns — for a partitioned table, partition pruning (q139)
-        is the mechanism. At 100 TB this is the difference between
-        listing+scanning O(table) files and O(window) files for the
-        date-windowed reads every incremental consumer issues."""
+        Partitioned snapshots compose BOTH prunings (r10): a range
+        over a partition column prunes by directory value, any other
+        column by its file stats, and the surviving explicit file
+        list reconstructs the partition columns via ``basePath``. At
+        100 TB this is the difference between listing+scanning
+        O(table) files and O(window) files for the date-windowed
+        reads every incremental consumer issues."""
         return self.read_where(spark, {col: (lo, hi)}, version=version)
 
     def read_where(
@@ -2104,21 +2160,22 @@ class ManifestTable:
         (conjunctive predicate). On a z-ordered snapshot
         (:func:`zorder_key` via ``compact_table(zorder_by=...)``)
         each listed dimension prunes independently — the point of
-        multi-dimensional clustering. Same coarse-pruning contract
-        and unpartitioned-snapshot restriction as :meth:`read_range`."""
+        multi-dimensional clustering. Partition columns prune by
+        directory value (r10); same coarse-pruning contract as
+        :meth:`read_range`."""
         entry = self._log_entry(
             version if version is not None else (self.version() or 0)
         )
-        if entry and entry.get("partition_by"):
-            raise ValueError(
-                f"{self.root}: read_range/read_where target unpartitioned "
-                f"snapshots (partitioned tables prune via partition filters)"
-            )
         if not ranges:
             raise ValueError("read_where requires at least one column range")
         kept: set[str] | None = None
         for col, (lo, hi) in ranges.items():
-            files, _total = self.pruned_files(col, lo, hi, version=version)
+            part = self._partition_pruned_files(col, lo, hi, version=version)
+            files = (
+                part[0]
+                if part is not None
+                else self.pruned_files(col, lo, hi, version=version)[0]
+            )
             kept = set(files) if kept is None else kept & set(files)
         return self._read_file_subset(spark, kept or set(), entry, version)
 
@@ -2198,10 +2255,11 @@ class ManifestTable:
         prunes away)."""
         ver = version if version is not None else (self.version() or 0)
         entry = self._log_entry(ver)
-        if entry and entry.get("partition_by"):
-            raise ValueError(
-                f"{self.root}: read_point targets unpartitioned "
-                f"snapshots (partitioned tables prune via partition filters)"
+        part = self._partition_pruned_files(col, value, value, version=version)
+        if part is not None:
+            # partition-column probe: directory pruning IS the index
+            return self._read_file_subset(
+                spark, set(part[0]), entry, version
             )
         b_kept, _total, indexed = self.bloom_pruned_files(
             col, value, version=version
@@ -2258,6 +2316,10 @@ class ManifestTable:
             )
             reader = reader.schema(phys_schema)
         snap = self.snapshot_path(version)
+        if (entry or {}).get("partition_by"):
+            # explicit file lists drop hive partition columns unless
+            # the reader knows the tree root they were derived from
+            reader = reader.option("basePath", snap)
         return self._apply_dv(
             spark,
             _apply_map(reader.parquet(*sorted(kept)), entry),
@@ -2422,8 +2484,8 @@ class ManifestTable:
         columns (compaction re-indexes its rewritten files); ``[]``
         disables. Integral and string columns only (the probe's
         canonical encoding must match ``CAST AS STRING``); the index
-        is skipped on partitioned snapshots (partition pruning is the
-        mechanism there, matching :meth:`read_point`'s restriction).
+        indexes data columns only (a partition column's "index" IS its
+        directory value — :meth:`read_point` prunes it directly).
 
         ``check``: named CHECK constraints (``{name: sql_predicate}``,
         names must be valid identifiers) enforced on every commit —
@@ -2603,9 +2665,13 @@ class ManifestTable:
             )
             # per-file bloom index (inherited like stats_by; cols that
             # no longer exist after a drop/re-schema fall away quietly)
-            bloom_cols = [c for c in bloom_cols if c in df.columns]
+            bloom_cols = [
+                c
+                for c in bloom_cols
+                if c in df.columns and c not in partition_by
+            ]
             bloom_entry = None
-            if bloom_cols and not partition_by:
+            if bloom_cols:
                 _write_bloom_sidecar(
                     df.sparkSession,
                     os.path.join(self.root, staged),

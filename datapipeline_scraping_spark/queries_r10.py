@@ -364,3 +364,81 @@ def q183_sql_insert_ledger(spark, sf_dir):
              CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
            FROM q183_sink GROUP BY o_orderpriority"""
     )
+
+
+# ===========================================================================
+# composed partition + file-stats pruning on the ledger (r10)
+# ===========================================================================
+
+_Q184_LO, _Q184_HI = "1996-01-01", "1996-06-30"
+
+
+@q(
+    "q184_partitioned_pruned_scan",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_returnflag = 'R'
+  AND l_shipdate BETWEEN DATE '{_Q184_LO}' AND DATE '{_Q184_HI}'
+""",
+)
+def q184_partitioned_pruned_scan(spark, sf_dir):
+    """Composed pruning on a PARTITIONED snapshot (r10 — lifting the
+    old unpartitioned-only restriction on the file-skipping reads):
+    the ledger is hive-partitioned by ``l_returnflag`` and
+    range-clustered on ``l_shipdate`` with per-file stats, and one
+    ``read_where`` conjunction prunes BOTH ways — the flag predicate
+    by partition DIRECTORY (no stats needed: the value is the path),
+    the date window by commit-log [min, max] within the surviving
+    directories, with the explicit file list reconstructing the
+    partition column via ``basePath``. The in-query asserts require
+    each dimension to have actually pruned. At 100 TB this is the
+    standard layout — partition by a low-cardinality dimension,
+    cluster within partitions by time — and the scan cost is
+    O(window-within-partition) files, exactly Delta's partition +
+    dataSkipping composition."""
+    from .operators.txn import ManifestTable
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate", "l_quantity"
+    )
+    root = os.path.join(SCRATCH, f"partprune_{_key(sf_dir)}")
+    tbl = ManifestTable(root, retention_sec=3600)
+    if (tbl.version() or 0) != 1:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = ManifestTable(root, retention_sec=3600)
+        tbl.commit(
+            li.repartitionByRange(8, "l_returnflag", "l_shipdate")
+            .sortWithinPartitions("l_returnflag", "l_shipdate"),
+            partition_by=["l_returnflag"],
+            stats_by=["l_shipdate"],
+        )
+    part = tbl._partition_pruned_files("l_returnflag", "R", "R")
+    assert part is not None and 0 < len(part[0]) < part[1], (
+        f"partition pruning ineffective: {len(part[0])}/{part[1]}"
+    )
+    s_kept, s_total = tbl.pruned_files("l_shipdate", _Q184_LO, _Q184_HI)
+    assert 0 < len(s_kept) < s_total, (
+        f"stats pruning ineffective: {len(s_kept)}/{s_total}"
+    )
+    pruned = tbl.read_where(
+        spark,
+        {
+            "l_returnflag": ("R", "R"),
+            "l_shipdate": (_Q184_LO, _Q184_HI),
+        },
+    )
+    return (
+        pruned.filter(
+            (F.col("l_returnflag") == "R")
+            & F.col("l_shipdate").between(_Q184_LO, _Q184_HI)
+        ).agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+    )

@@ -1024,14 +1024,50 @@ def test_file_stats_skipping_and_compaction_inheritance(spark, tmp_path):
         assert full == pruned == 200
 
 
-def test_read_range_rejects_partitioned_snapshots(spark, tmp_path):
+def test_read_range_composes_partition_and_stats_pruning(spark, tmp_path):
+    """r10 (lifting the old unpartitioned-only restriction): on a
+    partitioned snapshot a range over the partition column prunes by
+    directory, a range over a data column by file stats, a conjunction
+    by both — and the explicit file list still reconstructs the
+    partition columns."""
     tbl = ManifestTable(str(tmp_path / "t"))
     df = spark.createDataFrame(
-        [(i, f"d{i % 2}") for i in range(10)], "k long, day string"
+        [(i, f"d{i % 4}", i * 10) for i in range(400)],
+        "k long, day string, x long",
     )
-    tbl.commit(df, partition_by=["day"], stats_by=["k"])
-    with pytest.raises(ValueError, match="unpartitioned"):
-        tbl.read_range(spark, "k", 1, 5)
+    tbl.commit(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        partition_by=["day"],
+        stats_by=["k"],
+    )
+    # partition-column range prunes directories
+    part = tbl._partition_pruned_files("day", "d1", "d2")
+    assert part is not None
+    kept, total = part
+    assert 0 < len(kept) < total
+    got = tbl.read_range(spark, "day", "d1", "d2")
+    assert set(got.columns) == {"k", "day", "x"}  # partition col back
+    assert got.select("day").distinct().count() == 2
+    # data-column range prunes by file stats within partitions
+    kept_k, total_k = tbl.pruned_files("k", 100, 120)
+    assert 0 < len(kept_k) < total_k
+    n = (
+        tbl.read_range(spark, "k", 100, 120)
+        .filter("k between 100 and 120")
+        .count()
+    )
+    assert n == 21
+    # conjunction intersects both prunings
+    both = tbl.read_where(spark, {"day": ("d1", "d1"), "k": (100, 120)})
+    rows = both.filter("k between 100 and 120 and day = 'd1'").collect()
+    assert {r["k"] for r in rows} == {
+        i for i in range(100, 121) if i % 4 == 1
+    }
+    # point lookup on the partition column prunes to its directory
+    assert (
+        tbl.read_point(spark, "day", "d3").filter("day = 'd3'").count()
+        == 100
+    )
 
 
 def test_apply_diff_equals_full_rebuild(spark, tmp_path):
