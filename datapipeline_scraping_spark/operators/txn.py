@@ -65,6 +65,22 @@ class SchemaEvolutionError(ValueError):
     ``schema_mode="replace"`` commit."""
 
 
+class AuditFailedError(ValueError):
+    """The write-audit-publish audit gate rejected the staged changes:
+    at least one post-image row entering the main table failed the
+    audit predicate. Nothing was published — the branch keeps the
+    staged state for the caller to fix and re-publish."""
+
+
+class PublishConflictError(RuntimeError):
+    """:meth:`ManifestTable.publish_from` found keys changed by BOTH
+    the branch and the main table since the branch was cut — a
+    write-write conflict no automatic rebase can resolve safely.
+    Deliberately NOT a :class:`ConcurrentWriteError`: retrying cannot
+    fix it (the histories diverged); the caller must re-cut the
+    branch or pass ``on_conflict="ours"`` to let the branch win."""
+
+
 # lossless scalar widenings (Delta-style type widening, Spark 4 set):
 # each maps a DataType.simpleString() -> the types it may widen INTO.
 _WIDEN: dict[str, tuple[str, ...]] = {
@@ -1152,6 +1168,307 @@ class ManifestTable:
             if not committed:
                 shutil.rmtree(staged, ignore_errors=True)
         return dest
+
+    def publish_from(
+        self,
+        spark: SparkSession,
+        branch: "ManifestTable",
+        *,
+        keys: list[str],
+        audit=None,
+        on_conflict: str = "fail",
+        keep_snapshots: int = 2,
+        max_retries: int = 5,
+    ) -> dict:
+        """Write-audit-publish (Iceberg WAP / Delta staging-swap): fold
+        a branch table's net changes back into this (main) table —
+        the pattern a training-corpus pipeline needs to let a new
+        crawl batch land on an isolated branch (:meth:`clone_to`),
+        pass an audit gate, and only then become visible to readers.
+
+        ``branch`` must be a clone OF THIS TABLE (its version-1 entry
+        carries ``meta.clone_of`` pointing here); the branch's net
+        change set is ``branch.diff(1, head, keys)`` — intermediate
+        branch commits are squashed, so an audit-failed batch that was
+        fixed by a later branch commit publishes only the fixed rows.
+
+        ``audit``: gate evaluated over the POST-IMAGE rows entering
+        main — either ``{name: sql_predicate}`` (CHECK semantics: NULL
+        satisfies, FALSE rejects) or a callable ``df -> violations
+        DataFrame``. Any violation raises :class:`AuditFailedError`
+        and publishes nothing; the branch keeps its state for a fix +
+        re-publish. Main's own CHECK constraints additionally apply on
+        every publish path (inherited by ``commit``; carried by the
+        clone on the adopt path).
+
+        Publish paths, chosen per attempt:
+
+        - **fast** — main's head is still the branch's base version
+          and the table properties the adopted entry would carry
+          (partition layout, CHECK set, no live change feed) match:
+          ADOPT the branch's head snapshot by hardlink — zero data
+          bytes move, one log write + pointer swap, exactly the
+          O(1) publish a 100 TB batch wants. The adopted entry carries
+          the branch's schema, stats, blooms, DV/MoR sidecars, and
+          column maps verbatim.
+        - **rebase** — main advanced since the branch was cut (or the
+          properties diverged): detect write-write conflicts by
+          null-safe key intersection of ``branch.diff(1, head)`` and
+          ``self.diff(base, head)`` — churn-proportional, never a
+          table scan. Conflicts raise :class:`PublishConflictError`
+          (``on_conflict="ours"``: branch wins). The fold itself is
+          one anti join of main's head on the branch-changed keys
+          plus a union of the post-images, committed with a version
+          CAS; a racing writer restarts the attempt (bounded by
+          ``max_retries``).
+
+        Returns ``{"version", "path", "inserted", "updated",
+        "deleted", "conflicts", "published"}``. Reference anchor: the
+        reference's two-phase raw->final promotion with validation
+        between (``dags/scraping_etl.py:59-83``), generalized to an
+        isolated-branch audit gate."""
+        if on_conflict not in ("fail", "ours"):
+            raise ValueError("on_conflict must be 'fail' or 'ours'")
+        b1 = branch._log_entry(1) or {}
+        lineage = (b1.get("meta") or {}).get("clone_of") or {}
+        if os.path.realpath(str(lineage.get("root", ""))) != os.path.realpath(
+            self.root
+        ):
+            raise ValueError(
+                f"{branch.root}: not a branch of {self.root} — "
+                f"publish_from requires a clone_to branch (clone_of="
+                f"{lineage or None})"
+            )
+        base_ver = int(lineage["version"])
+        bh = branch.version()
+        if bh is None:
+            raise FileNotFoundError(f"{branch.root}: branch has no commits")
+        if bh == 1:
+            return {
+                "version": self.version(),
+                "path": "noop",
+                "inserted": 0,
+                "updated": 0,
+                "deleted": 0,
+                "conflicts": 0,
+                "published": False,
+            }
+        changes = branch.diff(spark, 1, bh, keys)
+        # one churn-sized pass for the report counts (and to fail fast
+        # on an unreadable branch) — reused below via the same plan
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in changes.groupBy("_change_type").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        n_ins = int(by_type.get("insert", 0))
+        n_upd = int(by_type.get("update_postimage", 0))
+        n_del = int(by_type.get("delete", 0))
+        if n_ins + n_upd + n_del == 0:
+            return {
+                "version": self.version(),
+                "path": "noop",
+                "inserted": 0,
+                "updated": 0,
+                "deleted": 0,
+                "conflicts": 0,
+                "published": False,
+            }
+        post = changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type")
+        changed_keys = changes.select(*keys).distinct()
+        if audit is not None:
+            if isinstance(audit, dict):
+                bad = None
+                for name, pred in audit.items():
+                    b = ~F.coalesce(F.expr(pred), F.lit(True))
+                    bad = b if bad is None else (bad | b)
+                viol = post.filter(bad)
+            else:
+                viol = audit(post)
+            sample = viol.limit(4).collect()
+            if sample:
+                raise AuditFailedError(
+                    f"publish of {branch.root} -> {self.root} rejected by "
+                    f"audit gate; first violations: "
+                    f"{[r.asDict() for r in sample[:3]]}"
+                )
+        pub_meta = {
+            "publish_of": {
+                "root": branch.root,
+                "version": bh,
+                "base": base_ver,
+                "keys": list(keys),
+            }
+        }
+        n_conf = 0
+        for _ in range(max_retries):
+            head = self.version() or 0
+            if head < base_ver:
+                raise PublishConflictError(
+                    f"{self.root}: head {head} is BELOW the branch base "
+                    f"{base_ver} (main was restored past the branch "
+                    f"point) — re-cut the branch"
+                )
+            live = self._log_entry(head) or {}
+            bh_entry = branch._log_entry(bh) or {}
+            if head == base_ver:
+                adoptable = (
+                    not (live.get("cdf") or {}).get("key_cols")
+                    and (live.get("checks") or {})
+                    == (bh_entry.get("checks") or {})
+                    and list(live.get("partition_by") or [])
+                    == list(bh_entry.get("partition_by") or [])
+                )
+                if adoptable:
+                    ver = self._adopt_snapshot(
+                        branch, bh, bh_entry, expect_version=head,
+                        meta=pub_meta, keep_snapshots=keep_snapshots,
+                    )
+                    if ver is not None:
+                        return {
+                            "version": ver,
+                            "path": "fast",
+                            "inserted": n_ins,
+                            "updated": n_upd,
+                            "deleted": n_del,
+                            "conflicts": 0,
+                            "published": True,
+                        }
+                    continue  # pointer moved during adopt: retry
+            if head > base_ver:
+                main_changed = (
+                    self.diff(spark, base_ver, head, keys)
+                    .select(*keys)
+                    .distinct()
+                )
+                c = changed_keys.alias("c")
+                m = main_changed.alias("m")
+                cond = None
+                for k in keys:
+                    eq = F.col(f"c.{k}").eqNullSafe(F.col(f"m.{k}"))
+                    cond = eq if cond is None else (cond & eq)
+                conflicts = c.join(m, cond, "inner").select(
+                    *[F.col(f"c.{k}") for k in keys]
+                )
+                conf_sample = conflicts.limit(4).collect()
+                n_conf = len(conf_sample)
+                if conf_sample and on_conflict == "fail":
+                    raise PublishConflictError(
+                        f"{self.root}: {len(conf_sample)}+ key(s) changed "
+                        f"by both branch and main since version "
+                        f"{base_ver}; first: "
+                        f"{[tuple(r) for r in conf_sample[:3]]} — re-cut "
+                        f"the branch or publish with on_conflict='ours'"
+                    )
+            base = self.read(spark, version=head)
+            b = base.alias("b")
+            g = changed_keys.alias("g")
+            cond = None
+            for k in keys:
+                eq = F.col(f"b.{k}").eqNullSafe(F.col(f"g.{k}"))
+                cond = eq if cond is None else (cond & eq)
+            kept = b.join(g, cond, "left_anti")
+            result = kept.unionByName(post, allowMissingColumns=True)
+            try:
+                ver = self.commit(
+                    result,
+                    expect_version=head,
+                    keep_snapshots=keep_snapshots,
+                    meta=pub_meta,
+                )
+            except ConcurrentWriteError:
+                continue  # a racing writer advanced main: re-fold
+            return {
+                "version": ver,
+                "path": "rebase",
+                "inserted": n_ins,
+                "updated": n_upd,
+                "deleted": n_del,
+                "conflicts": n_conf,
+                "published": True,
+            }
+        raise ConcurrentWriteError(
+            f"{self.root}: main kept advancing during publish "
+            f"({max_retries} attempts)"
+        )
+
+    def _adopt_snapshot(
+        self,
+        src: "ManifestTable",
+        src_version: int,
+        src_entry: dict,
+        *,
+        expect_version: int,
+        meta: dict,
+        keep_snapshots: int,
+    ) -> int | None:
+        """Adopt ``src``'s pinned snapshot as this table's next version
+        by hardlink — the zero-data-movement commit under
+        :meth:`publish_from`'s fast path. Returns the new version, or
+        None if the pointer moved past ``expect_version`` while the
+        link tree was being staged (caller retries). The source's CDF
+        sidecar is NOT carried: the publish squashes branch history,
+        and this table's own feed property was checked absent by the
+        caller."""
+        src_snap = os.path.join(src.root, src_entry["snapshot"])
+        if not os.path.isdir(src_snap):
+            raise SnapshotExpiredError(
+                f"{src.root}: version {src_version} snapshot was "
+                f"garbage-collected mid-publish — raise the branch's "
+                f"retention"
+            )
+        staged = os.path.join(
+            self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
+        )
+        try:
+            _link_tree(src_snap, staged, skip_top=(self.CDF_DIR,))
+        except FileNotFoundError as exc:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise SnapshotExpiredError(
+                f"{src.root}: snapshot vanished during publish "
+                f"(concurrent GC) — retry or raise retention"
+            ) from exc
+        committed = False
+        self._acquire_lock()
+        try:
+            ptr = self._pointer()
+            cur = 0 if ptr is None else ptr[1]
+            if cur != expect_version:
+                return None
+            new_ver = cur + 1
+            snap = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
+            os.rename(staged, os.path.join(self.root, snap))
+            staged = os.path.join(self.root, snap)
+            self._write_log(
+                new_ver,
+                snap,
+                list(src_entry.get("partition_by") or []),
+                src_entry.get("schema"),
+                meta={**_inherited_meta(src_entry), **meta},
+                stats_cols=src_entry.get("stats_cols"),
+                file_stats=src_entry.get("file_stats"),
+                checks=src_entry.get("checks"),
+                dv=src_entry.get("dv"),
+                column_map=src_entry.get("column_map"),
+                mor_delta=src_entry.get("mor_delta"),
+                dropped=src_entry.get("dropped"),
+                added=src_entry.get("added"),
+                bloom=src_entry.get("bloom"),
+            )
+            tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
+            with open(tmp_ptr, "w") as fh:
+                fh.write(f"{snap}\n{new_ver}\n")
+            os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
+            self.last_snapshot = snap
+            committed = True
+        finally:
+            self._release_lock()
+            if not committed:
+                shutil.rmtree(staged, ignore_errors=True)
+        self._gc(keep=keep_snapshots)
+        return new_ver
 
     def rename_column(
         self,

@@ -442,3 +442,124 @@ def q184_partitioned_pruned_scan(spark, sf_dir):
             F.sum("l_quantity").cast("long").alias("sum_qty"),
         )
     )
+
+
+# ===========================================================================
+# write-audit-publish on the ledger (r10)
+# ===========================================================================
+
+@q(
+    "q185_write_audit_publish",
+    oracle="""
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN n_chars + 1000
+                WHEN doc_id % 4 = 1 THEN n_chars + 7
+                ELSE n_chars END) AS BIGINT) AS sum_chars,
+  CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM documents
+GROUP BY lang
+""",
+)
+def q185_write_audit_publish(spark, sf_dir):
+    """Write-audit-publish on the versioned ledger
+    (`ManifestTable.publish_from`) — the corpus-governance loop a
+    training-data pipeline runs per crawl batch: stage the batch on an
+    isolated zero-copy BRANCH (`clone_to`), run the audit gate over
+    exactly the post-image rows that would enter the corpus, and only
+    then publish — atomically, with provenance in the commit meta.
+
+    The demo drives every path deterministically: (1) a branch stages
+    updates + inserts including audit-violating rows (negative
+    n_chars) — publish raises AuditFailedError and main is untouched;
+    (2) the branch FIXES the bad rows in place (merge-on-read UPDATE)
+    while a concurrent writer advances main with a disjoint batch —
+    the re-publish takes the REBASE path (conflict check is a
+    null-safe key intersection of the two change feeds,
+    churn-proportional, never a table scan) and lands both histories;
+    (3) a second branch cut from the new head publishes with main
+    unmoved — the FAST path adopts the branch snapshot by hardlink
+    (zero data bytes move, one log write + pointer swap: the O(1)
+    publish a 100 TB batch needs), carrying the branch's merge-on-read
+    sidecar verbatim. Branch intermediate commits are squashed: the
+    audit-failed rows never reach main in any form.
+
+    Reference anchor: the reference's raw->final two-phase promotion
+    with validation between (``dags/scraping_etl.py:59-83``),
+    generalized to Iceberg-WAP-style isolated-branch staging."""
+    import shutil
+
+    from .operators.txn import AuditFailedError, ManifestTable
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    root = os.path.join(SCRATCH, f"waptable_{_key(sf_dir)}")
+    main = ManifestTable(root, retention_sec=3600)
+    built = (
+        main.version() == 4
+        and "publish_of" in main.commit_meta(4)
+    )
+    if not built:
+        b1_root = os.path.join(SCRATCH, f"wapbranch1_{_key(sf_dir)}")
+        b2_root = os.path.join(SCRATCH, f"wapbranch2_{_key(sf_dir)}")
+        for r in (root, b1_root, b2_root):
+            shutil.rmtree(r, ignore_errors=True)
+        main = ManifestTable(root, retention_sec=3600)
+        main.commit(docs.filter(F.col("doc_id") % 4 < 2).repartition(4))
+        branch = main.clone_to(b1_root)
+        # stage on the branch: +1000 chars for the %4==0 slice, insert
+        # the %4==3 slice — with the %12==3 subset NEGATED (bad rows)
+        staged = (
+            docs.filter(F.col("doc_id") % 4 == 0)
+            .withColumn("n_chars", F.col("n_chars") + F.lit(1000))
+            .unionByName(docs.filter(F.col("doc_id") % 4 == 1))
+            .unionByName(
+                docs.filter(F.col("doc_id") % 4 == 3).withColumn(
+                    "n_chars",
+                    F.when(
+                        F.col("doc_id") % 12 == 3, -F.col("n_chars")
+                    ).otherwise(F.col("n_chars")),
+                )
+            )
+        )
+        branch.commit(staged)
+        gate = {"chars_positive": "n_chars >= 0"}
+        try:
+            main.publish_from(spark, branch, keys=["doc_id"], audit=gate)
+            raise AssertionError("audit gate let negative n_chars through")
+        except AuditFailedError:
+            pass
+        assert main.version() == 1, "rejected publish must not touch main"
+        # fix ON the branch (merge-on-read update), while a concurrent
+        # writer lands a disjoint batch on main
+        branch.update_where(
+            spark,
+            F.col("n_chars") < 0,
+            {"n_chars": -F.col("n_chars")},
+            key_cols=["doc_id"],
+        )
+        main.append(docs.filter(F.col("doc_id") % 4 == 2).coalesce(2))
+        rep = main.publish_from(spark, branch, keys=["doc_id"], audit=gate)
+        assert rep["path"] == "rebase" and rep["conflicts"] == 0, rep
+        # second round: branch from the new head, publish with main
+        # unmoved -> zero-copy adoption
+        branch2 = main.clone_to(b2_root)
+        branch2.update_where(
+            spark,
+            F.col("doc_id") % 4 == 1,
+            {"n_chars": F.col("n_chars") + F.lit(7)},
+            key_cols=["doc_id"],
+        )
+        rep2 = main.publish_from(spark, branch2, keys=["doc_id"])
+        assert rep2["path"] == "fast", rep2
+        assert main.version() == 4
+    return (
+        main.read(spark)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+        )
+    )

@@ -2361,3 +2361,123 @@ def test_compact_small_files_binpacks_incrementally(spark, tmp_path):
         target_file_bytes=1 << 30,
     )
     assert not res2["compacted"]
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish (publish_from) — branch, audit gate, atomic publish
+# ---------------------------------------------------------------------------
+
+from datapipeline_scraping_spark.operators.txn import (  # noqa: E402
+    AuditFailedError,
+    PublishConflictError,
+)
+
+
+def _wap_pair(spark, tmp_path, name="m"):
+    main = ManifestTable(str(tmp_path / name))
+    main.commit(_df(spark, [(1, "a"), (2, "b")]))
+    branch = main.clone_to(str(tmp_path / f"{name}_branch"))
+    return main, branch
+
+
+def test_publish_fast_path_adopts_by_hardlink(spark, tmp_path):
+    main, branch = _wap_pair(spark, tmp_path)
+    branch.append(_df(spark, [(3, "c"), (4, "d")]))
+    rep = main.publish_from(spark, branch, keys=["pk"])
+    assert rep["path"] == "fast" and rep["published"]
+    assert rep["inserted"] == 2 and rep["updated"] == 0 and rep["deleted"] == 0
+    assert main.version() == 2
+    got = {r["pk"]: r["v"] for r in main.read(spark).collect()}
+    assert got == {1: "a", 2: "b", 3: "c", 4: "d"}
+    # zero data movement: every data file in main's new snapshot is a
+    # hardlink (nlink >= 2) shared with the branch snapshot
+    snap = main.snapshot_path()
+    links = [
+        os.stat(os.path.join(dp, f)).st_nlink
+        for dp, _, fs in os.walk(snap)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert links and all(n >= 2 for n in links)
+    # provenance rides the commit atomically
+    assert main.commit_meta(2)["publish_of"]["root"] == branch.root
+
+
+def test_publish_rebase_when_main_advanced(spark, tmp_path):
+    main, branch = _wap_pair(spark, tmp_path)
+    branch.append(_df(spark, [(3, "c")]))
+    main.append(_df(spark, [(9, "z")]))  # concurrent, disjoint keys
+    rep = main.publish_from(spark, branch, keys=["pk"])
+    assert rep["path"] == "rebase" and rep["conflicts"] == 0
+    got = {r["pk"]: r["v"] for r in main.read(spark).collect()}
+    assert got == {1: "a", 2: "b", 3: "c", 9: "z"}
+
+
+def test_publish_conflict_raises_then_ours_wins(spark, tmp_path):
+    main, branch = _wap_pair(spark, tmp_path)
+    branch.commit(_df(spark, [(1, "branch"), (2, "b")]))  # update pk=1
+    main.commit(_df(spark, [(1, "main"), (2, "b")]))  # update pk=1 too
+    with pytest.raises(PublishConflictError):
+        main.publish_from(spark, branch, keys=["pk"])
+    rep = main.publish_from(spark, branch, keys=["pk"], on_conflict="ours")
+    assert rep["path"] == "rebase" and rep["conflicts"] >= 1
+    got = {r["pk"]: r["v"] for r in main.read(spark).collect()}
+    assert got == {1: "branch", 2: "b"}
+
+
+def test_publish_audit_gate_rejects_then_fixed_batch_lands(spark, tmp_path):
+    main, branch = _wap_pair(spark, tmp_path)
+    branch.append(_df(spark, [(3, None), (4, "d")]))  # bad row: NULL v
+    with pytest.raises(AuditFailedError):
+        main.publish_from(
+            spark, branch, keys=["pk"], audit={"v_set": "v IS NOT NULL"}
+        )
+    assert main.version() == 1  # nothing published
+    # fix ON THE BRANCH, re-publish: the squashed diff carries only
+    # the corrected rows
+    branch.update_where(
+        spark, F.col("pk") == 3, {"v": F.lit("c")}, key_cols=["pk"]
+    )
+    rep = main.publish_from(
+        spark, branch, keys=["pk"], audit={"v_set": "v IS NOT NULL"}
+    )
+    assert rep["published"]
+    got = {r["pk"]: r["v"] for r in main.read(spark).collect()}
+    assert got == {1: "a", 2: "b", 3: "c", 4: "d"}
+
+
+def test_publish_propagates_branch_deletes(spark, tmp_path):
+    main, branch = _wap_pair(spark, tmp_path)
+    branch.delete_where(spark, F.col("pk") == 1, key_cols=["pk"])
+    rep = main.publish_from(spark, branch, keys=["pk"])
+    assert rep["deleted"] == 1 and rep["published"]
+    got = {r["pk"]: r["v"] for r in main.read(spark).collect()}
+    assert got == {2: "b"}
+
+
+def test_publish_rejects_foreign_table_and_noops_untouched_branch(
+    spark, tmp_path
+):
+    main, branch = _wap_pair(spark, tmp_path)
+    stranger = ManifestTable(str(tmp_path / "s"))
+    stranger.commit(_df(spark, [(7, "x")]))
+    with pytest.raises(ValueError):
+        main.publish_from(spark, stranger, keys=["pk"])
+    rep = main.publish_from(spark, branch, keys=["pk"])  # no branch commits
+    assert rep["path"] == "noop" and not rep["published"]
+    assert main.version() == 1
+
+
+def test_publish_with_live_cdf_takes_rebase_and_feeds_changes(
+    spark, tmp_path
+):
+    main = ManifestTable(str(tmp_path / "m"))
+    main.commit(_df(spark, [(1, "a")]), cdf_keys=["pk"])
+    branch = main.clone_to(str(tmp_path / "mb"))
+    branch.append(_df(spark, [(2, "b")]))
+    rep = main.publish_from(spark, branch, keys=["pk"])
+    # CDF property makes the adopt path ineligible: the publish must
+    # materialize its change rows like any commit
+    assert rep["path"] == "rebase" and rep["published"]
+    feed = main.diff(spark, 1, main.version(), ["pk"]).collect()
+    assert {(r["pk"], r["_change_type"]) for r in feed} == {(2, "insert")}
