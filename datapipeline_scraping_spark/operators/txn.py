@@ -20,6 +20,7 @@ runs a real ``MERGE INTO`` with identical clause semantics.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -684,6 +685,7 @@ class ManifestTable:
         dropped: list[str] | None = None,
         added: list[str] | None = None,
         bloom: dict | None = None,
+        bucket: dict | None = None,
     ) -> None:
         """Write the commit's log entry atomically (tmp + replace).
         Called inside the commit lock BEFORE the pointer swap; a crash
@@ -724,6 +726,8 @@ class ManifestTable:
             entry["added"] = list(added)
         if bloom:
             entry["bloom"] = dict(bloom)
+        if bucket:
+            entry["bucket"] = dict(bucket)
         tmp = f"{self._log_path(version)}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -1469,6 +1473,154 @@ class ManifestTable:
                 shutil.rmtree(staged, ignore_errors=True)
         self._gc(keep=keep_snapshots)
         return new_ver
+
+    def commit_clustered(
+        self,
+        df: DataFrame,
+        bucket_col: str,
+        n_buckets: int,
+        *,
+        sorted_by: str | None = None,
+        expect_version: int | None = None,
+        keep_snapshots: int = 2,
+        meta: dict | None = None,
+    ) -> int:
+        """Commit ``df`` as a HASH-BUCKETED snapshot (Spark bucket
+        layout: ``CLUSTERED BY (col) SORTED BY (col) INTO n BUCKETS``)
+        — the amortize-the-shuffle-once layout for a table that is
+        joined on the same key again and again: two manifest tables
+        committed with the same ``(bucket_col domain, n_buckets)``
+        join through :meth:`read_clustered` with NO exchange and NO
+        sort at read time, the decisive join strategy for 100 TB fact
+        tables (pay one shuffle at ingest, never again downstream).
+
+        The bucket file layout is produced by Spark's own bucketed
+        writer (bucket ids ride the file NAMES), staged through a
+        throwaway EXTERNAL catalog entry whose path is the staging
+        dir — dropping it is metadata-only, the files stay — then
+        committed through the same lock/CAS/pointer-swap protocol as
+        any snapshot, with the bucket spec recorded in the log entry.
+        Readers adopt a PINNED snapshot into the catalog once per
+        (table, version) and get bucketed scans from then on.
+
+        Deliberately NOT composed with the change feed or CHECK
+        constraints (use :meth:`commit` for governed tables): a
+        clustered table is a JOIN-layout artifact — typically a
+        derived, rebuilt-in-full table — and silently skipping feed
+        materialization or validation would corrupt those contracts,
+        so this raises instead if the live entry carries either."""
+        spark = df.sparkSession
+        live = self._log_entry(self.version() or 0) or {}
+        if (live.get("cdf") or {}).get("key_cols") or live.get("checks"):
+            raise ValueError(
+                f"{self.root}: commit_clustered on a table with a change "
+                f"feed or CHECK constraints would skip them — use commit()"
+            )
+        sort_col = sorted_by or bucket_col
+        staged = os.path.join(
+            self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
+        )
+        os.makedirs(self.root, exist_ok=True)
+        stg_db = "dps_manifest_staging"
+        stg_tbl = f"{stg_db}.stg_{uuid.uuid4().hex[:12]}"
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {stg_db}")
+        try:
+            (
+                df.write.bucketBy(n_buckets, bucket_col)
+                .sortBy(sort_col)
+                .format("parquet")
+                .mode("overwrite")
+                .option("path", staged)
+                .saveAsTable(stg_tbl)
+            )
+        finally:
+            # external table: dropping is metadata-only, files stay
+            spark.sql(f"DROP TABLE IF EXISTS {stg_tbl}")
+        schema_json = df.schema.json()
+        committed = False
+        self._acquire_lock()
+        try:
+            ptr = self._pointer()
+            cur = 0 if ptr is None else ptr[1]
+            if expect_version is not None and cur != expect_version:
+                raise ConcurrentWriteError(
+                    f"{self.root}: version {cur} != expected "
+                    f"{expect_version}"
+                )
+            new_ver = cur + 1
+            snap = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
+            os.rename(staged, os.path.join(self.root, snap))
+            staged = os.path.join(self.root, snap)
+            self._write_log(
+                new_ver,
+                snap,
+                [],
+                schema_json,
+                meta=meta,
+                bucket={
+                    "col": bucket_col,
+                    "n": int(n_buckets),
+                    "sorted_by": sort_col,
+                },
+            )
+            tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
+            with open(tmp_ptr, "w") as fh:
+                fh.write(f"{snap}\n{new_ver}\n")
+            os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
+            self.last_snapshot = snap
+            committed = True
+        finally:
+            self._release_lock()
+            if not committed:
+                shutil.rmtree(staged, ignore_errors=True)
+        self._gc(keep=keep_snapshots)
+        return new_ver
+
+    def read_clustered(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Read a :meth:`commit_clustered` snapshot THROUGH the catalog
+        so Spark's planner sees the bucket layout (``outputPartitioning
+        = HashPartitioning(bucket_col, n)`` and per-bucket sort): a
+        join of two tables clustered on the compatible key plans with
+        no exchange and no sort upstream of the SortMergeJoin.
+
+        Adoption is one ``CREATE TABLE ... CLUSTERED BY ... LOCATION
+        <snapshot>`` per (table, version) — the catalog name is
+        derived from the root and version, so time travel works (each
+        retained version adopts as its own pinned catalog entry) and a
+        fresh session re-adopts idempotently (bucket ids live in the
+        file names; the DDL is exact over the same files)."""
+        ptr = self._pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        ver = ptr[1] if version is None else version
+        snap = self.snapshot_path(ver)
+        entry = self._log_entry(ver) or {}
+        bucket = entry.get("bucket")
+        if not bucket:
+            raise ValueError(
+                f"{self.root}: version {ver} was not committed with "
+                f"commit_clustered — read() it instead"
+            )
+        schema = T.StructType.fromJson(json.loads(entry["schema"]))
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        db = "dps_manifest"
+        tag = hashlib.md5(
+            os.path.realpath(self.root).encode()
+        ).hexdigest()[:10]
+        name = f"{db}.mt_{tag}_v{ver}"
+        if not spark.catalog.tableExists(name):
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({bucket['col']}) "
+                f"SORTED BY ({bucket['sorted_by']}) "
+                f"INTO {bucket['n']} BUCKETS LOCATION '{snap}'"
+            )
+        return spark.table(name)
 
     def rename_column(
         self,

@@ -17,6 +17,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from .functions.numeric import exact_sum
 from .queries import _t, q
 from .streaming.events import SCRATCH
 
@@ -563,3 +564,87 @@ def q185_write_audit_publish(spark, sf_dir):
             F.min("doc_id").cast("long").alias("min_doc"),
         )
     )
+
+
+# ===========================================================================
+# clustered (bucket-layout) ledger snapshots: shuffle-free joins (r10)
+# ===========================================================================
+
+_Q186_BUCKETS = 8
+
+
+@q(
+    "q186_clustered_ledger_join",
+    oracle="""
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+  (CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE)) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderkey % 2 = 0
+GROUP BY o_orderstatus
+""",
+)
+def q186_clustered_ledger_join(spark, sf_dir):
+    """Shuffle-free join between two VERSIONED ledger tables
+    (`ManifestTable.commit_clustered` + `read_clustered`): both sides
+    are committed hash-bucketed on the join key through the manifest's
+    lock/CAS protocol — Spark's own bucketed writer produces the
+    layout, the bucket spec rides the commit-log entry, and readers
+    adopt a PINNED snapshot into the catalog once per (table,
+    version). The sort-merge join then needs NO exchange and NO sort
+    at read time (asserted in-query on the executed plan: the only
+    exchange is the final aggregation), which is q62's
+    amortize-the-shuffle-once strategy upgraded with the ledger's
+    versioning: time travel, CAS-serialized rebuilds, and GC all work
+    on the clustered layout, so the 100 TB fact table pays its ingest
+    shuffle once and every downstream join — against ANY retained
+    version — is co-located.
+
+    Reference anchor: the reference leans on Postgres to co-locate
+    repeated key joins via btree indexes (``src/storage.py:90-131``);
+    at Spark scale the equivalent is bucket co-location."""
+    from .operators.txn import ManifestTable
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 2 == 0)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    li_root = os.path.join(SCRATCH, f"clustered_li_{_key(sf_dir)}")
+    o_root = os.path.join(SCRATCH, f"clustered_o_{_key(sf_dir)}")
+    mli, mo = ManifestTable(li_root), ManifestTable(o_root)
+
+    def ensure(tbl, df, col):
+        v = tbl.version()
+        if v is None or not (tbl._log_entry(v) or {}).get("bucket"):
+            tbl.commit_clustered(df, col, _Q186_BUCKETS)
+
+    ensure(mli, li, "l_orderkey")
+    ensure(mo, orders, "o_orderkey")
+    l = mli.read_clustered(spark)
+    o = mo.read_clustered(spark)
+    out = (
+        l.hint("merge")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4
+            ).alias("revenue"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:1500]
+    assert plan.count("Exchange") == 1, (
+        f"clustered ledger join must not shuffle the join inputs:\n"
+        f"{plan[:2000]}"
+    )
+    return out

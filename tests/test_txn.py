@@ -2481,3 +2481,52 @@ def test_publish_with_live_cdf_takes_rebase_and_feeds_changes(
     assert rep["path"] == "rebase" and rep["published"]
     feed = main.diff(spark, 1, main.version(), ["pk"]).collect()
     assert {(r["pk"], r["_change_type"]) for r in feed} == {(2, "insert")}
+
+
+# ---------------------------------------------------------------------------
+# clustered (bucket-layout) commits — shuffle-free joins through the ledger
+# ---------------------------------------------------------------------------
+
+
+def test_commit_clustered_join_plans_without_exchange(spark, tmp_path):
+    a = ManifestTable(str(tmp_path / "a"))
+    b = ManifestTable(str(tmp_path / "b"))
+    left = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("x")
+    )
+    right = spark.range(0, 2000, 2).select(
+        F.col("id").alias("k"), (F.col("id") + 1).alias("y")
+    )
+    a.commit_clustered(left, "k", 4)
+    b.commit_clustered(right, "k", 4)
+    l, r = a.read_clustered(spark), b.read_clustered(spark)
+    joined = l.hint("merge").join(r, "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan[:1500]
+    assert joined.count() == 1000
+
+
+def test_commit_clustered_versions_pin_and_cas(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    df1 = spark.range(0, 100).select(F.col("id").alias("k"))
+    df2 = spark.range(0, 50).select(F.col("id").alias("k"))
+    v1 = t.commit_clustered(df1, "k", 4)
+    v2 = t.commit_clustered(df2, "k", 4, expect_version=v1)
+    assert (v1, v2) == (1, 2)
+    with pytest.raises(ConcurrentWriteError):
+        t.commit_clustered(df2, "k", 4, expect_version=v1)
+    # version-pinned catalog adoption: each retained version reads its
+    # own row set through its own catalog entry
+    assert t.read_clustered(spark, version=v1).count() == 100
+    assert t.read_clustered(spark, version=v2).count() == 50
+    # plain read() still works on a clustered snapshot
+    assert t.read(spark).count() == 50
+
+
+def test_commit_clustered_refuses_governed_tables(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    t.commit(df, cdf_keys=["k"])
+    with pytest.raises(ValueError):
+        t.commit_clustered(df, "k", 2)
