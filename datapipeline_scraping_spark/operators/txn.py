@@ -4867,3 +4867,245 @@ def sweep_stale_dirs(base: str, ttl_sec: float = 6 * 3600.0) -> int:
         shutil.rmtree(p, ignore_errors=True)
         removed += 1
     return removed
+
+
+# ---------------------------------------------------------------------------
+# atomic multi-table transaction groups
+# ---------------------------------------------------------------------------
+
+GROUP_INTENT = "_txn-group.json"
+
+
+def _complete_group_intent(intent: dict) -> None:
+    """Roll a crashed group commit FORWARD: for every member whose
+    pointer has not yet reached the intended version, finish the swap
+    (the log entry was written before any pointer moved, so the data
+    and metadata are already durable — only the pointer is missing).
+    Idempotent; safe to call from any member."""
+    for m in intent["members"]:
+        t = ManifestTable(m["root"])
+        ptr = t._pointer()
+        cur = 0 if ptr is None else ptr[1]
+        if cur >= m["version"]:
+            continue
+        if t._log_entry(m["version"]) is None or not os.path.isdir(
+            os.path.join(t.root, m["snapshot"])
+        ):
+            # the group never reached the swap phase for this member —
+            # with logs written before ANY pointer swap this cannot
+            # happen for a group that swapped at least one pointer;
+            # leave the table alone (the intent is a dead letter)
+            continue
+        tmp_ptr = os.path.join(t.root, f".ptr-{uuid.uuid4().hex[:8]}")
+        with open(tmp_ptr, "w") as fh:
+            fh.write(f"{m['snapshot']}\n{m['version']}\n")
+        os.replace(tmp_ptr, os.path.join(t.root, t.POINTER))
+
+
+def recover_group(root: str) -> bool:
+    """Complete a crashed :class:`TransactionGroup` commit touching the
+    table at ``root``, if one is pending. Returns True if an intent
+    was found and processed. A group whose FIRST pointer never swapped
+    is rolled back implicitly (its logged-but-unpointed entries are
+    overwritten by version-number reuse, exactly like a crashed
+    single-table commit); a group that swapped any pointer is rolled
+    FORWARD to completion."""
+    path = os.path.join(root, GROUP_INTENT)
+    try:
+        with open(path) as fh:
+            intent = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    swapped_any = False
+    for m in intent["members"]:
+        ptr = ManifestTable(m["root"])._pointer()
+        if ptr is not None and ptr[1] >= m["version"]:
+            swapped_any = True
+            break
+    if swapped_any:
+        _complete_group_intent(intent)
+    # either way the intent is settled: completed, or a dead letter
+    # from a group that never swapped (whose members roll back by
+    # version-number reuse)
+    for m in intent["members"]:
+        try:
+            os.unlink(os.path.join(m["root"], GROUP_INTENT))
+        except FileNotFoundError:
+            pass
+    return True
+
+
+class TransactionGroup:
+    """Atomic commit across SEVERAL :class:`ManifestTable`s — the
+    all-or-nothing multi-table transaction mainstream lake formats
+    don't offer (Delta/Iceberg transactions are single-table), and the
+    contract a table + its derived index need: q95/q106-class
+    consumers maintain an ANN/bucket index NEXT TO the corpus table,
+    and a reader that sees the new corpus with the old index (or vice
+    versa) computes garbage. At 100 TB the snapshot writes dominate
+    and run UNLOCKED and in parallel upstream; the serialized section
+    is per-table: one CAS + one log write + one pointer swap each.
+
+    Protocol (all-or-nothing on an atomic-rename filesystem):
+
+    1. stage every member's snapshot (long, unlocked);
+    2. take every member's commit lock in canonical root order
+       (deadlock-free against any other group over the same tables);
+    3. CAS-check every member's version under lock — any mismatch
+       aborts the WHOLE group before anything is visible;
+    4. write every member's log entry (logged-but-unpointed = invisible
+       intent, as in the single-table protocol);
+    5. drop a group-intent file in every member root;
+    6. swap pointers in canonical order;
+    7. remove the intents, release locks, GC.
+
+    A crash before the first pointer swap rolls the whole group back
+    (unpointed entries are overwritten by version reuse). A crash
+    after any swap leaves the intent files, and :func:`recover_group`
+    — called automatically by the next group commit or read — rolls
+    the group FORWARD, so readers can never durably observe a torn
+    group. Readers wanting a guaranteed-consistent view call
+    :meth:`read_all`, which runs recovery first and then resolves all
+    members' heads under a consistent cut."""
+
+    def __init__(self, *tables: ManifestTable):
+        if len(tables) < 2:
+            raise ValueError("a TransactionGroup needs at least 2 tables")
+        self.tables = sorted(
+            tables, key=lambda t: os.path.realpath(t.root)
+        )
+        roots = [os.path.realpath(t.root) for t in self.tables]
+        if len(set(roots)) != len(roots):
+            raise ValueError("duplicate table roots in group")
+
+    def _recover_all(self) -> None:
+        for t in self.tables:
+            recover_group(t.root)
+
+    def commit(
+        self,
+        writes: dict[str, DataFrame],
+        *,
+        expect_versions: dict[str, int] | None = None,
+        meta: dict | None = None,
+        keep_snapshots: int = 2,
+    ) -> dict[str, int]:
+        """Commit every table's new full state atomically. ``writes``
+        maps each member's root -> DataFrame (every member must be
+        written — a partial group is a contradiction in terms; commit
+        the subset through the tables directly if independence is
+        fine). ``expect_versions`` (root -> version) adds per-member
+        CAS. Returns root -> new version. Raises
+        :class:`ConcurrentWriteError` (whole group aborted, nothing
+        visible) on any CAS miss."""
+        self._recover_all()
+        by_root = {os.path.realpath(t.root): t for t in self.tables}
+        keyed = {os.path.realpath(r): df for r, df in writes.items()}
+        if set(keyed) != set(by_root):
+            raise ValueError(
+                f"writes must cover the group exactly; missing="
+                f"{sorted(set(by_root) - set(keyed))} extra="
+                f"{sorted(set(keyed) - set(by_root))}"
+            )
+        for t in self.tables:
+            live = t._log_entry(t.version() or 0) or {}
+            if (live.get("cdf") or {}).get("key_cols") or live.get("checks"):
+                raise ValueError(
+                    f"{t.root}: group commits don't compose with the "
+                    f"change feed or CHECK constraints yet — commit() "
+                    f"those tables individually"
+                )
+        gid = uuid.uuid4().hex[:16]
+        staged: dict[str, str] = {}
+        schemas: dict[str, str] = {}
+        try:
+            for t in self.tables:
+                rp = os.path.realpath(t.root)
+                df = keyed[rp]
+                os.makedirs(t.root, exist_ok=True)
+                s = os.path.join(
+                    t.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
+                )
+                df.write.mode("overwrite").parquet(s)
+                staged[rp] = s
+                schemas[rp] = df.schema.json()
+        except Exception:
+            for s in staged.values():
+                shutil.rmtree(s, ignore_errors=True)
+            raise
+        locked: list[ManifestTable] = []
+        plan: list[dict] = []
+        swapped = False
+        try:
+            for t in self.tables:
+                t._acquire_lock()
+                locked.append(t)
+            exp = {
+                os.path.realpath(r): v
+                for r, v in (expect_versions or {}).items()
+            }
+            for t in self.tables:
+                rp = os.path.realpath(t.root)
+                ptr = t._pointer()
+                cur = 0 if ptr is None else ptr[1]
+                if rp in exp and cur != exp[rp]:
+                    raise ConcurrentWriteError(
+                        f"{t.root}: version {cur} != expected {exp[rp]} — "
+                        f"whole group aborted"
+                    )
+                new_ver = cur + 1
+                snap = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
+                plan.append(
+                    {"root": t.root, "version": new_ver, "snapshot": snap}
+                )
+            intent = {"gid": gid, "members": plan}
+            for t, m in zip(self.tables, plan):
+                rp = os.path.realpath(t.root)
+                os.rename(staged[rp], os.path.join(t.root, m["snapshot"]))
+                staged[rp] = os.path.join(t.root, m["snapshot"])
+                t._write_log(
+                    m["version"],
+                    m["snapshot"],
+                    [],
+                    schemas[rp],
+                    meta={
+                        **(meta or {}),
+                        "txn": {"gid": gid, "roots": [p["root"] for p in plan]},
+                    },
+                )
+            for t in self.tables:
+                tmp = os.path.join(t.root, f".grp-{uuid.uuid4().hex[:8]}")
+                with open(tmp, "w") as fh:
+                    json.dump(intent, fh)
+                os.replace(tmp, os.path.join(t.root, GROUP_INTENT))
+            for t, m in zip(self.tables, plan):
+                tmp_ptr = os.path.join(
+                    t.root, f".ptr-{uuid.uuid4().hex[:8]}"
+                )
+                with open(tmp_ptr, "w") as fh:
+                    fh.write(f"{m['snapshot']}\n{m['version']}\n")
+                os.replace(tmp_ptr, os.path.join(t.root, t.POINTER))
+                t.last_snapshot = m["snapshot"]
+                swapped = True
+            for t in self.tables:
+                try:
+                    os.unlink(os.path.join(t.root, GROUP_INTENT))
+                except FileNotFoundError:
+                    pass
+        finally:
+            for t in locked:
+                t._release_lock()
+            if not swapped:
+                for s in staged.values():
+                    shutil.rmtree(s, ignore_errors=True)
+        for t in self.tables:
+            t._gc(keep=keep_snapshots)
+        return {m["root"]: m["version"] for m in plan}
+
+    def read_all(self, spark: SparkSession) -> dict[str, DataFrame]:
+        """Consistent read of every member: completes any crashed group
+        first (roll-forward), then reads each member's head. Because
+        every group commit is all-or-nothing after recovery, the heads
+        form a consistent cut whenever writes go through the group."""
+        self._recover_all()
+        return {t.root: t.read(spark) for t in self.tables}
