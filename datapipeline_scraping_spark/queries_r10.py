@@ -629,7 +629,10 @@ def q186_clustered_ledger_join(spark, sf_dir):
     ensure(mo, orders, "o_orderkey")
     l = mli.read_clustered(spark)
     o = mo.read_clustered(spark)
-    out = (
+    # the no-exchange-on-join-inputs property is CI-enforced by plan
+    # lint (tests/test_plan_lint.py MUST_COLOCATED_JOIN) — a planner
+    # change surfaces as a lint failure, not a driver correctness err
+    return (
         l.hint("merge")
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderstatus")
@@ -641,10 +644,3 @@ def q186_clustered_ledger_join(spark, sf_dir):
             ).alias("revenue"),
         )
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in plan, plan[:1500]
-    assert plan.count("Exchange") == 1, (
-        f"clustered ledger join must not shuffle the join inputs:\n"
-        f"{plan[:2000]}"
-    )
-    return out

@@ -130,6 +130,15 @@ MUST_RUNTIME_FILTER = [
     "q141_bloom_pruned_join",
 ]
 
+# Queries joining two bucket-clustered (commit_clustered) ledger
+# snapshots: the sort-merge join must consume the bucket layout — NO
+# exchange upstream of the join; the only allowed exchange is the
+# final aggregation's. Relocated here from q186's body (VERDICT r10
+# item 7) so a Spark planner change fails CI, not a driver run.
+MUST_COLOCATED_JOIN = [
+    "q186_clustered_ledger_join",
+]
+
 ARROW_NODES = (
     "ArrowEvalPython",
     "MapInPandas",
@@ -207,4 +216,15 @@ def test_plan_lint(spark, name):
             f"{name}: expected an injected runtime bloom filter "
             f"(might_contain below the fact side) in the optimized "
             f"plan:\n{optimized[:2000]}"
+        )
+
+    if name in MUST_COLOCATED_JOIN:
+        assert "SortMergeJoin" in plan, (
+            f"{name}: expected a SortMergeJoin over the bucketed "
+            f"scans:\n{plan[:2000]}"
+        )
+        assert plan.count("Exchange") == 1, (
+            f"{name}: a clustered ledger join must not shuffle its "
+            f"join inputs (only the final aggregation may exchange):\n"
+            f"{plan[:2000]}"
         )

@@ -2530,3 +2530,263 @@ def test_commit_clustered_refuses_governed_tables(spark, tmp_path):
     t.commit(df, cdf_keys=["k"])
     with pytest.raises(ValueError):
         t.commit_clustered(df, "k", 2)
+
+
+# ---------------------------------------------------------------------------
+# round-11 regressions: group-commit recovery races (ADVICE r10 medium),
+# group partition/schema inheritance, branch lifecycle, clustered-catalog
+# GC, compaction × clustered guards, publish conflict reporting
+# ---------------------------------------------------------------------------
+
+
+def _fake_group_state(spark, tmp_path, swap_first=False):
+    """Build the crash state of a 2-table group commit by hand: both
+    members have their version-2 log entry + snapshot dir + the group
+    intent file, but (unless ``swap_first``) neither pointer moved —
+    exactly a crash between _write_log and the pointer swaps."""
+    import json as _json
+
+    from datapipeline_scraping_spark.operators.txn import GROUP_INTENT
+
+    a = ManifestTable(str(tmp_path / "ga"))
+    b = ManifestTable(str(tmp_path / "gb"))
+    a.commit(_df(spark, [(1, "a1")]))
+    b.commit(_df(spark, [(1, "b1")]))
+    members = []
+    for t, tag in ((a, "a"), (b, "b")):
+        snap = f"snap-{2:06d}-deadbeef"
+        _df(spark, [(2, f"{tag}2")]).write.mode("overwrite").parquet(
+            os.path.join(t.root, snap)
+        )
+        t._write_log(2, snap, [], _df(spark, [(2, "x")]).schema.json())
+        members.append({"root": t.root, "version": 2, "snapshot": snap})
+    intent = {"gid": "cafebabe", "members": members}
+    for t in (a, b):
+        with open(os.path.join(t.root, GROUP_INTENT), "w") as fh:
+            _json.dump(intent, fh)
+    if swap_first:
+        m = members[0]
+        with open(os.path.join(a.root, a.POINTER), "w") as fh:
+            fh.write(f"{m['snapshot']}\n2\n")
+    return a, b, members
+
+
+def test_recover_group_rolls_forward_after_first_swap(spark, tmp_path):
+    from datapipeline_scraping_spark.operators.txn import recover_group
+
+    a, b, members = _fake_group_state(spark, tmp_path, swap_first=True)
+    assert recover_group(b.root)
+    assert a.version() == 2 and b.version() == 2
+    assert {r["v"] for r in b.read(spark).collect()} == {"b2"}
+
+
+def test_recover_group_version_reuse_is_not_swap_proof(spark, tmp_path):
+    """ADVICE r10 (medium): an INDEPENDENT writer committing version 2
+    on member A after stale-lock expiry must not convince recovery
+    that the group swapped — the old ptr[1] >= version heuristic would
+    publish member B's never-committed snapshot (torn group) and could
+    clobber A's pointer."""
+    import json as _json
+
+    from datapipeline_scraping_spark.operators.txn import (
+        GROUP_INTENT,
+        recover_group,
+    )
+
+    a, b, members = _fake_group_state(spark, tmp_path)
+    # independent single-table writer lands ITS OWN version 2 on A
+    # (commit() settles the pending intent first — also under test)
+    a.commit(_df(spark, [(9, "independent")]))
+    assert a.version() == 2
+    assert {r["v"] for r in a.read(spark).collect()} == {"independent"}
+    # the never-swapped group must have been dead-lettered: B untouched
+    assert b.version() == 1
+    assert not os.path.exists(os.path.join(a.root, GROUP_INTENT))
+    assert not os.path.exists(os.path.join(b.root, GROUP_INTENT))
+    # simulate an old-binary writer that did NOT settle the intent:
+    # re-drop the intent files and run recovery — snapshot-name
+    # identity must reject A's reused version number as swap proof
+    intent = {"gid": "cafebabe", "members": members}
+    for t in (a, b):
+        with open(os.path.join(t.root, GROUP_INTENT), "w") as fh:
+            _json.dump(intent, fh)
+    assert recover_group(a.root)
+    assert b.version() == 1, "torn group published by version-reuse"
+    assert {r["v"] for r in a.read(spark).collect()} == {"independent"}, (
+        "recovery clobbered the independent writer's pointer"
+    )
+
+
+def test_group_commit_inherits_partitioning_and_validates_schema(
+    spark, tmp_path
+):
+    from datapipeline_scraping_spark.operators.txn import (
+        SchemaEvolutionError,
+        TransactionGroup,
+    )
+
+    a = ManifestTable(str(tmp_path / "ga"))
+    b = ManifestTable(str(tmp_path / "gb"))
+    part = spark.createDataFrame(
+        [(1, "x", "p1"), (2, "y", "p2")], "pk long, v string, part string"
+    )
+    a.commit(part, partition_by=["part"])
+    b.commit(_df(spark, [(1, "b1")]))
+    grp = TransactionGroup(a, b)
+    grp.commit(
+        {
+            a.root: spark.createDataFrame(
+                [(3, "z", "p1")], "pk long, v string, part string"
+            ),
+            b.root: _df(spark, [(2, "b2")]),
+        }
+    )
+    # member A must STILL be hive-partitioned (ADVICE r10: group commit
+    # silently unpartitioned members)
+    e = a._log_entry(a.version())
+    assert e["partition_by"] == ["part"]
+    assert any(
+        d.startswith("part=") for d in os.listdir(a.snapshot_path())
+    ), "group commit lost the hive layout"
+    # schema narrowing must raise, not silently re-schema the member
+    with pytest.raises(SchemaEvolutionError):
+        grp.commit(
+            {
+                a.root: spark.createDataFrame(
+                    [("not-a-long", "z", "p1")],
+                    "pk string, v string, part string",
+                ),
+                b.root: _df(spark, [(3, "b3")]),
+            }
+        )
+    # widening/evolution: a new column lands, missing columns null-fill
+    grp.commit(
+        {
+            a.root: spark.createDataFrame(
+                [(4, "w", "p2", 7.5)],
+                "pk long, v string, part string, score double",
+            ),
+            b.root: _df(spark, [(4, "b4")]),
+        }
+    )
+    assert "score" in a.read(spark).columns
+
+
+def test_publish_reports_exact_conflict_count(spark, tmp_path):
+    main, branch = _wap_pair(spark, tmp_path)
+    rows = [(i, f"b{i}") for i in range(1, 9)]
+    branch.commit(_df(spark, rows))  # touches keys 1..8
+    main.commit(_df(spark, [(i, f"m{i}") for i in range(1, 9)]))  # same keys
+    rep = main.publish_from(
+        spark, branch, keys=["pk"], on_conflict="ours"
+    )
+    # ADVICE r10 (low): the old limit(4) sample capped this at 4
+    assert rep["conflicts"] == 8, rep
+    got = {r["pk"]: r["v"] for r in main.read(spark).collect()}
+    assert got == dict(rows)
+
+
+def test_publish_drop_branch_reclaims_root_and_keeps_data(spark, tmp_path):
+    main, branch = _wap_pair(spark, tmp_path)
+    branch.append(_df(spark, [(3, "c")]))
+    rep = main.publish_from(
+        spark, branch, keys=["pk"], drop_branch=True
+    )
+    assert rep["path"] == "fast" and rep["branch_dropped"]
+    assert not os.path.isdir(branch.root), "branch root leaked"
+    # the adopted (hardlinked) snapshot survives the branch drop
+    got = {r["pk"]: r["v"] for r in main.read(spark).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    # failed audit leaves the branch intact for fix + re-publish
+    main2, branch2 = _wap_pair(spark, tmp_path, name="m2")
+    branch2.append(_df(spark, [(7, "bad")]))
+    from datapipeline_scraping_spark.operators.txn import AuditFailedError
+
+    with pytest.raises(AuditFailedError):
+        main2.publish_from(
+            spark, branch2, keys=["pk"],
+            audit={"no7": "pk <> 7"}, drop_branch=True,
+        )
+    assert os.path.isdir(branch2.root), "audit failure must keep the branch"
+
+
+def test_clustered_catalog_entry_gc_and_recreated_root(spark, tmp_path):
+    from datapipeline_scraping_spark.operators.txn import SnapshotExpiredError
+
+    root = str(tmp_path / "clus")
+    tbl = ManifestTable(root, retention_sec=0)
+    df1 = _df(spark, [(1, "a"), (2, "b")])
+    tbl.commit_clustered(df1, "pk", 4)
+    tbl.read_clustered(spark)  # adopt v1
+    name_v1 = f"dps_manifest.mt_{tbl._catalog_tag()}_v1"
+    assert spark.catalog.tableExists(name_v1)
+    # advance twice with keep=1 so v1's snapshot is GC'd
+    tbl.commit_clustered(_df(spark, [(3, "c")]), "pk", 4, keep_snapshots=1)
+    tbl.read_clustered(spark)
+    tbl.commit_clustered(_df(spark, [(4, "d")]), "pk", 4, keep_snapshots=1)
+    tbl.read_clustered(spark)
+    assert not spark.catalog.tableExists(name_v1), (
+        "GC left a dangling catalog entry for the vacuumed version"
+    )
+    with pytest.raises((SnapshotExpiredError, FileNotFoundError)):
+        tbl.read_clustered(spark, version=1)
+    # recreated root at the same path: versions restart at 1 — the
+    # stale v1 entry (if any) must not serve the OLD location/schema
+    import shutil as _sh
+
+    _sh.rmtree(root)
+    tbl2 = ManifestTable(root, retention_sec=0)
+    tbl2.commit_clustered(
+        spark.createDataFrame([(10, "zz", 1.0)], "pk long, v string, w double"),
+        "pk",
+        4,
+    )
+    got = tbl2.read_clustered(spark)
+    assert set(got.columns) == {"pk", "v", "w"}
+    assert got.count() == 1
+
+
+def test_clustered_snapshots_refuse_append_and_compaction(spark, tmp_path):
+    from datapipeline_scraping_spark.operators.txn import (
+        compact_small_files,
+        compact_table,
+    )
+
+    root = str(tmp_path / "clus2")
+    tbl = ManifestTable(root)
+    tbl.commit_clustered(_df(spark, [(1, "a"), (2, "b")]), "pk", 4)
+    with pytest.raises(ValueError, match="CLUSTERED"):
+        tbl.append(_df(spark, [(3, "c")]))
+    with pytest.raises(ValueError, match="CLUSTERED"):
+        compact_small_files(spark, root, min_file_bytes=1 << 30)
+    with pytest.raises(ValueError, match="CLUSTERED"):
+        compact_table(spark, root)
+    # the layout survived every refusal: still exchange-free joinable
+    got = tbl.read_clustered(spark)
+    assert got.count() == 2
+
+
+def test_commit_clustered_guard_rechecks_inside_lock(spark, tmp_path):
+    """ADVICE r10 (low) TOCTOU: checks enabled between the pre-lock
+    guard and the lock must abort the clustered commit."""
+    root = str(tmp_path / "clus3")
+    base = ManifestTable(root)
+    base.commit(_df(spark, [(1, "a")]))
+
+    class Hooked(ManifestTable):
+        def _acquire_lock(self, timeout: float = 30.0) -> None:
+            if not getattr(self, "_fired", False):
+                self._fired = True
+                ManifestTable(self.root).commit(
+                    _df(spark, [(1, "a")]), check={"pos": "pk >= 0"}
+                )
+            super()._acquire_lock(timeout)
+
+    hooked = Hooked(root)
+    with pytest.raises(ValueError, match="concurrent commit enabled"):
+        hooked.commit_clustered(_df(spark, [(2, "b")]), "pk", 4)
+    # staged dir cleaned, table still the concurrent writer's state
+    assert not any(
+        e.startswith("snap-staging-") for e in os.listdir(root)
+    )
+    assert (ManifestTable(root)._log_entry(2) or {}).get("checks")
