@@ -1,0 +1,283 @@
+"""Round-11 registry queries — the SQL DML statement surface on the
+transaction layer (q187) and the exactly-once streaming epoch sink
+landing on a PARTITIONED ledger with composed pruned catch-up reads
+(q188).
+
+Reference anchor: the reference's sink IS hand-written SQL DML through
+psycopg2 (``INSERT ... ON CONFLICT (pk) DO UPDATE``,
+``src/storage.py:41-53``) driven by a daily incremental loop
+(``dags/scraping_etl.py``); q187 is that statement surface
+(UPDATE / DELETE / MERGE INTO) re-expressed on the snapshot ledger,
+q188 is the incremental loop's streaming form with the partition
+layout a 100 TB event sink needs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from .functions.numeric import sql_exact_sum
+from .queries import _t, q
+from .streaming.events import SCRATCH
+
+
+def _key(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").replace("/", "_").lstrip("_").replace(".", "_")
+
+
+# ===========================================================================
+# SQL UPDATE / DELETE / MERGE INTO on the ledger (r11)
+# ===========================================================================
+
+@q(
+    "q187_sql_dml_ledger",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+upd AS (
+  SELECT o_orderkey, o_orderstatus,
+    CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 1000
+         ELSE o_totalprice END AS o_totalprice
+  FROM base
+),
+del AS (
+  SELECT * FROM upd
+  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 6 = 0)
+),
+src AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 7 AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <= 1
+),
+merged AS (
+  SELECT d.o_orderkey,
+    coalesce(s.o_orderstatus, d.o_orderstatus) AS o_orderstatus,
+    coalesce(s.o_totalprice, d.o_totalprice) AS o_totalprice
+  FROM del d LEFT JOIN src s USING (o_orderkey)
+  UNION ALL
+  SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+  FROM src s ANTI JOIN del d USING (o_orderkey)
+)
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {sql_exact_sum("o_totalprice", 18, 2)} AS sum_price,
+  CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM merged GROUP BY o_orderstatus
+""",
+)
+def q187_sql_dml_ledger(spark, sf_dir):
+    """The full SQL DML statement surface on the versioned ledger
+    (``sources/manifest_sql.py`` — VERDICT r10 item 3, completing what
+    q171/q183's read + INSERT halves started): ``UPDATE ... SET ...
+    WHERE``, ``DELETE FROM ... WHERE`` and ``MERGE INTO ... USING ...
+    ON ... WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
+    INSERT *`` are accepted as statements and routed to the ledger's
+    transactional writers: UPDATE/DELETE land MERGE-ON-READ (data
+    files hardlink forward; churn-sized ``_upd``/``_dv`` sidecars —
+    the only affordable DML shape at 100 TB), MERGE is one keyed
+    full-outer join committed under CAS with optimistic retry. Table
+    properties are enforced on the SQL path exactly as on the
+    DataFrame path: the table carries a CHECK constraint throughout
+    the chain, and the MoR key rules come from the
+    ``register_table(..., key_cols=)`` primary-key declaration — the
+    same contract the reference declares with ``ON CONFLICT (pk)``
+    (``src/storage.py:41-53``). In-query asserts pin the MoR shape
+    (sidecars present, not rewrites) and that each statement advanced
+    exactly one version. Final read goes through the refreshed SQL
+    view, so statement surface and read surface compose."""
+    from .operators.txn import ManifestTable
+    from .sources.manifest_sql import register_table, sql
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = os.path.join(SCRATCH, f"sqldml_{_key(sf_dir)}")
+    tbl = ManifestTable(root, retention_sec=3600)
+    view = f"q187_ledger_{_key(sf_dir)}"
+    if (tbl.version() or 0) != 4:  # commit + UPDATE + DELETE + MERGE
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = ManifestTable(root, retention_sec=3600)
+        tbl.commit(
+            orders.filter(F.col("o_orderkey") % 3 == 0).repartition(2),
+            check={"price_pos": "o_totalprice >= 0"},
+        )
+        register_table(spark, view, root, key_cols=["o_orderkey"])
+        assert (
+            sql(
+                spark,
+                f"UPDATE {view} SET o_totalprice = o_totalprice + 1000 "
+                f"WHERE o_orderkey % 9 = 0",
+            )
+            == 2
+        )
+        assert (tbl._log_entry(2) or {}).get("mor_delta"), (
+            "SQL UPDATE must land merge-on-read, not a rewrite"
+        )
+        assert (
+            sql(
+                spark,
+                f"DELETE FROM {view} "
+                f"WHERE o_orderstatus = 'F' AND o_orderkey % 6 = 0",
+            )
+            == 3
+        )
+        assert (tbl._log_entry(3) or {}).get("dv"), (
+            "SQL DELETE must land a deletion vector"
+        )
+        src_view = f"q187_src_{_key(sf_dir)}"
+        orders.filter(
+            (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 3 <= 1)
+        ).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(7)
+        ).createOrReplaceTempView(src_view)
+        assert (
+            sql(
+                spark,
+                f"""MERGE INTO {view} AS t USING {src_view} AS s
+                    ON t.o_orderkey = s.o_orderkey
+                    WHEN MATCHED THEN UPDATE SET *
+                    WHEN NOT MATCHED THEN INSERT *""",
+            )
+            == 4
+        )
+    register_table(spark, view, root, key_cols=["o_orderkey"])
+    # the exact-decimal sum string is valid in BOTH engines — the same
+    # expression is the oracle's, so the hash compare is bit-exact
+    return sql(
+        spark,
+        f"""SELECT o_orderstatus,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              {sql_exact_sum("o_totalprice", 18, 2)} AS sum_price,
+              CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+            FROM {view} GROUP BY o_orderstatus""",
+    )
+
+
+# ===========================================================================
+# exactly-once epoch sink onto a PARTITIONED ledger + pruned catch-up (r11)
+# ===========================================================================
+
+_Q188_TYPES = ("purchase", "signup")
+
+
+@q(
+    "q188_partitioned_epoch_sink",
+    oracle=f"""
+WITH fresh AS (
+  SELECT event_type, user_id % 4 AS shard,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events
+  WHERE event_type IN ('{_Q188_TYPES[0]}', '{_Q188_TYPES[1]}')
+  GROUP BY event_type, user_id % 4
+)
+SELECT event_type, shard, n_events, n_users FROM fresh
+""",
+)
+def q188_partitioned_epoch_sink(spark, sf_dir):
+    """Exactly-once streaming ingest onto a PARTITIONED ledger
+    (VERDICT r10 item 4 — the epoch sink composed with the layout a
+    100 TB event table actually uses): events stream in 4 micro-
+    batches (per-user-shard files, maxFilesPerTrigger=1) into a
+    manifest table hive-partitioned by ``event_type`` through
+    ``manifest_epoch_sink(insert_only=True)`` — each epoch is an
+    APPEND commit whose new files land inside their partition
+    directories while the whole base hardlinks forward (zero rewrite;
+    per-batch cost O(batch)), with the epoch id recorded atomically.
+    In-query asserts pin: (1) replaying the final epoch is a no-op
+    (same version — the crash-between-commit-and-checkpoint case);
+    (2) epochs landed as separate append commits; (3) the catch-up
+    read PRUNES by partition directory — ``_partition_pruned_files``
+    keeps a strict subset per probed type (q184's assertion reused on
+    a stream-built table). The returned aggregate reads ONLY the two
+    probed partitions via ``read_where``, so the pruned path is the
+    hash-checked result path. The seed commit fixes the partition
+    layout as a table property; appends inherit it — exactly how the
+    sink keeps a Delta partitioned table."""
+    import uuid
+
+    from .operators.txn import ManifestTable
+    from .sources.tables import load_table
+    from .streaming.events import pinned_shuffle_partitions
+    from .streaming.txn_sink import last_applied_epoch, manifest_epoch_sink
+
+    shard_src = os.path.join(SCRATCH, f"events_by_user_{_key(sf_dir)}")
+    if not os.path.exists(os.path.join(shard_src, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .repartition(4, F.col("user_id") % 4)
+            .write.mode("overwrite")
+            .parquet(shard_src)
+        )
+
+    target = os.path.join(SCRATCH, f"part_epoch_sink_{_key(sf_dir)}")
+    shutil.rmtree(target, ignore_errors=True)
+    tbl = ManifestTable(target, retention_sec=3600)
+    # seed commit declares the PARTITIONED layout (a table property —
+    # every epoch append inherits it); zero seed rows, layout only
+    seed = spark.createDataFrame(
+        [],
+        "event_type string, shard long, user_id long, event_id long",
+    )
+    tbl.commit(seed, partition_by=["event_type"])
+
+    def per_shard(batch_df):
+        return batch_df.select(
+            "event_type",
+            (F.col("user_id") % 4).alias("shard"),
+            "user_id",
+            "event_id",
+        )
+
+    sink = manifest_epoch_sink(
+        target, "event_id", transform=per_shard, insert_only=True
+    )
+    schema = spark.read.parquet(shard_src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shard_src)
+    )
+    with pinned_shuffle_partitions(spark, 8):
+        q_ = (
+            sdf.writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation",
+                os.path.join(
+                    SCRATCH, "ckpt", f"pepoch_{uuid.uuid4().hex[:12]}"
+                ),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+
+    # (1) exactly-once: re-delivering the final epoch must not commit
+    ver_before = tbl.version()
+    last = last_applied_epoch(tbl)
+    assert last is not None and last >= 1, f"expected multiple epochs: {last}"
+    sink(spark.read.parquet(shard_src), last)
+    assert tbl.version() == ver_before, "replayed epoch must not commit"
+    # (2) each epoch appended (seed + one commit per epoch)
+    assert ver_before >= 3, f"expected per-epoch append commits: {ver_before}"
+    # (3) partition-directory pruning on the stream-built layout
+    for t in _Q188_TYPES:
+        pruned = tbl._partition_pruned_files("event_type", t, t)
+        assert pruned is not None and 0 < len(pruned[0]) < pruned[1], (
+            f"partition pruning ineffective for {t}: {pruned}"
+        )
+    lo, hi = min(_Q188_TYPES), max(_Q188_TYPES)
+    got = tbl.read_where(spark, {"event_type": (lo, hi)})
+    return (
+        got.filter(F.col("event_type").isin(*_Q188_TYPES))
+        .groupBy("event_type", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
