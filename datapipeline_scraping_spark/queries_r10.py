@@ -541,10 +541,20 @@ def q185_write_audit_publish(spark, sf_dir):
             key_cols=["doc_id"],
         )
         main.append(docs.filter(F.col("doc_id") % 4 == 2).coalesce(2))
-        rep = main.publish_from(spark, branch, keys=["doc_id"], audit=gate)
+        # re-publish with the branch-retention tail (r11): a successful
+        # publish DROPS the branch root, closing the per-crawl-batch
+        # governance loop without leaking a branch per batch
+        rep = main.publish_from(
+            spark, branch, keys=["doc_id"], audit=gate, drop_branch=True
+        )
         assert rep["path"] == "rebase" and rep["conflicts"] == 0, rep
+        assert rep["branch_dropped"] and not os.path.isdir(b1_root), (
+            "published branch root must be reclaimed"
+        )
         # second round: branch from the new head, publish with main
-        # unmoved -> zero-copy adoption
+        # unmoved -> zero-copy adoption; the drop only releases the
+        # branch's directory entries — main's adopted snapshot keeps
+        # the hardlinked inodes alive
         branch2 = main.clone_to(b2_root)
         branch2.update_where(
             spark,
@@ -552,8 +562,11 @@ def q185_write_audit_publish(spark, sf_dir):
             {"n_chars": F.col("n_chars") + F.lit(7)},
             key_cols=["doc_id"],
         )
-        rep2 = main.publish_from(spark, branch2, keys=["doc_id"])
-        assert rep2["path"] == "fast", rep2
+        rep2 = main.publish_from(
+            spark, branch2, keys=["doc_id"], drop_branch=True
+        )
+        assert rep2["path"] == "fast" and rep2["branch_dropped"], rep2
+        assert not os.path.isdir(b2_root)
         assert main.version() == 4
     return (
         main.read(spark)

@@ -399,6 +399,25 @@ TXN_QUERIES = (
     "q180_bloom_point_lookup",
     "q181_append_only_ingest",
     "q182_small_file_compaction",
+    # r10 tail: SQL INSERT ingest must stay O(batch) through the Arrow
+    # datasource writer (inode-asserted in-query); the composed
+    # partition+stats pruned read must keep scanning only the
+    # window-within-partition files as lineitem grows 10x; WAP's
+    # audit/rebase/fast paths run on the 10x doc corpus (the fast
+    # publish stays O(1) hardlinks regardless of bytes); the clustered
+    # ledger join pays its ingest shuffle once at 10x and still plans
+    # exchange-free
+    "q183_sql_insert_ledger",
+    "q184_partitioned_pruned_scan",
+    "q185_write_audit_publish",
+    "q186_clustered_ledger_join",
+    # r11: the SQL DML chain (UPDATE/DELETE merge-on-read, MERGE
+    # copy-on-write) must keep its statement cost tracking churn /
+    # join size, not the 10x table; the partitioned epoch sink's
+    # per-epoch append cost tracks the batch while partition pruning
+    # keeps the catch-up read constant-fraction
+    "q187_sql_dml_ledger",
+    "q188_partitioned_epoch_sink",
 )
 
 CURATION_QUERIES = (
