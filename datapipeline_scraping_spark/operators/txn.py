@@ -541,6 +541,52 @@ def _location_matches(spark: SparkSession, name: str, snap: str) -> bool:
         return False
 
 
+#: Spark's bucket-file name convention: the bucket id rides the file
+#: name as ``..._NNNNN.c000...`` and the catalog reader parses it back
+#: (``BucketingUtils.getBucketId``) — the layout contract every
+#: clustered commit/append/compaction here must preserve
+_BUCKET_FILE_RE = re.compile(r"_(\d{5})(?:\.|$)")
+
+
+def _bucket_id(filename: str) -> int | None:
+    m = _BUCKET_FILE_RE.search(filename)
+    return int(m.group(1)) if m else None
+
+
+def _write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str,
+    dest: str,
+) -> None:
+    """Write ``df`` hash-bucketed into ``dest`` via Spark's own
+    bucketed writer, staged through a throwaway EXTERNAL catalog entry
+    (dropping it is metadata-only; the files stay). The frame is
+    pre-``repartition(n, col)`` so each write task holds exactly one
+    bucket's rows — ``repartition``'s hash partitioner and the bucket
+    id function are the same ``pmod(murmur3, n)``, so the output is
+    at most ONE file per bucket, which is what lets the catalog scan
+    claim per-bucket SORT ordering (Spark drops the sorted property
+    whenever a bucket spans multiple files)."""
+    stg_db = "dps_manifest_staging"
+    stg_tbl = f"{stg_db}.stg_{uuid.uuid4().hex[:12]}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {stg_db}")
+    try:
+        (
+            df.repartition(n_buckets, F.col(bucket_col))
+            .write.bucketBy(n_buckets, bucket_col)
+            .sortBy(sort_col)
+            .format("parquet")
+            .mode("overwrite")
+            .option("path", dest)
+            .saveAsTable(stg_tbl)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {stg_tbl}")
+
+
 def _link_tree(src: str, dst: str, *, skip_top: tuple[str, ...] = ()) -> None:
     """Hardlink ``src``'s tree under ``dst`` (copy where the filesystem
     refuses links) — the metadata-only snapshot duplication RESTORE and
@@ -1576,21 +1622,7 @@ class ManifestTable:
             self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
         )
         os.makedirs(self.root, exist_ok=True)
-        stg_db = "dps_manifest_staging"
-        stg_tbl = f"{stg_db}.stg_{uuid.uuid4().hex[:12]}"
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {stg_db}")
-        try:
-            (
-                df.write.bucketBy(n_buckets, bucket_col)
-                .sortBy(sort_col)
-                .format("parquet")
-                .mode("overwrite")
-                .option("path", staged)
-                .saveAsTable(stg_tbl)
-            )
-        finally:
-            # external table: dropping is metadata-only, files stay
-            spark.sql(f"DROP TABLE IF EXISTS {stg_tbl}")
+        _write_bucketed(spark, df, bucket_col, int(n_buckets), sort_col, staged)
         schema_json = df.schema.json()
         committed = False
         self._acquire_lock()
@@ -1754,6 +1786,155 @@ class ManifestTable:
             return dropped
         except Exception:
             return 0  # metastore hiccup: adoption re-validates anyway
+
+    def append_clustered(
+        self,
+        df: DataFrame,
+        *,
+        expect_version: int | None = None,
+        keep_snapshots: int = 2,
+        meta: dict | None = None,
+    ) -> int:
+        """BUCKET-PRESERVING append onto a :meth:`commit_clustered`
+        snapshot (r11 — the missing half of the clustered-ledger
+        story): the batch is written through Spark's bucketed writer
+        with the table's OWN ``(bucket_col, n, sorted_by)`` spec, the
+        base snapshot's files hardlink forward untouched, and the new
+        per-bucket files are adopted KEEPING their bucket-id file
+        names — so every retained version stays exchange-free joinable
+        through :meth:`read_clustered`, and an ingest loop maintains a
+        100 TB clustered fact table at O(batch) cost instead of
+        re-clustering the world per batch (`commit_clustered` is the
+        rewrite; this is the add-file commit).
+
+        Honest cost model: after k appends a bucket holds up to k+1
+        files; ``HashPartitioning`` still holds (joins plan with NO
+        exchange on the join inputs), but Spark drops the per-bucket
+        SORT property whenever a bucket spans multiple files, so
+        downstream sort-merge joins re-sort locally until
+        :func:`compact_clustered` repacks each multi-file bucket back
+        to one sorted file (restoring the sort-free plan). Exactly
+        Delta's bucketed-ingest + OPTIMIZE rhythm.
+
+        The batch's schema must match the committed schema by
+        name+type (clustered tables are join-layout artifacts —
+        schema changes go through :meth:`commit_clustered`); raises
+        :class:`SchemaEvolutionError` otherwise. Same CAS/lock
+        protocol as every writer; the cdf/checks guard re-runs inside
+        the lock like :meth:`commit_clustered`'s."""
+        spark = df.sparkSession
+        ptr = self._pointer()
+        if ptr is None:
+            raise FileNotFoundError(
+                f"{self.root}: append_clustered needs a commit_clustered "
+                f"base — commit one first"
+            )
+        snap_name, version = ptr
+        if expect_version is not None and version != expect_version:
+            raise ConcurrentWriteError(
+                f"{self.root}: version {version} != expected {expect_version}"
+            )
+        entry = self._log_entry(version) or {}
+        bucket = entry.get("bucket")
+        if not bucket:
+            raise ValueError(
+                f"{self.root}: version {version} is not a clustered "
+                f"snapshot — use append() / commit_clustered()"
+            )
+        committed_schema = T.StructType.fromJson(json.loads(entry["schema"]))
+        if [(f.name, f.dataType) for f in df.schema.fields] != [
+            (f.name, f.dataType) for f in committed_schema.fields
+        ]:
+            raise SchemaEvolutionError(
+                f"{self.root}: clustered append requires the committed "
+                f"schema verbatim ({[f.name for f in committed_schema]}); "
+                f"re-cluster via commit_clustered to change it"
+            )
+        snap = os.path.join(self.root, snap_name)
+        if not os.path.isdir(snap):
+            raise ConcurrentWriteError(
+                f"{self.root}: snapshot {snap_name} vanished before append "
+                f"(concurrent writer + gc) — retry"
+            )
+        tmp = os.path.join(self.root, f".cappend-{uuid.uuid4().hex[:8]}")
+        _write_bucketed(
+            spark, df, bucket["col"], int(bucket["n"]),
+            bucket["sorted_by"], tmp,
+        )
+        staged = os.path.join(
+            self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
+        )
+        committed_ver: int | None = None
+        try:
+            os.makedirs(staged)
+            for f in os.listdir(snap):
+                if not f.endswith(".parquet"):
+                    continue
+                try:
+                    os.link(os.path.join(snap, f), os.path.join(staged, f))
+                except OSError:
+                    shutil.copy2(os.path.join(snap, f), os.path.join(staged, f))
+            for f in os.listdir(tmp):
+                if not f.endswith(".parquet"):
+                    continue
+                if _bucket_id(f) is None:  # pragma: no cover - writer names
+                    raise RuntimeError(
+                        f"bucketed writer produced a non-bucket file {f!r}"
+                    )
+                # keep the ORIGINAL name: the bucket id lives in it and
+                # the job uuid makes collisions with linked base files
+                # impossible by construction
+                dst = os.path.join(staged, f)
+                if os.path.exists(dst):  # pragma: no cover - uuid clash
+                    raise RuntimeError(f"bucket file collision on {f!r}")
+                os.rename(os.path.join(tmp, f), dst)
+            self._acquire_lock()
+            try:
+                cur = self._pointer()
+                if cur is None or cur[1] != version:
+                    raise ConcurrentWriteError(
+                        f"{self.root}: version advanced during clustered "
+                        f"append (staged against {version}) — retry"
+                    )
+                live_now = self._log_entry(cur[1]) or {}
+                if (live_now.get("cdf") or {}).get("key_cols") or live_now.get(
+                    "checks"
+                ):
+                    raise ValueError(
+                        f"{self.root}: a concurrent commit enabled the "
+                        f"change feed or CHECK constraints — clustered "
+                        f"append would skip them"
+                    )
+                new_ver = version + 1
+                snap_new = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
+                os.rename(staged, os.path.join(self.root, snap_new))
+                staged = os.path.join(self.root, snap_new)
+                self._write_log(
+                    new_ver,
+                    snap_new,
+                    [],
+                    entry["schema"],
+                    meta={**_inherited_meta(entry), **(meta or {})},
+                    bucket=dict(bucket),
+                )
+                tmp_ptr = os.path.join(
+                    self.root, f".ptr-{uuid.uuid4().hex[:8]}"
+                )
+                with open(tmp_ptr, "w") as fh:
+                    fh.write(f"{snap_new}\n{new_ver}\n")
+                os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
+                self.last_snapshot = snap_new
+                committed_ver = new_ver
+            finally:
+                self._release_lock()
+                if committed_ver is None:
+                    shutil.rmtree(staged, ignore_errors=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if committed_ver is None:
+                shutil.rmtree(staged, ignore_errors=True)
+        self._gc(keep=keep_snapshots)
+        return committed_ver
 
     def rename_column(
         self,
@@ -2244,6 +2425,16 @@ class ManifestTable:
         snap_name, cur_ver = ptr
         src = os.path.join(self.root, snap_name)
         entry = self._log_entry(cur_ver) or {}
+        if entry.get("bucket"):
+            # a merge-on-read sidecar would be INVISIBLE to the bucketed
+            # catalog scan (underscore dirs are skipped by the reader),
+            # so DML on a clustered snapshot would make read_clustered
+            # lie — refuse loudly (re-cluster the edited state instead)
+            raise ValueError(
+                f"{self.root}: merge-on-read DML on a CLUSTERED snapshot "
+                f"is not supported (the bucketed catalog scan cannot see "
+                f"the sidecars) — commit_clustered the edited state"
+            )
         prev_dv = entry.get("dv")
         if prev_dv and list(prev_dv["key_cols"]) != list(key_cols):
             raise ValueError(
@@ -2460,6 +2651,16 @@ class ManifestTable:
         snap_name, cur_ver = ptr
         src = os.path.join(self.root, snap_name)
         entry = self._log_entry(cur_ver) or {}
+        if entry.get("bucket"):
+            # a merge-on-read sidecar would be INVISIBLE to the bucketed
+            # catalog scan (underscore dirs are skipped by the reader),
+            # so DML on a clustered snapshot would make read_clustered
+            # lie — refuse loudly (re-cluster the edited state instead)
+            raise ValueError(
+                f"{self.root}: merge-on-read DML on a CLUSTERED snapshot "
+                f"is not supported (the bucketed catalog scan cannot see "
+                f"the sidecars) — commit_clustered the edited state"
+            )
         prev_dv = entry.get("dv")
         if prev_dv and list(prev_dv["key_cols"]) != list(key_cols):
             raise ValueError(
@@ -3442,8 +3643,8 @@ class ManifestTable:
             raise ValueError(
                 f"{self.root}: the live snapshot is CLUSTERED "
                 f"(commit_clustered bucket layout) — append would mix "
-                f"unbucketed files into it. Re-cluster the union via "
-                f"commit_clustered, or commit() to drop the layout."
+                f"unbucketed files into it. Use append_clustered() "
+                f"(bucket-preserving), or commit() to drop the layout."
             )
         spark = df.sparkSession
         live = self._live_schema(spark)
@@ -4139,8 +4340,9 @@ def compact_table(
             raise ValueError(
                 f"{root}: the live snapshot is CLUSTERED "
                 f"(commit_clustered bucket layout) — a plain rewrite "
-                f"would destroy the bucket-id file-name contract. "
-                f"Re-cluster via commit_clustered(read(...), ...), or "
+                f"would destroy the bucket-id file-name contract. Use "
+                f"compact_clustered() (per-bucket repack) or "
+                f"commit_clustered(read(...), ...) to re-cluster, or "
                 f"commit(read(...)) to deliberately drop the layout."
             )
         dv = c_entry.get("dv")
@@ -4814,9 +5016,9 @@ def compact_small_files(
         raise ValueError(
             f"{root}: the live snapshot is CLUSTERED (commit_clustered "
             f"bucket layout) — bin-packing would break the bucket-id "
-            f"file-name contract. Re-cluster via "
-            f"commit_clustered(read(...), ...), or commit(read(...)) to "
-            f"deliberately drop the layout."
+            f"file-name contract. Use compact_clustered() (per-bucket "
+            f"repack), or commit(read(...)) to deliberately drop the "
+            f"layout."
         )
 
     def _no_op(files_before: int, bytes_before: int) -> dict:
@@ -4945,6 +5147,151 @@ def compact_small_files(
         "files_rewritten": len(small),
         "bytes_rewritten": small_bytes,
         "bytes": bytes_before,
+    }
+
+
+def compact_clustered(
+    spark: SparkSession,
+    root: str,
+    *,
+    keep_snapshots: int = 2,
+) -> dict:
+    """Per-bucket repack of a clustered snapshot (r11 — the OPTIMIZE
+    mode for bucket layouts, completing ``append_clustered``'s cost
+    model): every bucket that accreted multiple files is rewritten to
+    ONE sorted file — restoring the one-file-per-bucket invariant that
+    lets the catalog scan claim per-bucket SORT ordering, so
+    downstream sort-merge joins go back to needing neither exchange
+    NOR sort — while single-file buckets HARDLINK forward untouched
+    (inode-preserved, zero bytes moved). Rewrite cost is
+    O(multi-file-bucket bytes), never the table: the routine
+    maintenance a 100 TB clustered fact table can afford between
+    streaming appends, exactly Delta OPTIMIZE on a bucketed layout.
+
+    The repack is ONE Spark job: the multi-file buckets' rows are
+    re-routed through the same ``pmod(murmur3, n)`` the bucket ids
+    came from, so each write task lands exactly its bucket's single
+    sorted file and untouched buckets' (empty) tasks emit nothing.
+    Commits through the same CAS as every writer; the bucket spec
+    carries forward verbatim. No-ops when every bucket already holds
+    at most one file (idempotent cron)."""
+    mt = ManifestTable(root)
+    ptr = mt._pointer()
+    if ptr is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    snap_name, version = ptr
+    snap = os.path.join(mt.root, snap_name)
+    if not os.path.isdir(snap):
+        raise ConcurrentWriteError(
+            f"{root}: snapshot {snap_name} vanished before compaction "
+            f"(concurrent writer + gc) — retry"
+        )
+    entry = mt._log_entry(version) or {}
+    bucket = entry.get("bucket")
+    if not bucket:
+        raise ValueError(
+            f"{root}: not a clustered snapshot — use compact_small_files "
+            f"/ compact_table"
+        )
+    groups: dict[int, list[str]] = {}
+    for f in os.listdir(snap):
+        if not f.endswith(".parquet"):
+            continue
+        bid = _bucket_id(f)
+        if bid is None:  # pragma: no cover - commit paths preserve names
+            raise RuntimeError(f"{root}: non-bucket file {f!r} in snapshot")
+        groups.setdefault(bid, []).append(f)
+    multi = {b: fs for b, fs in groups.items() if len(fs) > 1}
+    files_before = sum(len(fs) for fs in groups.values())
+    if not multi:
+        return {
+            "compacted": False,
+            "version": version,
+            "files_before": files_before,
+            "files_after": files_before,
+            "buckets_repacked": 0,
+        }
+    schema = T.StructType.fromJson(json.loads(entry["schema"]))
+    tmp = os.path.join(mt.root, f".crepack-{uuid.uuid4().hex[:8]}")
+    staged = os.path.join(mt.root, f"snap-staging-{uuid.uuid4().hex[:12]}")
+    committed_ver: int | None = None
+    try:
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(snap, f) for fs in multi.values() for f in fs]
+        )
+        _write_bucketed(
+            spark, df, bucket["col"], int(bucket["n"]),
+            bucket["sorted_by"], tmp,
+        )
+        os.makedirs(staged)
+        kept = 0
+        for bid, fs in groups.items():
+            if bid in multi:
+                continue
+            for f in fs:
+                try:
+                    os.link(os.path.join(snap, f), os.path.join(staged, f))
+                except OSError:
+                    shutil.copy2(
+                        os.path.join(snap, f), os.path.join(staged, f)
+                    )
+                kept += 1
+        new_files = 0
+        for f in os.listdir(tmp):
+            if not f.endswith(".parquet"):
+                continue
+            bid = _bucket_id(f)
+            if bid is None or bid not in multi:  # pragma: no cover
+                raise RuntimeError(
+                    f"{root}: repack routed rows outside the multi-file "
+                    f"buckets ({f!r})"
+                )
+            os.rename(os.path.join(tmp, f), os.path.join(staged, f))
+            new_files += 1
+        mt._acquire_lock()
+        try:
+            cur = mt._pointer()
+            if cur is None or cur[1] != version:
+                raise ConcurrentWriteError(
+                    f"{root}: version advanced during clustered "
+                    f"compaction (expected {version}) — retry"
+                )
+            new_ver = version + 1
+            snap_new = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
+            os.rename(staged, os.path.join(mt.root, snap_new))
+            staged = os.path.join(mt.root, snap_new)
+            mt._write_log(
+                new_ver,
+                snap_new,
+                [],
+                entry["schema"],
+                meta={
+                    **_inherited_meta(entry),
+                    "bucket_repack": len(multi),
+                },
+                bucket=dict(bucket),
+            )
+            tmp_ptr = os.path.join(mt.root, f".ptr-{uuid.uuid4().hex[:8]}")
+            with open(tmp_ptr, "w") as fh:
+                fh.write(f"{snap_new}\n{new_ver}\n")
+            os.replace(tmp_ptr, os.path.join(mt.root, mt.POINTER))
+            mt.last_snapshot = snap_new
+            committed_ver = new_ver
+        finally:
+            mt._release_lock()
+            if committed_ver is None:
+                shutil.rmtree(staged, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if committed_ver is None:
+            shutil.rmtree(staged, ignore_errors=True)
+    mt._gc(keep=keep_snapshots)
+    return {
+        "compacted": True,
+        "version": committed_ver,
+        "files_before": files_before,
+        "files_after": kept + new_files,
+        "buckets_repacked": len(multi),
     }
 
 

@@ -75,7 +75,12 @@ def manifest_epoch_sink(
     uniqueness across epochs is the stream's contract, exactly as
     with Delta's idempotent append writes. Small files accrete one
     per epoch and are reclaimed by ``compact_small_files`` (which
-    also carries no epoch)."""
+    also carries no epoch). A live snapshot committed with
+    ``commit_clustered`` routes to ``append_clustered`` instead
+    (r11): each epoch lands as per-bucket files keeping the bucket-id
+    names, so the clustered fact table stays exchange-free joinable
+    through every epoch, and ``compact_clustered`` (also epoch-less)
+    periodically restores the one-file-per-bucket sort-free plan."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -88,7 +93,13 @@ def manifest_epoch_sink(
             ver = tbl.version()
             try:
                 if insert_only:
-                    tbl.append(
+                    live = tbl._log_entry(ver or 0) or {}
+                    appender = (
+                        tbl.append_clustered
+                        if live.get("bucket")
+                        else tbl.append
+                    )
+                    appender(
                         df,
                         expect_version=ver,
                         keep_snapshots=keep_snapshots,

@@ -418,6 +418,11 @@ TXN_QUERIES = (
     # keeps the catch-up read constant-fraction
     "q187_sql_dml_ledger",
     "q188_partitioned_epoch_sink",
+    # r11: incremental clustered ingest — per-epoch bucket-preserving
+    # append cost must track the batch (base inode-asserted in-query),
+    # per-bucket compaction cost the multi-file buckets, and the join
+    # stays exchange-free at 10x
+    "q189_clustered_incremental_ingest",
 )
 
 CURATION_QUERIES = (

@@ -93,6 +93,7 @@ TXN_FAMILY_MID_SF = [
     "q186_clustered_ledger_join",
     "q187_sql_dml_ledger",
     "q188_partitioned_epoch_sink",
+    "q189_clustered_incremental_ingest",
 ]
 
 

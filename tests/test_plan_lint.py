@@ -137,6 +137,7 @@ MUST_RUNTIME_FILTER = [
 # item 7) so a Spark planner change fails CI, not a driver run.
 MUST_COLOCATED_JOIN = [
     "q186_clustered_ledger_join",
+    "q189_clustered_incremental_ingest",
 ]
 
 ARROW_NODES = (

@@ -2790,3 +2790,141 @@ def test_commit_clustered_guard_rechecks_inside_lock(spark, tmp_path):
         e.startswith("snap-staging-") for e in os.listdir(root)
     )
     assert (ManifestTable(root)._log_entry(2) or {}).get("checks")
+
+
+# ---------------------------------------------------------------------------
+# round-11: bucket-preserving clustered append + per-bucket compaction +
+# clustered exactly-once epoch sink
+# ---------------------------------------------------------------------------
+
+
+def _clustered_pair(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "cl_fact"))
+    t.commit_clustered(
+        spark.range(0, 400).selectExpr("id as pk", "id * 2 as v"), "pk", 4
+    )
+    d = ManifestTable(str(tmp_path / "cl_dim"))
+    d.commit_clustered(
+        spark.range(0, 600).selectExpr("id as ok", "id % 7 as grp"), "ok", 4
+    )
+    return t, d
+
+
+def test_append_clustered_preserves_layout_and_join(spark, tmp_path):
+    from datapipeline_scraping_spark.operators.txn import (
+        SchemaEvolutionError,
+    )
+
+    t, d = _clustered_pair(spark, tmp_path)
+    snap = t.snapshot_path()
+    inodes = {
+        f: os.stat(os.path.join(snap, f)).st_ino
+        for f in os.listdir(snap)
+        if f.endswith(".parquet")
+    }
+    t.append_clustered(
+        spark.range(400, 500).selectExpr("id as pk", "id * 2 as v")
+    )
+    t.append_clustered(
+        spark.range(500, 550).selectExpr("id as pk", "id * 2 as v")
+    )
+    snap2 = t.snapshot_path()
+    # zero-rewrite: every base file carried by inode
+    assert all(
+        os.stat(os.path.join(snap2, f)).st_ino == i
+        for f, i in inodes.items()
+    )
+    assert t.read_clustered(spark).count() == 550
+    # time travel: the pre-append version still reads clustered
+    assert t.read_clustered(spark, version=1).count() == 400
+    # the join stays exchange-free across appended versions
+    l, r = t.read_clustered(spark), d.read_clustered(spark)
+    j = l.hint("merge").join(r, l.pk == r.ok).groupBy("grp").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and plan.count("Exchange") == 1, plan[:1500]
+    # contract guards: schema must match verbatim; base must be clustered
+    with pytest.raises(SchemaEvolutionError):
+        t.append_clustered(spark.range(5).selectExpr("id as pk"))
+    plain = ManifestTable(str(tmp_path / "plain"))
+    plain.commit(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="not a clustered"):
+        plain.append_clustered(_df(spark, [(2, "b")]))
+
+
+def test_compact_clustered_repacks_only_multifile_buckets(spark, tmp_path):
+    from datapipeline_scraping_spark.operators.txn import (
+        _bucket_id,
+        compact_clustered,
+    )
+
+    t, _ = _clustered_pair(spark, tmp_path)
+    # two appends hitting ONLY buckets of pk%4==1 rows' hash targets
+    # would be fiddly; instead append broadly, then verify per-bucket
+    # single-file restoration + untouched-bucket inode preservation
+    t.append_clustered(
+        spark.range(400, 480).selectExpr("id as pk", "id * 2 as v")
+    )
+    snap = t.snapshot_path()
+    by_bucket: dict[int, list[str]] = {}
+    for f in os.listdir(snap):
+        if f.endswith(".parquet"):
+            by_bucket.setdefault(_bucket_id(f), []).append(f)
+    singles = {
+        fs[0]: os.stat(os.path.join(snap, fs[0])).st_ino
+        for fs in by_bucket.values()
+        if len(fs) == 1
+    }
+    res = compact_clustered(spark, t.root)
+    assert res["compacted"] and res["buckets_repacked"] >= 1
+    snap2 = t.snapshot_path()
+    by_bucket2: dict[int, list[str]] = {}
+    for f in os.listdir(snap2):
+        if f.endswith(".parquet"):
+            by_bucket2.setdefault(_bucket_id(f), []).append(f)
+    assert all(len(fs) == 1 for fs in by_bucket2.values()), by_bucket2
+    for f, ino in singles.items():
+        assert os.stat(os.path.join(snap2, f)).st_ino == ino, (
+            "compact_clustered rewrote a single-file bucket"
+        )
+    # content preserved, still clustered-readable, second run no-ops
+    got = {r["pk"]: r["v"] for r in t.read_clustered(spark).collect()}
+    assert got == {i: i * 2 for i in range(480)}
+    assert not compact_clustered(spark, t.root)["compacted"]
+    # refuses non-clustered tables
+    plain = ManifestTable(str(tmp_path / "plain2"))
+    plain.commit(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="not a clustered"):
+        compact_clustered(spark, plain.root)
+
+
+def test_clustered_snapshots_refuse_mor_dml(spark, tmp_path):
+    t, _ = _clustered_pair(spark, tmp_path)
+    with pytest.raises(ValueError, match="CLUSTERED"):
+        t.delete_where(spark, F.col("pk") < 10, key_cols=["pk"])
+    with pytest.raises(ValueError, match="CLUSTERED"):
+        t.update_where(
+            spark, F.col("pk") < 10, {"v": F.lit(0)}, key_cols=["pk"]
+        )
+
+
+def test_epoch_sink_routes_clustered_appends(spark, tmp_path):
+    from datapipeline_scraping_spark.streaming.txn_sink import (
+        manifest_epoch_sink,
+    )
+
+    root = str(tmp_path / "cl_sink")
+    tbl = ManifestTable(root)
+    tbl.commit_clustered(
+        spark.range(0, 100).selectExpr("id as pk", "id * 2 as v"), "pk", 4
+    )
+    sink = manifest_epoch_sink(root, "pk", insert_only=True)
+    sink(spark.range(100, 150).selectExpr("id as pk", "id * 2 as v"), 1)
+    sink(spark.range(150, 180).selectExpr("id as pk", "id * 2 as v"), 2)
+    assert tbl.version() == 3
+    # replay: exactly-once, no new commit
+    sink(spark.range(150, 180).selectExpr("id as pk", "id * 2 as v"), 2)
+    assert tbl.version() == 3
+    # every epoch's state stays clustered-readable
+    assert tbl.read_clustered(spark).count() == 180
+    assert (tbl._log_entry(3) or {}).get("bucket")
+    assert (tbl._log_entry(3) or {}).get("meta", {}).get("epoch") == 2
