@@ -759,17 +759,62 @@ def main() -> None:
     spark.catalog.clearCache()
 
     def bench_list(names, sf_dir):
+        """Each query runs TWICE: the first pass pays any build-once
+        scratch construction (version-memoized ledgers, staged stream
+        copies), the second measures the steady-state read. Reporting
+        the WARM run keeps the 1x/10x ratio apples-to-apples — before
+        r11 the 1x side was usually warm from earlier driver_sim/bench
+        runs while the 10x side built inside the measured run, so
+        build-once queries showed 15-28x 'ratios' that were really
+        cold-build-vs-warm-read artifacts, not scaling behavior. The
+        first-pass (build-inclusive) time is kept alongside: for the
+        ledger-ingest family the BUILD is itself a claim (append cost
+        tracks the batch; compaction the small files) and its own
+        10x/1x ratio should sit near the data growth, i.e. linear."""
         from datapipeline_scraping_spark.queries import REGISTRY
         out = {}
         for name in names:
             fn = REGISTRY[name].fn
-            out[name] = timed(lambda: fn(spark, sf_dir).count())
+            first = timed(lambda: fn(spark, sf_dir).count())
             spark.catalog.clearCache()
+            warm = timed(lambda: fn(spark, sf_dir).count())
+            spark.catalog.clearCache()
+            # (warm sec, rows, first/build-inclusive sec)
+            out[name] = (warm[0], warm[1], first[0])
         return out
 
-    print("# txn/scheduling 1x pass", file=sys.stderr)
+    def fresh_txn_scratch(sf_dir: str) -> int:
+        """Delete the build-once scratch roots keyed to ``sf_dir`` so
+        the txn pass's FIRST run is a true cold build (the `build`
+        column) — without this the 1x side is usually pre-warmed by
+        earlier driver_sim/bench runs and the build ratio is
+        meaningless. The 10x corpus dirs themselves are preserved;
+        every removed root is rebuilt idempotently by its query."""
+        import shutil as _sh
+
+        key = (
+            sf_dir.rstrip("/").replace("/", "_").lstrip("_").replace(".", "_")
+        )
+        keep = {"scale10x", "scale10x_curation", "ckpt"}
+        n = 0
+        for e in os.listdir(SCRATCH):
+            if e in keep or not e.endswith(key):
+                continue
+            _sh.rmtree(os.path.join(SCRATCH, e), ignore_errors=True)
+            n += 1
+        return n
+
+    print(
+        f"# txn/scheduling 1x pass (cleared "
+        f"{fresh_txn_scratch(SF1)} scratch roots)",
+        file=sys.stderr,
+    )
     x1 = bench_list(TXN_QUERIES, SF1)
-    print("# txn/scheduling 10x pass", file=sys.stderr)
+    print(
+        f"# txn/scheduling 10x pass (cleared "
+        f"{fresh_txn_scratch(OUT10C)} scratch roots)",
+        file=sys.stderr,
+    )
     x10 = bench_list(TXN_QUERIES, OUT10C)
     spark.catalog.clearCache()
 
@@ -974,16 +1019,22 @@ def main() -> None:
         "out 10x/1x ~ 10 is expected; on organic data it tracks the",
         "delta).",
         "",
-        "| query | 1x sec | 10x sec | time 10x/1x | out 1x | out 10x | out 10x/1x |",
-        "| --- | --- | --- | --- | --- | --- | --- |",
+        "Timings are the WARM (steady-state) run; `build 1x/10x` is the",
+        "first, build-inclusive pass — for build-once ledger queries the",
+        "build IS the ingest claim (append tracks the batch, compaction",
+        "the small files), so ITS ratio sitting near the 10x data growth",
+        "means linear ingest, while the warm ratio tests the read path.",
+        "",
+        "| query | 1x sec | 10x sec | time 10x/1x | build 1x | build 10x | out 1x | out 10x | out 10x/1x |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
     ]
     for op in x1:
-        (s1_, n1_), (s10_, n10_) = x1[op], x10[op]
+        (s1_, n1_, b1_), (s10_, n10_, b10_) = x1[op], x10[op]
         ratio = round(s10_ / s1_, 1) if s1_ > 0 else float("inf")
         oratio = round(n10_ / n1_, 1) if n1_ else float("nan")
         lines.append(
-            f"| {op} | {s1_} | {s10_} | {ratio} | {n1_:,} | {n10_:,} "
-            f"| {oratio} |"
+            f"| {op} | {s1_} | {s10_} | {ratio} | {b1_} | {b10_} "
+            f"| {n1_:,} | {n10_:,} | {oratio} |"
         )
     lines += [
         "",
