@@ -453,3 +453,124 @@ def test_boilerplate_strip_matches_model(spark, tmp_path_factory, docs, chunk):
             hashlib.md5(clean.encode()).hexdigest(),
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r11: ledger ingest sequences (append / bin-pack / MoR DML / rewrite)
+# ---------------------------------------------------------------------------
+
+#: op kinds against keys 0..∞ (appends mint fresh keys):
+#:   append:  add 3 fresh keys (zero-rewrite add-file commit)
+#:   delete:  remove keys with a <= pk % 10 <= b (deletion vector)
+#:   update:  v += "!" for keys with a <= pk % 10 <= b (MoR delta)
+#:   binpack: compact_small_files (content-preserving repack)
+_INGEST_OP = st.tuples(
+    st.sampled_from(["append", "delete", "update", "binpack"]),
+    st.integers(0, 9),
+    st.integers(0, 9),
+)
+
+
+@given(ops=st.lists(_INGEST_OP, min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_ingest_sequence_matches_model(spark, tmp_path_factory, ops):
+    """Any interleaving of zero-rewrite APPENDs, MoR DELETE/UPDATE and
+    bin-packing compaction equals a plain dict model. The interesting
+    composition: appended files join a snapshot that may carry a DV +
+    update delta (the append links them forward verbatim), and
+    bin-packing must preserve the visible state while rewriting only
+    small files. Appends mint fresh keys (colliding appends are
+    refused by contract and tested separately)."""
+    from datapipeline_scraping_spark.operators.txn import (
+        ManifestTable,
+        compact_small_files,
+    )
+
+    root = str(tmp_path_factory.mktemp("ingestseq") / "t")
+    tbl = ManifestTable(root, retention_sec=3600)
+    model = {i: f"v{i}" for i in range(12)}
+    next_key = 100
+    tbl.commit(
+        spark.createDataFrame(sorted(model.items()), "pk long, v string")
+    )
+    for kind, a, b in ops:
+        lo, hi = min(a, b), max(a, b)
+        if kind == "append":
+            fresh = {next_key + i: f"a{next_key + i}" for i in range(3)}
+            next_key += 3
+            tbl.append(
+                spark.createDataFrame(
+                    sorted(fresh.items()), "pk long, v string"
+                ).coalesce(1)
+            )
+            model.update(fresh)
+        elif kind == "delete":
+            tbl.delete_where(
+                spark, f"pk % 10 between {lo} and {hi}", ["pk"]
+            )
+            model = {
+                k: v for k, v in model.items() if not lo <= k % 10 <= hi
+            }
+        elif kind == "update":
+            tbl.update_where(
+                spark,
+                f"pk % 10 between {lo} and {hi}",
+                {"v": "concat(v, '!')"},
+                ["pk"],
+            )
+            model = {
+                k: (v + "!" if lo <= k % 10 <= hi else v)
+                for k, v in model.items()
+            }
+        else:  # binpack — no-op allowed when nothing small enough
+            compact_small_files(
+                spark, root, min_file_bytes=1 << 30,
+                target_file_bytes=1 << 30, min_gain_files=1,
+            )
+        got = {r["pk"]: r["v"] for r in tbl.read(spark).collect()}
+        assert got == model, f"divergence after {kind}({lo},{hi})"
+
+
+# ---------------------------------------------------------------------------
+# r11: clustered-ledger sequences (bucket-preserving append / per-bucket
+# compaction / full re-cluster)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_OP = st.sampled_from(["cappend", "ccompact", "recluster"])
+
+
+@given(ops=st.lists(_CLUSTER_OP, min_size=1, max_size=4))
+@settings(**_SETTINGS)
+def test_clustered_sequence_matches_model(spark, tmp_path_factory, ops):
+    """Any interleaving of bucket-preserving appends, per-bucket
+    compaction and full re-clustering keeps BOTH read paths exact (the
+    plain snapshot read and the bucketed catalog read) and keeps every
+    version clustered-readable — the bucket spec is never silently
+    dropped by maintenance."""
+    from datapipeline_scraping_spark.operators.txn import (
+        ManifestTable,
+        compact_clustered,
+    )
+
+    root = str(tmp_path_factory.mktemp("clseq") / "t")
+    tbl = ManifestTable(root, retention_sec=3600)
+    model = {i: i * 2 for i in range(40)}
+    next_key = 100
+
+    def frame(d):
+        return spark.createDataFrame(sorted(d.items()), "pk long, v long")
+
+    tbl.commit_clustered(frame(model), "pk", 4)
+    for kind in ops:
+        if kind == "cappend":
+            fresh = {next_key + i: (next_key + i) * 2 for i in range(5)}
+            next_key += 5
+            tbl.append_clustered(frame(fresh))
+            model.update(fresh)
+        elif kind == "ccompact":
+            compact_clustered(spark, root)  # no-op allowed
+        else:
+            tbl.commit_clustered(frame(model), "pk", 4)
+        for reader in (tbl.read, tbl.read_clustered):
+            got = {r["pk"]: r["v"] for r in reader(spark).collect()}
+            assert got == model, f"{reader.__name__} diverged after {kind}"

@@ -2928,3 +2928,118 @@ def test_epoch_sink_routes_clustered_appends(spark, tmp_path):
     assert tbl.read_clustered(spark).count() == 180
     assert (tbl._log_entry(3) or {}).get("bucket")
     assert (tbl._log_entry(3) or {}).get("meta", {}).get("epoch") == 2
+
+
+def test_clustered_writers_crash_sweep_never_tear_table(spark, tmp_path):
+    """Crash-point sweep over append_clustered and compact_clustered:
+    kill each writer at EVERY Python-level filesystem mutation (rename
+    / replace / unlink / link) and assert the protocol invariant — the
+    pointer always resolves to a COMPLETE snapshot whose clustered
+    read returns either the pre-statement or the post-statement state,
+    never a mix; the next (uninjected) writer recovers normally."""
+    import time as _time
+
+    import datapipeline_scraping_spark.operators.txn as txn_mod
+    from datapipeline_scraping_spark.operators.txn import compact_clustered
+
+    root = str(tmp_path / "t")
+    tbl = ManifestTable(root, stale_lock_sec=0.5, retention_sec=3600)
+    base = {i: i * 2 for i in range(12)}
+
+    def frame(d):
+        return spark.createDataFrame(sorted(d.items()), "pk long, v long")
+
+    # 2 buckets keeps the per-attempt fs-mutation count (and so the
+    # sweep's iteration count) small; the protocol is bucket-count-
+    # independent
+    tbl.commit_clustered(frame(base), "pk", 2)
+
+    mutators = ("rename", "replace", "unlink", "link")
+    originals = {m: getattr(txn_mod.os, m) for m in mutators}
+
+    def crash_after(n_calls):
+        state = {"n": 0}
+
+        def wrap(orig):
+            def inner(*a, **kw):
+                state["n"] += 1
+                if state["n"] > n_calls:
+                    raise OSError("injected crash")
+                return orig(*a, **kw)
+
+            return inner
+
+        for m in mutators:
+            setattr(txn_mod.os, m, wrap(originals[m]))
+        return state
+
+    def sweep(statement, pre_state, post_state):
+        """Advance the crash point one fs-mutation at a time until a
+        fully uninjected pass completes — content-preserving
+        statements (pre == post) still exercise EVERY crash point
+        because the loop keys on whether the statement crashed, not on
+        the observed content."""
+        step = 0
+        while True:
+            crash_after(step)
+            try:
+                statement()
+                crashed = False
+            except OSError:
+                crashed = True
+            finally:
+                for m in mutators:
+                    setattr(txn_mod.os, m, originals[m])
+            path = tbl.snapshot_path()
+            assert path is not None and os.path.isdir(path), (
+                f"pointer dangles after crash at fs-step {step}"
+            )
+            got = {
+                r["pk"]: r["v"] for r in tbl.read_clustered(spark).collect()
+            }
+            assert got in (pre_state, post_state), (
+                f"torn clustered state after crash at fs-step {step}"
+            )
+            if not crashed:
+                assert got == post_state
+                return step
+            if pre_state != post_state and got == post_state:
+                return step  # crash AFTER the pointer swap: it landed
+            if os.path.exists(os.path.join(root, tbl.LOCK)):
+                _time.sleep(0.6)  # let the stranded lock age past TTL
+            step += 1
+
+    appended = dict(base)
+    appended.update({100 + i: (100 + i) * 2 for i in range(3)})
+    sweep(
+        lambda: tbl.append_clustered(
+            frame({k: v for k, v in appended.items() if k >= 100})
+        ),
+        base,
+        appended,
+    )
+    # second append so compaction has multi-file buckets to repack
+    appended2 = dict(appended)
+    appended2.update({200 + i: (200 + i) * 2 for i in range(3)})
+    tbl.append_clustered(
+        frame({k: v for k, v in appended2.items() if k >= 200})
+    )
+    n_steps = sweep(
+        lambda: compact_clustered(spark, root),
+        appended2,
+        appended2,  # content-preserving
+    )
+    assert n_steps >= 2, "compaction sweep never exercised crash points"
+    # after the compaction sweep lands, every bucket is single-file
+    from datapipeline_scraping_spark.operators.txn import _bucket_id
+
+    snap = tbl.snapshot_path()
+    per_bucket: dict[int, int] = {}
+    for f in os.listdir(snap):
+        if f.endswith(".parquet"):
+            b = _bucket_id(f)
+            per_bucket[b] = per_bucket.get(b, 0) + 1
+    # compaction either landed (all single) or crashed at every step
+    # and preserved state; in the landed case the invariant holds
+    if not compact_clustered(spark, root)["compacted"]:
+        assert all(n == 1 for n in per_bucket.values())
