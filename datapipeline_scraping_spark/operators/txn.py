@@ -1307,13 +1307,17 @@ class ManifestTable:
           CAS; a racing writer restarts the attempt (bounded by
           ``max_retries``).
 
-        ``drop_branch=True`` deletes the branch root after a
-        SUCCESSFUL publish (:meth:`drop`) — the retention tail of the
-        governance loop, so a per-crawl-batch branch does not leak its
-        root forever (VERDICT r10 item 6). The fast path's adopted
-        snapshot is hardlinked, so the drop reclaims only the branch's
-        own unshared bytes; a failed audit or conflict leaves the
-        branch intact for fix + re-publish.
+        ``drop_branch=True`` deletes the branch root (:meth:`drop`)
+        after a publish that left main correct: a SUCCESSFUL publish,
+        or a NOOP one (the branch has no net changes — nothing to
+        publish, so the branch is equally spent; ``published=False``
+        with ``branch_dropped=True`` reports exactly that). This is
+        the retention tail of the governance loop, so a per-crawl-
+        batch branch does not leak its root forever (VERDICT r10 item
+        6). The fast path's adopted snapshot is hardlinked, so the
+        drop reclaims only the branch's own unshared bytes; a failed
+        audit or conflict RAISES and leaves the branch intact for fix
+        + re-publish.
 
         Returns ``{"version", "path", "inserted", "updated",
         "deleted", "conflicts", "published", "branch_dropped"}``.
@@ -5464,6 +5468,43 @@ def _complete_group_intent(intent: dict) -> None:
             t._release_lock()
 
 
+def _read_intent(path: str) -> dict | None:
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _unlink_intents(intent: dict) -> None:
+    """Remove the group's intent files, matching by gid: a DIFFERENT
+    group over an overlapping member set may have dropped its own
+    intent at a shared member root meanwhile, and a blind unlink would
+    dead-letter that live group. Each file is claimed by atomic rename
+    (exactly one cleaner wins), checked, and a foreign gid restored via
+    ``os.link`` — which fails harmlessly if the owner re-created the
+    path, so a third writer's fresh intent is never clobbered (same
+    pattern as the stale-lock breaker in :meth:`_acquire_lock`)."""
+    gid = intent.get("gid")
+    for m in intent["members"]:
+        path = os.path.join(m["root"], GROUP_INTENT)
+        claimed = f"{path}.rm-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(path, claimed)
+        except FileNotFoundError:
+            continue
+        found = _read_intent(claimed)
+        if found is not None and found.get("gid") not in (None, gid):
+            try:
+                os.link(claimed, path)
+            except (FileExistsError, OSError):
+                pass
+        try:
+            os.unlink(claimed)
+        except FileNotFoundError:  # pragma: no cover - cleaner races
+            pass
+
+
 def recover_group(root: str) -> bool:
     """Complete a crashed :class:`TransactionGroup` commit touching the
     table at ``root``, if one is pending. Returns True if an intent
@@ -5475,23 +5516,39 @@ def recover_group(root: str) -> bool:
     identity (:func:`_member_swapped`), never by version comparison
     alone — an independent writer reusing a version number after
     stale-lock expiry must not make recovery publish a never-committed
-    group (ADVICE r10)."""
+    group (ADVICE r10).
+
+    An unswapped intent is NOT immediately a dead letter (ADVICE r11):
+    a LIVE group sits exactly in that state between dropping its
+    intent files (step 5) and its first pointer swap (step 6). That
+    group holds every member's commit lock from CAS to intent removal,
+    so recovery takes THIS member's lock before judging — a live group
+    blocks us until it settles (intent gone, or swapped and
+    roll-forwardable), and an intent still unswapped UNDER the lock
+    can only belong to a group that crashed before any swap. Intent
+    removal matches by gid (:func:`_unlink_intents`) so a different
+    group's fresh intent at a shared member is never dead-lettered."""
     path = os.path.join(root, GROUP_INTENT)
-    try:
-        with open(path) as fh:
-            intent = json.load(fh)
-    except (OSError, ValueError):
+    intent = _read_intent(path)
+    if intent is None:
         return False
-    if any(_member_swapped(m) for m in intent["members"]):
-        _complete_group_intent(intent)
-    # either way the intent is settled: completed, or a dead letter
-    # from a group that never swapped (whose members roll back by
-    # version-number reuse)
-    for m in intent["members"]:
+    if not any(_member_swapped(m) for m in intent["members"]):
+        t = ManifestTable(root)
+        t._acquire_lock()
         try:
-            os.unlink(os.path.join(m["root"], GROUP_INTENT))
-        except FileNotFoundError:
-            pass
+            intent = _read_intent(path)
+            if intent is None:
+                return True  # the group settled while we waited
+            swapped = any(_member_swapped(m) for m in intent["members"])
+        finally:
+            t._release_lock()
+        if not swapped:
+            # crashed before any swap: members roll back by
+            # version-number reuse; the intents are dead letters
+            _unlink_intents(intent)
+            return True
+    _complete_group_intent(intent)
+    _unlink_intents(intent)
     return True
 
 

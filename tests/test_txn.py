@@ -2617,6 +2617,82 @@ def test_recover_group_version_reuse_is_not_swap_proof(spark, tmp_path):
     )
 
 
+def test_recover_group_waits_for_live_group_not_dead_letter(
+    spark, tmp_path
+):
+    """ADVICE r11 (medium): a LIVE group sits between dropping its
+    intent files (step 5) and its first pointer swap (step 6) while
+    holding every member's commit lock. A concurrent recover_group
+    must BLOCK on the member's lock until the group settles — not
+    unlink the intents, which would leave a subsequent mid-swap crash
+    with no roll-forward record."""
+    import threading
+
+    from datapipeline_scraping_spark.operators.txn import (
+        GROUP_INTENT,
+        recover_group,
+    )
+
+    a, b, members = _fake_group_state(spark, tmp_path)
+    # the "live group" holds member A's commit lock (step 2..7)
+    a._acquire_lock()
+    racer_done = threading.Event()
+    result: list = []
+
+    def racer():
+        result.append(recover_group(a.root))
+        racer_done.set()
+
+    t = threading.Thread(target=racer, daemon=True)
+    t.start()
+    # the racer must be blocked on A's lock: the intent files survive
+    assert not racer_done.wait(0.8), "recover_group did not block"
+    assert os.path.exists(os.path.join(a.root, GROUP_INTENT))
+    assert os.path.exists(os.path.join(b.root, GROUP_INTENT))
+    # the group now swaps its pointers (step 6) and settles (step 7)
+    for tbl, m in ((a, members[0]), (b, members[1])):
+        with open(os.path.join(tbl.root, tbl.POINTER), "w") as fh:
+            fh.write(f"{m['snapshot']}\n2\n")
+    for tbl in (a, b):
+        os.unlink(os.path.join(tbl.root, GROUP_INTENT))
+    a._release_lock()
+    assert racer_done.wait(10), "recover_group never returned"
+    t.join()
+    # the group's commit survived intact — nothing was dead-lettered
+    assert a.version() == 2 and b.version() == 2
+    assert {r["v"] for r in b.read(spark).collect()} == {"b2"}
+
+
+def test_recover_group_spares_foreign_gid_intent(spark, tmp_path):
+    """Dead-letter removal matches by gid: if a DIFFERENT group over an
+    overlapping member set dropped its own intent at a shared member
+    meanwhile, sweeping the crashed group's intents must not unlink
+    the live group's file."""
+    import json as _json
+
+    from datapipeline_scraping_spark.operators.txn import (
+        GROUP_INTENT,
+        recover_group,
+    )
+
+    a, b, members = _fake_group_state(spark, tmp_path)
+    # another group (gid=feedface) replaces B's intent with its own
+    foreign = {
+        "gid": "feedface",
+        "members": [dict(members[1], root=b.root)],
+    }
+    with open(os.path.join(b.root, GROUP_INTENT), "w") as fh:
+        _json.dump(foreign, fh)
+    assert recover_group(a.root)
+    assert not os.path.exists(os.path.join(a.root, GROUP_INTENT)), (
+        "own dead-letter intent not removed"
+    )
+    with open(os.path.join(b.root, GROUP_INTENT)) as fh:
+        assert _json.load(fh)["gid"] == "feedface", (
+            "foreign group's intent was dead-lettered"
+        )
+
+
 def test_group_commit_inherits_partitioning_and_validates_schema(
     spark, tmp_path
 ):
