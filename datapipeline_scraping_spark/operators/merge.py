@@ -32,10 +32,12 @@ def merge_upsert(target: DataFrame, source: DataFrame, pk: str) -> DataFrame:
 def merge_into(
     target: DataFrame,
     source: DataFrame,
-    pk: str,
+    pk: str | list[str],
     *,
     matched_delete: Column | None = None,
     matched_update: Column | None = None,
+    matched_set: dict[str, Column] | None = None,
+    not_matched_insert: Column | None = None,
     check_unique_source: bool = False,
     schema_evolution: bool = False,
 ) -> DataFrame:
@@ -55,6 +57,24 @@ def merge_into(
     ``F.col("s.x")``.  Omitted conditions default to the classic upsert
     (update every match, delete nothing), making ``merge_upsert`` the
     degenerate case.
+
+    ``pk`` may be a LIST of columns — a composite merge key joined as
+    an AND of per-column equalities (ANSI ``ON a.k1 = b.k1 AND a.k2 =
+    b.k2``); a source row with ANY NULL key column matches no target
+    row (SQL equality) and routes as NOT MATCHED, exactly like the
+    single-key case.
+
+    ``matched_set``: explicit ``UPDATE SET col = expr`` assignments
+    (``{column: Column over the t/s views}``) instead of the
+    ``UPDATE SET *`` default — updated rows take the assignment
+    expressions for the listed columns and KEEP their target values
+    for every other column (ANSI UPDATE SET semantics; inserts still
+    take the full source row). Assigning a merge-key column raises.
+
+    ``not_matched_insert``: condition for ``WHEN NOT MATCHED AND cond
+    THEN INSERT`` — a source-only row inserts only when the condition
+    is TRUE (NULL/FALSE drops it); ``None`` inserts every source-only
+    row (the ``INSERT *`` default).
 
     ANSI/Delta clause semantics are honoured precisely:
 
@@ -90,6 +110,16 @@ def merge_into(
     raises :class:`..txn.SchemaEvolutionError` — the accretive
     detail-merge layer of the reference (SURVEY §1.2,
     ``src/scrapers/scraper.py:106``) as a sound relational rewrite."""
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    if not keys:
+        raise ValueError("merge_into: pk must name at least one column")
+    if matched_set is not None:
+        bad = sorted(set(matched_set) & set(keys))
+        if bad:
+            raise ValueError(
+                f"merge_into: UPDATE SET on merge-key column(s) {bad} "
+                f"is a delete+insert, not an update"
+            )
     if schema_evolution:
         # local import: txn imports merge (one-way dependency)
         from .txn import align_to_schema, evolve_schema
@@ -111,28 +141,39 @@ def merge_into(
         # is codegen'd JVM-side; the window shares the join's pk shuffle.
         from pyspark.sql import Window
 
-        # count only non-NULL pks: multiple NULL-pk source rows are
-        # ordinary NOT-MATCHED inserts under ANSI/Delta (NULL matches
-        # no target row), not duplicates
-        n = F.count(pk).over(Window.partitionBy(pk))
-        # Embed the guard in the pk column the join must evaluate, so
+        # count only fully-non-NULL keys: a source row with any NULL
+        # key column is an ordinary NOT-MATCHED insert under
+        # ANSI/Delta (NULL matches no target row), not a duplicate
+        all_set = None
+        for k in keys:
+            c = F.col(k).isNotNull()
+            all_set = c if all_set is None else (all_set & c)
+        n = F.count(F.when(all_set, F.lit(1))).over(
+            Window.partitionBy(*keys)
+        )
+        # Embed the guard in a key column the join must evaluate, so
         # column pruning can't eliminate it.
+        guard_col = keys[0]
         source = source.withColumn(
-            pk,
+            guard_col,
             F.when(
-                F.col(pk).isNotNull() & (n > 1),
+                all_set & (n > 1),
                 F.raise_error(
                     F.concat_ws(
                         " ",
                         F.lit("merge_into: duplicate source pk"),
-                        F.col(pk).cast("string"),
+                        *[F.col(k).cast("string") for k in keys],
                     )
-                ).cast(source.schema[pk].dataType),
-            ).otherwise(F.col(pk)),
+                ).cast(source.schema[guard_col].dataType),
+            ).otherwise(F.col(guard_col)),
         )
     t = target.withColumn("__t_present", F.lit(True)).alias("t")
     s = source.withColumn("__s_present", F.lit(True)).alias("s")
-    joined = t.join(s, on=F.col(f"t.{pk}") == F.col(f"s.{pk}"), how="full_outer")
+    on = None
+    for k in keys:
+        eq = F.col(f"t.{k}") == F.col(f"s.{k}")
+        on = eq if on is None else (on & eq)
+    joined = t.join(s, on=on, how="full_outer")
     is_matched = F.col("t.__t_present").isNotNull() & F.col("s.__s_present").isNotNull()
     src_only = F.col("t.__t_present").isNull()
     delete_cond = (
@@ -145,16 +186,48 @@ def merge_into(
         if matched_update is not None
         else is_matched
     )
-    take_source = src_only | (update_cond & ~delete_cond)
-    out_cols = [
-        (
-            F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
-            if c in update_cols
-            else F.col(f"t.{c}")
-        ).alias(c)
-        for c in cols
-    ]
-    return joined.filter(~delete_cond).select(*out_cols)
+    insert_cond = (
+        src_only & F.coalesce(not_matched_insert, F.lit(False))
+        if not_matched_insert is not None
+        else src_only
+    )
+    do_update = update_cond & ~delete_cond
+    if matched_set is None:
+        take_source = insert_cond | do_update
+        out_cols = [
+            (
+                F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+                if c in update_cols
+                else F.col(f"t.{c}")
+            ).alias(c)
+            for c in cols
+        ]
+    else:
+        # explicit assignments: updated rows take the SET expressions
+        # for listed columns and keep target values elsewhere; inserts
+        # still take the full source row. Assignments cast back to the
+        # column's target type (Delta UPDATE SET semantics) so the
+        # merge output schema always equals the target schema.
+        dtypes = {f.name: f.dataType for f in target.schema.fields}
+        missing = sorted(set(matched_set) - set(cols))
+        if missing:
+            raise ValueError(
+                f"merge_into: UPDATE SET on unknown column(s) {missing}"
+            )
+        out_cols = []
+        for c in cols:
+            col = F.col(f"t.{c}")
+            if c in matched_set:
+                col = F.when(
+                    do_update, matched_set[c].cast(dtypes[c])
+                ).otherwise(col)
+            if c in update_cols:
+                col = F.when(insert_cond, F.col(f"s.{c}")).otherwise(col)
+            out_cols.append(col.alias(c))
+    # a source-only row failing its NOT MATCHED condition emits nothing
+    return joined.filter(~delete_cond & ~(src_only & ~insert_cond)).select(
+        *out_cols
+    )
 
 
 def union_accreted(detailed: DataFrame, bypass: DataFrame) -> DataFrame:

@@ -264,6 +264,106 @@ def test_merge_into_duplicate_source_pk_guard(spark):
     assert {r["pk"]: r["v"] for r in ok} == {1: "x", 2: "z"}
 
 
+def test_merge_into_composite_key(spark):
+    """pk may be a list: AND-ed equality join; a source row with any
+    NULL key column matches nothing (ANSI equality) and inserts."""
+    from datapipeline_scraping_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "x", "t1"), (1, "y", "t2"), (2, "x", "t3")],
+        "k1 long, k2 string, v string",
+    )
+    source = spark.createDataFrame(
+        [(1, "x", "S1"), (2, "y", "S2"), (None, "x", "S3")],
+        "k1 long, k2 string, v string",
+    )
+    got = {
+        (r["k1"], r["k2"]): r["v"]
+        for r in merge_into(target, source, ["k1", "k2"]).collect()
+    }
+    assert got == {
+        (1, "x"): "S1",    # matched on BOTH keys: updated
+        (1, "y"): "t2",    # k2 differs: kept
+        (2, "x"): "t3",    # k2 differs: kept
+        (2, "y"): "S2",    # source-only: inserted
+        (None, "x"): "S3", # NULL key matches nothing: inserted
+    }
+    # composite duplicate guard: same (k1,k2) twice raises; a NULL key
+    # repeated is NOT a duplicate (matches no target row)
+    import pytest as _pytest
+
+    dup = spark.createDataFrame(
+        [(1, "x", "a"), (1, "x", "b")], "k1 long, k2 string, v string"
+    )
+    with _pytest.raises(Exception, match="duplicate source pk"):
+        merge_into(
+            target, dup, ["k1", "k2"], check_unique_source=True
+        ).collect()
+    nulls = spark.createDataFrame(
+        [(None, "x", "a"), (None, "x", "b")],
+        "k1 long, k2 string, v string",
+    )
+    out = merge_into(
+        target, nulls, ["k1", "k2"], check_unique_source=True
+    ).collect()
+    assert len(out) == 5  # 3 target rows kept + 2 NULL-key inserts
+
+
+def test_merge_into_explicit_set_assignments(spark):
+    """matched_set={col: expr}: updated rows take the assignment for
+    listed columns and keep target values elsewhere; inserts still
+    take the full source row; key assignment raises."""
+    import pytest as _pytest
+    from datapipeline_scraping_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "pk long, tag string, val double"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (3, "C", 30.0)], "pk long, tag string, val double"
+    )
+    got = {
+        r["pk"]: (r["tag"], r["val"])
+        for r in merge_into(
+            target,
+            source,
+            "pk",
+            matched_set={"val": F.col("t.val") + F.col("s.val")},
+        ).collect()
+    }
+    assert got == {
+        1: ("a", 10.0),   # target-only
+        2: ("b", 119.0),  # updated: val = t.val + s.val, tag KEPT
+        3: ("C", 30.0),   # inserted: full source row
+    }
+    with _pytest.raises(ValueError, match="merge-key column"):
+        merge_into(target, source, "pk", matched_set={"pk": F.lit(0)})
+    with _pytest.raises(ValueError, match="unknown column"):
+        merge_into(target, source, "pk", matched_set={"nope": F.lit(0)})
+
+
+def test_merge_into_conditional_not_matched_insert(spark):
+    """not_matched_insert: WHEN NOT MATCHED AND cond THEN INSERT — a
+    source-only row failing (or NULLing) the condition emits nothing."""
+    from datapipeline_scraping_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, "a")], "pk long, v string")
+    source = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, None)], "pk long, v string"
+    )
+    got = {
+        r["pk"]: r["v"]
+        for r in merge_into(
+            target,
+            source,
+            "pk",
+            # NULL v → condition NULL → no insert (ANSI)
+            not_matched_insert=F.col("s.v") == "B",
+        ).collect()
+    }
+    assert got == {1: "A", 2: "B"}  # 3 dropped: cond NULL
+
+
 def test_merge_into_defaults_are_plain_upsert(spark):
     from datapipeline_scraping_spark.operators.merge import merge_into
 
