@@ -61,12 +61,33 @@ merged AS (
   UNION ALL
   SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
   FROM src s ANTI JOIN del d USING (o_orderkey)
+),
+src2 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 3 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+m2 AS (
+  -- ANSI clause order: matched + (s.price > d.price) -> UPDATE SET
+  -- o_totalprice = d.o_totalprice + 1 (status KEPT); other matches ->
+  -- DELETE; source-only + status 'O' -> INSERT; merge key is the
+  -- COMPOSITE (o_orderkey, o_orderstatus)
+  SELECT d.o_orderkey, d.o_orderstatus,
+    CASE WHEN s.o_orderkey IS NOT NULL
+              AND s.o_totalprice > d.o_totalprice
+         THEN d.o_totalprice + 1 ELSE d.o_totalprice END AS o_totalprice
+  FROM merged d
+  LEFT JOIN src2 s USING (o_orderkey, o_orderstatus)
+  WHERE s.o_orderkey IS NULL OR s.o_totalprice > d.o_totalprice
+  UNION ALL
+  SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+  FROM src2 s ANTI JOIN merged d USING (o_orderkey, o_orderstatus)
+  WHERE s.o_orderstatus = 'O'
 )
 SELECT o_orderstatus,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
   {sql_exact_sum("o_totalprice", 18, 2)} AS sum_price,
   CAST(MIN(o_orderkey) AS BIGINT) AS min_key
-FROM merged GROUP BY o_orderstatus
+FROM m2 GROUP BY o_orderstatus
 """,
 )
 def q187_sql_dml_ledger(spark, sf_dir):
@@ -87,8 +108,14 @@ def q187_sql_dml_ledger(spark, sf_dir):
     same contract the reference declares with ``ON CONFLICT (pk)``
     (``src/storage.py:41-53``). In-query asserts pin the MoR shape
     (sidecars present, not rewrites) and that each statement advanced
-    exactly one version. Final read goes through the refreshed SQL
-    view, so statement surface and read surface compose."""
+    exactly one version. The chain's final MERGE exercises the r12
+    grammar: a COMPOSITE merge key (AND-ed ON equalities), an explicit
+    ``UPDATE SET col = expr`` assignment (unlisted columns keep their
+    target values), ANSI clause ORDER (a conditional UPDATE before an
+    unconditional DELETE must not delete the update-eligible rows —
+    ADVICE r11 medium), and ``WHEN NOT MATCHED AND cond``. Final read
+    goes through the refreshed SQL view, so statement surface and
+    read surface compose."""
     from .operators.txn import ManifestTable
     from .sources.manifest_sql import register_table, sql
 
@@ -98,7 +125,8 @@ def q187_sql_dml_ledger(spark, sf_dir):
     root = os.path.join(SCRATCH, f"sqldml_{_key(sf_dir)}")
     tbl = ManifestTable(root, retention_sec=3600)
     view = f"q187_ledger_{_key(sf_dir)}"
-    if (tbl.version() or 0) != 4:  # commit + UPDATE + DELETE + MERGE
+    # commit + UPDATE + DELETE + MERGE + ordered/composite MERGE (r12)
+    if (tbl.version() or 0) != 5:
         shutil.rmtree(root, ignore_errors=True)
         tbl = ManifestTable(root, retention_sec=3600)
         tbl.commit(
@@ -143,6 +171,28 @@ def q187_sql_dml_ledger(spark, sf_dir):
                     WHEN NOT MATCHED THEN INSERT *""",
             )
             == 4
+        )
+        # r12 grammar: COMPOSITE merge key, explicit SET assignment
+        # (status KEPT — ANSI UPDATE SET semantics), ANSI clause ORDER
+        # (conditional UPDATE before unconditional DELETE must not
+        # delete the update-eligible rows), conditional INSERT
+        src2_view = f"q187_src2_{_key(sf_dir)}"
+        orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(3)
+        ).createOrReplaceTempView(src2_view)
+        assert (
+            sql(
+                spark,
+                f"""MERGE INTO {view} AS t USING {src2_view} AS s
+                    ON t.o_orderkey = s.o_orderkey
+                       AND t.o_orderstatus = s.o_orderstatus
+                    WHEN MATCHED AND s.o_totalprice > t.o_totalprice
+                      THEN UPDATE SET o_totalprice = t.o_totalprice + 1
+                    WHEN MATCHED THEN DELETE
+                    WHEN NOT MATCHED AND s.o_orderstatus = 'O'
+                      THEN INSERT *""",
+            )
+            == 5
         )
     register_table(spark, view, root, key_cols=["o_orderkey"])
     # the exact-decimal sum string is valid in BOTH engines — the same

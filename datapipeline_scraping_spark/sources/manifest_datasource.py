@@ -316,5 +316,12 @@ class ManifestWriter(DataSourceArrowWriter):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the ``manifest`` format."""
-    spark.dataSource.register(ManifestDataSource)
+    """Idempotent registration of the ``manifest`` format. Within one
+    session a re-register only warns, but a SIBLING session
+    (``spark.newSession()``) shares the context-wide registry and
+    raises DATA_SOURCE_ALREADY_EXISTS — swallow exactly that."""
+    try:
+        spark.dataSource.register(ManifestDataSource)
+    except Exception as exc:  # pragma: no cover - version-dependent
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise

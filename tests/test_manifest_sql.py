@@ -120,14 +120,22 @@ def test_sql_passthrough_and_unknown_tables(spark, tbl):
 
 def test_sql_unsupported_shapes_raise(spark, tbl):
     _df(spark, [(1, "z", 1)]).createOrReplaceTempView("src_bad")
-    with pytest.raises(ValueError, match="single key equality"):
+    # non-equality / cross-side ON conditions are rejected loudly
+    with pytest.raises(ValueError, match="key equalit"):
         sql(
             spark,
             """MERGE INTO sqldml AS t USING src_bad AS s
-               ON t.pk = s.pk AND t.v = s.v
+               ON t.pk >= s.pk
                WHEN MATCHED THEN UPDATE SET *""",
         )
-    with pytest.raises(ValueError, match="MERGE clauses|INSERT \\*"):
+    with pytest.raises(ValueError, match="SAME column"):
+        sql(
+            spark,
+            """MERGE INTO sqldml AS t USING src_bad AS s
+               ON t.pk = s.n
+               WHEN MATCHED THEN UPDATE SET *""",
+        )
+    with pytest.raises(ValueError, match="INSERT \\*"):
         sql(
             spark,
             """MERGE INTO sqldml AS t USING src_bad AS s ON t.pk = s.pk
@@ -135,3 +143,182 @@ def test_sql_unsupported_shapes_raise(spark, tbl):
         )
     with pytest.raises(ValueError, match="SET assignment"):
         sql(spark, "UPDATE sqldml SET = 5")
+    # duplicate clauses per action are rejected (ADVICE r11)
+    with pytest.raises(ValueError, match="at most one"):
+        sql(
+            spark,
+            """MERGE INTO sqldml AS t USING src_bad AS s ON t.pk = s.pk
+               WHEN MATCHED AND s.n = 1 THEN UPDATE SET *
+               WHEN MATCHED THEN UPDATE SET *""",
+        )
+    # two matched clauses with an unconditional first: second is
+    # unreachable under ANSI ordering — rejected, never mis-routed
+    with pytest.raises(ValueError, match="first must have a condition"):
+        sql(
+            spark,
+            """MERGE INTO sqldml AS t USING src_bad AS s ON t.pk = s.pk
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN MATCHED THEN DELETE""",
+        )
+    # colliding target/source aliases cannot be routed
+    with pytest.raises(ValueError, match="aliases must differ"):
+        sql(
+            spark,
+            """MERGE INTO sqldml AS x USING src_bad AS x ON x.pk = x.pk
+               WHEN MATCHED THEN DELETE""",
+        )
+    # subquery sources need an alias to reference in ON
+    with pytest.raises(ValueError, match="AS <alias>"):
+        sql(
+            spark,
+            """MERGE INTO sqldml AS t USING (SELECT * FROM src_bad)
+               ON t.pk = s.pk WHEN MATCHED THEN DELETE""",
+        )
+
+
+def test_sql_merge_clause_order_is_ansi(spark, tbl):
+    """ADVICE r11 (medium): 'WHEN MATCHED AND c THEN UPDATE SET *
+    WHEN MATCHED THEN DELETE' must UPDATE rows satisfying c and delete
+    only the rest — the old delete-first routing deleted everything."""
+    _df(
+        spark, [(1, "upd", 100), (2, "del", 200), (9, "new", 900)]
+    ).createOrReplaceTempView("src_order")
+    sql(
+        spark,
+        """MERGE INTO sqldml AS t USING src_order AS s ON t.pk = s.pk
+           WHEN MATCHED AND s.v = 'upd' THEN UPDATE SET *
+           WHEN MATCHED THEN DELETE
+           WHEN NOT MATCHED THEN INSERT *""",
+    )
+    assert _state(spark) == {
+        1: ("upd", 100),   # first clause fired: updated
+        3: ("c", 30),      # unmatched target: kept
+        9: ("new", 900),   # inserted
+    }                      # 2: second clause fired: deleted
+    # delete-first order is honoured natively too
+    _df(spark, [(1, "kill", 0), (3, "bump", 333)]).createOrReplaceTempView(
+        "src_order2"
+    )
+    sql(
+        spark,
+        """MERGE INTO sqldml AS t USING src_order2 AS s ON t.pk = s.pk
+           WHEN MATCHED AND s.v = 'kill' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET *""",
+    )
+    assert _state(spark) == {3: ("bump", 333), 9: ("new", 900)}
+
+
+def test_sql_merge_composite_key_and_explicit_set(spark, tmp_path):
+    """Composite-key ON (AND-ed equalities), explicit UPDATE SET
+    assignments, and WHEN NOT MATCHED AND cond (VERDICT r11 item 2)."""
+    t = ManifestTable(str(tmp_path / "comp"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, "x", 10), (1, "y", 20), (2, "x", 30)],
+            "k1 long, k2 string, n long",
+        )
+    )
+    register_table(spark, "comp", t.root, key_cols=["k1", "k2"])
+    spark.createDataFrame(
+        [(1, "x", 5), (2, "y", 7), (3, "z", 100), (4, "w", 1)],
+        "k1 long, k2 string, n long",
+    ).createOrReplaceTempView("comp_src")
+    sql(
+        spark,
+        """MERGE INTO comp AS t USING comp_src AS s
+           ON t.k1 = s.k1 AND t.k2 = s.k2
+           WHEN MATCHED THEN UPDATE SET n = t.n + s.n
+           WHEN NOT MATCHED AND s.n >= 100 THEN INSERT *""",
+    )
+    got = {
+        (r["k1"], r["k2"]): r["n"]
+        for r in spark.sql("SELECT * FROM comp").collect()
+    }
+    assert got == {
+        (1, "x"): 15,    # matched both keys: n = t.n + s.n
+        (1, "y"): 20,    # k2 differs: kept
+        (2, "x"): 30,    # kept
+        (3, "z"): 100,   # source-only AND n >= 100: inserted
+    }                    # (2,'y') n=7 and (4,'w') n=1: cond false, dropped
+    # explicit SET on a key column is a delete+insert — rejected
+    with pytest.raises(ValueError, match="merge-key column"):
+        sql(
+            spark,
+            """MERGE INTO comp AS t USING comp_src AS s
+               ON t.k1 = s.k1 AND t.k2 = s.k2
+               WHEN MATCHED THEN UPDATE SET k1 = 99""",
+        )
+
+
+def test_sql_merge_swapped_aliases_and_literals(spark, tbl):
+    """ADVICE r11 (low): user aliases named s/t in SWAPPED roles must
+    rewrite correctly (single-pass), and alias-looking tokens inside
+    string literals must be left alone."""
+    _df(spark, [(2, "s.", 1), (3, "zz", 2)]).createOrReplaceTempView(
+        "src_swap"
+    )
+    # target aliased 's', source aliased 't' — swapped canonical names
+    sql(
+        spark,
+        """MERGE INTO sqldml AS s USING src_swap AS t ON s.pk = t.pk
+           WHEN MATCHED AND t.v = 's.' THEN UPDATE SET n = s.n + t.n
+           WHEN MATCHED THEN DELETE""",
+    )
+    assert _state(spark) == {
+        1: ("a", 10),   # unmatched target kept
+        2: ("b", 21),   # t.v = 's.' literal matched; n = target 20 + 1
+    }                   # 3: second clause deleted
+
+
+def test_sql_routing_is_session_scoped(spark, tbl):
+    """ADVICE r11: the DML routing table is keyed by SparkSession — a
+    name registered in one session must not route DML issued through
+    another. (Spark 4.1 additionally bars sibling sessions from
+    registering/using Python data sources at all, so the sibling can
+    never even create the read view: the routing registry must not
+    pretend otherwise.)"""
+    from datapipeline_scraping_spark.sources.manifest_sql import (
+        _SESSIONS,
+        _tables,
+    )
+
+    sibling = spark.newSession()
+    try:
+        assert _tables(spark).get("sqldml")
+        # the sibling has no entry for the name: its statement falls
+        # through to Spark's parser (which rejects UPDATE on an
+        # unknown/plain relation) instead of cross-routing to OUR table
+        assert not _tables(sibling).get("sqldml")
+        with pytest.raises(Exception):
+            sql(sibling, "UPDATE sqldml SET n = 0 WHERE pk = 1")
+        assert tbl.version() == 1, "sibling statement hit our table"
+        # per-session entries are fully independent objects
+        _tables(sibling)["sqldml"] = {"root": "/elsewhere", "key_cols": []}
+        assert _tables(spark)["sqldml"]["root"] == tbl.root
+    finally:
+        _SESSIONS.pop(sibling, None)
+
+
+def test_sql_merge_subquery_source_with_nested_parens(spark, tbl):
+    """ADVICE r11 (low): the USING (...) extraction balances nested
+    parentheses instead of stopping at the first ')'."""
+    _df(spark, [(2, "B", 200), (9, "nine", 900)]).createOrReplaceTempView(
+        "src_sub"
+    )
+    sql(
+        spark,
+        """MERGE INTO sqldml AS t
+           USING (SELECT pk, upper(v) AS v, (n + (1 + 1)) AS n
+                  FROM src_sub WHERE pk IN (2, 9)) AS s
+           ON t.pk = s.pk
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+    )
+    assert _state(spark) == {
+        1: ("a", 10), 2: ("B", 202), 3: ("c", 30), 9: ("NINE", 902),
+    }
+
+
+def test_register_table_rejects_quoted_roots(spark, tmp_path):
+    with pytest.raises(ValueError, match="quote"):
+        register_table(spark, "evil", str(tmp_path) + "/a'b")
