@@ -1851,6 +1851,73 @@ class ManifestTable:
         protocol as every writer; the cdf/checks guard re-runs inside
         the lock like :meth:`commit_clustered`'s."""
         spark = df.sparkSession
+        entry, version, snap = self._prepare_clustered_append(
+            spark, df, expect_version=expect_version
+        )
+        staged: str | None = None
+        committed_ver: int | None = None
+        try:
+            staged, kw = self._stage_clustered_append(
+                spark, df, entry, snap, meta=meta
+            )
+            self._acquire_lock()
+            try:
+                cur = self._pointer()
+                if cur is None or cur[1] != version:
+                    raise ConcurrentWriteError(
+                        f"{self.root}: version advanced during clustered "
+                        f"append (staged against {version}) — retry"
+                    )
+                live_now = self._log_entry(cur[1]) or {}
+                if (live_now.get("cdf") or {}).get("key_cols") or live_now.get(
+                    "checks"
+                ):
+                    raise ValueError(
+                        f"{self.root}: a concurrent commit enabled the "
+                        f"change feed or CHECK constraints — clustered "
+                        f"append would skip them"
+                    )
+                new_ver = version + 1
+                snap_new = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
+                os.rename(staged, os.path.join(self.root, snap_new))
+                staged = os.path.join(self.root, snap_new)
+                self._write_log(
+                    new_ver,
+                    snap_new,
+                    kw.pop("partition_by"),
+                    kw.pop("schema_json"),
+                    **kw,
+                )
+                tmp_ptr = os.path.join(
+                    self.root, f".ptr-{uuid.uuid4().hex[:8]}"
+                )
+                with open(tmp_ptr, "w") as fh:
+                    fh.write(f"{snap_new}\n{new_ver}\n")
+                os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
+                self.last_snapshot = snap_new
+                committed_ver = new_ver
+            finally:
+                self._release_lock()
+                if committed_ver is None:
+                    shutil.rmtree(staged, ignore_errors=True)
+        except Exception:
+            if committed_ver is None and staged:
+                shutil.rmtree(staged, ignore_errors=True)
+            raise
+        self._gc(keep=keep_snapshots)
+        return committed_ver
+
+    def _prepare_clustered_append(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        *,
+        expect_version: int | None = None,
+    ) -> tuple[dict, int, str]:
+        """Validation head of a bucket-preserving append (UNLOCKED):
+        resolves the base, requires a clustered entry, the committed
+        schema verbatim, and no MoR key collisions. Returns
+        ``(base_entry, base_version, snap_dir)``."""
         ptr = self._pointer()
         if ptr is None:
             raise FileNotFoundError(
@@ -1905,6 +1972,27 @@ class ManifestTable:
                     f"merge-on-read keys (deletion vector / update delta "
                     f"on {dv['key_cols']}) — compact_clustered() first"
                 )
+        return entry, version, snap
+
+    def _stage_clustered_append(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        entry: dict,
+        snap: str,
+        *,
+        meta: dict | None,
+    ) -> tuple[str, dict]:
+        """UNLOCKED staging half of a bucket-preserving append: write
+        the batch through the bucketed writer with the table's own
+        spec, hardlink the base snapshot's bucket files and MoR
+        sidecars forward, and adopt the new per-bucket files KEEPING
+        their bucket-id names. Returns ``(staged_dir, _write_log
+        kwargs)``; the caller owns the lock/CAS/pointer tail
+        (single-table: :meth:`append_clustered`; multi-table:
+        :meth:`TransactionGroup.commit`'s append-shaped members, r12)
+        and removes ``staged_dir`` on failure."""
+        bucket = entry["bucket"]
         tmp = os.path.join(self.root, f".cappend-{uuid.uuid4().hex[:8]}")
         _write_bucketed(
             spark, df, bucket["col"], int(bucket["n"]),
@@ -1913,7 +2001,6 @@ class ManifestTable:
         staged = os.path.join(
             self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
         )
-        committed_ver: int | None = None
         try:
             os.makedirs(staged)
             for f in os.listdir(snap):
@@ -1943,55 +2030,19 @@ class ManifestTable:
                 if os.path.exists(dst):  # pragma: no cover - uuid clash
                     raise RuntimeError(f"bucket file collision on {f!r}")
                 os.rename(os.path.join(tmp, f), dst)
-            self._acquire_lock()
-            try:
-                cur = self._pointer()
-                if cur is None or cur[1] != version:
-                    raise ConcurrentWriteError(
-                        f"{self.root}: version advanced during clustered "
-                        f"append (staged against {version}) — retry"
-                    )
-                live_now = self._log_entry(cur[1]) or {}
-                if (live_now.get("cdf") or {}).get("key_cols") or live_now.get(
-                    "checks"
-                ):
-                    raise ValueError(
-                        f"{self.root}: a concurrent commit enabled the "
-                        f"change feed or CHECK constraints — clustered "
-                        f"append would skip them"
-                    )
-                new_ver = version + 1
-                snap_new = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
-                os.rename(staged, os.path.join(self.root, snap_new))
-                staged = os.path.join(self.root, snap_new)
-                self._write_log(
-                    new_ver,
-                    snap_new,
-                    [],
-                    entry["schema"],
-                    meta={**_inherited_meta(entry), **(meta or {})},
-                    bucket=dict(bucket),
-                    dv=entry.get("dv"),
-                    mor_delta=entry.get("mor_delta"),
-                )
-                tmp_ptr = os.path.join(
-                    self.root, f".ptr-{uuid.uuid4().hex[:8]}"
-                )
-                with open(tmp_ptr, "w") as fh:
-                    fh.write(f"{snap_new}\n{new_ver}\n")
-                os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
-                self.last_snapshot = snap_new
-                committed_ver = new_ver
-            finally:
-                self._release_lock()
-                if committed_ver is None:
-                    shutil.rmtree(staged, ignore_errors=True)
+        except Exception:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-            if committed_ver is None:
-                shutil.rmtree(staged, ignore_errors=True)
-        self._gc(keep=keep_snapshots)
-        return committed_ver
+        return staged, dict(
+            partition_by=[],
+            schema_json=entry["schema"],
+            meta={**_inherited_meta(entry), **(meta or {})},
+            bucket=dict(bucket),
+            dv=entry.get("dv"),
+            mor_delta=entry.get("mor_delta"),
+        )
 
     def rename_column(
         self,
@@ -3678,6 +3729,37 @@ class ManifestTable:
                 keep_snapshots=keep_snapshots,
                 meta=meta,
             )
+        tmp, entry, version, partition_by, target_schema, aligned = (
+            self._prepare_append_batch(df, expect_version=expect_version)
+        )
+        return self._append_parts(
+            df.sparkSession,
+            tmp,
+            entry,
+            version,
+            partition_by,
+            target_schema,
+            aligned,
+            meta=meta,
+            keep_snapshots=keep_snapshots,
+        )
+
+    def _prepare_append_batch(
+        self, df: DataFrame, *, expect_version: int | None = None
+    ) -> tuple[str, dict, int, list, "T.StructType", DataFrame]:
+        """UNLOCKED head of an add-file commit: validate the batch
+        against the live entry (layout, schema evolution, MoR key
+        collisions, CHECK constraints) and write its part files to a
+        temp dir. Returns ``(tmp_parts_dir, base_entry, base_version,
+        partition_by, target_schema, aligned_batch)`` for
+        :meth:`_stage_append_parts` /:meth:`_append_parts` — also the
+        staging path :meth:`TransactionGroup.commit` uses for
+        append-shaped members (r12)."""
+        ptr = self._pointer()
+        if ptr is None:
+            raise FileNotFoundError(
+                f"{self.root}: append staging needs a committed base"
+            )
         snap_name, version = ptr
         if expect_version is not None and version != expect_version:
             raise ConcurrentWriteError(
@@ -3761,16 +3843,91 @@ class ManifestTable:
                     f"aborted — rows failing each: {bad} "
                     f"(predicates: { {n: checks[n] for n in bad} })"
                 )
-        return self._append_parts(
-            spark,
-            tmp,
-            entry,
-            version,
-            partition_by,
-            target_schema,
-            aligned,
-            meta=meta,
-            keep_snapshots=keep_snapshots,
+        return tmp, entry, version, partition_by, target_schema, aligned
+
+    def _stage_append_parts(
+        self,
+        spark: SparkSession,
+        tmp: str,
+        entry: dict,
+        version: int,
+        partition_by: list,
+        target_schema: "T.StructType",
+        changes_df: DataFrame,
+        *,
+        meta: dict | None,
+    ) -> tuple[str, dict]:
+        """UNLOCKED staging half of an add-file commit: link the base
+        snapshot forward, adopt the pre-written part files out of
+        ``tmp``, maintain stats/bloom incrementally, and materialize
+        the insert-only change feed from ``changes_df``. Returns
+        ``(staged_dir, _write_log kwargs)`` — the caller owns the
+        lock/CAS/pointer tail (single-table: :meth:`_append_parts`;
+        multi-table: :meth:`TransactionGroup.commit`'s append-shaped
+        members, r12) and must remove ``staged_dir`` on failure."""
+        snap = os.path.join(self.root, entry["snapshot"])
+        staged = os.path.join(
+            self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
+        )
+        os.makedirs(staged)
+        keep_rels: list[str] = []
+        for r, dirs, fs in os.walk(snap):
+            rel_dir = os.path.relpath(r, snap)
+            if rel_dir == ".":
+                # MoR sidecars link below; _cdf stays version-local
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                rel_dir = ""
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                rel = os.path.join(rel_dir, f) if rel_dir else f
+                dst = os.path.join(staged, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(os.path.join(snap, rel), dst)
+                except OSError:
+                    shutil.copy2(os.path.join(snap, rel), dst)
+                keep_rels.append(rel)
+        for side in (self.DV_DIR, self.UPD_DIR):
+            sp = os.path.join(snap, side)
+            if os.path.isdir(sp):
+                _link_tree(sp, os.path.join(staged, side))
+        # insert-only change feed: the appended rows ARE the
+        # changes. Written BEFORE the parts are adopted — an
+        # external writer's changes_df (append_files) reads the
+        # part files at their pre-adoption location
+        cdf_prop = list((entry.get("cdf") or {}).get("key_cols") or [])
+        cdf_entry = None
+        if cdf_prop:
+            cdf_path = os.path.join(staged, self.CDF_DIR)
+            changes = changes_df.select(
+                F.lit("insert").alias("_change_type"), "*"
+            ).withColumn(
+                "_commit_version", F.lit(version + 1).cast("long")
+            )
+            changes.write.mode("overwrite").parquet(cdf_path)
+            cdf_entry = {
+                "key_cols": cdf_prop,
+                "n_changes": int(spark.read.parquet(cdf_path).count()),
+            }
+        new_rels = _adopt_parts(tmp, staged, "append")
+        file_stats = _incremental_stats(entry, keep_rels, staged, new_rels)
+        _carry_bloom_sidecar(spark, entry, snap, staged, keep_rels, new_rels)
+        return staged, dict(
+            partition_by=partition_by,
+            schema_json=target_schema.json(),
+            meta={**_inherited_meta(entry), **(meta or {})},
+            stats_cols=entry.get("stats_cols"),
+            file_stats=file_stats,
+            checks=entry.get("checks"),
+            dv=entry.get("dv"),
+            cdf=cdf_entry
+            or ({"key_cols": cdf_prop, "noop": True} if cdf_prop else None),
+            column_map=entry.get("column_map"),
+            mor_delta=entry.get("mor_delta"),
+            dropped=entry.get("dropped"),
+            added=entry.get("added"),
+            bloom=entry.get("bloom"),
         )
 
     def _append_parts(
@@ -3793,56 +3950,19 @@ class ManifestTable:
         files, maintain stats/bloom incrementally, materialize the
         insert-only change feed from ``changes_df``, and CAS-commit
         against ``version``."""
-        snap = os.path.join(self.root, entry["snapshot"])
-        staged = os.path.join(
-            self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
-        )
+        staged: str | None = None
         committed_ver: int | None = None
         try:
-            os.makedirs(staged)
-            keep_rels: list[str] = []
-            for r, dirs, fs in os.walk(snap):
-                rel_dir = os.path.relpath(r, snap)
-                if rel_dir == ".":
-                    # MoR sidecars link below; _cdf stays version-local
-                    dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-                    rel_dir = ""
-                for f in fs:
-                    if not f.endswith(".parquet"):
-                        continue
-                    rel = os.path.join(rel_dir, f) if rel_dir else f
-                    dst = os.path.join(staged, rel)
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    try:
-                        os.link(os.path.join(snap, rel), dst)
-                    except OSError:
-                        shutil.copy2(os.path.join(snap, rel), dst)
-                    keep_rels.append(rel)
-            for side in (self.DV_DIR, self.UPD_DIR):
-                sp = os.path.join(snap, side)
-                if os.path.isdir(sp):
-                    _link_tree(sp, os.path.join(staged, side))
-            # insert-only change feed: the appended rows ARE the
-            # changes. Written BEFORE the parts are adopted — an
-            # external writer's changes_df (append_files) reads the
-            # part files at their pre-adoption location
-            cdf_prop = list((entry.get("cdf") or {}).get("key_cols") or [])
-            cdf_entry = None
-            if cdf_prop:
-                cdf_path = os.path.join(staged, self.CDF_DIR)
-                changes = changes_df.select(
-                    F.lit("insert").alias("_change_type"), "*"
-                ).withColumn(
-                    "_commit_version", F.lit(version + 1).cast("long")
-                )
-                changes.write.mode("overwrite").parquet(cdf_path)
-                cdf_entry = {
-                    "key_cols": cdf_prop,
-                    "n_changes": int(spark.read.parquet(cdf_path).count()),
-                }
-            new_rels = _adopt_parts(tmp, staged, "append")
-            file_stats = _incremental_stats(entry, keep_rels, staged, new_rels)
-            _carry_bloom_sidecar(spark, entry, snap, staged, keep_rels, new_rels)
+            staged, kw = self._stage_append_parts(
+                spark,
+                tmp,
+                entry,
+                version,
+                partition_by,
+                target_schema,
+                changes_df,
+                meta=meta,
+            )
             self._acquire_lock()
             try:
                 cur = self._pointer()
@@ -3858,24 +3978,9 @@ class ManifestTable:
                 self._write_log(
                     new_ver,
                     snap_new,
-                    partition_by,
-                    target_schema.json(),
-                    meta={**_inherited_meta(entry), **(meta or {})},
-                    stats_cols=entry.get("stats_cols"),
-                    file_stats=file_stats,
-                    checks=entry.get("checks"),
-                    dv=entry.get("dv"),
-                    cdf=cdf_entry
-                    or (
-                        {"key_cols": cdf_prop, "noop": True}
-                        if cdf_prop
-                        else None
-                    ),
-                    column_map=entry.get("column_map"),
-                    mor_delta=entry.get("mor_delta"),
-                    dropped=entry.get("dropped"),
-                    added=entry.get("added"),
-                    bloom=entry.get("bloom"),
+                    kw.pop("partition_by"),
+                    kw.pop("schema_json"),
+                    **kw,
                 )
                 tmp_ptr = os.path.join(
                     self.root, f".ptr-{uuid.uuid4().hex[:8]}"
@@ -3891,7 +3996,7 @@ class ManifestTable:
                     shutil.rmtree(staged, ignore_errors=True)
         except Exception:
             shutil.rmtree(tmp, ignore_errors=True)
-            if committed_ver is None:
+            if committed_ver is None and staged:
                 shutil.rmtree(staged, ignore_errors=True)
             raise
         self._gc(keep=keep_snapshots)
@@ -5741,29 +5846,55 @@ class TransactionGroup:
 
     def commit(
         self,
-        writes: dict[str, DataFrame],
+        writes: dict[str, "DataFrame | tuple[str, DataFrame]"],
         *,
         expect_versions: dict[str, int] | None = None,
         meta: dict | None = None,
         keep_snapshots: int = 2,
     ) -> dict[str, int]:
-        """Commit every table's new full state atomically. ``writes``
-        maps each member's root -> DataFrame (every member must be
-        written — a partial group is a contradiction in terms; commit
-        the subset through the tables directly if independence is
-        fine). ``expect_versions`` (root -> version) adds per-member
-        CAS. Returns root -> new version. Raises
-        :class:`ConcurrentWriteError` (whole group aborted, nothing
-        visible) on any CAS miss."""
+        """Commit every member atomically. ``writes`` maps each
+        member's root to either
+
+        - a DataFrame — the member's new FULL state (copy-on-write
+          snapshot, the original shape), or
+        - ``("commit" | "append" | "append_clustered", DataFrame)`` —
+          an explicit op. ``"append"`` / ``"append_clustered"`` stage
+          ADD-FILE commits (r12 — VERDICT r11 item 4): the base
+          snapshot hardlinks forward and only the batch is written, so
+          a corpus + derived-index pair can advance atomically per
+          ingest batch at O(batch) cost instead of rewriting both
+          tables. Append-shaped members carry an IMPLICIT per-member
+          CAS on the base version they staged against — any
+          interleaved writer aborts the WHOLE group (nothing visible),
+          exactly the single-table append contract.
+
+        Every member must be written — a partial group is a
+        contradiction in terms; commit the subset through the tables
+        directly if independence is fine. ``expect_versions`` (root ->
+        version) adds explicit per-member CAS. Returns root -> new
+        version. Raises :class:`ConcurrentWriteError` (whole group
+        aborted) on any CAS miss."""
         self._recover_all()
         by_root = {os.path.realpath(t.root): t for t in self.tables}
-        keyed = {os.path.realpath(r): df for r, df in writes.items()}
+        keyed = {os.path.realpath(r): v for r, v in writes.items()}
         if set(keyed) != set(by_root):
             raise ValueError(
                 f"writes must cover the group exactly; missing="
                 f"{sorted(set(by_root) - set(keyed))} extra="
                 f"{sorted(set(keyed) - set(by_root))}"
             )
+        ops: dict[str, tuple[str, DataFrame]] = {}
+        for rp, v in keyed.items():
+            if isinstance(v, DataFrame):
+                ops[rp] = ("commit", v)
+            else:
+                op, df = v
+                if op not in ("commit", "append", "append_clustered"):
+                    raise ValueError(
+                        f"unknown group member op {op!r} — expected "
+                        f"'commit', 'append' or 'append_clustered'"
+                    )
+                ops[rp] = (op, df)
         for t in self.tables:
             live = t._log_entry(t.version() or 0) or {}
             if (live.get("cdf") or {}).get("key_cols") or live.get("checks"):
@@ -5774,20 +5905,54 @@ class TransactionGroup:
                 )
         gid = uuid.uuid4().hex[:16]
         staged: dict[str, str] = {}
+        logkw: dict[str, dict] = {}
         schemas: dict[str, str] = {}
         layouts: dict[str, list[str]] = {}
+        base_ver: dict[str, int] = {}  # append members' implicit CAS
         try:
             for t in self.tables:
                 rp = os.path.realpath(t.root)
-                df = keyed[rp]
+                op, df = ops[rp]
                 os.makedirs(t.root, exist_ok=True)
-                # same table-property semantics as single-table commit
-                # (ADVICE r10): inherit the live entry's partition
-                # layout (a group commit must not silently unpartition
-                # a member) and run the align/widen schema validation —
-                # new columns append, missing columns null-fill,
-                # narrowing raises SchemaEvolutionError instead of
-                # committing a snapshot the next merge misaligns with.
+                if op == "append":
+                    tmp, entry, version, part_by, tschema, aligned = (
+                        t._prepare_append_batch(df)
+                    )
+                    try:
+                        s, kw = t._stage_append_parts(
+                            df.sparkSession,
+                            tmp,
+                            entry,
+                            version,
+                            part_by,
+                            tschema,
+                            aligned,
+                            meta=None,
+                        )
+                    except Exception:
+                        shutil.rmtree(tmp, ignore_errors=True)
+                        raise
+                    staged[rp], logkw[rp] = s, kw
+                    base_ver[rp] = version
+                    continue
+                if op == "append_clustered":
+                    entry, version, snap = t._prepare_clustered_append(
+                        df.sparkSession, df
+                    )
+                    s, kw = t._stage_clustered_append(
+                        df.sparkSession, df, entry, snap, meta=None
+                    )
+                    staged[rp], logkw[rp] = s, kw
+                    base_ver[rp] = version
+                    continue
+                # full-state member — same table-property semantics as
+                # single-table commit (ADVICE r10): inherit the live
+                # entry's partition layout (a group commit must not
+                # silently unpartition a member) and run the
+                # align/widen schema validation — new columns append,
+                # missing columns null-fill, narrowing raises
+                # SchemaEvolutionError instead of committing a snapshot
+                # the next merge misaligns with.
                 live_entry = t._log_entry(t.version() or 0) or {}
                 part_by = list(live_entry.get("partition_by") or [])
                 live = t._live_schema(df.sparkSession)
@@ -5809,6 +5974,9 @@ class TransactionGroup:
                 staged[rp] = s
                 schemas[rp] = df.schema.json()
                 layouts[rp] = part_by
+                logkw[rp] = dict(
+                    partition_by=part_by, schema_json=df.schema.json()
+                )
         except Exception:
             for s in staged.values():
                 shutil.rmtree(s, ignore_errors=True)
@@ -5833,20 +6001,43 @@ class TransactionGroup:
                         f"{t.root}: version {cur} != expected {exp[rp]} — "
                         f"whole group aborted"
                     )
-                # re-validate the inheritance base INSIDE the lock: a
-                # writer that advanced a member between staging and
-                # lock acquisition may have changed its layout or
-                # widened its schema — committing the stale staging
-                # would silently revert it. Abort the whole group
-                # (bounded caller retry) rather than restage under all
-                # the locks.
                 live_now = t._log_entry(cur) or {}
+                if rp in base_ver:
+                    # append-shaped member: the staged snapshot embeds
+                    # the base's files, so ANY interleaved commit makes
+                    # it stale — implicit CAS on the staged-against
+                    # version (the single-table append contract,
+                    # group-wide abort semantics)
+                    if cur != base_ver[rp]:
+                        raise ConcurrentWriteError(
+                            f"{t.root}: version advanced during group "
+                            f"append staging (staged against "
+                            f"{base_ver[rp]}, now {cur}) — whole group "
+                            f"aborted, re-commit"
+                        )
+                    continue
+                # full-state member: re-validate the inheritance base
+                # INSIDE the lock: a writer that advanced it between
+                # staging and lock acquisition may have changed its
+                # layout, widened its schema, or enabled table
+                # properties the group path skips — committing the
+                # stale staging would silently revert/bypass them.
+                # Abort the whole group (bounded caller retry) rather
+                # than restage under all the locks.
+                if (live_now.get("cdf") or {}).get("key_cols") or (
+                    live_now.get("checks")
+                ):
+                    raise ConcurrentWriteError(
+                        f"{t.root}: a concurrent commit enabled the "
+                        f"change feed or CHECK constraints while the "
+                        f"group staged — whole group aborted"
+                    )
                 if list(live_now.get("partition_by") or []) != layouts[rp]:
                     raise ConcurrentWriteError(
                         f"{t.root}: partition layout changed while the "
                         f"group staged — whole group aborted, re-commit"
                     )
-                new_live = t._live_schema(keyed[rp].sparkSession)
+                new_live = t._live_schema(ops[rp][1].sparkSession)
                 staged_schema = T.StructType.fromJson(json.loads(schemas[rp]))
                 if new_live is not None and [
                     (f.name, f.dataType)
@@ -5856,6 +6047,9 @@ class TransactionGroup:
                         f"{t.root}: live schema evolved while the group "
                         f"staged — whole group aborted, re-commit"
                     )
+            for t in self.tables:
+                ptr = t._pointer()
+                cur = 0 if ptr is None else ptr[1]
                 new_ver = cur + 1
                 snap = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
                 plan.append(
@@ -5866,15 +6060,19 @@ class TransactionGroup:
                 rp = os.path.realpath(t.root)
                 os.rename(staged[rp], os.path.join(t.root, m["snapshot"]))
                 staged[rp] = os.path.join(t.root, m["snapshot"])
+                kw = dict(logkw[rp])
+                kw_meta = kw.pop("meta", None) or {}
                 t._write_log(
                     m["version"],
                     m["snapshot"],
-                    layouts[rp],
-                    schemas[rp],
+                    kw.pop("partition_by"),
+                    kw.pop("schema_json"),
                     meta={
+                        **kw_meta,
                         **(meta or {}),
                         "txn": {"gid": gid, "roots": [p["root"] for p in plan]},
                     },
+                    **kw,
                 )
             for t in self.tables:
                 tmp = os.path.join(t.root, f".grp-{uuid.uuid4().hex[:8]}")

@@ -22,7 +22,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
-from .functions.numeric import exact_sum
+from .functions.numeric import exact_sum, sql_exact_sum, to_double
 from .queries import _t, q
 from .streaming.events import SCRATCH
 
@@ -174,4 +174,119 @@ def q190_clustered_mor_dml(spark, sf_dir):
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4
             ).alias("revenue"),
         )
+    )
+
+
+# ===========================================================================
+# atomic corpus-append + index-maintenance group commits (r12)
+# ===========================================================================
+
+
+@q(
+    "q191_group_incremental_pair",
+    oracle=f"""
+SELECT l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  {sql_exact_sum("l_quantity", 18, 2)} AS sum_qty
+FROM lineitem WHERE l_orderkey % 4 <= 2
+GROUP BY l_returnflag
+""",
+)
+def q191_group_incremental_pair(spark, sf_dir):
+    """Corpus + derived index advancing ATOMICALLY per ingest batch
+    (r12 — VERDICT r11 item 4): the corpus member of each
+    ``TransactionGroup.commit`` is an ADD-FILE append (the base
+    snapshot hardlinks forward — inode-asserted O(batch), never a
+    rewrite), the index member is the index's new state maintained
+    INCREMENTALLY (old index ∪ batch aggregate → re-aggregate: cost
+    O(|index| + |batch|), with running sums kept in exact DECIMAL so
+    every increment is bit-reproducible). A reader can never see the
+    new corpus with the old index or vice versa: both log entries
+    carry the same group gid, pointers swap under the group's
+    intent-file protocol, and a crash between swaps rolls FORWARD
+    (crash-injection tested in tests/test_txn.py). This is the
+    q95/q106-class contract — an ANN/dedup index NEXT TO its corpus —
+    finally maintainable per batch instead of per full rebuild.
+
+    Reference anchor: the reference's raw-then-final two-table
+    promotion per scrape batch (``dags/scraping_etl.py:59-83``), made
+    atomic. Scale shape: the group's serialized section is one CAS +
+    log write + pointer swap per member; snapshot writes run unlocked
+    upstream; append members carry an implicit CAS on their staged
+    base so an interleaved writer aborts the group instead of being
+    silently overwritten."""
+    from .operators.txn import ManifestTable, TransactionGroup
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 <= 2)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+    )
+    c_root = os.path.join(SCRATCH, f"gpair_c_{_key(sf_dir)}")
+    i_root = os.path.join(SCRATCH, f"gpair_i_{_key(sf_dir)}")
+    corpus, index = ManifestTable(c_root), ManifestTable(i_root)
+
+    def batch_agg(df):
+        return df.groupBy("l_returnflag").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_qty_dec"),
+        )
+
+    built = (corpus.version() or 0) == 3 and (index.version() or 0) == 3
+    if not built:
+        shutil.rmtree(c_root, ignore_errors=True)
+        shutil.rmtree(i_root, ignore_errors=True)
+        corpus, index = ManifestTable(c_root), ManifestTable(i_root)
+        b0 = li.filter(F.col("l_orderkey") % 4 == 0)
+        corpus.commit(b0)
+        index.commit(batch_agg(b0))
+        grp = TransactionGroup(corpus, index)
+        for i in (1, 2):
+            batch = li.filter(F.col("l_orderkey") % 4 == i)
+            snap = corpus.snapshot_path()
+            inodes = {
+                f: os.stat(os.path.join(snap, f)).st_ino
+                for f in os.listdir(snap)
+                if f.endswith(".parquet")
+            }
+            # incremental index maintenance: old state ∪ batch agg →
+            # one re-aggregate over O(|index| + |batch groups|) rows
+            new_idx = (
+                index.read(spark)
+                .unionByName(batch_agg(batch))
+                .groupBy("l_returnflag")
+                .agg(
+                    F.sum("n_rows").cast("long").alias("n_rows"),
+                    F.sum("sum_qty_dec")
+                    .cast("decimal(18,2)")
+                    .alias("sum_qty_dec"),
+                )
+            )
+            vers = grp.commit(
+                {c_root: ("append", batch), i_root: new_idx}
+            )
+            assert vers == {c_root: i + 1, i_root: i + 1}, vers
+            snap2 = corpus.snapshot_path()
+            assert all(
+                os.stat(os.path.join(snap2, f)).st_ino == ino
+                for f, ino in inodes.items()
+            ), "group append rewrote a corpus base file"
+            tc = (corpus._log_entry(i + 1) or {}).get("meta", {}).get("txn")
+            ti = (index._log_entry(i + 1) or {}).get("meta", {}).get("txn")
+            assert tc and ti and tc["gid"] == ti["gid"], (
+                "group members must share a commit gid"
+            )
+        # consistent-cut read: the index states exactly the corpus
+        both = grp.read_all(spark)
+        n_corpus = both[corpus.root].count()
+        n_indexed = (
+            both[index.root].agg(F.sum("n_rows").alias("s")).first()["s"]
+        )
+        assert n_corpus == n_indexed, (n_corpus, n_indexed)
+    return index.read(spark).select(
+        "l_returnflag",
+        "n_rows",
+        to_double(F.col("sum_qty_dec")).alias("sum_qty"),
     )

@@ -2617,6 +2617,194 @@ def test_recover_group_version_reuse_is_not_swap_proof(spark, tmp_path):
     )
 
 
+def test_group_commit_append_members_advance_atomically(spark, tmp_path):
+    """r12 (VERDICT r11 item 4): a corpus + derived-index pair can
+    advance atomically per ingest batch — the corpus member is an
+    ADD-FILE append (base hardlinks forward, inode-asserted O(batch)),
+    the index member a full-state commit, both visible together."""
+    from datapipeline_scraping_spark.operators.txn import TransactionGroup
+
+    corpus = ManifestTable(str(tmp_path / "corpus"))
+    index = ManifestTable(str(tmp_path / "index"))
+    corpus.commit(
+        spark.range(0, 100).selectExpr("id as pk", "id % 7 as grp")
+    )
+    index.commit(
+        spark.range(0, 100)
+        .selectExpr("id % 7 as grp")
+        .groupBy("grp")
+        .count()
+    )
+    snap = corpus.snapshot_path()
+    inodes = {
+        f: os.stat(os.path.join(snap, f)).st_ino
+        for f in os.listdir(snap)
+        if f.endswith(".parquet")
+    }
+    grp = TransactionGroup(corpus, index)
+    batch = spark.range(100, 150).selectExpr("id as pk", "id % 7 as grp")
+    new_index = (
+        spark.range(0, 150).selectExpr("id % 7 as grp").groupBy("grp").count()
+    )
+    vers = grp.commit(
+        {corpus.root: ("append", batch), index.root: new_index}
+    )
+    assert vers == {corpus.root: 2, index.root: 2}
+    assert corpus.read(spark).count() == 150
+    got = {r["grp"]: r["count"] for r in index.read(spark).collect()}
+    assert got == {g: (150 + 6 - g) // 7 for g in range(7)}
+    # the corpus base files carried by inode — O(batch), no rewrite
+    snap2 = corpus.snapshot_path()
+    assert all(
+        os.stat(os.path.join(snap2, f)).st_ino == i
+        for f, i in inodes.items()
+    ), "group append rewrote a corpus base file"
+    # both entries carry the same gid
+    g1 = (corpus._log_entry(2) or {}).get("meta", {}).get("txn", {})
+    g2 = (index._log_entry(2) or {}).get("meta", {}).get("txn", {})
+    assert g1.get("gid") and g1["gid"] == g2.get("gid")
+
+
+def test_group_commit_clustered_append_member(spark, tmp_path):
+    """A clustered fact + its bucketed twin advance per batch in one
+    group; the appended version keeps the bucket layout and joins
+    exchange-free."""
+    from datapipeline_scraping_spark.operators.txn import TransactionGroup
+
+    fact = ManifestTable(str(tmp_path / "cfact"))
+    dim = ManifestTable(str(tmp_path / "cdim"))
+    fact.commit_clustered(
+        spark.range(0, 200).selectExpr("id as pk", "id * 2 as v"), "pk", 4
+    )
+    dim.commit(
+        spark.range(0, 300).selectExpr("id % 5 as grp").groupBy("grp").count()
+    )
+    grp = TransactionGroup(fact, dim)
+    vers = grp.commit(
+        {
+            fact.root: (
+                "append_clustered",
+                spark.range(200, 300).selectExpr("id as pk", "id * 2 as v"),
+            ),
+            dim.root: spark.range(0, 400)
+            .selectExpr("id % 5 as grp")
+            .groupBy("grp")
+            .count(),
+        }
+    )
+    assert vers[fact.root] == 2 and vers[dim.root] == 2
+    e = fact._log_entry(2) or {}
+    assert e.get("bucket"), "group clustered append dropped the layout"
+    assert fact.read_clustered(spark).count() == 300
+    with pytest.raises(ValueError, match="unknown group member op"):
+        grp.commit(
+            {
+                fact.root: ("upsert", spark.range(1).selectExpr("id as pk")),
+                dim.root: dim.read(spark),
+            }
+        )
+
+
+def test_group_append_member_implicit_cas_aborts_whole_group(
+    spark, tmp_path, monkeypatch
+):
+    """An interleaved writer advancing an append member between the
+    group's staging and its locks must abort the WHOLE group (the
+    staged snapshot embeds the stale base) — nothing becomes
+    visible."""
+    import datapipeline_scraping_spark.operators.txn as txn_mod
+    from datapipeline_scraping_spark.operators.txn import TransactionGroup
+
+    corpus = ManifestTable(str(tmp_path / "c2"))
+    index = ManifestTable(str(tmp_path / "i2"))
+    corpus.commit(spark.range(0, 50).selectExpr("id as pk"))
+    index.commit(spark.range(0, 5).selectExpr("id as grp"))
+    grp = TransactionGroup(corpus, index)
+
+    orig = txn_mod.ManifestTable._stage_append_parts
+    raced = {"done": False}
+
+    def race_then_stage(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        if not raced["done"]:
+            raced["done"] = True
+            # interleaved single-table append lands AFTER staging,
+            # BEFORE the group takes the locks
+            ManifestTable(self.root).append(
+                self_df := spark.range(900, 910).selectExpr("id as pk")
+            )
+            del self_df
+        return out
+
+    monkeypatch.setattr(
+        txn_mod.ManifestTable, "_stage_append_parts", race_then_stage
+    )
+    with pytest.raises(ConcurrentWriteError, match="whole group"):
+        grp.commit(
+            {
+                corpus.root: (
+                    "append",
+                    spark.range(50, 60).selectExpr("id as pk"),
+                ),
+                index.root: spark.range(0, 6).selectExpr("id as grp"),
+            }
+        )
+    # the interleaved writer's state is intact; the group left nothing
+    assert corpus.version() == 2  # base + interleaved append
+    assert corpus.read(spark).count() == 60
+    assert index.version() == 1
+
+
+def test_group_append_crash_after_first_swap_rolls_forward(
+    spark, tmp_path, monkeypatch
+):
+    """A group with an append-shaped member that crashes between its
+    first and second pointer swaps must roll FORWARD on recovery —
+    the append member's hardlinked-base snapshot becomes visible on
+    both tables, never a torn pair."""
+    import datapipeline_scraping_spark.operators.txn as txn_mod
+    from datapipeline_scraping_spark.operators.txn import (
+        TransactionGroup,
+        recover_group,
+    )
+
+    corpus = ManifestTable(str(tmp_path / "c3"))
+    index = ManifestTable(str(tmp_path / "i3"))
+    corpus.commit(spark.range(0, 40).selectExpr("id as pk"))
+    index.commit(spark.range(0, 4).selectExpr("id as grp"))
+    grp = TransactionGroup(corpus, index)
+
+    orig_replace = txn_mod.os.replace
+    state = {"swaps": 0}
+
+    def crash_second_swap(src, dst):
+        if os.path.basename(dst) == ManifestTable.POINTER:
+            state["swaps"] += 1
+            if state["swaps"] == 2:
+                raise OSError("injected crash between pointer swaps")
+        return orig_replace(src, dst)
+
+    monkeypatch.setattr(txn_mod.os, "replace", crash_second_swap)
+    with pytest.raises(OSError, match="injected"):
+        grp.commit(
+            {
+                corpus.root: (
+                    "append",
+                    spark.range(40, 70).selectExpr("id as pk"),
+                ),
+                index.root: spark.range(0, 7).selectExpr("id as grp"),
+            }
+        )
+    monkeypatch.setattr(txn_mod.os, "replace", orig_replace)
+    # torn mid-swap: exactly one member advanced; intents remain
+    swapped = sorted(t.version() for t in (corpus, index))
+    assert swapped == [1, 2], swapped
+    assert recover_group(corpus.root)
+    assert corpus.version() == 2 and index.version() == 2
+    assert corpus.read(spark).count() == 70
+    assert index.read(spark).count() == 7
+
+
 def test_recover_group_waits_for_live_group_not_dead_letter(
     spark, tmp_path
 ):
