@@ -247,7 +247,14 @@ def q188_partitioned_epoch_sink(spark, sf_dir):
     probed partitions via ``read_where``, so the pruned path is the
     hash-checked result path. The seed commit fixes the partition
     layout as a table property; appends inherit it — exactly how the
-    sink keeps a Delta partitioned table."""
+    sink keeps a Delta partitioned table.
+
+    Build is MEMOIZED per corpus (574f795 pattern, VERDICT r11 item
+    3): the drained ledger is a pure function of the staged shards,
+    so a run finding the expected final state (seed + 4 epoch
+    appends, last epoch recorded, partitioned layout) answers from
+    the committed ledger; the stream lifecycle and asserts (1)-(3)
+    run at build time."""
     import uuid
 
     from .operators.txn import ManifestTable
@@ -266,61 +273,77 @@ def q188_partitioned_epoch_sink(spark, sf_dir):
         )
 
     target = os.path.join(SCRATCH, f"part_epoch_sink_{_key(sf_dir)}")
-    shutil.rmtree(target, ignore_errors=True)
     tbl = ManifestTable(target, retention_sec=3600)
-    # seed commit declares the PARTITIONED layout (a table property —
-    # every epoch append inherits it); zero seed rows, layout only
-    seed = spark.createDataFrame(
-        [],
-        "event_type string, shard long, user_id long, event_id long",
+    # build marker annotated on the head commit AFTER asserts (1)-(3)
+    # passed (epoch count varies with shard-hash collisions, so a
+    # version-count probe would be brittle)
+    head = tbl._log_entry(tbl.version() or 0) or {}
+    built = (
+        head.get("meta", {}).get("q188_build") == "v1"
+        and list(head.get("partition_by") or []) == ["event_type"]
     )
-    tbl.commit(seed, partition_by=["event_type"])
-
-    def per_shard(batch_df):
-        return batch_df.select(
-            "event_type",
-            (F.col("user_id") % 4).alias("shard"),
-            "user_id",
-            "event_id",
+    if not built:
+        shutil.rmtree(target, ignore_errors=True)
+        tbl = ManifestTable(target, retention_sec=3600)
+        # seed commit declares the PARTITIONED layout (a table
+        # property — every epoch append inherits it); zero seed rows
+        seed = spark.createDataFrame(
+            [],
+            "event_type string, shard long, user_id long, event_id long",
         )
+        tbl.commit(seed, partition_by=["event_type"])
 
-    sink = manifest_epoch_sink(
-        target, "event_id", transform=per_shard, insert_only=True
-    )
-    schema = spark.read.parquet(shard_src).schema
-    sdf = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(shard_src)
-    )
-    with pinned_shuffle_partitions(spark, 8):
-        q_ = (
-            sdf.writeStream.foreachBatch(sink)
-            .option(
-                "checkpointLocation",
-                os.path.join(
-                    SCRATCH, "ckpt", f"pepoch_{uuid.uuid4().hex[:12]}"
-                ),
+        def per_shard(batch_df):
+            return batch_df.select(
+                "event_type",
+                (F.col("user_id") % 4).alias("shard"),
+                "user_id",
+                "event_id",
             )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination()
 
-    # (1) exactly-once: re-delivering the final epoch must not commit
-    ver_before = tbl.version()
-    last = last_applied_epoch(tbl)
-    assert last is not None and last >= 1, f"expected multiple epochs: {last}"
-    sink(spark.read.parquet(shard_src), last)
-    assert tbl.version() == ver_before, "replayed epoch must not commit"
-    # (2) each epoch appended (seed + one commit per epoch)
-    assert ver_before >= 3, f"expected per-epoch append commits: {ver_before}"
-    # (3) partition-directory pruning on the stream-built layout
-    for t in _Q188_TYPES:
-        pruned = tbl._partition_pruned_files("event_type", t, t)
-        assert pruned is not None and 0 < len(pruned[0]) < pruned[1], (
-            f"partition pruning ineffective for {t}: {pruned}"
+        sink = manifest_epoch_sink(
+            target, "event_id", transform=per_shard, insert_only=True
         )
+        schema = spark.read.parquet(shard_src).schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(shard_src)
+        )
+        with pinned_shuffle_partitions(spark, 8):
+            q_ = (
+                sdf.writeStream.foreachBatch(sink)
+                .option(
+                    "checkpointLocation",
+                    os.path.join(
+                        SCRATCH, "ckpt", f"pepoch_{uuid.uuid4().hex[:12]}"
+                    ),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination()
+
+        # (1) exactly-once: re-delivering the final epoch must not
+        # commit
+        ver_before = tbl.version()
+        last = last_applied_epoch(tbl)
+        assert last is not None and last >= 1, (
+            f"expected multiple epochs: {last}"
+        )
+        sink(spark.read.parquet(shard_src), last)
+        assert tbl.version() == ver_before, "replayed epoch must not commit"
+        # (2) each epoch appended (seed + one commit per epoch)
+        assert ver_before >= 3, (
+            f"expected per-epoch append commits: {ver_before}"
+        )
+        # (3) partition-directory pruning on the stream-built layout
+        for t in _Q188_TYPES:
+            pruned = tbl._partition_pruned_files("event_type", t, t)
+            assert pruned is not None and 0 < len(pruned[0]) < pruned[1], (
+                f"partition pruning ineffective for {t}: {pruned}"
+            )
+        tbl.annotate(tbl.version(), q188_build="v1")
     lo, hi = min(_Q188_TYPES), max(_Q188_TYPES)
     got = tbl.read_where(spark, {"event_type": (lo, hi)})
     return (
