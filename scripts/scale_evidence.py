@@ -423,6 +423,14 @@ TXN_QUERIES = (
     # per-bucket compaction cost the multi-file buckets, and the join
     # stays exchange-free at 10x
     "q189_clustered_incremental_ingest",
+    # r12: merge-on-read DML on the CLUSTERED layout — the DELETE/
+    # UPDATE statements must stay churn-sized (base bucket inodes
+    # asserted in-query) and the per-bucket fold must track affected
+    # buckets, not the 10x table; the group-committed corpus-append +
+    # index-maintenance pair must keep its per-batch cost at O(batch +
+    # index) while both tables grow 10x
+    "q190_clustered_mor_dml",
+    "q191_group_incremental_pair",
 )
 
 CURATION_QUERIES = (
