@@ -94,6 +94,8 @@ TXN_FAMILY_MID_SF = [
     "q187_sql_dml_ledger",
     "q188_partitioned_epoch_sink",
     "q189_clustered_incremental_ingest",
+    "q190_clustered_mor_dml",
+    "q191_group_incremental_pair",
 ]
 
 
