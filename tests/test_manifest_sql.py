@@ -322,3 +322,107 @@ def test_sql_merge_subquery_source_with_nested_parens(spark, tbl):
 def test_register_table_rejects_quoted_roots(spark, tmp_path):
     with pytest.raises(ValueError, match="quote"):
         register_table(spark, "evil", str(tmp_path) + "/a'b")
+
+
+def test_merge_clause_semantics_exhaustive(spark, tmp_path):
+    """Every supported clause-order/condition combination against a
+    pure-Python ANSI MERGE reference (first matching clause wins;
+    NULL conditions don't fire; no INSERT clause -> source-only rows
+    do nothing). This is the model check behind the ADVICE r11 medium
+    fix — delete-first routing must never mis-execute an
+    UPDATE-before-DELETE statement."""
+    # flags cycle TRUE/FALSE/NULL per pk so every (cond value) combo
+    # appears across the matched and unmatched key ranges
+    tri = [1, 0, None]
+    t_rows = [(k, 10 * k, None, None, None) for k in range(1, 7)]
+    s_rows = [
+        (k, 100 * k, tri[k % 3], tri[(k + 1) % 3], tri[(k + 2) % 3])
+        for k in range(4, 10)
+    ]
+    schema = "pk long, v long, du long, dd long, di long"
+
+    def ansi(clauses, insert_cond):
+        """Reference: clauses = ordered [(kind, flagname|None)] over
+        matched rows, kind in {'U','D'}; insert_cond in
+        {'none','all',<flag>} for NOT MATCHED."""
+        s_by = {r[0]: r for r in s_rows}
+        out = []
+        for tr in t_rows:
+            sr = s_by.get(tr[0])
+            if sr is None:
+                out.append(tr)
+                continue
+            fired = None
+            for kind, flag in clauses:
+                cond = True if flag is None else (
+                    {"du": sr[2], "dd": sr[3]}[flag] == 1
+                )
+                if cond:
+                    fired = kind
+                    break
+            if fired == "D":
+                continue
+            out.append(sr if fired == "U" else tr)
+        t_pks = {r[0] for r in t_rows}
+        for sr in s_rows:
+            if sr[0] in t_pks:
+                continue
+            if insert_cond == "none":
+                continue
+            if insert_cond != "all" and sr[4] != 1:
+                continue
+            out.append(sr)
+        return sorted(out, key=lambda r: r[0])
+
+    def clause_sql(clauses, insert_cond):
+        parts = []
+        for kind, flag in clauses:
+            cond = f" AND s.{flag} = 1" if flag else ""
+            act = "UPDATE SET *" if kind == "U" else "DELETE"
+            parts.append(f"WHEN MATCHED{cond} THEN {act}")
+        if insert_cond == "all":
+            parts.append("WHEN NOT MATCHED THEN INSERT *")
+        elif insert_cond != "none":
+            parts.append(
+                f"WHEN NOT MATCHED AND s.{insert_cond} = 1 THEN INSERT *"
+            )
+        return "\n".join(parts)
+
+    spark.createDataFrame(s_rows, schema).createOrReplaceTempView(
+        "sem_src"
+    )
+    # legal matched-clause orders: single clauses unconditional or
+    # conditional; two clauses in either order with a conditional first
+    matched_combos = [
+        [("U", None)],
+        [("U", "du")],
+        [("D", None)],
+        [("D", "dd")],
+        [("U", "du"), ("D", None)],
+        [("U", "du"), ("D", "dd")],
+        [("D", "dd"), ("U", None)],
+        [("D", "dd"), ("U", "du")],
+    ]
+    for ci, clauses in enumerate(matched_combos):
+        for insert_cond in ("none", "all", "di"):
+            root = str(tmp_path / f"sem_{ci}_{insert_cond}")
+            t = ManifestTable(root)
+            t.commit(spark.createDataFrame(t_rows, schema))
+            name = f"sem_tbl_{ci}_{insert_cond}"
+            register_table(spark, name, root, key_cols=["pk"])
+            sql(
+                spark,
+                f"MERGE INTO {name} AS t USING sem_src AS s "
+                f"ON t.pk = s.pk\n{clause_sql(clauses, insert_cond)}",
+            )
+            got = sorted(
+                (tuple(r) for r in spark.sql(
+                    f"SELECT * FROM {name}"
+                ).collect()),
+                key=lambda r: r[0],
+            )
+            want = [tuple(r) for r in ansi(clauses, insert_cond)]
+            assert got == want, (
+                f"clauses={clauses} insert={insert_cond}:\n"
+                f"got  {got}\nwant {want}"
+            )
