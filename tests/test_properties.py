@@ -334,6 +334,83 @@ def test_dml_sequence_matches_model(spark, tmp_path_factory, ops):
         assert got == model, f"divergence after {kind}({lo},{hi})"
 
 
+#: clustered twin of _DML_OP (r12): delete / update land MoR sidecars
+#: on the bucketed snapshot, append lands bucket-preserving files with
+#: fresh keys, compact folds sidecars + multi-file buckets per bucket
+_CDML_OP = st.tuples(
+    st.sampled_from(["delete", "update", "append", "compact"]),
+    st.integers(0, 9),
+    st.integers(0, 9),
+)
+
+
+@given(ops=st.lists(_CDML_OP, min_size=1, max_size=4))
+@settings(**_SETTINGS)
+def test_clustered_dml_sequence_matches_model(spark, tmp_path_factory, ops):
+    """Any interleaving of MoR DELETE / MoR UPDATE / bucket-preserving
+    append / per-bucket compaction on a CLUSTERED snapshot equals a
+    plain Python dict model through read_clustered AND plain read()
+    — and every version keeps its bucket spec (the r12 clustered-DML
+    read/visibility composition is exact for arbitrary sequences)."""
+    from datapipeline_scraping_spark.operators.txn import (
+        ManifestTable,
+        compact_clustered,
+    )
+
+    root = str(tmp_path_factory.mktemp("cdmlseq") / "t")
+    tbl = ManifestTable(root, retention_sec=3600)
+    model = {i: i * 3 for i in range(20)}
+    tbl.commit_clustered(
+        spark.createDataFrame(sorted(model.items()), "pk long, v long"),
+        "pk",
+        4,
+    )
+    next_key = 100
+    for kind, a, b in ops:
+        lo, hi = min(a, b), max(a, b)
+        if kind == "delete":
+            tbl.delete_where(
+                spark, f"pk % 10 between {lo} and {hi}", ["pk"]
+            )
+            model = {
+                k: v for k, v in model.items() if not lo <= k % 10 <= hi
+            }
+        elif kind == "update":
+            tbl.update_where(
+                spark,
+                f"pk % 10 between {lo} and {hi}",
+                {"v": "v + 1000"},
+                ["pk"],
+            )
+            model = {
+                k: (v + 1000 if lo <= k % 10 <= hi else v)
+                for k, v in model.items()
+            }
+        elif kind == "append":
+            fresh = {next_key + i: (next_key + i) * 3 for i in range(3)}
+            next_key += 3
+            tbl.append_clustered(
+                spark.createDataFrame(
+                    sorted(fresh.items()), "pk long, v long"
+                )
+            )
+            model.update(fresh)
+        else:
+            compact_clustered(spark, root)
+            e = tbl._log_entry(tbl.version()) or {}
+            assert not e.get("dv") and not e.get("mor_delta"), (
+                "compaction must fold all MoR state"
+            )
+        entry = tbl._log_entry(tbl.version()) or {}
+        assert entry.get("bucket"), f"{kind} dropped the bucket spec"
+        got = {
+            r["pk"]: r["v"] for r in tbl.read_clustered(spark).collect()
+        }
+        assert got == model, f"clustered read diverged after {kind}"
+        got_plain = {r["pk"]: r["v"] for r in tbl.read(spark).collect()}
+        assert got_plain == model, f"plain read diverged after {kind}"
+
+
 # ---------------------------------------------------------------------------
 # SQ8 quantization / boilerplate removal: pure-Python models
 # ---------------------------------------------------------------------------
