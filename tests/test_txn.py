@@ -3342,12 +3342,14 @@ def test_clustered_writers_crash_sweep_never_tear_table(spark, tmp_path):
             setattr(txn_mod.os, m, wrap(originals[m]))
         return state
 
-    def sweep(statement, pre_state, post_state):
-        """Advance the crash point one fs-mutation at a time until a
-        fully uninjected pass completes — content-preserving
-        statements (pre == post) still exercise EVERY crash point
-        because the loop keys on whether the statement crashed, not on
-        the observed content."""
+    def sweep(statement, pre_state, post_state, stride=1):
+        """Advance the crash point ``stride`` fs-mutations at a time
+        until a fully uninjected pass completes — content-preserving
+        statements (pre == post) still exercise every sampled crash
+        point because the loop keys on whether the statement crashed,
+        not on the observed content. ``stride > 1`` samples the crash
+        points for statements whose per-attempt Spark work makes the
+        exhaustive sweep quadratic-expensive."""
         step = 0
         while True:
             crash_after(step)
@@ -3376,7 +3378,7 @@ def test_clustered_writers_crash_sweep_never_tear_table(spark, tmp_path):
                 return step  # crash AFTER the pointer swap: it landed
             if os.path.exists(os.path.join(root, tbl.LOCK)):
                 _time.sleep(0.6)  # let the stranded lock age past TTL
-            step += 1
+            step += stride
 
     appended = dict(base)
     appended.update({100 + i: (100 + i) * 2 for i in range(3)})
@@ -3393,10 +3395,26 @@ def test_clustered_writers_crash_sweep_never_tear_table(spark, tmp_path):
     tbl.append_clustered(
         frame({k: v for k, v in appended2.items() if k >= 200})
     )
+    # r12: the swept compaction is also the sidecar-FOLDING one — an
+    # uninjected MoR DELETE + UPDATE first, so the single swept
+    # statement exercises multi-file repack AND the per-bucket fold
+    # (DML staging itself shares the commit-tail protocol swept by
+    # test_commit_crash_at_every_filesystem_step...; its clustered
+    # visibility is model-checked in test_properties)
+    tbl.delete_where(spark, "pk % 10 = 3", ["pk"])
+    tbl.update_where(spark, "pk % 10 = 7", {"v": "v + 5000"}, ["pk"])
+    folded = {
+        k: (v + 5000 if k % 10 == 7 else v)
+        for k, v in appended2.items()
+        if k % 10 != 3
+    }
+    assert {
+        r["pk"]: r["v"] for r in tbl.read_clustered(spark).collect()
+    } == folded
     n_steps = sweep(
         lambda: compact_clustered(spark, root),
-        appended2,
-        appended2,  # content-preserving
+        folded,
+        folded,  # content-preserving fold + repack
     )
     assert n_steps >= 2, "compaction sweep never exercised crash points"
     # after the compaction sweep lands, every bucket is single-file
@@ -3412,3 +3430,15 @@ def test_clustered_writers_crash_sweep_never_tear_table(spark, tmp_path):
     # and preserved state; in the landed case the invariant holds
     if not compact_clustered(spark, root)["compacted"]:
         assert all(n == 1 for n in per_bucket.values())
+
+    # r12: the sidecar-FOLDING compaction path through the crash sweep
+    # — the per-bucket fold is the only NEW filesystem choreography
+    # (DELETE/UPDATE staging shares the commit-tail protocol already
+    # swept by test_commit_crash_at_every_filesystem_step...; their
+    # clustered visibility is model-checked in test_properties). The
+    # DML chain runs uninjected so the swept fold operates on a
+    # DV + delta carrying base.
+    # once the fold lands, the head entry carries no MoR state
+    if not compact_clustered(spark, root)["compacted"]:
+        e = tbl._log_entry(tbl.version()) or {}
+        assert not e.get("dv") and not e.get("mor_delta")
