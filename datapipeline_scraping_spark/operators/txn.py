@@ -1101,6 +1101,12 @@ class ManifestTable:
                 file_stats=entry.get("file_stats"),
                 checks=entry.get("checks"),
                 dv=entry.get("dv"),  # restored files include its _dv
+                # a clustered version restores AS clustered: the
+                # hardlinked files keep their bucket-id names, so the
+                # spec must ride the new entry or read_clustered would
+                # refuse the rolled-back head (r12 — rollback after a
+                # bad clustered DML is the natural restore flow)
+                bucket=entry.get("bucket"),
                 cdf=(
                     {
                         "key_cols": list(entry["cdf"]["key_cols"]),
@@ -1242,6 +1248,10 @@ class ManifestTable:
                 file_stats=entry.get("file_stats"),
                 checks=entry.get("checks"),
                 dv=entry.get("dv"),  # linked files include its _dv
+                # a clustered source clones AS clustered (bucket-id
+                # file names ride the hardlinks; the clone adopts its
+                # own catalog entries under its own root tag) — r12
+                bucket=entry.get("bucket"),
                 cdf=(
                     {
                         "key_cols": list(entry["cdf"]["key_cols"]),
@@ -1580,6 +1590,9 @@ class ManifestTable:
                 dropped=src_entry.get("dropped"),
                 added=src_entry.get("added"),
                 bloom=src_entry.get("bloom"),
+                # an adopted clustered branch head keeps its layout
+                # (bucket ids ride the hardlinked file names) — r12
+                bucket=src_entry.get("bucket"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:

@@ -3254,6 +3254,38 @@ def test_clustered_mor_update_then_compact_folds_sidecars(spark, tmp_path):
     assert not compact_clustered(spark, t.root)["compacted"]
 
 
+def test_clustered_restore_and_clone_keep_layout(spark, tmp_path):
+    """r12: a clustered version RESTORES as clustered (rollback after a
+    bad clustered DML is the natural restore flow — the hardlinked
+    files keep their bucket-id names, so the spec must ride the new
+    entry), and a clustered source CLONES as clustered under the
+    destination's own catalog tag."""
+    t, d = _clustered_pair(spark, tmp_path)
+    t.delete_where(spark, F.col("pk") % 5 == 0, key_cols=["pk"])
+    assert t.read_clustered(spark).count() == 320
+    # rollback the DML: the restored head must still read clustered
+    v = t.restore(1)
+    e = t._log_entry(v) or {}
+    assert e.get("bucket"), "restore dropped the bucket spec"
+    assert not e.get("dv"), "restore of v1 must not carry v2's DV"
+    assert t.read_clustered(spark).count() == 400
+    # zero-copy clone of the clustered table (with live DV state at
+    # the cloned version): the clone reads clustered from ITS root
+    t.delete_where(spark, F.col("pk") % 5 == 0, key_cols=["pk"])
+    c = t.clone_to(str(tmp_path / "cl_clone"))
+    ce = c._log_entry(1) or {}
+    assert ce.get("bucket") and ce.get("dv"), (
+        "clone dropped the bucket spec or the DV"
+    )
+    assert c.read_clustered(spark).count() == 320
+    # the clone joins its clustered dim exchange-free like the source
+    l, r = c.read_clustered(spark), d.read_clustered(spark)
+    j = l.hint("merge").join(r, l.pk == r.ok).groupBy("grp").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert "SortMergeJoin" in plan and shuffles == 1, plan[:1500]
+
+
 def test_clustered_append_carries_sidecars_and_guards_collisions(
     spark, tmp_path
 ):
