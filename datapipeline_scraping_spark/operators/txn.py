@@ -1446,6 +1446,12 @@ class ManifestTable:
                     == (bh_entry.get("checks") or {})
                     and list(live.get("partition_by") or [])
                     == list(bh_entry.get("partition_by") or [])
+                    # a clustered main adopts only a branch head with
+                    # the SAME bucket spec — adopting a de-clustered
+                    # (or re-specced) branch would silently change the
+                    # layout contract behind read_clustered (r12)
+                    and (live.get("bucket") or None)
+                    == (bh_entry.get("bucket") or None)
                 )
                 if adoptable:
                     ver = self._adopt_snapshot(
@@ -1495,6 +1501,19 @@ class ManifestTable:
                         f"{[tuple(r) for r in conf_sample]} — re-cut "
                         f"the branch or publish with on_conflict='ours'"
                     )
+            if live.get("bucket"):
+                # the rebase fold commits through the plain writer,
+                # which would silently DROP a clustered main's bucket
+                # layout (read_clustered contract) — refuse loudly
+                # (r12); keep main unmoved for the O(1) adopt path or
+                # re-cluster the folded state deliberately
+                raise ValueError(
+                    f"{self.root}: publish_from would rewrite a "
+                    f"CLUSTERED main through a plain commit (bucket "
+                    f"layout dropped) — publish before main moves "
+                    f"(adopt path), or fold + commit_clustered "
+                    f"deliberately"
+                )
             base = self.read(spark, version=head)
             b = base.alias("b")
             g = changed_keys.alias("g")

@@ -3286,6 +3286,48 @@ def test_clustered_restore_and_clone_keep_layout(spark, tmp_path):
     assert "SortMergeJoin" in plan and shuffles == 1, plan[:1500]
 
 
+def test_clustered_wap_adopts_or_refuses_never_declusters(spark, tmp_path):
+    """r12: write-audit-publish on a CLUSTERED main — the O(1) adopt
+    path publishes a same-spec clustered branch head verbatim (main
+    stays clustered); a moved main refuses the rebase fold loudly
+    instead of silently rewriting the bucket layout away."""
+    from datapipeline_scraping_spark.operators.txn import (
+        TransactionGroup,  # noqa: F401 - keeps import style consistent
+    )
+
+    main = ManifestTable(str(tmp_path / "cl_main"))
+    main.commit_clustered(
+        spark.range(0, 100).selectExpr("id as pk", "id * 2 as v"), "pk", 4
+    )
+    br = main.clone_to(str(tmp_path / "cl_branch"))
+    br.append_clustered(
+        spark.range(100, 130).selectExpr("id as pk", "id * 2 as v")
+    )
+    rep = main.publish_from(spark, br, keys=["pk"])
+    assert rep["published"] and rep["path"] == "fast", rep
+    e = main._log_entry(main.version()) or {}
+    assert e.get("bucket"), "adopt dropped the bucket layout"
+    assert main.read_clustered(spark).count() == 130
+    # main moves (another clustered append lands) -> the rebase fold
+    # would de-cluster; it must refuse loudly
+    br2 = main.clone_to(str(tmp_path / "cl_branch2"))
+    br2.append_clustered(
+        spark.range(200, 210).selectExpr("id as pk", "id * 2 as v")
+    )
+    main.append_clustered(
+        spark.range(300, 310).selectExpr("id as pk", "id * 2 as v")
+    )
+    with pytest.raises(ValueError, match="CLUSTERED main"):
+        main.publish_from(spark, br2, keys=["pk"])
+    # a branch that DE-clustered (plain commit) is not adoptable onto
+    # a clustered main even when main is unmoved: same refusal, never
+    # a silent layout change
+    br3 = main.clone_to(str(tmp_path / "cl_branch3"))
+    br3.commit(br3.read(spark).limit(50))  # plain commit drops layout
+    with pytest.raises(ValueError, match="CLUSTERED main"):
+        main.publish_from(spark, br3, keys=["pk"])
+
+
 def test_clustered_append_carries_sidecars_and_guards_collisions(
     spark, tmp_path
 ):
