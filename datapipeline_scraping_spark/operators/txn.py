@@ -431,8 +431,44 @@ def _snap_read(spark: SparkSession, path, entry: dict | None) -> DataFrame:
     mixes schemas — append-committed files carry columns the
     hardlinked base files lack (metadata-only ADD + append) — and the
     declared read also skips the footer-sampling job. Falls back to
-    inference only for legacy entries with no recorded schema."""
+    inference only for legacy entries with no recorded schema.
+
+    An EVOLVED snapshot (``specs`` in the entry — partition evolution)
+    scans each spec's subtree separately and unions: every spec dir is
+    a self-consistent hive layout, the declared schema reconstructs
+    that spec's partition columns from its directory names (all other
+    columns live in the files), and Catalyst distributes any filter
+    across the union so a predicate on a given column becomes a
+    PARTITION filter on the specs that dir-encode it and a pushed
+    data filter (min/max skippable) everywhere else — Iceberg's
+    spec-at-a-time scan, as a DataFrame union."""
     sch = _phys_schema(entry)
+    specs = _entry_specs(entry)
+    if specs:
+        if sch is None:
+            raise ValueError(
+                f"{path}: evolved snapshot without a declared schema — "
+                f"the per-spec scans cannot reconstruct one shape"
+            )
+        names = [f.name for f in sch.fields]
+        frames = []
+        for sp in sorted(specs, key=lambda s: int(s["id"])):
+            sd = os.path.join(path, _spec_dirname(sp["id"]))
+            # a spec dir may be absent (created by evolve_partition but
+            # never appended to, then not re-created by a hardlink
+            # staging walk) — it contributes zero rows
+            if not os.path.isdir(sd):
+                continue
+            # hive scans surface partition columns LAST regardless of
+            # the declared order; re-select so every spec's frame has
+            # one column order before the union
+            frames.append(spark.read.schema(sch).parquet(sd).select(*names))
+        if not frames:
+            return spark.createDataFrame([], sch)
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
     reader = spark.read.schema(sch) if sch is not None else spark.read
     return reader.parquet(path)
 
@@ -608,6 +644,42 @@ def _link_tree(src: str, dst: str, *, skip_top: tuple[str, ...] = ()) -> None:
                 shutil.copy2(sp, dp)
 
 
+def _spec_dirname(spec_id) -> str:
+    """Directory name a partition spec's files live under inside an
+    EVOLVED snapshot (``spec-<id>/``). Deliberately NOT ``spec=<id>``:
+    a key=value segment would make Spark's partition discovery claim
+    ``spec`` as a partition column, and a naive ``spark.read.parquet``
+    over a mixed-spec snapshot must fail loudly
+    (CONFLICTING_DIRECTORY_STRUCTURES) instead of inventing columns —
+    evolved snapshots are only readable through the spec-aware paths."""
+    return f"spec-{int(spec_id)}"
+
+
+def _entry_specs(entry: dict | None) -> "list[dict] | None":
+    """The commit entry's partition-spec history (``specs``: one
+    ``{"id", "partition_by"}`` per spec, Iceberg's partition-spec
+    list) — or None for never-evolved tables, whose data files live
+    directly under the snapshot root."""
+    sp = (entry or {}).get("specs")
+    return [dict(s) for s in sp] if sp else None
+
+
+def _current_spec(specs: "list[dict]") -> dict:
+    """The ACTIVE spec (highest id) — new appends write under it."""
+    return max(specs, key=lambda s: int(s["id"]))
+
+
+def _spec_partition_cols(entry: dict | None) -> set:
+    """Every column that is a partition column under ANY spec of the
+    entry (current layout included) — the set whose members cannot be
+    renamed/dropped metadata-only, because some snapshot files encode
+    them as physical ``col=value`` directory names."""
+    cols = set((entry or {}).get("partition_by") or [])
+    for s in _entry_specs(entry) or []:
+        cols.update(s.get("partition_by") or [])
+    return cols
+
+
 class ManifestTable:
     """Snapshot-pointer table: atomic commits on a plain filesystem.
 
@@ -750,6 +822,7 @@ class ManifestTable:
         added: list[str] | None = None,
         bloom: dict | None = None,
         bucket: dict | None = None,
+        specs: list | None = None,
     ) -> None:
         """Write the commit's log entry atomically (tmp + replace).
         Called inside the commit lock BEFORE the pointer swap; a crash
@@ -792,6 +865,8 @@ class ManifestTable:
             entry["bloom"] = dict(bloom)
         if bucket:
             entry["bucket"] = dict(bucket)
+        if specs:
+            entry["specs"] = [dict(s) for s in specs]
         tmp = f"{self._log_path(version)}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -1120,6 +1195,9 @@ class ManifestTable:
                 dropped=entry.get("dropped"),
                 added=entry.get("added"),
                 bloom=entry.get("bloom"),
+                # an evolved version restores WITH its spec history
+                # (the hardlinked tree keeps its spec-<id> subdirs)
+                specs=entry.get("specs"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -1265,6 +1343,8 @@ class ManifestTable:
                 dropped=entry.get("dropped"),
                 added=entry.get("added"),
                 bloom=entry.get("bloom"),
+                # an evolved source clones WITH its spec history
+                specs=entry.get("specs"),
             )
             tmp_ptr = os.path.join(dest.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -1452,6 +1532,11 @@ class ManifestTable:
                     # layout contract behind read_clustered (r12)
                     and (live.get("bucket") or None)
                     == (bh_entry.get("bucket") or None)
+                    # same for partition-spec histories: adopting a
+                    # branch whose spec list diverged would swap the
+                    # spec-dir layout contract under readers
+                    and (live.get("specs") or None)
+                    == (bh_entry.get("specs") or None)
                 )
                 if adoptable:
                     ver = self._adopt_snapshot(
@@ -1612,6 +1697,8 @@ class ManifestTable:
                 # an adopted clustered branch head keeps its layout
                 # (bucket ids ride the hardlinked file names) — r12
                 bucket=src_entry.get("bucket"),
+                # an adopted evolved branch head keeps its spec history
+                specs=src_entry.get("specs"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -2121,10 +2208,11 @@ class ManifestTable:
             raise ValueError(f"{self.root}: no column {old!r} to rename")
         if new in names:
             raise ValueError(f"{self.root}: column {new!r} already exists")
-        if old in (entry.get("partition_by") or []):
+        if old in _spec_partition_cols(entry):
             raise ValueError(
-                f"{self.root}: {old!r} is a partition column (physical "
-                f"directory names) — rewrite with a new partition_by"
+                f"{self.root}: {old!r} is a partition column of a live "
+                f"spec (physical directory names) — rewrite with a new "
+                f"partition_by (compact_table migrates evolved specs)"
             )
         if old in ((entry.get("dv") or {}).get("key_cols") or []):
             raise ValueError(
@@ -2208,6 +2296,7 @@ class ManifestTable:
                 dropped=entry.get("dropped"),
                 added=entry.get("added"),
                 bloom=entry.get("bloom"),
+                specs=entry.get("specs"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -2317,6 +2406,7 @@ class ManifestTable:
                 dropped=entry.get("dropped"),
                 added=list(entry.get("added") or []) + [name],
                 bloom=entry.get("bloom"),
+                specs=entry.get("specs"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -2376,10 +2466,11 @@ class ManifestTable:
             raise ValueError(
                 f"{self.root}: {name!r} is the table's only column"
             )
-        if name in (entry.get("partition_by") or []):
+        if name in _spec_partition_cols(entry):
             raise ValueError(
-                f"{self.root}: {name!r} is a partition column (physical "
-                f"directory names) — rewrite with a new partition_by"
+                f"{self.root}: {name!r} is a partition column of a live "
+                f"spec (physical directory names) — rewrite with a new "
+                f"partition_by (compact_table migrates evolved specs)"
             )
         if name in ((entry.get("dv") or {}).get("key_cols") or []):
             raise ValueError(
@@ -2459,6 +2550,7 @@ class ManifestTable:
                 dropped=dropped,
                 added=entry.get("added"),
                 bloom=entry.get("bloom"),
+                specs=entry.get("specs"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -2711,6 +2803,7 @@ class ManifestTable:
                 added=entry.get("added"),
                 bloom=entry.get("bloom"),
                 bucket=entry.get("bucket"),
+                specs=entry.get("specs"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -2954,6 +3047,7 @@ class ManifestTable:
                 added=entry.get("added"),
                 bloom=entry.get("bloom"),
                 bucket=entry.get("bucket"),
+                specs=entry.get("specs"),
             )
             tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
             with open(tmp_ptr, "w") as fh:
@@ -3021,6 +3115,10 @@ class ManifestTable:
         numerically (dir values are strings)."""
         ver = version if version is not None else (self.version() or 0)
         entry = self._log_entry(ver) or {}
+        if _entry_specs(entry):
+            # EVOLVED snapshot: a column may be dir-encoded in some
+            # specs and a plain data column in others — per-file rule
+            return self._spec_pruned_files(col, lo, hi, entry, version)
         if col not in (entry.get("partition_by") or []):
             return None
         numeric = False
@@ -3061,6 +3159,65 @@ class ManifestTable:
                     except ValueError:
                         pass
                 if _stat_overlaps(v, v, lo, hi):
+                    kept.append(fp)
+        return kept, total
+
+    def _spec_pruned_files(
+        self, col: str, lo, hi, entry: dict, version: int | None
+    ) -> "tuple[list, int]":
+        """Per-file pruning on an EVOLVED snapshot: a file whose path
+        dir-encodes ``col`` (its spec partitions by it) prunes by the
+        directory value; any other file falls back to its committed
+        [min, max] stats; files with neither are kept — never prune on
+        absent evidence. This is Iceberg's per-file spec resolution:
+        the SAME predicate partition-prunes one spec's files and
+        stats-skips another's, so a windowed read stays O(window)
+        across the spec boundary."""
+        numeric = False
+        sch = _phys_schema(entry)
+        if sch is not None:
+            for f in sch.fields:
+                if f.name == col:
+                    numeric = f.dataType.simpleString() in (
+                        "tinyint",
+                        "smallint",
+                        "int",
+                        "bigint",
+                        "float",
+                        "double",
+                    )
+        snap = self.snapshot_path(version)
+        stats = entry.get("file_stats") or {}
+        phys = (entry.get("column_map") or {}).get(col, col)
+        seg = f"{col}="
+        kept: list[str] = []
+        total = 0
+        for r, dirs, fs in os.walk(snap):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                total += 1
+                fp = os.path.join(r, f)
+                val = None
+                for part in os.path.relpath(r, snap).split(os.sep):
+                    if part.startswith(seg):
+                        val = part[len(seg):]
+                if val is not None:
+                    if val == "__HIVE_DEFAULT_PARTITION__":
+                        kept.append(fp)
+                        continue
+                    v = val
+                    if numeric:
+                        try:
+                            v = float(val)
+                        except ValueError:
+                            pass
+                    if _stat_overlaps(v, v, lo, hi):
+                        kept.append(fp)
+                    continue
+                st = (stats.get(os.path.relpath(fp, snap)) or {}).get(phys)
+                if st is None or _stat_overlaps(st[0], st[1], lo, hi):
                     kept.append(fp)
         return kept, total
 
@@ -3256,6 +3413,34 @@ class ManifestTable:
             )
             reader = reader.schema(phys_schema)
         snap = self.snapshot_path(version)
+        specs = _entry_specs(entry)
+        if specs:
+            # EVOLVED snapshot: group the surviving files by their
+            # spec subtree and scan each group with ITS basePath, so
+            # each spec's dir-encoded partition columns reconstruct;
+            # the union normalizes column order (hive scans put
+            # partition columns last)
+            by_spec: dict[str, list] = {}
+            for fp in sorted(kept):
+                rel = os.path.relpath(fp, snap)
+                by_spec.setdefault(rel.split(os.sep, 1)[0], []).append(fp)
+            names = (
+                [f.name for f in phys_schema.fields]
+                if schema is not None
+                else None
+            )
+            frames = []
+            for sd, files in sorted(by_spec.items()):
+                r = spark.read
+                if schema is not None:
+                    r = r.schema(phys_schema)
+                r = r.option("basePath", os.path.join(snap, sd))
+                fr = r.parquet(*files)
+                frames.append(fr.select(*names) if names else fr)
+            out = frames[0]
+            for fr in frames[1:]:
+                out = out.unionByName(fr)
+            return self._apply_dv(spark, _apply_map(out, entry), entry, snap)
         if (entry or {}).get("partition_by"):
             # explicit file lists drop hive partition columns unless
             # the reader knows the tree root they were derived from
@@ -3715,6 +3900,261 @@ class ManifestTable:
             f"inheritance re-validation (5 restage attempts)"
         )
 
+    def evolve_partition(
+        self,
+        new_partition_by: list,
+        *,
+        expect_version: int | None = None,
+        keep_snapshots: int = 2,
+        meta: dict | None = None,
+    ) -> int:
+        """ICEBERG-style PARTITION EVOLUTION: change the table's
+        partition spec as a METADATA-ONLY commit — zero data bytes
+        move. At 100 TB this is the difference between adopting a
+        better layout (the events table outgrew ``date`` and needs
+        ``date, tenant``; the dimension stopped needing partitioning
+        at all) and rewriting the whole table to get it: old files
+        stay exactly where they are under their original spec, only
+        rows appended AFTER the evolution land under the new one.
+
+        Mechanics (Iceberg's spec-id-per-file, at directory
+        granularity): the first evolution moves the existing data tree
+        under ``spec-0/`` (hardlinks — O(files) metadata operations)
+        and creates ``spec-<n>/`` for the new layout; every later
+        evolution just appends a spec. The commit entry records the
+        full spec history under ``specs``; ``partition_by`` stays the
+        ACTIVE spec so every layout-equality check sees the current
+        contract. Readers (:func:`_snap_read`, the ``manifest`` SQL
+        datasource, ``read_where``) scan spec subtrees independently
+        and union — a filter on any column partition-prunes the specs
+        that dir-encode it and falls back to per-file min/max stats
+        everywhere else, so windowed reads stay O(window) across the
+        spec boundary. ``compact_table`` MIGRATES: its full rewrite
+        lands everything under the active spec and collapses the
+        history.
+
+        Composes with append (new batches under the active spec),
+        merge-on-read DML (sidecars are key-scoped, spec-agnostic),
+        the change feed (this commit is content-preserving — feed
+        readers skip it as ``noop``), time travel and restore (each
+        version's entry pins its own spec list). Refused on CLUSTERED
+        tables (bucket layout and hive specs are different contracts —
+        ``commit()`` to drop the clustering first). Reference anchor:
+        the reference pins one layout per target table in config
+        (``src/storage.py:41-53``); evolution is what a 100 TB ledger
+        needs when that choice has to change in place."""
+        ptr = self._pointer()
+        if ptr is None:
+            raise FileNotFoundError(
+                f"no committed snapshot under {self.root}"
+            )
+        snap_name, cur_ver = ptr
+        if expect_version is not None and cur_ver != expect_version:
+            raise ConcurrentWriteError(
+                f"{self.root}: version {cur_ver} != expected "
+                f"{expect_version}"
+            )
+        entry = self._log_entry(cur_ver) or {}
+        if entry.get("bucket"):
+            raise ValueError(
+                f"{self.root}: the live snapshot is CLUSTERED "
+                f"(commit_clustered bucket layout) — partition "
+                f"evolution applies to hive layouts. commit(read(...)) "
+                f"to deliberately drop the clustering first."
+            )
+        new_pb = [str(c) for c in (new_partition_by or [])]
+        cur_pb = list(entry.get("partition_by") or [])
+        if new_pb == cur_pb:
+            raise ValueError(
+                f"{self.root}: new spec equals the active partition "
+                f"spec {cur_pb} — nothing to evolve"
+            )
+        if len(set(new_pb)) != len(new_pb):
+            raise ValueError(
+                f"{self.root}: duplicate partition columns in {new_pb}"
+            )
+        if not entry.get("schema"):
+            raise ValueError(
+                f"{self.root}: partition evolution needs a declared "
+                f"schema in the commit log (legacy/adopted snapshot — "
+                f"re-commit through the DataFrame API first)"
+            )
+        logical = T.StructType.fromJson(json.loads(entry["schema"]))
+        names = {f.name for f in logical.fields}
+        for c in new_pb:
+            if c not in names:
+                raise ValueError(
+                    f"{self.root}: partition column {c!r} not in the "
+                    f"table schema {sorted(names)}"
+                )
+        src = os.path.join(self.root, snap_name)
+        if not os.path.isdir(src):
+            raise ConcurrentWriteError(
+                f"{self.root}: snapshot {snap_name} vanished before "
+                f"evolve_partition (concurrent writer + gc) — retry"
+            )
+        specs = _entry_specs(entry)
+        staged = os.path.join(
+            self.root, f"snap-staging-{uuid.uuid4().hex[:12]}"
+        )
+        file_stats = entry.get("file_stats")
+        try:
+            if specs:
+                # already evolved: the whole tree (spec dirs +
+                # sidecars) links forward; only _cdf is version-local
+                _link_tree(src, staged, skip_top=(self.CDF_DIR,))
+                new_id = max(int(s["id"]) for s in specs) + 1
+                specs = [*specs, {"id": new_id, "partition_by": new_pb}]
+            else:
+                # first evolution: the existing data tree BECOMES
+                # spec-0; hidden sidecars stay at the snapshot top
+                os.makedirs(staged)
+                prefix = _spec_dirname(0)
+                for d, dirs, fs in os.walk(src):
+                    rel = os.path.relpath(d, src)
+                    if rel == ".":
+                        side = [
+                            x
+                            for x in dirs
+                            if x.startswith(("_", "."))
+                            and x != self.CDF_DIR
+                        ]
+                        dirs[:] = [
+                            x for x in dirs if not x.startswith(("_", "."))
+                        ]
+                        for s in side:
+                            _link_tree(
+                                os.path.join(src, s),
+                                os.path.join(staged, s),
+                            )
+                        rel = ""
+                    dst_dir = (
+                        os.path.join(staged, prefix, rel)
+                        if rel
+                        else os.path.join(staged, prefix)
+                    )
+                    os.makedirs(dst_dir, exist_ok=True)
+                    for f in fs:
+                        if not f.endswith(".parquet"):
+                            continue
+                        sp_, dp_ = os.path.join(d, f), os.path.join(dst_dir, f)
+                        try:
+                            os.link(sp_, dp_)
+                        except OSError:
+                            shutil.copy2(sp_, dp_)
+                specs = [
+                    {"id": 0, "partition_by": cur_pb},
+                    {"id": 1, "partition_by": new_pb},
+                ]
+                new_id = 1
+                # per-file metadata is keyed by snapshot-relative
+                # paths, which just gained the spec-0/ prefix
+                if file_stats:
+                    file_stats = {
+                        f"{prefix}/{rel_}": st
+                        for rel_, st in file_stats.items()
+                    }
+                bdir = os.path.join(staged, self.BLOOM_DIR)
+                if entry.get("bloom") and os.path.isdir(bdir):
+                    import pyarrow as pa
+                    import pyarrow.parquet as pq
+
+                    old = pq.read_table(bdir)
+                    shutil.rmtree(bdir)
+                    os.makedirs(bdir)
+                    if old.num_rows:
+                        rekeyed = old.set_column(
+                            old.schema.get_field_index("file"),
+                            "file",
+                            pa.array(
+                                [
+                                    f"{prefix}/{x}"
+                                    for x in old.column("file").to_pylist()
+                                ],
+                                pa.string(),
+                            ),
+                        )
+                        pq.write_table(
+                            rekeyed,
+                            os.path.join(
+                                bdir,
+                                f"rekeyed-{uuid.uuid4().hex[:8]}.parquet",
+                            ),
+                        )
+            os.makedirs(
+                os.path.join(staged, _spec_dirname(new_id)), exist_ok=True
+            )
+        except FileNotFoundError as exc:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{self.root}: snapshot {snap_name} vanished during "
+                f"evolve_partition (concurrent writer + gc) — retry"
+            ) from exc
+        except Exception:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise
+        committed_ver: int | None = None
+        self._acquire_lock()
+        try:
+            now = self._pointer()
+            live_ver = 0 if now is None else now[1]
+            if live_ver != cur_ver:
+                raise ConcurrentWriteError(
+                    f"{self.root}: table advanced {cur_ver} -> "
+                    f"{live_ver} during evolve_partition — re-run "
+                    f"against the new head"
+                )
+            new_ver = cur_ver + 1
+            snap = f"snap-{new_ver:06d}-{uuid.uuid4().hex[:8]}"
+            os.rename(staged, os.path.join(self.root, snap))
+            staged = os.path.join(self.root, snap)  # for error cleanup
+            self._write_log(
+                new_ver,
+                snap,
+                new_pb,
+                entry.get("schema"),
+                meta={
+                    **_inherited_meta(entry),
+                    **(meta or {}),
+                    "evolve_partition": {
+                        "from": cur_pb,
+                        "to": new_pb,
+                        "spec_id": new_id,
+                    },
+                },
+                stats_cols=entry.get("stats_cols"),
+                file_stats=file_stats,
+                checks=entry.get("checks"),
+                dv=entry.get("dv"),
+                # content-preserving commit: feed readers skip it
+                cdf=(
+                    {
+                        "key_cols": list(entry["cdf"]["key_cols"]),
+                        "noop": True,
+                    }
+                    if (entry.get("cdf") or {}).get("key_cols")
+                    else None
+                ),
+                column_map=entry.get("column_map"),
+                mor_delta=entry.get("mor_delta"),
+                dropped=entry.get("dropped"),
+                added=entry.get("added"),
+                bloom=entry.get("bloom"),
+                specs=specs,
+            )
+            tmp_ptr = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
+            with open(tmp_ptr, "w") as fh:
+                fh.write(f"{snap}\n{new_ver}\n")
+            os.replace(tmp_ptr, os.path.join(self.root, self.POINTER))
+            self.last_snapshot = snap
+            committed_ver = new_ver
+        finally:
+            self._release_lock()
+            if committed_ver is None:
+                shutil.rmtree(staged, ignore_errors=True)
+        self._gc(keep=keep_snapshots)
+        return committed_ver
+
     def append(
         self,
         df: DataFrame,
@@ -3942,7 +4382,18 @@ class ManifestTable:
                 "key_cols": cdf_prop,
                 "n_changes": int(spark.read.parquet(cdf_path).count()),
             }
-        new_rels = _adopt_parts(tmp, staged, "append")
+        # an EVOLVED table's new batch lands under the ACTIVE spec's
+        # subtree (the batch was partitioned by that spec's columns);
+        # rel paths re-anchor to the snapshot root for stats/bloom
+        specs = _entry_specs(entry)
+        if specs:
+            sd = _spec_dirname(_current_spec(specs)["id"])
+            new_rels = [
+                os.path.join(sd, r)
+                for r in _adopt_parts(tmp, os.path.join(staged, sd), "append")
+            ]
+        else:
+            new_rels = _adopt_parts(tmp, staged, "append")
         file_stats = _incremental_stats(entry, keep_rels, staged, new_rels)
         _carry_bloom_sidecar(spark, entry, snap, staged, keep_rels, new_rels)
         return staged, dict(
@@ -3960,6 +4411,7 @@ class ManifestTable:
             dropped=entry.get("dropped"),
             added=entry.get("added"),
             bloom=entry.get("bloom"),
+            specs=specs,
         )
 
     def _append_parts(
@@ -5038,8 +5490,18 @@ def append_files_local(
             cdf_entry = {"key_cols": cdf_prop, "n_changes": n_changes}
         new_rels = []
         run = uuid.uuid4().hex[:8]
+        # an EVOLVED table's flat parts land under the ACTIVE spec's
+        # subtree (current spec is unpartitioned — checked above)
+        specs_e = _entry_specs(entry)
+        spec_sub = (
+            _spec_dirname(_current_spec(specs_e)["id"]) if specs_e else ""
+        )
+        if spec_sub:
+            os.makedirs(os.path.join(staged, spec_sub), exist_ok=True)
         for f in part_files:
-            rel = f"append-{run}-{os.path.basename(f)}"
+            rel = os.path.join(
+                spec_sub, f"append-{run}-{os.path.basename(f)}"
+            )
             os.rename(f, os.path.join(staged, rel))
             new_rels.append(rel)
         shutil.rmtree(parts_dir, ignore_errors=True)
@@ -5124,6 +5586,7 @@ def append_files_local(
                 checks=entry.get("checks"),
                 dv=entry.get("dv"),
                 cdf=cdf_entry,
+                specs=entry.get("specs"),
                 column_map=entry.get("column_map"),
                 mor_delta=entry.get("mor_delta"),
                 dropped=entry.get("dropped"),
@@ -5210,6 +5673,17 @@ def compact_small_files(
             f"file-name contract. Use compact_clustered() (per-bucket "
             f"repack), or commit(read(...)) to deliberately drop the "
             f"layout."
+        )
+    if entry.get("specs"):
+        # an EVOLVED snapshot mixes hive layouts across spec-<id>
+        # subtrees; bin-packing files out of their spec dirs would
+        # detach them from the dir-encoded partition values — refuse
+        raise ValueError(
+            f"{root}: the live snapshot is partition-EVOLVED (spec "
+            f"history in the commit log) — bin-packing across spec "
+            f"subtrees would detach files from their dir-encoded "
+            f"partition values. Use compact_table() (full rewrite "
+            f"migrates everything to the active spec)."
         )
 
     def _no_op(files_before: int, bytes_before: int) -> dict:
