@@ -290,3 +290,134 @@ def q191_group_incremental_pair(spark, sf_dir):
         "n_rows",
         to_double(F.col("sum_qty_dec")).alias("sum_qty"),
     )
+
+
+# ===========================================================================
+# partition evolution: spec changes without rewriting data (r12)
+# ===========================================================================
+
+
+@q(
+    "q192_partition_evolution",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 <= 1
+),
+vis AS (
+  SELECT o_orderkey, o_orderpriority, o_orderstatus,
+    CASE WHEN o_orderkey % 100 = 11 THEN o_totalprice + 1
+         ELSE o_totalprice END AS o_totalprice
+  FROM base WHERE NOT (o_orderkey % 100 = 7)
+)
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+  {sql_exact_sum("o_totalprice", 18, 2)} AS total_price
+FROM vis GROUP BY o_orderpriority
+""",
+)
+def q192_partition_evolution(spark, sf_dir):
+    """PARTITION EVOLUTION on the orders ledger (r12): change the
+    table's partition spec as a METADATA-ONLY commit — Iceberg's
+    signature capability, the one a 100 TB table needs when its
+    original layout choice has to change in place (re-partitioning by
+    rewrite costs a full table pass; evolution costs a directory of
+    hardlinks).
+
+    The ledger starts hive-partitioned by ``o_orderpriority`` (v1),
+    evolves to partition by ``o_orderstatus`` (v2 — inode-asserted:
+    zero data bytes move, the old tree becomes ``spec-0/``), and the
+    next ingest batch appends under the NEW spec (v3 — asserted to
+    land under ``spec-1/o_orderstatus=...`` dirs). Reads union the
+    per-spec scans, so one predicate partition-prunes the spec that
+    dir-encodes its column and min/max-skips the other — both
+    directions are asserted on the file-pruning API. Merge-on-read
+    DELETE (v4) and UPDATE (v5) then land as churn-sized sidecars
+    spanning BOTH specs' rows, proving the DML family composes with
+    the evolved layout. The final aggregate runs over the visible
+    state; DuckDB recomputes it from the raw table with the same
+    deterministic delete/update predicates.
+
+    Reference anchor: the reference pins one layout per target table
+    in config (``src/storage.py:41-53``); this is what replaces a
+    full-table rewrite when that pin has to change."""
+    from .operators.txn import ManifestTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    root = os.path.join(SCRATCH, f"pevo_{_key(sf_dir)}")
+    mt = ManifestTable(root)
+    built = (mt.version() or 0) == 5 and (
+        (mt._log_entry(5) or {}).get("meta") or {}
+    ).get("pe_done")
+    if not built:
+        shutil.rmtree(root, ignore_errors=True)
+        mt = ManifestTable(root)
+        # v1: first ingest wave, partitioned by priority
+        mt.commit(
+            orders.filter(F.col("o_orderkey") % 3 == 0),
+            partition_by=["o_orderpriority"],
+            stats_by=["o_orderkey"],
+        )
+        snap1 = mt.snapshot_path()
+        inodes = {}
+        for r, _d, fs in os.walk(snap1):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(r, f)
+                    inodes[os.path.relpath(p, snap1)] = os.stat(p).st_ino
+        # v2: evolve the spec — metadata-only (same inodes, under
+        # spec-0/), active layout becomes o_orderstatus
+        mt.evolve_partition(["o_orderstatus"])
+        e2 = mt._log_entry(2) or {}
+        assert [s["partition_by"] for s in e2.get("specs") or []] == [
+            ["o_orderpriority"],
+            ["o_orderstatus"],
+        ], e2.get("specs")
+        snap2 = mt.snapshot_path()
+        assert all(
+            os.stat(os.path.join(snap2, "spec-0", rel)).st_ino == ino
+            for rel, ino in inodes.items()
+        ), "evolution moved data bytes (must be hardlinks)"
+        # v3: the next wave appends under the NEW spec's layout
+        mt.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+        snap3 = mt.snapshot_path()
+        assert any(
+            d.startswith("o_orderstatus=")
+            for d in os.listdir(os.path.join(snap3, "spec-1"))
+        ), "append must land under the active spec's hive dirs"
+        # pruning works on BOTH sides of the spec boundary: each
+        # spec's own partition column dir-prunes it while the other
+        # spec falls back to stats / conservative keep
+        k1, t1 = mt._partition_pruned_files(
+            "o_orderpriority", "1-URGENT", "1-URGENT"
+        )
+        assert 0 < len(k1) < t1, (len(k1), t1)
+        k2, t2 = mt._partition_pruned_files("o_orderstatus", "F", "F")
+        assert 0 < len(k2) < t2, (len(k2), t2)
+        # v4/v5: merge-on-read DML spans rows of BOTH specs
+        mt.delete_where(
+            spark, F.col("o_orderkey") % 100 == 7, key_cols=["o_orderkey"]
+        )
+        mt.update_where(
+            spark,
+            F.col("o_orderkey") % 100 == 11,
+            {"o_totalprice": F.col("o_totalprice") + F.lit(1)},
+            key_cols=["o_orderkey"],
+        )
+        e5 = mt._log_entry(5) or {}
+        assert e5.get("specs") and e5.get("dv") and e5.get("mor_delta"), e5
+        assert mt.annotate(5, pe_done=True)
+    return (
+        mt.read(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.countDistinct("o_orderstatus").cast("long").alias(
+                "n_statuses"
+            ),
+            exact_sum(F.col("o_totalprice"), 18, 2).alias("total_price"),
+        )
+    )

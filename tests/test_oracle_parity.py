@@ -96,6 +96,7 @@ TXN_FAMILY_MID_SF = [
     "q189_clustered_incremental_ingest",
     "q190_clustered_mor_dml",
     "q191_group_incremental_pair",
+    "q192_partition_evolution",
 ]
 
 
