@@ -16,7 +16,13 @@ existing transactional writers:
   (deletion-vector sidecar, same cost shape);
 - ``MERGE INTO t [AS a] USING s [AS b] ON <key equalities> WHEN ...``
   → :func:`..operators.merge.merge_into` + CAS commit (copy-on-write,
-  the same path ``merge_write(writer="manifest")`` takes).
+  the same path ``merge_write(writer="manifest")`` takes);
+- ``ALTER TABLE t PARTITION BY (c1[, c2 ...])`` →
+  :meth:`ManifestTable.evolve_partition` (r12 — metadata-only
+  partition evolution; ``()`` evolves to unpartitioned);
+- ``DESCRIBE HISTORY t`` → :meth:`ManifestTable.history` as a
+  DataFrame (version / snapshot / ts / active partition spec /
+  retained), Delta's table-history surface.
 
 Everything else falls through to ``spark.sql`` untouched, so the
 router composes with the whole read surface. Table-property contracts
@@ -75,6 +81,7 @@ optimistic retry, exactly Delta's rebase-and-retry.
 
 from __future__ import annotations
 
+import json
 import re
 import weakref
 
@@ -305,6 +312,19 @@ _MERGE_HEAD = re.compile(
     r"\s+USING\s+",
     re.IGNORECASE | re.DOTALL,
 )
+#: ALTER TABLE t PARTITION BY (c1[, c2 ...]) | ()  — partition
+#: evolution (Iceberg's ``ALTER TABLE ... ADD PARTITION FIELD``
+#: family, collapsed to one declarative REPLACE of the active spec)
+_ALTER_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s+PARTITION\s+BY\s*\(\s*(?P<cols>[A-Za-z0-9_,\s]*)\)\s*$",
+    re.IGNORECASE,
+)
+#: DESCRIBE HISTORY t — Delta's table-history surface
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(?P<tbl>[A-Za-z_][A-Za-z0-9_]*)\s*$",
+    re.IGNORECASE,
+)
 
 
 def _split_update_body(body: str) -> tuple[str, str | None]:
@@ -518,6 +538,31 @@ def sql(spark: SparkSession, statement: str, *, retries: int = 3):
     mh = _MERGE_HEAD.match(statement)
     if mh and _resolve(spark, mh.group("tbl")):
         return _run_merge(spark, _parse_merge(statement), retries)
+    m = _ALTER_PART_RE.match(statement)
+    if m and _resolve(spark, m.group("tbl")):
+        spec = _resolve(spark, m.group("tbl"))
+        cols = [c.strip() for c in m.group("cols").split(",") if c.strip()]
+        ver = ManifestTable(spec["root"]).evolve_partition(cols)
+        _refresh_view(spark, m.group("tbl"))
+        return ver
+    m = _HISTORY_RE.match(statement)
+    if m and _resolve(spark, m.group("tbl")):
+        spec = _resolve(spark, m.group("tbl"))
+        hist = ManifestTable(spec["root"]).history()
+        return spark.createDataFrame(
+            [
+                (
+                    int(e["version"]),
+                    str(e["snapshot"]),
+                    float(e.get("ts") or 0.0),
+                    json.dumps(list(e.get("partition_by") or [])),
+                    bool(e.get("retained", True)),
+                )
+                for e in hist
+            ],
+            "version long, snapshot string, ts double, "
+            "partition_by string, retained boolean",
+        )
     return spark.sql(statement)
 
 

@@ -426,3 +426,42 @@ def test_merge_clause_semantics_exhaustive(spark, tmp_path):
                 f"clauses={clauses} insert={insert_cond}:\n"
                 f"got  {got}\nwant {want}"
             )
+
+
+def test_sql_alter_partition_by_evolves_and_refreshes_view(
+    spark, tmp_path
+):
+    t = ManifestTable(str(tmp_path / "evo"))
+    t.commit(
+        spark.createDataFrame(
+            [(i, "g%d" % (i % 2), float(i)) for i in range(8)],
+            "pk long, grp string, v double",
+        ),
+        partition_by=["grp"],
+    )
+    register_table(spark, "evo_sql", t.root, key_cols=["pk"])
+    ver = sql(spark, "ALTER TABLE evo_sql PARTITION BY (pk)")
+    assert ver == 2
+    entry = t._log_entry(2)
+    assert [s["partition_by"] for s in entry["specs"]] == [["grp"], ["pk"]]
+    # the refreshed view reads the evolved snapshot
+    assert spark.sql("SELECT COUNT(*) AS n FROM evo_sql").first()["n"] == 8
+    # evolve to unpartitioned via empty column list
+    assert sql(spark, "ALTER TABLE evo_sql PARTITION BY ()") == 3
+    assert t._log_entry(3)["partition_by"] == []
+    # non-registered table falls through to spark.sql (and fails there,
+    # not silently in the router)
+    with pytest.raises(Exception):
+        sql(spark, "ALTER TABLE not_registered PARTITION BY (pk)")
+
+
+def test_sql_describe_history_surface(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "hist"))
+    t.commit(_df(spark, [(1, "a", 10)]))
+    t.append(_df(spark, [(2, "b", 20)]))
+    register_table(spark, "hist_sql", t.root, key_cols=["pk"])
+    h = sql(spark, "DESCRIBE HISTORY hist_sql")
+    rows = {r["version"]: r for r in h.collect()}
+    assert sorted(rows) == [1, 2]
+    assert all(rows[v]["retained"] for v in rows)
+    assert rows[2]["snapshot"].startswith("snap-")
