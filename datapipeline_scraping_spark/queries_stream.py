@@ -38,15 +38,21 @@ FROM w GROUP BY 1, 2, 3
 def q47_stream_sliding_window(spark, sf_dir):
     """Streaming sliding-window counts (1-day window, 12-h slide): each
     event lands in exactly window_len/slide = 2 epoch-aligned windows,
-    which is what the batch oracle enumerates explicitly."""
-    from .streaming.events import stream_sliding_counts
+    which is what the batch oracle enumerates explicitly. Lifecycle
+    memoized per corpus (574f795 pattern) — see
+    :func:`..streaming.events.memoized_stream_result`."""
+    from .streaming.events import memoized_stream_result, stream_sliding_counts
 
-    out = stream_sliding_counts(spark, sf_dir)
-    return out.select(
-        F.unix_micros("window_start").alias("window_start_us"),
-        F.unix_micros("window_end").alias("window_end_us"),
-        "event_type",
-        F.col("n_events").cast("long").alias("n_events"),
+    def build():
+        return stream_sliding_counts(spark, sf_dir).select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            F.unix_micros("window_end").alias("window_end_us"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+
+    return memoized_stream_result(spark, sf_dir, "q47sw", build).select(
+        "window_start_us", "window_end_us", "event_type", "n_events"
     )
 
 
@@ -61,11 +67,18 @@ def q48_stream_dedup_redelivery(spark, sf_dir):
     """Watermarked streaming dedup under re-delivery (stream unioned
     with itself => every event arrives twice;
     ``dropDuplicatesWithinWatermark`` must collapse each back to one)
-    — the streaming twin of the H1/H4 checksum dedup."""
-    from .streaming.events import stream_dedup_union
+    — the streaming twin of the H1/H4 checksum dedup. Lifecycle
+    memoized per corpus (574f795 pattern)."""
+    from .streaming.events import memoized_stream_result, stream_dedup_union
 
-    out = stream_dedup_union(spark, sf_dir)
-    return out.select("event_type", F.col("n_events").cast("long").alias("n_events"))
+    def build():
+        return stream_dedup_union(spark, sf_dir).select(
+            "event_type", F.col("n_events").cast("long").alias("n_events")
+        )
+
+    return memoized_stream_result(spark, sf_dir, "q48dd", build).select(
+        "event_type", "n_events"
+    )
 
 
 @q(
@@ -101,15 +114,20 @@ def q49_stream_session_window(spark, sf_dir):
     gaps-and-islands batch formulation with the session_window boundary
     rule: a session is [t, t+gap), so diff == gap does NOT merge
     (hence >= in the oracle where batch q32 uses >), and session_end =
-    last_event + gap."""
-    from .streaming.events import stream_session_windows
+    last_event + gap. Lifecycle memoized per corpus (574f795
+    pattern)."""
+    from .streaming.events import memoized_stream_result, stream_session_windows
 
-    out = stream_session_windows(spark, sf_dir)
-    return out.select(
-        "user_id",
-        F.unix_micros("session_start").alias("session_start_us"),
-        F.unix_micros("session_end").alias("session_end_us"),
-        F.col("n_events").cast("long").alias("n_events"),
+    def build():
+        return stream_session_windows(spark, sf_dir).select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+
+    return memoized_stream_result(spark, sf_dir, "q49sn", build).select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
     )
 
 
@@ -137,14 +155,19 @@ def q50_stream_stateful_user(spark, sf_dir):
     per-user GroupState carrying count/min/max/last-event — the
     reference's keyed incremental state ledger as an online operator.
     Only order-independent stats are kept so the batch oracle is exact
-    (no float accumulation order dependence)."""
-    from .streaming.events import stream_user_state
+    (no float accumulation order dependence). Lifecycle memoized per
+    corpus (574f795 pattern)."""
+    from .streaming.events import memoized_stream_result, stream_user_state
 
-    out = stream_user_state(spark, sf_dir)
-    return out.select(
-        "user_id",
-        F.col("n_events").cast("long").alias("n_events"),
-        "min_value",
-        "max_value",
-        "last_event_type",
+    def build():
+        return stream_user_state(spark, sf_dir).select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            "min_value",
+            "max_value",
+            "last_event_type",
+        )
+
+    return memoized_stream_result(spark, sf_dir, "q50us", build).select(
+        "user_id", "n_events", "min_value", "max_value", "last_event_type"
     )
