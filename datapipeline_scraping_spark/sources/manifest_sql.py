@@ -20,6 +20,13 @@ existing transactional writers:
 - ``ALTER TABLE t PARTITION BY (c1[, c2 ...])`` →
   :meth:`ManifestTable.evolve_partition` (r12 — metadata-only
   partition evolution; ``()`` evolves to unpartitioned);
+- ``ALTER TABLE t RENAME COLUMN a TO b`` / ``ADD COLUMN c <type>`` /
+  ``DROP COLUMN c`` → the metadata-only ALTER family
+  (:meth:`rename_column` / :meth:`add_column` / :meth:`drop_column`);
+- ``OPTIMIZE t [ZORDER BY (c1, c2)]`` → :func:`compact_table`
+  (returns Delta-style metrics as a one-row DataFrame);
+- ``VACUUM t [RETAIN n HOURS]`` → snapshot GC past the retention
+  window (returns removed/kept counts);
 - ``DESCRIBE HISTORY t`` → :meth:`ManifestTable.history` as a
   DataFrame (version / snapshot / ts / active partition spec /
   retained), Delta's table-history surface.
@@ -82,6 +89,7 @@ optimistic retry, exactly Delta's rebase-and-retry.
 from __future__ import annotations
 
 import json
+import os
 import re
 import weakref
 
@@ -320,6 +328,38 @@ _ALTER_PART_RE = re.compile(
     r"\s+PARTITION\s+BY\s*\(\s*(?P<cols>[A-Za-z0-9_,\s]*)\)\s*$",
     re.IGNORECASE,
 )
+#: ALTER TABLE t ADD COLUMN c <type> — metadata-only ADD
+_ALTER_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s+ADD\s+COLUMN\s+(?P<col>[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s+(?P<dtype>[A-Za-z_][A-Za-z0-9_<>,()\s]*?)\s*$",
+    re.IGNORECASE,
+)
+#: ALTER TABLE t RENAME COLUMN a TO b — metadata-only rename
+_ALTER_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s+RENAME\s+COLUMN\s+(?P<old>[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s+TO\s+(?P<new>[A-Za-z_][A-Za-z0-9_]*)\s*$",
+    re.IGNORECASE,
+)
+#: ALTER TABLE t DROP COLUMN c — metadata-only drop
+_ALTER_DROP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s+DROP\s+COLUMN\s+(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*$",
+    re.IGNORECASE,
+)
+#: OPTIMIZE t [ZORDER BY (c1[, c2 ...])] — Delta's maintenance verb
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<tbl>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<cols>[A-Za-z0-9_,\s]+)\))?\s*$",
+    re.IGNORECASE,
+)
+#: VACUUM t [RETAIN n HOURS] — expire aged snapshots past retention
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<tbl>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS?)?\s*$",
+    re.IGNORECASE,
+)
 #: DESCRIBE HISTORY t — Delta's table-history surface
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<tbl>[A-Za-z_][A-Za-z0-9_]*)\s*$",
@@ -545,6 +585,72 @@ def sql(spark: SparkSession, statement: str, *, retries: int = 3):
         ver = ManifestTable(spec["root"]).evolve_partition(cols)
         _refresh_view(spark, m.group("tbl"))
         return ver
+    m = _ALTER_RENAME_RE.match(statement)
+    if m and _resolve(spark, m.group("tbl")):
+        spec = _resolve(spark, m.group("tbl"))
+        ver = ManifestTable(spec["root"]).rename_column(
+            m.group("old"), m.group("new")
+        )
+        _refresh_view(spark, m.group("tbl"))
+        return ver
+    m = _ALTER_DROP_RE.match(statement)
+    if m and _resolve(spark, m.group("tbl")):
+        spec = _resolve(spark, m.group("tbl"))
+        ver = ManifestTable(spec["root"]).drop_column(m.group("col"))
+        _refresh_view(spark, m.group("tbl"))
+        return ver
+    m = _ALTER_ADD_RE.match(statement)
+    if m and _resolve(spark, m.group("tbl")):
+        spec = _resolve(spark, m.group("tbl"))
+        ver = ManifestTable(spec["root"]).add_column(
+            m.group("col"), m.group("dtype").strip()
+        )
+        _refresh_view(spark, m.group("tbl"))
+        return ver
+    m = _OPTIMIZE_RE.match(statement)
+    if m and _resolve(spark, m.group("tbl")):
+        from ..operators.txn import compact_table
+
+        spec = _resolve(spark, m.group("tbl"))
+        z = m.group("cols")
+        res = compact_table(
+            spark,
+            spec["root"],
+            zorder_by=(
+                [c.strip() for c in z.split(",") if c.strip()] if z else None
+            ),
+        )
+        _refresh_view(spark, m.group("tbl"))
+        return spark.createDataFrame(
+            [
+                (
+                    bool(res["compacted"]),
+                    int(res["version"]),
+                    int(res["files_before"]),
+                    int(res["files_after"]),
+                    int(res["bytes"]),
+                )
+            ],
+            "compacted boolean, version long, files_before long, "
+            "files_after long, bytes long",
+        )
+    m = _VACUUM_RE.match(statement)
+    if m and _resolve(spark, m.group("tbl")):
+        spec = _resolve(spark, m.group("tbl"))
+        tbl = ManifestTable(spec["root"])
+        if m.group("hours") is not None:
+            tbl.retention_sec = float(m.group("hours")) * 3600.0
+        before = {
+            e for e in os.listdir(tbl.root) if e.startswith("snap-")
+        }
+        tbl._gc(keep=2)
+        after = {
+            e for e in os.listdir(tbl.root) if e.startswith("snap-")
+        }
+        return spark.createDataFrame(
+            [(len(before - after), len(after))],
+            "snapshots_removed long, snapshots_kept long",
+        )
     m = _HISTORY_RE.match(statement)
     if m and _resolve(spark, m.group("tbl")):
         spec = _resolve(spark, m.group("tbl"))

@@ -431,6 +431,12 @@ TXN_QUERIES = (
     # index) while both tables grow 10x
     "q190_clustered_mor_dml",
     "q191_group_incremental_pair",
+    # r12: partition evolution — the spec change itself is metadata-
+    # only (inode-asserted in-query), so the 10x cost must track the
+    # streaming build of the evolved ledger (commit + append + DML),
+    # never a rewrite; the union read's per-spec pruning is asserted
+    # in-query at both scales
+    "q192_partition_evolution",
 )
 
 CURATION_QUERIES = (

@@ -465,3 +465,27 @@ def test_sql_describe_history_surface(spark, tmp_path):
     assert sorted(rows) == [1, 2]
     assert all(rows[v]["retained"] for v in rows)
     assert rows[2]["snapshot"].startswith("snap-")
+
+
+def test_sql_alter_column_family_and_maintenance(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "ddl"), retention_sec=0.0)
+    t.commit(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    t.append(_df(spark, [(3, "c", 30)]))
+    register_table(spark, "ddl_sql", t.root, key_cols=["pk"])
+    # metadata-only rename / add / drop through SQL
+    assert sql(spark, "ALTER TABLE ddl_sql RENAME COLUMN v TO label") == 3
+    assert "label" in spark.sql("SELECT * FROM ddl_sql").columns
+    assert sql(spark, "ALTER TABLE ddl_sql ADD COLUMN score double") == 4
+    row = spark.sql(
+        "SELECT score FROM ddl_sql WHERE pk = 1"
+    ).first()
+    assert row["score"] is None
+    assert sql(spark, "ALTER TABLE ddl_sql DROP COLUMN n") == 5
+    assert "n" not in spark.sql("SELECT * FROM ddl_sql").columns
+    # OPTIMIZE: bin the small files, report Delta-style metrics
+    opt = sql(spark, "OPTIMIZE ddl_sql").first()
+    assert opt["compacted"] and opt["files_after"] <= opt["files_before"]
+    # VACUUM: aged snapshots beyond keep+retention are removed
+    vac = sql(spark, "VACUUM ddl_sql RETAIN 0 HOURS").first()
+    assert vac["snapshots_kept"] >= 1
+    assert spark.sql("SELECT COUNT(*) AS n FROM ddl_sql").first()["n"] == 3
