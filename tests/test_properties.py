@@ -651,3 +651,90 @@ def test_clustered_sequence_matches_model(spark, tmp_path_factory, ops):
         for reader in (tbl.read, tbl.read_clustered):
             got = {r["pk"]: r["v"] for r in reader(spark).collect()}
             assert got == model, f"{reader.__name__} diverged after {kind}"
+
+
+#: partition-evolution twin (r12): evolve changes the ACTIVE spec
+#: metadata-only; append lands fresh keys under it; MoR delete/update
+#: and the full-rewrite migration must stay exact across any spec mix
+_PEVO_OP = st.tuples(
+    st.sampled_from(["evolve", "append", "delete", "update", "compact"]),
+    st.integers(0, 9),
+    st.integers(0, 9),
+)
+
+
+@given(ops=st.lists(_PEVO_OP, min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_partition_evolution_sequence_matches_model(
+    spark, tmp_path_factory, ops
+):
+    """Any interleaving of partition evolution / append / MoR DELETE /
+    MoR UPDATE / migrating compaction equals a plain Python dict model
+    — the per-spec union read (dir-encoded columns reconstructed per
+    subtree) is exact for arbitrary statement sequences, and the
+    active spec cycles through three layouts (grp dirs, pk dirs,
+    unpartitioned) so every pairing of specs coexists in one
+    snapshot."""
+    from datapipeline_scraping_spark.operators.txn import (
+        ManifestTable,
+        compact_table,
+    )
+
+    root = str(tmp_path_factory.mktemp("pevoseq") / "t")
+    tbl = ManifestTable(root, retention_sec=3600)
+    model = {i: (f"g{i % 3}", f"v{i}") for i in range(20)}
+
+    def df_of(d):
+        return spark.createDataFrame(
+            sorted((k, g, v) for k, (g, v) in d.items()),
+            "pk long, grp string, v string",
+        )
+
+    specs_cycle = [["grp"], ["pk"], []]
+    spec_i = 0
+    tbl.commit(df_of(model), partition_by=specs_cycle[0])
+    next_key = 100
+    for kind, a, b in ops:
+        lo, hi = min(a, b), max(a, b)
+        if kind == "evolve":
+            spec_i = (spec_i + 1) % 3
+            tbl.evolve_partition(specs_cycle[spec_i])
+        elif kind == "append":
+            fresh = {
+                next_key + j: (f"g{(next_key + j) % 3}", "new")
+                for j in range(3)
+            }
+            next_key += 3
+            tbl.append(df_of(fresh))
+            model.update(fresh)
+        elif kind == "delete":
+            tbl.delete_where(
+                spark, f"pk % 10 between {lo} and {hi}", ["pk"]
+            )
+            model = {
+                k: gv for k, gv in model.items() if not lo <= k % 10 <= hi
+            }
+        elif kind == "update":
+            tbl.update_where(
+                spark,
+                f"pk % 10 between {lo} and {hi}",
+                {"v": "concat(v, '!')"},
+                ["pk"],
+            )
+            model = {
+                k: ((g, v + "!") if lo <= k % 10 <= hi else (g, v))
+                for k, (g, v) in model.items()
+            }
+        else:  # compact: migrate everything to the active spec
+            compact_table(spark, root, target_files=1)
+            entry = tbl._log_entry(tbl.version()) or {}
+            assert entry.get("specs") is None, (
+                "compaction must collapse the spec history"
+            )
+        got = {
+            r["pk"]: (r["grp"], r["v"])
+            for r in tbl.read(spark).collect()
+        }
+        assert got == model, f"divergence after {kind}({lo},{hi})"
+        entry = tbl._log_entry(tbl.version()) or {}
+        assert list(entry.get("partition_by") or []) == specs_cycle[spec_i]
