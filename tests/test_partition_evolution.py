@@ -336,3 +336,40 @@ def test_cdf_skips_the_evolution_commit_and_keeps_the_feed(spark, tmp_path):
         for r in ch.groupBy("_change_type").count().collect()
     }
     assert counts == {"insert": 30}
+
+
+def test_sql_insert_into_evolved_table_lands_under_active_spec(
+    spark, tmp_path
+):
+    """The external-writer path (``INSERT INTO`` on the ``USING
+    manifest`` view -> datasource writer -> ``append_files_local``)
+    adopts its flat parts into the ACTIVE spec's subtree, so pure-SQL
+    ingest keeps working across a partition evolution (the active spec
+    must be unpartitioned — the same contract as append_files)."""
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        register,
+    )
+
+    register(spark)
+    mt = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    mt.commit(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(4)], "id long, v double"
+        ),
+        keep_snapshots=50,
+    )
+    mt.evolve_partition(["id"], keep_snapshots=50)
+    mt.evolve_partition([], keep_snapshots=50)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW evol_ins "
+        f"USING manifest OPTIONS (root '{mt.root}')"
+    )
+    spark.sql("INSERT INTO evol_ins VALUES (100, 1.5)")
+    entry = mt._log_entry(mt.version())
+    assert entry["specs"], "SQL append dropped the spec history"
+    snap = os.path.join(mt.root, entry["snapshot"])
+    assert glob.glob(snap + "/spec-2/*.parquet"), (
+        "SQL-inserted parts must land under the active spec dir"
+    )
+    got = sorted(r["id"] for r in mt.read(spark).collect())
+    assert got == [0, 1, 2, 3, 100]
