@@ -373,3 +373,34 @@ def test_sql_insert_into_evolved_table_lands_under_active_spec(
     )
     got = sorted(r["id"] for r in mt.read(spark).collect())
     assert got == [0, 1, 2, 3, 100]
+
+
+def test_evolution_races_serialize_through_the_cas(spark, tmp_path):
+    """A writer staged against version V loses cleanly when an
+    evolution commits V+1 first (and vice versa) — layouts can never
+    silently mix: the loser observes ConcurrentWriteError and re-runs
+    against the new head, landing its batch under the NEW active
+    spec."""
+    mt = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    base = _df(spark, 0, 10)
+    mt.commit(base, partition_by=["dt"], keep_snapshots=50)
+    # stage an append against v1...
+    tmp, entry, version, pb, schema, aligned = mt._prepare_append_batch(
+        _df(spark, 10, 13)
+    )
+    # ...then an evolution wins the race to v2
+    mt.evolve_partition(["region"], keep_snapshots=50)
+    with pytest.raises(ConcurrentWriteError):
+        mt._append_parts(
+            spark, tmp, entry, version, pb, schema,
+            _df(spark, 10, 13), meta=None, keep_snapshots=50,
+        )
+    # the loser's retry goes through the normal path and lands under
+    # the new active spec
+    mt.append(_df(spark, 10, 13), keep_snapshots=50)
+    entry2 = mt._log_entry(mt.version())
+    assert entry2["partition_by"] == ["region"] and entry2["specs"]
+    assert _rows(mt.read(spark)) == _rows(_df(spark, 0, 13))
+    # and the mirror race: evolve staged against a stale head loses
+    with pytest.raises(ConcurrentWriteError):
+        mt.evolve_partition(["dt"], expect_version=1)
