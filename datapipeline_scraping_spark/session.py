@@ -45,6 +45,11 @@ _RUNTIME_CONF = {
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
     "spark.sql.optimizer.runtime.bloomFilter."
     "applicationSideScanSizeThreshold": "10GB",
+    # the manifest datasource implements pushFilters (r12: commit-log
+    # file skipping on the SQL read path); Spark 4.1 HARD-ERRORS on a
+    # reader that implements it while this flag is off, so it rides
+    # the engine conf (register() also sets it for plain sessions)
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -111,10 +111,38 @@ def _partition_values(path: str, snap: str) -> dict:
     return vals
 
 
+def _overlaps(mn, mx, lo, hi) -> bool:
+    """Conservative [mn, mx] ∩ [lo, hi] test: any comparison that
+    raises (mixed/incomparable types) keeps the file — skipping is an
+    optimization, never a correctness filter."""
+    try:
+        if lo is not None and mx is not None and mx < lo:
+            return False
+        if hi is not None and mn is not None and mn > hi:
+            return False
+    except TypeError:
+        return True
+    return True
+
+
 class ManifestReader(DataSourceReader):
     """Per-task MoR read: parquet file -> rename map -> attach hive
     partition constants -> DV anti-join -> declared-schema cast. The
-    ``_upd/`` delta files skip the anti-join (post-DV rows)."""
+    ``_upd/`` delta files skip the anti-join (post-DV rows).
+
+    FILE SKIPPING on the SQL path (r12 — Spark 4.1 ``pushFilters``):
+    single-column comparison filters are translated to per-column
+    [lo, hi] ranges at PLANNING time and applied driver-side against
+    (a) each file's hive ``col=value`` path segments and (b) the
+    commit log's per-file min/max stats (``stats_by``) — the same
+    skipping :meth:`ManifestTable.read_where` does on the DataFrame
+    path, now free on every ``SELECT ... WHERE`` through the ``USING
+    manifest`` view. No data file is opened to prune; at 100 TB the
+    difference is launching O(window) tasks instead of O(table). All
+    filters are reported back as unhandled, so Spark still applies
+    the exact predicate — skipping only ever drops files that
+    provably contain no qualifying row (evolved snapshots compose:
+    each file prunes by ITS spec's dirs, falling back to stats)."""
 
     def __init__(self, options, schema: StructType):
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -130,18 +158,95 @@ class ManifestReader(DataSourceReader):
             else []
         )
         self.arrow_schema = to_arrow_schema(schema)
+        self.file_stats = dict(entry.get("file_stats") or {})
+        #: physical column -> [lo, hi] from pushed filters (AND of all)
+        self.ranges: dict[str, list] = {}
+
+    def pushFilters(self, filters):
+        """Harvest [lo, hi] ranges per column; claim NOTHING (yield
+        every filter back) — the ranges only drive file skipping."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if isinstance(attr, tuple) and len(attr) == 1:
+                col = self.cmap.get(attr[0], attr[0])  # logical -> physical
+                lo = hi = None
+                if isinstance(f, EqualTo):
+                    lo = hi = f.value
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    lo = f.value
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    hi = f.value
+                elif isinstance(f, In) and f.value:
+                    try:
+                        lo, hi = min(f.value), max(f.value)
+                    except TypeError:
+                        lo = hi = None
+                if lo is not None or hi is not None:
+                    r = self.ranges.setdefault(col, [None, None])
+                    # AND semantics: intersect with any prior range
+                    try:
+                        if lo is not None and (r[0] is None or lo > r[0]):
+                            r[0] = lo
+                        if hi is not None and (r[1] is None or hi < r[1]):
+                            r[1] = hi
+                    except TypeError:
+                        pass
+            yield f  # never handled exactly — Spark re-applies all
+
+    def _keep_file(self, path: str, part_vals: dict) -> bool:
+        rel = os.path.relpath(path, self.snap)
+        stats = self.file_stats.get(rel) or {}
+        for col, (lo, hi) in self.ranges.items():
+            if col in part_vals:
+                raw = part_vals[col]
+                if raw is None:  # hive null partition: never prune
+                    continue
+                v = raw
+                # dir values are strings; compare numerically when the
+                # bound is numeric (mirrors txn._partition_pruned_files)
+                if isinstance(lo, (int, float)) or isinstance(
+                    hi, (int, float)
+                ):
+                    try:
+                        v = float(raw)
+                    except (TypeError, ValueError):
+                        pass
+                if not _overlaps(v, v, lo, hi):
+                    return False
+                continue
+            st = stats.get(col)
+            if st is not None and not _overlaps(st[0], st[1], lo, hi):
+                return False
+        return True
 
     def partitions(self):
-        parts = [
-            InputPartition((f, _partition_values(f, self.snap), True))
-            for f in _data_files(self.snap)
-        ]
+        parts = []
+        for f in _data_files(self.snap):
+            pv = _partition_values(f, self.snap)
+            if self.ranges and not self._keep_file(f, pv):
+                continue
+            parts.append(InputPartition((f, pv, True)))
+        # the _upd delta is churn-sized and carries no per-file stats:
+        # always scanned (update_where can move rows into any range)
         parts.extend(
             InputPartition((f, {}, False))
             for f in sorted(
                 glob.glob(os.path.join(self.snap, "_upd", "*.parquet"))
             )
         )
+        if not parts:
+            # every file pruned: one zero-row task keeps the contract
+            # (the API requires at least one partition)
+            parts.append(InputPartition((None, {}, False)))
         return parts
 
     def read(self, partition):
@@ -150,6 +255,8 @@ class ManifestReader(DataSourceReader):
 
         path, part_vals, apply_dv = partition.value
         want = self.arrow_schema
+        if path is None:  # all-pruned placeholder: zero rows
+            return
         tbl = pq.read_table(path)
         # dropped physical columns go FIRST (metadata-only DROP): a
         # later rename may reuse a dropped name as its logical target,
@@ -325,3 +432,10 @@ def register(spark) -> None:
     except Exception as exc:  # pragma: no cover - version-dependent
         if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
             raise
+    # ManifestReader implements pushFilters (file skipping); Spark 4.1
+    # refuses to plan a pushFilters reader while this flag is off, so
+    # registration turns it on for any plain session using the format
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # pragma: no cover - conf locked down
+        pass

@@ -211,3 +211,114 @@ def test_sql_write_respects_renames_and_mor_guard(spark, tmp_path):
         spark.createDataFrame(
             [(10, "resurrect")], "pk long, val string"
         ).write.format("manifest").option("root", root).mode("append").save()
+
+
+def test_pushed_filters_prune_files_driver_side(spark, tmp_path):
+    """Spark 4.1 pushFilters -> commit-log file skipping: a WHERE on a
+    partition column or a stats-covered column drops InputPartitions
+    at PLANNING time (no data file opened), while every filter is
+    reported unhandled so Spark still applies the exact predicate."""
+    import json as _json
+
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+    from pyspark.sql.types import StructType as _St
+
+    from datapipeline_scraping_spark.operators.txn import ManifestTable
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        ManifestReader,
+    )
+
+    root = str(tmp_path / "push")
+    mt = ManifestTable(root, retention_sec=3600)
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(300)],
+        "id long, grp string, v double",
+    )
+    mt.commit(
+        df.repartitionByRange(4, "id"),
+        partition_by=["grp"],
+        stats_by=["id"],
+    )
+    entry = mt._log_entry(mt.version())
+    schema = _St.fromJson(_json.loads(entry["schema"]))
+    opts = {"root": root}
+
+    base = len(ManifestReader(opts, schema).partitions())
+    # partition-dir pruning
+    r = ManifestReader(opts, schema)
+    assert len(list(r.pushFilters([EqualTo(("grp",), "g1")]))) == 1
+    kept = len(r.partitions())
+    assert 0 < kept < base
+    # min/max stats pruning on a non-partition column
+    r2 = ManifestReader(opts, schema)
+    list(r2.pushFilters([GreaterThanOrEqual(("id",), 250)]))
+    assert 0 < len(r2.partitions()) < base
+    # all-pruned edge: single zero-row placeholder task
+    r3 = ManifestReader(opts, schema)
+    list(r3.pushFilters([EqualTo(("grp",), "nope")]))
+    assert len(r3.partitions()) == 1
+    # end-to-end through SQL: results unchanged, exact predicate kept
+    register(spark)
+    got = (
+        spark.read.format("manifest")
+        .option("root", root)
+        .load()
+        .filter("grp = 'g1' AND id >= 250")
+    )
+    exp = df.filter("grp = 'g1' AND id >= 250")
+    assert sorted(map(tuple, got.select("id", "grp", "v").collect())) == \
+        sorted(map(tuple, exp.select("id", "grp", "v").collect()))
+    assert got.count() > 0
+
+
+def test_pushed_filters_keep_mor_and_evolved_tables_exact(spark, tmp_path):
+    """Skipping composes with the DV/_upd finisher and with partition
+    evolution: updated rows moved INTO the predicate's range surface
+    through the always-scanned delta, and an evolved snapshot prunes
+    each file by ITS spec's dirs with a stats fallback."""
+    from datapipeline_scraping_spark.operators.txn import ManifestTable
+
+    register(spark)
+    root = str(tmp_path / "pm")
+    mt = ManifestTable(root, retention_sec=3600)
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float(i)) for i in range(100)],
+        "id long, grp string, v double",
+    )
+    mt.commit(
+        df.repartitionByRange(4, "id"),
+        partition_by=["grp"],
+        stats_by=["id", "v"],
+        keep_snapshots=50,
+    )
+    mt.evolve_partition(["id"], keep_snapshots=50)
+    mt.append(
+        spark.createDataFrame(
+            [(100 + j, "g9", float(100 + j)) for j in range(5)],
+            "id long, grp string, v double",
+        ),
+        keep_snapshots=50,
+    )
+    # move a row INTO a high-v range through the update delta only
+    mt.update_where(
+        spark, "id = 3", {"v": "v + 100000"}, key_cols=["id"],
+        keep_snapshots=50,
+    )
+    mt.delete_where(spark, "id = 101", key_cols=["id"], keep_snapshots=50)
+    got = (
+        spark.read.format("manifest")
+        .option("root", root)
+        .load()
+        .filter("v >= 100000")
+    )
+    rows = got.collect()
+    assert [r["id"] for r in rows] == [3]
+    # evolved pruning: grp dir-prunes spec-0 files, id dir-prunes
+    # spec-1 files; both predicates stay exact through SQL
+    got2 = (
+        spark.read.format("manifest")
+        .option("root", root)
+        .load()
+        .filter("grp = 'g9' AND id >= 102")
+    )
+    assert sorted(r["id"] for r in got2.collect()) == [102, 103, 104]
