@@ -161,6 +161,9 @@ class ManifestReader(DataSourceReader):
         self.file_stats = dict(entry.get("file_stats") or {})
         #: physical column -> [lo, hi] from pushed filters (AND of all)
         self.ranges: dict[str, list] = {}
+        #: physical column -> exact value SET (EqualTo / In) — prunes
+        #: dir-encoded columns tighter than the range envelope
+        self.point_sets: dict[str, set] = {}
 
     def pushFilters(self, filters):
         """Harvest [lo, hi] ranges per column; claim NOTHING (yield
@@ -181,7 +184,18 @@ class ManifestReader(DataSourceReader):
                 lo = hi = None
                 if isinstance(f, EqualTo):
                     lo = hi = f.value
-                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    pts = {f.value}
+                    prev = self.point_sets.get(col)
+                    self.point_sets[col] = (
+                        pts if prev is None else prev & pts
+                    )
+                elif isinstance(f, In) and f.value:
+                    pts = set(f.value)
+                    prev = self.point_sets.get(col)
+                    self.point_sets[col] = (
+                        pts if prev is None else prev & pts
+                    )
+                if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     lo = f.value
                 elif isinstance(f, (LessThan, LessThanOrEqual)):
                     hi = f.value
@@ -205,6 +219,21 @@ class ManifestReader(DataSourceReader):
     def _keep_file(self, path: str, part_vals: dict) -> bool:
         rel = os.path.relpath(path, self.snap)
         stats = self.file_stats.get(rel) or {}
+        # point-set pruning on dir-encoded columns: tighter than the
+        # range envelope for IN-lists (`IN ('a','z')` keeps only those
+        # two dirs, not everything between)
+        for col, pts in self.point_sets.items():
+            raw = part_vals.get(col)
+            if raw is None:  # not dir-encoded here / hive null: keep
+                continue
+            if raw in {str(p) for p in pts}:
+                continue
+            try:
+                if float(raw) in {float(p) for p in pts}:
+                    continue
+            except (TypeError, ValueError):
+                pass
+            return False
         for col, (lo, hi) in self.ranges.items():
             if col in part_vals:
                 raw = part_vals[col]
@@ -232,7 +261,9 @@ class ManifestReader(DataSourceReader):
         parts = []
         for f in _data_files(self.snap):
             pv = _partition_values(f, self.snap)
-            if self.ranges and not self._keep_file(f, pv):
+            if (self.ranges or self.point_sets) and not self._keep_file(
+                f, pv
+            ):
                 continue
             parts.append(InputPartition((f, pv, True)))
         # the _upd delta is churn-sized and carries no per-file stats:

@@ -322,3 +322,50 @@ def test_pushed_filters_keep_mor_and_evolved_tables_exact(spark, tmp_path):
         .filter("grp = 'g9' AND id >= 102")
     )
     assert sorted(r["id"] for r in got2.collect()) == [102, 103, 104]
+
+
+def test_in_list_prunes_by_point_set_not_range_envelope(spark, tmp_path):
+    """`IN ('g0','g2')` must keep only those partition dirs — the
+    [min,max] envelope alone would keep 'g1' too."""
+    import json as _json
+
+    from pyspark.sql.datasource import In
+    from pyspark.sql.types import StructType as _St
+
+    from datapipeline_scraping_spark.operators.txn import ManifestTable
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        ManifestReader,
+    )
+
+    import os
+
+    root = str(tmp_path / "inset")
+    mt = ManifestTable(root, retention_sec=3600)
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(30)], "id long, grp string"
+    )
+    mt.commit(df, partition_by=["grp"])
+    entry = mt._log_entry(mt.version())
+    schema = _St.fromJson(_json.loads(entry["schema"]))
+    r = ManifestReader({"root": root}, schema)
+    base = len(r.partitions())
+    r2 = ManifestReader({"root": root}, schema)
+    list(r2.pushFilters([In(("grp",), ("g0", "g2"))]))
+    kept = r2.partitions()
+    assert 0 < len(kept) < base
+    kept_dirs = {
+        seg
+        for p in kept
+        for seg in p.value[0].split(os.sep)
+        if seg.startswith("grp=")
+    }
+    assert kept_dirs == {"grp=g0", "grp=g2"}, kept_dirs
+    # end-to-end rows stay exact
+    register(spark)
+    got = (
+        spark.read.format("manifest")
+        .option("root", root)
+        .load()
+        .filter("grp IN ('g0','g2')")
+    )
+    assert got.count() == df.filter("grp IN ('g0','g2')").count()
