@@ -27,6 +27,7 @@ import re
 import shutil
 import time
 import uuid
+from urllib.parse import unquote as _unquote
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -2202,6 +2203,20 @@ class ManifestTable:
         snap_name, cur_ver = ptr
         src = os.path.join(self.root, snap_name)
         entry = self._log_entry(cur_ver) or {}
+        if entry.get("bucket"):
+            # the clustered read path resolves columns through the
+            # bucketed CATALOG scan, which declares the files' physical
+            # schema directly — metadata-only column changes would not
+            # propagate through it (and a rename could strand the
+            # bucket/sort column names). Refuse loudly; re-cluster via
+            # commit_clustered(read(...)) to change columns.
+            raise ValueError(
+                f"{self.root}: the live snapshot is CLUSTERED "
+                f"(commit_clustered bucket layout) — metadata-only "
+                f"column changes do not propagate through the bucketed "
+                f"catalog scan. Re-cluster with commit_clustered("
+                f"read(...), ...) carrying the new schema instead."
+            )
         schema = T.StructType.fromJson(json.loads(entry["schema"]))
         names = [f.name for f in schema.fields]
         if old not in names:
@@ -2342,6 +2357,18 @@ class ManifestTable:
         snap_name, cur_ver = ptr
         src = os.path.join(self.root, snap_name)
         entry = self._log_entry(cur_ver) or {}
+        if entry.get("bucket"):
+            # the clustered read path resolves columns through the
+            # bucketed CATALOG scan (declared file schema) — a
+            # metadata-only ADD would not surface through it. Refuse;
+            # re-cluster with the new schema instead.
+            raise ValueError(
+                f"{self.root}: the live snapshot is CLUSTERED "
+                f"(commit_clustered bucket layout) — metadata-only "
+                f"column changes do not propagate through the bucketed "
+                f"catalog scan. Re-cluster with commit_clustered("
+                f"read(...), ...) carrying the new schema instead."
+            )
         schema = T.StructType.fromJson(json.loads(entry["schema"]))
         if name in [f.name for f in schema.fields]:
             raise ValueError(f"{self.root}: column {name!r} already exists")
@@ -2458,6 +2485,20 @@ class ManifestTable:
         snap_name, cur_ver = ptr
         src = os.path.join(self.root, snap_name)
         entry = self._log_entry(cur_ver) or {}
+        if entry.get("bucket"):
+            # the clustered read path resolves columns through the
+            # bucketed CATALOG scan, which declares the files' physical
+            # schema directly — metadata-only column changes would not
+            # propagate through it (and a rename could strand the
+            # bucket/sort column names). Refuse loudly; re-cluster via
+            # commit_clustered(read(...)) to change columns.
+            raise ValueError(
+                f"{self.root}: the live snapshot is CLUSTERED "
+                f"(commit_clustered bucket layout) — metadata-only "
+                f"column changes do not propagate through the bucketed "
+                f"catalog scan. Re-cluster with commit_clustered("
+                f"read(...), ...) carrying the new schema instead."
+            )
         schema = T.StructType.fromJson(json.loads(entry["schema"]))
         names = [f.name for f in schema.fields]
         if name not in names:
@@ -3152,10 +3193,12 @@ class ManifestTable:
                 if val is None or val == "__HIVE_DEFAULT_PARTITION__":
                     kept.append(fp)
                     continue
-                v = val
+                # hive URL-escapes special characters into dir names
+                # ('a/b' -> 'a%2Fb'); compare the TRUE value
+                v = _unquote(val)
                 if numeric:
                     try:
-                        v = float(val)
+                        v = float(v)
                     except ValueError:
                         pass
                 if _stat_overlaps(v, v, lo, hi):
@@ -3207,10 +3250,10 @@ class ManifestTable:
                     if val == "__HIVE_DEFAULT_PARTITION__":
                         kept.append(fp)
                         continue
-                    v = val
+                    v = _unquote(val)
                     if numeric:
                         try:
-                            v = float(val)
+                            v = float(v)
                         except ValueError:
                             pass
                     if _stat_overlaps(v, v, lo, hi):
@@ -5218,6 +5261,14 @@ def append_files(
             f"{root}: append_files targets unpartitioned tables "
             f"(partitioned layouts append via ManifestTable.append)"
         )
+    if entry.get("bucket"):
+        # flat external parts interleaved with bucket-named files would
+        # silently break the bucket-id contract behind read_clustered
+        raise ValueError(
+            f"{root}: the live snapshot is CLUSTERED (commit_clustered "
+            f"bucket layout) — externally-written flat parts cannot "
+            f"join a bucketed snapshot. Use append_clustered()."
+        )
     phys = _phys_schema(entry)
     incoming = spark.read.parquet(parts_dir)
     if phys is not None:
@@ -5354,6 +5405,15 @@ def append_files_local(
     if entry.get("partition_by"):
         raise ValueError(
             f"{root}: append_files_local targets unpartitioned tables"
+        )
+    if entry.get("bucket"):
+        # flat external parts interleaved with bucket-named files would
+        # silently break the bucket-id contract behind read_clustered
+        raise ValueError(
+            f"{root}: the live snapshot is CLUSTERED (commit_clustered "
+            f"bucket layout) — externally-written flat parts cannot "
+            f"join a bucketed snapshot. Use append_clustered() via the "
+            f"DataFrame API."
         )
     cmap = dict(entry.get("column_map") or {})  # logical -> physical
     inv = {p: l for l, p in cmap.items()}

@@ -101,13 +101,20 @@ def _data_files(snap: str) -> list[str]:
 
 
 def _partition_values(path: str, snap: str) -> dict:
-    """Hive partition values from the file's directory path."""
+    """Hive partition values from the file's directory path. Values are
+    UNESCAPED (hive URL-encodes special characters into dir names —
+    ``a/b`` writes as ``a%2Fb``), matching what Spark's own partition
+    discovery reconstructs."""
+    from urllib.parse import unquote
+
     vals = {}
     rel = os.path.relpath(os.path.dirname(path), snap)
     for seg in rel.split(os.sep):
         if "=" in seg:
             k, _, v = seg.partition("=")
-            vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+            vals[k] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            )
     return vals
 
 
@@ -164,6 +171,9 @@ class ManifestReader(DataSourceReader):
         #: physical column -> exact value SET (EqualTo / In) — prunes
         #: dir-encoded columns tighter than the range envelope
         self.point_sets: dict[str, set] = {}
+        #: canonical comparison forms, built when pushFilters finishes
+        #: (empty until then — point pruning stays off, conservative)
+        self._point_forms: dict = {}
 
     def pushFilters(self, filters):
         """Harvest [lo, hi] ranges per column; claim NOTHING (yield
@@ -215,21 +225,47 @@ class ManifestReader(DataSourceReader):
                     except TypeError:
                         pass
             yield f  # never handled exactly — Spark re-applies all
+        # precompute each point set's comparison forms ONCE (planning
+        # runs _keep_file per file — O(files), not O(files × points)):
+        # lowercased strings (hive lowercases booleans) + numeric set;
+        # None marks a set with an uncanonicalizable member (no prune)
+        self._point_forms = {}
+        for col, pts in self.point_sets.items():
+            if not all(isinstance(p, (str, int, float, bool)) for p in pts):
+                self._point_forms[col] = None
+                continue
+            nums = set()
+            for p in pts:
+                try:
+                    nums.add(float(p))
+                except (TypeError, ValueError):
+                    pass
+            self._point_forms[col] = (
+                {str(p).lower() for p in pts},
+                nums,
+            )
 
     def _keep_file(self, path: str, part_vals: dict) -> bool:
         rel = os.path.relpath(path, self.snap)
         stats = self.file_stats.get(rel) or {}
         # point-set pruning on dir-encoded columns: tighter than the
         # range envelope for IN-lists (`IN ('a','z')` keeps only those
-        # two dirs, not everything between)
-        for col, pts in self.point_sets.items():
+        # two dirs, not everything between). Conservative: only prunes
+        # when every point has a canonical dir form (str/int/float/
+        # bool — _point_forms), matched case-insensitively so
+        # Python's str(True)='True' meets hive's 'true'; any column
+        # whose points can't be canonicalized keeps all files.
+        for col, forms in self._point_forms.items():
             raw = part_vals.get(col)
             if raw is None:  # not dir-encoded here / hive null: keep
                 continue
-            if raw in {str(p) for p in pts}:
+            if forms is None:  # uncanonicalizable point type: keep
+                continue
+            str_forms, num_forms = forms
+            if raw.lower() in str_forms:
                 continue
             try:
-                if float(raw) in {float(p) for p in pts}:
+                if float(raw) in num_forms:
                     continue
             except (TypeError, ValueError):
                 pass

@@ -66,10 +66,12 @@ rather than mis-execute):
   INSERT clause, source-only rows do NOT insert (ANSI semantics).
 
 Lexing is quote-aware throughout: alias rewriting, keyword splitting,
-and the ``USING (subquery)`` extraction all skip string literals and
-balance parentheses (ADVICE r11 lows — the old sequential ``re.sub``
-alias rewrite corrupted swapped aliases and literals; the non-greedy
-source regex misparsed nested parens). One documented lexing limit:
+and the ``USING (subquery)`` extraction all skip string literals —
+including backslash-escaped and doubled quotes inside them (Spark's
+default ``escapedStringLiterals=false`` makes ``\\'`` a literal
+quote) — and balance parentheses (ADVICE r11 lows — the old
+sequential ``re.sub`` alias rewrite corrupted swapped aliases and
+literals; the non-greedy source regex misparsed nested parens). One documented lexing limit:
 clause boundaries split on top-level ``WHEN``/``THEN`` keywords, so a
 ``CASE WHEN ... THEN ... END`` embedded in a clause condition or SET
 expression must be parenthesized — ``(CASE WHEN ... END)`` — to sit
@@ -164,6 +166,28 @@ def _refresh_view(spark: SparkSession, name: str) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _literal_end(s: str, i: int) -> int:
+    """Index just past the string literal opening at ``s[i]``, honouring
+    backslash escapes (Spark's default ``escapedStringLiterals=false``
+    makes ``\\'`` a literal quote inside the string) and doubled-quote
+    escaping. Unterminated literals run to end-of-string."""
+    q = s[i]
+    j = i + 1
+    n = len(s)
+    while j < n:
+        ch = s[j]
+        if ch == "\\" and j + 1 < n:
+            j += 2
+            continue
+        if ch == q:
+            if j + 1 < n and s[j + 1] == q:  # doubled-quote escape
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
 def _keyword_spans(s: str, word: str) -> list[tuple[int, int]]:
     """(start, end) offsets of every TOP-LEVEL occurrence of keyword
     ``word``: paren depth 0, outside string literals, identifier-
@@ -174,8 +198,7 @@ def _keyword_spans(s: str, word: str) -> list[tuple[int, int]]:
     while i < n:
         ch = s[i]
         if ch in ("'", '"'):
-            j = s.find(ch, i + 1)
-            i = n if j == -1 else j + 1
+            i = _literal_end(s, i)
             continue
         if ch == "(":
             depth += 1
@@ -208,17 +231,16 @@ def _split_keyword(s: str, word: str) -> list[str]:
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren/quote depth zero."""
-    out, buf, depth, quote = [], [], 0, None
-    for ch in s:
-        if quote:
-            buf.append(ch)
-            if ch == quote:
-                quote = None
-            continue
+    out, buf, depth = [], [], 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
         if ch in ("'", '"'):
-            quote = ch
-            buf.append(ch)
-        elif ch == "(":
+            j = _literal_end(s, i)
+            buf.append(s[i:j])
+            i = j
+            continue
+        if ch == "(":
             depth += 1
             buf.append(ch)
         elif ch == ")":
@@ -229,6 +251,7 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
             buf = []
         else:
             buf.append(ch)
+        i += 1
     if buf:
         out.append("".join(buf))
     return [p.strip() for p in out if p.strip()]
@@ -246,11 +269,10 @@ def _rewrite_aliases(text: str, mapping: dict[str, str]) -> str:
     while i < n:
         ch = text[i]
         if ch in ("'", '"'):
-            j = text.find(ch, i + 1)
-            j = n - 1 if j == -1 else j
-            out.append(text[i : j + 1])
+            j = _literal_end(text, i)
+            out.append(text[i:j])
             prev = ch
-            i = j + 1
+            i = j
             continue
         m = _IDENT.match(text, i)
         if m:
@@ -278,22 +300,22 @@ def _strip_outer_parens(s: str) -> str:
     expression (quote-aware)."""
     s = s.strip()
     while s.startswith("(") and s.endswith(")"):
-        depth, quote = 0, None
+        depth = 0
         closes_at_end = False
-        for k, ch in enumerate(s):
-            if quote:
-                if ch == quote:
-                    quote = None
-                continue
+        k, n_ = 0, len(s)
+        while k < n_:
+            ch = s[k]
             if ch in ("'", '"'):
-                quote = ch
-            elif ch == "(":
+                k = _literal_end(s, k)
+                continue
+            if ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
                 if depth == 0:
-                    closes_at_end = k == len(s) - 1
+                    closes_at_end = k == n_ - 1
                     break
+            k += 1
         if not closes_at_end:
             return s
         s = s[1:-1].strip()
@@ -408,22 +430,22 @@ def _parse_merge(statement: str) -> dict | None:
         return None
     rest = statement[m.end() :]
     if rest.startswith("("):
-        depth, quote = 0, None
+        depth = 0
         end = -1
-        for k, ch in enumerate(rest):
-            if quote:
-                if ch == quote:
-                    quote = None
-                continue
+        k, n_ = 0, len(rest)
+        while k < n_:
+            ch = rest[k]
             if ch in ("'", '"'):
-                quote = ch
-            elif ch == "(":
+                k = _literal_end(rest, k)
+                continue
+            if ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
                 if depth == 0:
                     end = k
                     break
+            k += 1
         if end == -1:
             raise ValueError("MERGE USING (...): unbalanced parentheses")
         src, rest = rest[: end + 1], rest[end + 1 :]
@@ -675,6 +697,18 @@ def sql(spark: SparkSession, statement: str, *, retries: int = 3):
 def _run_merge(spark: SparkSession, p: dict, retries: int) -> int:
     spec = _resolve(spark, p["tbl"])
     tbl = ManifestTable(spec["root"])
+    live = tbl._log_entry(tbl.version() or 0) or {}
+    if live.get("bucket"):
+        # the merge commits copy-on-write through tbl.commit, which
+        # would silently drop the bucket layout behind read_clustered —
+        # the exact silent de-clustering the writers refuse elsewhere
+        raise ValueError(
+            f"{spec['root']}: the live snapshot is CLUSTERED "
+            f"(commit_clustered bucket layout) — SQL MERGE commits "
+            f"copy-on-write and would drop the layout. Use the keyed "
+            f"writers (UPDATE/DELETE route merge-on-read) or "
+            f"re-cluster with commit_clustered(merge result)."
+        )
     talias = (p["talias"] or p["tbl"]).lower()
     src_s = p["src"]
     if src_s.startswith("("):
@@ -815,6 +849,9 @@ def _run_merge(spark: SparkSession, p: dict, retries: int) -> int:
             matched_update=matched_update,
             matched_set=matched_set,
             not_matched_insert=not_matched_insert,
+            # ANSI/Delta: multiple source rows matching one target key
+            # must ERROR, not silently duplicate the target row
+            check_unique_source=True,
         )
         try:
             ver = tbl.commit(result, expect_version=base_ver)

@@ -369,3 +369,50 @@ def test_in_list_prunes_by_point_set_not_range_envelope(spark, tmp_path):
         .filter("grp IN ('g0','g2')")
     )
     assert got.count() == df.filter("grp IN ('g0','g2')").count()
+
+
+def test_pushdown_is_conservative_on_bools_and_escaped_dir_values(
+    spark, tmp_path
+):
+    """Review fixes (r12): a boolean partition column's hive dir value
+    is 'true' while Python's str(True) is 'True' — point-set pruning
+    must match case-insensitively, never wrongly prune; hive
+    URL-escaped values ('a/b' -> 'a%2Fb') must compare (and surface)
+    UNESCAPED through the datasource and the txn pruners."""
+    from datapipeline_scraping_spark.operators.txn import ManifestTable
+
+    register(spark)
+    # boolean partition column
+    root = str(tmp_path / "bools")
+    mt = ManifestTable(root, retention_sec=3600)
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(20)], "id long, flag boolean"
+    )
+    mt.commit(df, partition_by=["flag"])
+    got = (
+        spark.read.format("manifest")
+        .option("root", root)
+        .load()
+        .filter("flag = true")
+    )
+    assert got.count() == 10, "boolean EqualTo pushdown wrongly pruned"
+    # special-character partition value, hive-escaped on disk
+    root2 = str(tmp_path / "esc")
+    mt2 = ManifestTable(root2, retention_sec=3600)
+    df2 = spark.createDataFrame(
+        [(1, "a/b"), (2, "plain")], "id long, grp string"
+    )
+    mt2.commit(df2, partition_by=["grp"], stats_by=["id"])
+    got2 = (
+        spark.read.format("manifest")
+        .option("root", root2)
+        .load()
+        .filter("grp = 'a/b'")
+    )
+    rows = got2.collect()
+    assert [r["id"] for r in rows] == [1], rows
+    assert rows[0]["grp"] == "a/b", "dir value must surface unescaped"
+    # txn-side partition pruning compares the true value too
+    kept, total = mt2._partition_pruned_files("grp", "a/b", "a/b")
+    assert len(kept) == 1 and total == 2
+    assert mt2.read_where(spark, {"grp": ("a/b", "a/b")}).count() == 1

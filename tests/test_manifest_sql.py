@@ -489,3 +489,48 @@ def test_sql_alter_column_family_and_maintenance(spark, tmp_path):
     vac = sql(spark, "VACUUM ddl_sql RETAIN 0 HOURS").first()
     assert vac["snapshots_kept"] >= 1
     assert spark.sql("SELECT COUNT(*) AS n FROM ddl_sql").first()["n"] == 3
+
+
+def test_sql_layout_guards_and_ansi_merge_contracts(spark, tmp_path):
+    """Review fixes (r12): SQL MERGE refuses clustered targets instead
+    of silently de-clustering them; duplicate source keys raise (ANSI
+    'multiple source rows matched'); backslash-escaped quotes inside
+    literals do not desync the statement lexers."""
+    from datapipeline_scraping_spark.operators.txn import ManifestTable
+
+    # clustered MERGE refusal
+    cl = ManifestTable(str(tmp_path / "cl"))
+    cl.commit_clustered(_df(spark, [(1, "a", 10), (2, "b", 20)]), "pk", 4)
+    register_table(spark, "cl_sql", cl.root, key_cols=["pk"])
+    spark.createDataFrame([(1, "z", 99)], "pk long, v string, n long") \
+        .createOrReplaceTempView("cl_src")
+    with pytest.raises(ValueError, match="CLUSTERED"):
+        sql(
+            spark,
+            "MERGE INTO cl_sql AS t USING cl_src AS s ON t.pk = s.pk "
+            "WHEN MATCHED THEN UPDATE SET *",
+        )
+    # duplicate-source-key MERGE must raise, not duplicate target rows
+    t = ManifestTable(str(tmp_path / "dup"))
+    t.commit(_df(spark, [(1, "a", 10)]))
+    register_table(spark, "dup_sql", t.root, key_cols=["pk"])
+    spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2)], "pk long, v string, n long"
+    ).createOrReplaceTempView("dup_src")
+    with pytest.raises(Exception, match="[Dd]uplicate|unique"):
+        sql(
+            spark,
+            "MERGE INTO dup_sql AS t USING dup_src AS s ON t.pk = s.pk "
+            "WHEN MATCHED THEN UPDATE SET *",
+        )
+    # backslash-escaped quote inside a literal: the WHERE after the
+    # literal must still be found (lexer handles \' escapes)
+    t2 = ManifestTable(str(tmp_path / "esc"))
+    t2.commit(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    register_table(spark, "esc_sql", t2.root, key_cols=["pk"])
+    sql(spark, r"UPDATE esc_sql SET v = 'it\'s fine WHERE x' WHERE pk = 1")
+    got = {
+        r["pk"]: r["v"]
+        for r in spark.sql("SELECT pk, v FROM esc_sql").collect()
+    }
+    assert got == {1: "it's fine WHERE x", 2: "b"}

@@ -3516,3 +3516,42 @@ def test_clustered_writers_crash_sweep_never_tear_table(spark, tmp_path):
     if not compact_clustered(spark, root)["compacted"]:
         e = tbl._log_entry(tbl.version()) or {}
         assert not e.get("dv") and not e.get("mor_delta")
+
+
+def test_clustered_snapshots_refuse_metadata_alters_and_flat_appends(
+    spark, tmp_path
+):
+    """Review fixes (r12): metadata-only column changes do not
+    propagate through the bucketed catalog scan, and flat external
+    parts would break the bucket-id file-name contract — all four
+    paths refuse loudly instead of silently de-clustering."""
+    import os
+
+    from datapipeline_scraping_spark.operators.txn import (
+        append_files,
+        append_files_local,
+    )
+
+    tbl = ManifestTable(str(tmp_path / "cl"))
+    tbl.commit_clustered(_df(spark, [(1, "a"), (2, "b")]), "pk", 4)
+    with pytest.raises(ValueError, match="CLUSTERED"):
+        tbl.rename_column("v", "val")
+    with pytest.raises(ValueError, match="CLUSTERED"):
+        tbl.add_column("note", "string")
+    with pytest.raises(ValueError, match="CLUSTERED"):
+        tbl.drop_column("v")
+    parts = tmp_path / "parts"
+    os.makedirs(parts)
+    _df(spark, [(3, "c")]).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "w")
+    )
+    import glob as _g
+
+    for i, f in enumerate(_g.glob(str(tmp_path / "w" / "*.parquet"))):
+        os.link(f, parts / f"p{i}.parquet")
+    with pytest.raises(ValueError, match="CLUSTERED"):
+        append_files_local(tbl.root, str(parts))
+    with pytest.raises(ValueError, match="CLUSTERED"):
+        append_files(spark, tbl.root, str(parts))
+    # the clustered read still works — nothing was de-clustered
+    assert tbl.read_clustered(spark).count() == 2
