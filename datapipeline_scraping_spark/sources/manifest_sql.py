@@ -29,7 +29,10 @@ existing transactional writers:
   window (returns removed/kept counts);
 - ``DESCRIBE HISTORY t`` → :meth:`ManifestTable.history` as a
   DataFrame (version / snapshot / ts / active partition spec /
-  retained), Delta's table-history surface.
+  retained), Delta's table-history surface;
+- ``DESCRIBE DETAIL t`` → one-row table detail (format, location,
+  version, active spec, spec count, bucket layout, file count,
+  bytes), Delta's ``DESCRIBE DETAIL``.
 
 Everything else falls through to ``spark.sql`` untouched, so the
 router composes with the whole read surface. Table-property contracts
@@ -387,6 +390,11 @@ _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<tbl>[A-Za-z_][A-Za-z0-9_]*)\s*$",
     re.IGNORECASE,
 )
+#: DESCRIBE DETAIL t — Delta's one-row table-detail surface
+_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(?P<tbl>[A-Za-z_][A-Za-z0-9_]*)\s*$",
+    re.IGNORECASE,
+)
 
 
 def _split_update_body(body: str) -> tuple[str, str | None]:
@@ -690,6 +698,43 @@ def sql(spark: SparkSession, statement: str, *, retries: int = 3):
             ],
             "version long, snapshot string, ts double, "
             "partition_by string, retained boolean",
+        )
+    m = _DETAIL_RE.match(statement)
+    if m and _resolve(spark, m.group("tbl")):
+        spec = _resolve(spark, m.group("tbl"))
+        tbl = ManifestTable(spec["root"])
+        ver = tbl.version() or 0
+        entry = tbl._log_entry(ver) or {}
+        snap = tbl.snapshot_path()
+        n_files = size = 0
+        if snap:
+            for r_, dirs, fs in os.walk(snap):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                for f_ in fs:
+                    if f_.endswith(".parquet"):
+                        n_files += 1
+                        try:
+                            size += os.path.getsize(os.path.join(r_, f_))
+                        except OSError:
+                            pass
+        return spark.createDataFrame(
+            [
+                (
+                    "manifest",
+                    spec["root"],
+                    int(ver),
+                    json.dumps(list(entry.get("partition_by") or [])),
+                    len(entry.get("specs") or []) or 1,
+                    json.dumps(entry.get("bucket"))
+                    if entry.get("bucket")
+                    else None,
+                    int(n_files),
+                    int(size),
+                )
+            ],
+            "format string, location string, version long, "
+            "partition_by string, num_specs long, bucket string, "
+            "num_files long, size_bytes long",
         )
     return spark.sql(statement)
 

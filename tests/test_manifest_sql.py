@@ -534,3 +534,15 @@ def test_sql_layout_guards_and_ansi_merge_contracts(spark, tmp_path):
         for r in spark.sql("SELECT pk, v FROM esc_sql").collect()
     }
     assert got == {1: "it's fine WHERE x", 2: "b"}
+
+
+def test_sql_describe_detail_surface(spark, tmp_path):
+    from datapipeline_scraping_spark.operators.txn import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "det"))
+    t.commit(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    register_table(spark, "det_sql", t.root, key_cols=["pk"])
+    d = sql(spark, "DESCRIBE DETAIL det_sql").first()
+    assert d["format"] == "manifest" and d["version"] == 1
+    assert d["num_files"] > 0 and d["size_bytes"] > 0
+    assert d["num_specs"] == 1 and d["bucket"] is None
