@@ -404,3 +404,43 @@ def test_evolution_races_serialize_through_the_cas(spark, tmp_path):
     # and the mirror race: evolve staged against a stale head loses
     with pytest.raises(ConcurrentWriteError):
         mt.evolve_partition(["dt"], expect_version=1)
+
+
+def test_read_point_and_bloom_survive_evolution(spark, tmp_path):
+    """The per-file bloom sidecar is keyed by snapshot-relative paths;
+    the first evolution moves data under spec-0/ and must REKEY the
+    sidecar (and the min/max stats) so point lookups keep pruning —
+    and keep finding every row — across the boundary."""
+    mt = ManifestTable(str(tmp_path / "t"), retention_sec=3600)
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), "u%06d" % i) for i in range(200)],
+        "id long, grp string, uid string",
+    )
+    mt.commit(
+        df.repartitionByRange(4, "id"),
+        partition_by=[],
+        stats_by=["id"],
+        bloom_by=["uid"],
+        keep_snapshots=50,
+    )
+    kept0, total0, indexed0 = mt.bloom_pruned_files("uid", "u000005")
+    assert indexed0 and 0 < len(kept0) < total0
+    mt.evolve_partition(["grp"], keep_snapshots=50)
+    # bloom rel keys moved under spec-0/: pruning still effective
+    kept1, total1, indexed1 = mt.bloom_pruned_files("uid", "u000005")
+    assert indexed1 and 0 < len(kept1) < total1, (len(kept1), total1)
+    got = mt.read_point(spark, "uid", "u000005").filter("uid = 'u000005'")
+    assert got.count() == 1
+    # append under the new spec: new files bloom-indexed, old carried
+    mt.append(
+        spark.createDataFrame(
+            [(1000, "g9", "u900000")], "id long, grp string, uid string"
+        ),
+        keep_snapshots=50,
+    )
+    got2 = mt.read_point(spark, "uid", "u900000").filter(
+        "uid = 'u900000'"
+    )
+    assert got2.count() == 1
+    kept2, total2, indexed2 = mt.bloom_pruned_files("uid", "u000007")
+    assert indexed2 and 0 < len(kept2) < total2
