@@ -645,6 +645,19 @@ def _link_tree(src: str, dst: str, *, skip_top: tuple[str, ...] = ()) -> None:
                 shutil.copy2(sp, dp)
 
 
+def _refuse_clustered(root: str, entry: dict | None, hint: str) -> None:
+    """Shared loud refusal for operations that would silently break a
+    CLUSTERED snapshot's bucket contract (metadata-only column changes
+    do not propagate through the bucketed catalog scan; flat external
+    parts break the bucket-id file names). ``hint`` names the escape
+    hatch."""
+    if (entry or {}).get("bucket"):
+        raise ValueError(
+            f"{root}: the live snapshot is CLUSTERED (commit_clustered "
+            f"bucket layout) — {hint}"
+        )
+
+
 def _spec_dirname(spec_id) -> str:
     """Directory name a partition spec's files live under inside an
     EVOLVED snapshot (``spec-<id>/``). Deliberately NOT ``spec=<id>``:
@@ -2203,20 +2216,14 @@ class ManifestTable:
         snap_name, cur_ver = ptr
         src = os.path.join(self.root, snap_name)
         entry = self._log_entry(cur_ver) or {}
-        if entry.get("bucket"):
-            # the clustered read path resolves columns through the
-            # bucketed CATALOG scan, which declares the files' physical
-            # schema directly — metadata-only column changes would not
-            # propagate through it (and a rename could strand the
-            # bucket/sort column names). Refuse loudly; re-cluster via
-            # commit_clustered(read(...)) to change columns.
-            raise ValueError(
-                f"{self.root}: the live snapshot is CLUSTERED "
-                f"(commit_clustered bucket layout) — metadata-only "
-                f"column changes do not propagate through the bucketed "
-                f"catalog scan. Re-cluster with commit_clustered("
-                f"read(...), ...) carrying the new schema instead."
-            )
+        _refuse_clustered(
+            self.root,
+            entry,
+            "metadata-only column changes do not propagate through "
+            "the bucketed catalog scan. Re-cluster with "
+            "commit_clustered(read(...), ...) carrying the new "
+            "schema instead.",
+        )
         schema = T.StructType.fromJson(json.loads(entry["schema"]))
         names = [f.name for f in schema.fields]
         if old not in names:
@@ -2357,18 +2364,14 @@ class ManifestTable:
         snap_name, cur_ver = ptr
         src = os.path.join(self.root, snap_name)
         entry = self._log_entry(cur_ver) or {}
-        if entry.get("bucket"):
-            # the clustered read path resolves columns through the
-            # bucketed CATALOG scan (declared file schema) — a
-            # metadata-only ADD would not surface through it. Refuse;
-            # re-cluster with the new schema instead.
-            raise ValueError(
-                f"{self.root}: the live snapshot is CLUSTERED "
-                f"(commit_clustered bucket layout) — metadata-only "
-                f"column changes do not propagate through the bucketed "
-                f"catalog scan. Re-cluster with commit_clustered("
-                f"read(...), ...) carrying the new schema instead."
-            )
+        _refuse_clustered(
+            self.root,
+            entry,
+            "metadata-only column changes do not propagate through "
+            "the bucketed catalog scan. Re-cluster with "
+            "commit_clustered(read(...), ...) carrying the new "
+            "schema instead.",
+        )
         schema = T.StructType.fromJson(json.loads(entry["schema"]))
         if name in [f.name for f in schema.fields]:
             raise ValueError(f"{self.root}: column {name!r} already exists")
@@ -2485,20 +2488,14 @@ class ManifestTable:
         snap_name, cur_ver = ptr
         src = os.path.join(self.root, snap_name)
         entry = self._log_entry(cur_ver) or {}
-        if entry.get("bucket"):
-            # the clustered read path resolves columns through the
-            # bucketed CATALOG scan, which declares the files' physical
-            # schema directly — metadata-only column changes would not
-            # propagate through it (and a rename could strand the
-            # bucket/sort column names). Refuse loudly; re-cluster via
-            # commit_clustered(read(...)) to change columns.
-            raise ValueError(
-                f"{self.root}: the live snapshot is CLUSTERED "
-                f"(commit_clustered bucket layout) — metadata-only "
-                f"column changes do not propagate through the bucketed "
-                f"catalog scan. Re-cluster with commit_clustered("
-                f"read(...), ...) carrying the new schema instead."
-            )
+        _refuse_clustered(
+            self.root,
+            entry,
+            "metadata-only column changes do not propagate through "
+            "the bucketed catalog scan. Re-cluster with "
+            "commit_clustered(read(...), ...) carrying the new "
+            "schema instead.",
+        )
         schema = T.StructType.fromJson(json.loads(entry["schema"]))
         names = [f.name for f in schema.fields]
         if name not in names:
@@ -5261,14 +5258,12 @@ def append_files(
             f"{root}: append_files targets unpartitioned tables "
             f"(partitioned layouts append via ManifestTable.append)"
         )
-    if entry.get("bucket"):
-        # flat external parts interleaved with bucket-named files would
-        # silently break the bucket-id contract behind read_clustered
-        raise ValueError(
-            f"{root}: the live snapshot is CLUSTERED (commit_clustered "
-            f"bucket layout) — externally-written flat parts cannot "
-            f"join a bucketed snapshot. Use append_clustered()."
-        )
+    _refuse_clustered(
+        root,
+        entry,
+        "externally-written flat parts cannot join a bucketed "
+        "snapshot. Use append_clustered().",
+    )
     phys = _phys_schema(entry)
     incoming = spark.read.parquet(parts_dir)
     if phys is not None:
@@ -5406,15 +5401,12 @@ def append_files_local(
         raise ValueError(
             f"{root}: append_files_local targets unpartitioned tables"
         )
-    if entry.get("bucket"):
-        # flat external parts interleaved with bucket-named files would
-        # silently break the bucket-id contract behind read_clustered
-        raise ValueError(
-            f"{root}: the live snapshot is CLUSTERED (commit_clustered "
-            f"bucket layout) — externally-written flat parts cannot "
-            f"join a bucketed snapshot. Use append_clustered() via the "
-            f"DataFrame API."
-        )
+    _refuse_clustered(
+        root,
+        entry,
+        "externally-written flat parts cannot join a bucketed "
+        "snapshot. Use append_clustered().",
+    )
     cmap = dict(entry.get("column_map") or {})  # logical -> physical
     inv = {p: l for l, p in cmap.items()}
     # -- schema guard against a base file's arrow schema ------------------

@@ -703,13 +703,26 @@ def sql(spark: SparkSession, statement: str, *, retries: int = 3):
     if m and _resolve(spark, m.group("tbl")):
         spec = _resolve(spark, m.group("tbl"))
         tbl = ManifestTable(spec["root"])
-        ver = tbl.version() or 0
+        # resolve the pointer ONCE so version/entry/file-walk all
+        # describe the same snapshot even under a racing writer
+        ptr = tbl._pointer()
+        ver = ptr[1] if ptr else 0
         entry = tbl._log_entry(ver) or {}
-        snap = tbl.snapshot_path()
+        snap = (
+            os.path.join(tbl.root, ptr[0]) if ptr else None
+        )
         n_files = size = 0
-        if snap:
+        if snap and os.path.isdir(snap):
             for r_, dirs, fs in os.walk(snap):
-                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                # the _upd merge-on-read delta holds LIVE rows — it is
+                # data; _dv/_cdf/_bloom are index/feed metadata and
+                # stay excluded (hidden dirs pruned at every level)
+                dirs[:] = [
+                    d
+                    for d in dirs
+                    if not d.startswith(("_", "."))
+                    or (r_ == snap and d == ManifestTable.UPD_DIR)
+                ]
                 for f_ in fs:
                     if f_.endswith(".parquet"):
                         n_files += 1
@@ -739,21 +752,28 @@ def sql(spark: SparkSession, statement: str, *, retries: int = 3):
     return spark.sql(statement)
 
 
-def _run_merge(spark: SparkSession, p: dict, retries: int) -> int:
-    spec = _resolve(spark, p["tbl"])
-    tbl = ManifestTable(spec["root"])
-    live = tbl._log_entry(tbl.version() or 0) or {}
-    if live.get("bucket"):
-        # the merge commits copy-on-write through tbl.commit, which
-        # would silently drop the bucket layout behind read_clustered —
-        # the exact silent de-clustering the writers refuse elsewhere
+def _guard_unclustered_merge(root: str, entry: dict) -> None:
+    """The merge commits copy-on-write through tbl.commit, which would
+    silently drop the bucket layout behind read_clustered — the exact
+    silent de-clustering the writers refuse elsewhere. Re-checked per
+    commit attempt: a concurrent commit_clustered between attempts
+    must also refuse, not slip through the retry."""
+    if entry.get("bucket"):
         raise ValueError(
-            f"{spec['root']}: the live snapshot is CLUSTERED "
+            f"{root}: the live snapshot is CLUSTERED "
             f"(commit_clustered bucket layout) — SQL MERGE commits "
             f"copy-on-write and would drop the layout. Use the keyed "
             f"writers (UPDATE/DELETE route merge-on-read) or "
             f"re-cluster with commit_clustered(merge result)."
         )
+
+
+def _run_merge(spark: SparkSession, p: dict, retries: int) -> int:
+    spec = _resolve(spark, p["tbl"])
+    tbl = ManifestTable(spec["root"])
+    _guard_unclustered_merge(
+        spec["root"], tbl._log_entry(tbl.version() or 0) or {}
+    )
     talias = (p["talias"] or p["tbl"]).lower()
     src_s = p["src"]
     if src_s.startswith("("):
@@ -885,7 +905,33 @@ def _run_merge(spark: SparkSession, p: dict, retries: int) -> int:
 
     for attempt in range(retries + 1):
         base_ver = tbl.version() or 0
+        # re-check the layout at THIS attempt's base: a concurrent
+        # commit_clustered between retries must refuse, and the CAS
+        # against base_ver guarantees the checked entry is the one
+        # the commit supersedes
+        _guard_unclustered_merge(
+            spec["root"], tbl._log_entry(base_ver) or {}
+        )
         target = tbl.read(spark)
+        # ANSI/Delta: multiple source rows matching ONE TARGET row
+        # must error — but duplicate source keys that match no target
+        # row are legal (both INSERT, or both no-op). Scope the
+        # uniqueness check to keys present in the target.
+        n_dup_matched = (
+            source.groupBy(*pk)
+            .count()
+            .filter(F.col("count") > 1)
+            .join(target.select(*pk).distinct(), on=list(pk), how="left_semi")
+            .limit(1)
+            .count()
+        )
+        if n_dup_matched:
+            raise ValueError(
+                f"MERGE INTO {p['tbl']}: multiple source rows match a "
+                f"single target row on {list(pk)} — ANSI requires an "
+                f"error (duplicate source keys are only legal when "
+                f"they match no target row)"
+            )
         result = merge_into(
             target,
             source=source,
@@ -894,9 +940,6 @@ def _run_merge(spark: SparkSession, p: dict, retries: int) -> int:
             matched_update=matched_update,
             matched_set=matched_set,
             not_matched_insert=not_matched_insert,
-            # ANSI/Delta: multiple source rows matching one target key
-            # must ERROR, not silently duplicate the target row
-            check_unique_source=True,
         )
         try:
             ver = tbl.commit(result, expect_version=base_ver)

@@ -546,3 +546,28 @@ def test_sql_describe_detail_surface(spark, tmp_path):
     assert d["format"] == "manifest" and d["version"] == 1
     assert d["num_files"] > 0 and d["size_bytes"] > 0
     assert d["num_specs"] == 1 and d["bucket"] is None
+
+
+def test_sql_merge_allows_ansi_legal_duplicate_inserts(spark, tmp_path):
+    """Duplicate source keys that match NO target row are legal ANSI
+    (both insert); duplicates matching one target row still raise."""
+    from datapipeline_scraping_spark.operators.txn import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "ansi"))
+    t.commit(_df(spark, [(1, "a", 10)]))
+    register_table(spark, "ansi_sql", t.root, key_cols=["pk"])
+    spark.createDataFrame(
+        [(5, "x", 1), (5, "y", 2)], "pk long, v string, n long"
+    ).createOrReplaceTempView("ansi_src")
+    sql(
+        spark,
+        "MERGE INTO ansi_sql AS t USING ansi_src AS s ON t.pk = s.pk "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = sorted(
+        (r["pk"], r["v"]) for r in spark.sql(
+            "SELECT pk, v FROM ansi_sql"
+        ).collect()
+    )
+    assert got == [(1, "a"), (5, "x"), (5, "y")]
