@@ -738,3 +738,87 @@ def test_partition_evolution_sequence_matches_model(
         assert got == model, f"divergence after {kind}({lo},{hi})"
         entry = tbl._log_entry(tbl.version()) or {}
         assert list(entry.get("partition_by") or []) == specs_cycle[spec_i]
+
+
+#: pushdown probe = (kind, col_idx, a, b) over (id long, grp string,
+#: v double) — id 0..59, grp g0..g2, v = id/2
+_PUSH_OP = st.tuples(
+    st.sampled_from(["eq", "ge", "le", "between", "in"]),
+    st.sampled_from(["id", "grp", "v"]),
+    st.integers(-5, 65),
+    st.integers(-5, 65),
+)
+
+
+@given(ops=st.lists(_PUSH_OP, min_size=1, max_size=3))
+@settings(**_SETTINGS)
+def test_pushdown_never_drops_qualifying_rows(
+    spark, tmp_path_factory, ops
+):
+    """Any conjunction of pushed comparison filters through the
+    ``manifest`` datasource returns EXACTLY the rows the same
+    predicate returns on the full in-memory frame — file skipping is
+    an optimization, never a correctness filter (random probes over a
+    partitioned + stats-covered + evolved table)."""
+    from datapipeline_scraping_spark.operators.txn import ManifestTable
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        register,
+    )
+
+    register(spark)
+    root = str(tmp_path_factory.mktemp("pushprop") / "t")
+    mt = ManifestTable(root, retention_sec=3600)
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), i / 2.0) for i in range(60)],
+        "id long, grp string, v double",
+    )
+    mt.commit(
+        df.filter("id < 40").repartitionByRange(3, "id"),
+        partition_by=["grp"],
+        stats_by=["id", "v"],
+        keep_snapshots=50,
+    )
+    # evolve so the probe exercises BOTH dir-encoded and stats paths
+    mt.evolve_partition(["id"], keep_snapshots=50)
+    mt.append(df.filter("id >= 40"), keep_snapshots=50)
+
+    def lit(col, x):
+        if col == "grp":
+            return "'g%d'" % (abs(x) % 3)
+        if col == "v":
+            return str(x / 2.0)
+        return str(x)
+
+    preds = []
+    for kind, col, a, b in ops:
+        lo, hi = min(a, b), max(a, b)
+        if kind == "eq":
+            preds.append(f"{col} = {lit(col, a)}")
+        elif kind == "ge":
+            preds.append(f"{col} >= {lit(col, a)}")
+        elif kind == "le":
+            preds.append(f"{col} <= {lit(col, a)}")
+        elif kind == "between":
+            preds.append(
+                f"{col} BETWEEN {lit(col, lo)} AND {lit(col, hi)}"
+            )
+        else:
+            preds.append(
+                f"{col} IN ({lit(col, lo)}, {lit(col, hi)})"
+            )
+    where = " AND ".join(preds)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.format("manifest")
+            .option("root", root)
+            .load()
+            .filter(where)
+            .select("id", "grp", "v")
+            .collect(),
+        )
+    )
+    exp = sorted(
+        map(tuple, df.filter(where).select("id", "grp", "v").collect())
+    )
+    assert got == exp, f"pushdown dropped rows for WHERE {where}"
