@@ -2297,7 +2297,17 @@ class ManifestTable:
                 snap,
                 list(entry.get("partition_by") or []),
                 new_schema.json(),
-                meta={**_inherited_meta(entry), "renamed": {old: new}},
+                meta={
+                    **{
+                        k: (
+                            [new if c == old else c for c in v]
+                            if k == "sort_order"
+                            else v
+                        )
+                        for k, v in _inherited_meta(entry).items()
+                    },
+                    "renamed": {old: new},
+                },
                 stats_cols=stats_cols,
                 file_stats=entry.get("file_stats"),
                 checks=entry.get("checks"),
@@ -2570,7 +2580,17 @@ class ManifestTable:
                 snap,
                 list(entry.get("partition_by") or []),
                 new_schema.json(),
-                meta={**_inherited_meta(entry), "dropped_column": name},
+                meta={
+                    **{
+                        k: (
+                            [c for c in v if c != name]
+                            if k == "sort_order"
+                            else v
+                        )
+                        for k, v in _inherited_meta(entry).items()
+                    },
+                    "dropped_column": name,
+                },
                 stats_cols=stats_cols,
                 file_stats=entry.get("file_stats"),
                 checks=entry.get("checks"),
@@ -3940,6 +3960,48 @@ class ManifestTable:
             f"inheritance re-validation (5 restage attempts)"
         )
 
+    def set_sort_order(self, cols: "list[str] | None") -> bool:
+        """Declare (or clear, with ``None``/``[]``) the table's WRITE
+        SORT ORDER — Iceberg's ``write.sort-order`` as a table
+        property: every :meth:`append` batch sorts within tasks on
+        (partition columns + these columns) before writing, so each
+        appended file carries a TIGHT committed [min, max] for them
+        and incremental ingest stays data-skippable WITHOUT waiting
+        for :func:`compact_table` (which also defaults its sorted
+        rewrite to this order). Stored in commit meta, so every
+        entry-producing path (DML, restore, clone, ALTER, groups)
+        inherits it via :func:`_inherited_meta`; RENAME rewrites the
+        listed names, DROP removes them. Cost: O(batch log batch) per
+        task at write time — the price of not paying a full re-sort
+        at maintenance time."""
+        ptr = self._pointer()
+        if ptr is None:
+            raise FileNotFoundError(
+                f"no committed snapshot under {self.root}"
+            )
+        ver = ptr[1]
+        entry = self._log_entry(ver) or {}
+        cols = [str(c) for c in (cols or [])]
+        if cols:
+            if not entry.get("schema"):
+                raise ValueError(
+                    f"{self.root}: sort order needs a declared schema "
+                    f"in the commit log"
+                )
+            names = {
+                f.name
+                for f in T.StructType.fromJson(
+                    json.loads(entry["schema"])
+                ).fields
+            }
+            for c in cols:
+                if c not in names:
+                    raise ValueError(
+                        f"{self.root}: sort column {c!r} not in the "
+                        f"table schema {sorted(names)}"
+                    )
+        return self.annotate(ver, sort_order=cols)
+
     def evolve_partition(
         self,
         new_partition_by: list,
@@ -4339,6 +4401,26 @@ class ManifestTable:
         if cmap:
             to_write = to_write.withColumnsRenamed(cmap)
         partition_by = list(entry.get("partition_by") or [])
+        # declared table SORT ORDER (meta "sort_order" — Iceberg's
+        # write.sort-order): sort the batch within tasks on
+        # (partition cols + sort cols) so every appended file carries
+        # a TIGHT [min, max] for the sort columns — incremental
+        # ingest stays skippable without waiting for compact_table.
+        # Columns missing from the batch (concurrent drop) skip the
+        # sort conservatively rather than failing the append.
+        so = list(
+            ((entry.get("meta") or {}).get("sort_order")) or []
+        )
+        so_phys = [
+            cmap.get(c, c)
+            for c in so
+            if cmap.get(c, c) in to_write.columns
+        ]
+        if so_phys and len(so_phys) == len(so):
+            keys = [
+                cmap.get(c, c) for c in partition_by
+            ] + [c for c in so_phys if c not in partition_by]
+            to_write = to_write.sortWithinPartitions(*keys)
         tmp = os.path.join(self.root, f".append-{uuid.uuid4().hex[:8]}")
         writer = to_write.write.mode("overwrite")
         if partition_by:
@@ -5066,6 +5148,14 @@ def compact_table(
         # on the sort keys still survives within each dir.
         entry = mt._log_entry(version)
         part_cols = list((entry or {}).get("partition_by") or [])
+        if not sort_by and not zorder_by:
+            # default the sorted rewrite to the table's DECLARED sort
+            # order (set_sort_order) so maintenance converges to the
+            # same layout appends write incrementally
+            declared = list(
+                ((entry or {}).get("meta") or {}).get("sort_order") or []
+            )
+            sort_by = declared or None
         if zorder_by:
             zdf = df.withColumn("__zorder", zorder_key(df, list(zorder_by)))
             zkeys = part_cols + ["__zorder"]
