@@ -149,6 +149,8 @@ def q181_append_only_ingest(spark, sf_dir):
     if (tbl.version() or 0) != 4:
         import shutil
 
+        import pyarrow.parquet as _pq
+
         shutil.rmtree(root, ignore_errors=True)
         tbl = ManifestTable(root, retention_sec=3600)
         tbl.commit(
@@ -156,6 +158,11 @@ def q181_append_only_ingest(spark, sf_dir):
             stats_by=["l_orderkey"],
             cdf_keys=["l_orderkey", "l_returnflag", "l_quantity"],
         )
+        # declared WRITE SORT ORDER (r12 — Iceberg write.sort-order):
+        # every appended batch sorts within tasks on l_orderkey, so
+        # fresh files carry tight [min, max] stats and stay
+        # range-skippable without waiting for compaction
+        assert tbl.set_sort_order(["l_orderkey"])
         for i in (1, 2, 3):
             batch = li.filter(F.col("l_orderkey") % 4 == i)
             snap = tbl.snapshot_path()
@@ -174,6 +181,28 @@ def q181_append_only_ingest(spark, sf_dir):
             n_changes = (e.get("cdf") or {}).get("n_changes")
             assert n_changes == batch.count(), (
                 f"append CDF {n_changes} != batch size"
+            )
+            # the declared order rode the commit, and the batch's
+            # files are physically sorted on the sort column
+            assert (e.get("meta") or {}).get("sort_order") == [
+                "l_orderkey"
+            ]
+            new_rels = [
+                rel
+                for rel in (e.get("file_stats") or {})
+                if rel not in inodes
+            ]
+            assert new_rels, "append recorded no new files"
+            ks = (
+                _pq.read_table(
+                    os.path.join(snap2, new_rels[0]),
+                    columns=["l_orderkey"],
+                )
+                .column("l_orderkey")
+                .to_pylist()
+            )
+            assert ks == sorted(ks), (
+                "appended file not sorted on the declared order"
             )
     return tbl.read(spark).groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n_items"),
