@@ -265,12 +265,13 @@ def _rotation() -> list[str]:
         if row is None:
             return (1, reg_pos[name])  # never evidenced
         if not has_oracle:
-            # inherently oracle-less (sketches / MLlib-trained): a
-            # window slot can only ever produce another rows-only
-            # `no_oracle` row, so changed-or-not they sort behind all
-            # verifiable queries (VERDICT r6 item 7; their oracle-
-            # checked twins, e.g. q128 for q58, q19 for q74, carry the
-            # external evidence for the family)
+            # inherently oracle-less: a window slot can only ever
+            # produce another rows-only `no_oracle` row, so
+            # changed-or-not they sort behind all verifiable queries
+            # (VERDICT r6 item 7). Empty band as of r13 — the last
+            # rows-only slot (q58) now carries bound-verdict oracles —
+            # but the policy stays for any future genuinely
+            # non-SQL-expressible addition.
             return (4, row[0], reg_pos[name])
         kind = recheck.get(name)
         if kind == "def":

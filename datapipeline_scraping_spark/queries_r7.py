@@ -21,7 +21,9 @@ from .queries import _t, q
 # it is a stable boolean both engines can agree on: DuckDB asserts
 # TRUE, Spark computes the actual check — a drifted sketch turns into
 # a driver hash mismatch. approx_percentile's sketch merge is NOT
-# order-independent, so it stays in rows-only q58.
+# order-independent, but its RANK-ERROR GUARANTEE is — so q58 (r13)
+# oracles it the same way, via window verdicts around the exact
+# percentiles instead of the estimates themselves.
 _Q128_RSD = 0.02
 
 
