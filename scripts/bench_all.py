@@ -44,6 +44,28 @@ def _host_calib() -> float:
     return round(mod.host_calibration(), 4)
 
 
+def _spark_calib(spark) -> float:
+    """Fixed PARALLEL probe (best of 2): a constant-size 32-partition
+    shuffle+aggregate whose wall-clock tracks what the queries actually
+    feel — executor-thread throughput and stage-barrier latency.
+
+    Why a second probe (r13, VERDICT r12 watch item): the single-thread
+    md5 probe missed a contention episode that inflated a run of short
+    queries x1.7-2.5 — steal/contention over a SUBSET of the VM's CPUs
+    slows every 32-thread stage barrier while leaving a 1-thread CPU
+    probe untouched (the regressed bodies were unchanged and re-measured
+    at r11-level on a quiet host, standalone AND in suite order). A
+    group is now suspect when EITHER probe's brackets drift."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(32 * 500_000).selectExpr("id % 97 AS k").groupBy(
+            "k"
+        ).count().count()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def regressions(
     current: dict[str, float],
     baseline: dict[str, float],
@@ -122,10 +144,12 @@ def main() -> None:
     rejected: dict[str, int] = {}
     query_group: dict[str, int] = {}
     group_calib: list[float] = []
+    group_spark_calib: list[float] = []
     total = 0.0
     for i, (name, spec) in enumerate(REGISTRY.items()):
         if i % calib_every == 0:
             group_calib.append(_host_calib())
+            group_spark_calib.append(_spark_calib(spark))
         query_group[name] = len(group_calib) - 1
         samples: list[float] = []
         n = -1
@@ -149,15 +173,21 @@ def main() -> None:
             file=sys.stderr, flush=True,
         )
     group_calib.append(_host_calib())  # closing bracket for the tail
+    group_spark_calib.append(_spark_calib(spark))
 
-    # a group is suspect when EITHER bracketing probe ran >=1.4x the
-    # run's best probe — steal starting mid-group surfaces at the next
-    # checkpoint, steal ending mid-group at the previous one
+    # a group is suspect when EITHER bracketing probe of EITHER kind
+    # ran >=1.4x the run's best probe — steal starting mid-group
+    # surfaces at the next checkpoint, steal ending mid-group at the
+    # previous one; partial-CPU contention surfaces only in the
+    # parallel probe (r13)
     best_calib = min(group_calib)
+    best_spark_calib = min(group_spark_calib)
     suspect_groups = sorted(
         gi
         for gi in range(len(group_calib) - 1)
         if max(group_calib[gi], group_calib[gi + 1]) > best_calib * 1.4
+        or max(group_spark_calib[gi], group_spark_calib[gi + 1])
+        > best_spark_calib * 1.4
     )
     suspect = sorted(
         n for n, gi in query_group.items() if gi in suspect_groups
@@ -179,9 +209,13 @@ def main() -> None:
         # high counts flag host CPU-steal noise, not code regressions
         "rejected_samples": rejected,
         "host_calib_sec": best_calib,
+        "spark_calib_sec": best_spark_calib,
         # bracketing calibration probes: group_calib_sec[i] ran before
         # the queries whose query_calib_group == i (and [i+1] after)
         "group_calib_sec": [round(c, 4) for c in group_calib],
+        # parallel (32-thread shuffle) probe at the same brackets —
+        # catches partial-CPU contention the 1-thread probe misses
+        "group_spark_calib_sec": [round(c, 4) for c in group_spark_calib],
         "calib_every": calib_every,
         "query_calib_group": query_group,
         "suspect_queries": suspect,
