@@ -166,6 +166,21 @@ class ManifestReader(DataSourceReader):
         )
         self.arrow_schema = to_arrow_schema(schema)
         self.file_stats = dict(entry.get("file_stats") or {})
+        #: clustered snapshot layout (commit_clustered): bucket ids
+        #: live in the file names — the layout contract read_clustered
+        #: already depends on — so equality points on the bucket column
+        #: prune to their buckets' files (r13). The column's Spark type
+        #: drives the hash variant; clustered tables refuse renames,
+        #: so logical name == physical name here.
+        self.bucket = dict(entry.get("bucket") or {})
+        self.bucket_type = next(
+            (
+                f.dataType.simpleString()
+                for f in schema.fields
+                if f.name == self.bucket.get("col")
+            ),
+            None,
+        )
         #: physical column -> [lo, hi] from pushed filters (AND of all)
         self.ranges: dict[str, list] = {}
         #: physical column -> exact value SET (EqualTo / In) — prunes
@@ -293,7 +308,30 @@ class ManifestReader(DataSourceReader):
                 return False
         return True
 
+    def _allowed_bucket_ids(self) -> set[int] | None:
+        """Bucket ids that can satisfy the pushed equality points on a
+        clustered snapshot's bucket column; None = no pruning (not
+        clustered, no equality points, or a (value, type) pair the
+        driver-side hash doesn't cover — conservative as always)."""
+        from ..functions.bucket_hash import bucket_id
+
+        col = self.bucket.get("col")
+        n = int(self.bucket.get("n") or 0)
+        pts = self.point_sets.get(col) if col else None
+        if not pts or n <= 0 or self.bucket_type is None:
+            return None
+        ids: set[int] = set()
+        for p in pts:
+            b = bucket_id(p, self.bucket_type, n)
+            if b is None:
+                return None  # one unhashable point disables the prune
+            ids.add(b)
+        return ids
+
     def partitions(self):
+        from ..functions.bucket_hash import file_bucket_id
+
+        allowed_buckets = self._allowed_bucket_ids()
         parts = []
         for f in _data_files(self.snap):
             pv = _partition_values(f, self.snap)
@@ -301,6 +339,13 @@ class ManifestReader(DataSourceReader):
                 f, pv
             ):
                 continue
+            if allowed_buckets is not None:
+                fb = file_bucket_id(os.path.basename(f))
+                # a clustered data file without a parseable bucket id
+                # violates the layout contract — keep it (correctness
+                # over skipping), same stance as every other prune
+                if fb is not None and fb not in allowed_buckets:
+                    continue
             parts.append(InputPartition((f, pv, True)))
         # the _upd delta is churn-sized and carries no per-file stats:
         # always scanned (update_where can move rows into any range)

@@ -822,3 +822,80 @@ def test_pushdown_never_drops_qualifying_rows(
         map(tuple, df.filter(where).select("id", "grp", "v").collect())
     )
     assert got == exp, f"pushdown dropped rows for WHERE {where}"
+
+
+@given(ops=st.lists(_PUSH_OP, min_size=1, max_size=3))
+@settings(**_SETTINGS)
+def test_pushdown_never_drops_qualifying_rows_clustered(
+    spark, tmp_path_factory, ops
+):
+    """The pushdown property over a CLUSTERED table (r13): bucket
+    pruning from equality points must compose with the DV anti-join
+    and the always-scanned ``_upd`` delta — any random conjunction of
+    pushed filters through the SQL path returns exactly what the same
+    predicate returns on the equivalent in-memory frame."""
+    from datapipeline_scraping_spark.operators.txn import ManifestTable
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        register,
+    )
+
+    register(spark)
+    root = str(tmp_path_factory.mktemp("pushclus") / "t")
+    mt = ManifestTable(root, retention_sec=3600)
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), i / 2.0) for i in range(60)],
+        "id long, grp string, v double",
+    )
+    mt.commit_clustered(df, "id", 4)
+    # MoR churn on top of the buckets: a delete and an update whose
+    # post-image rows ride the always-scanned _upd delta
+    mt.delete_where(spark, "id % 10 = 7", ["id"])
+    mt.update_where(
+        spark, "id % 10 = 3", {"v": "v + 100"}, ["id"]
+    )
+    expected = df.filter("id % 10 != 7").withColumn(
+        "v",
+        F.when(F.col("id") % 10 == 3, F.col("v") + 100).otherwise(
+            F.col("v")
+        ),
+    )
+
+    def lit(col, x):
+        if col == "grp":
+            return "'g%d'" % (abs(x) % 3)
+        if col == "v":
+            return str(x / 2.0)
+        return str(x)
+
+    preds = []
+    for kind, col, a, b in ops:
+        lo, hi = min(a, b), max(a, b)
+        if kind == "eq":
+            preds.append(f"{col} = {lit(col, a)}")
+        elif kind == "ge":
+            preds.append(f"{col} >= {lit(col, a)}")
+        elif kind == "le":
+            preds.append(f"{col} <= {lit(col, a)}")
+        elif kind == "between":
+            preds.append(f"{col} BETWEEN {lit(col, lo)} AND {lit(col, hi)}")
+        else:
+            preds.append(f"{col} IN ({lit(col, lo)}, {lit(col, hi)})")
+    where = " AND ".join(preds)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.format("manifest")
+            .option("root", root)
+            .load()
+            .filter(where)
+            .select("id", "grp", "v")
+            .collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            expected.filter(where).select("id", "grp", "v").collect(),
+        )
+    )
+    assert got == exp, f"clustered pushdown dropped rows for WHERE {where}"
