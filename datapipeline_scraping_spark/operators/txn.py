@@ -2810,6 +2810,9 @@ class ManifestTable:
                 cdf_entry = {
                     "key_cols": cdf_prop,
                     "n_changes": int(spark.read.parquet(cdf_path).count()),
+                    # recorded so a _change_type-filtered feed read can
+                    # skip this whole version at planning time (r13)
+                    "change_types": ["delete"],
                 }
         except FileNotFoundError as exc:
             shutil.rmtree(staged, ignore_errors=True)
@@ -3056,6 +3059,10 @@ class ManifestTable:
                 cdf_entry = {
                     "key_cols": cdf_prop,
                     "n_changes": int(spark.read.parquet(cdf_path).count()),
+                    "change_types": [
+                        "update_preimage",
+                        "update_postimage",
+                    ],
                 }
         except FileNotFoundError as exc:
             shutil.rmtree(staged, ignore_errors=True)
@@ -3827,6 +3834,7 @@ class ManifestTable:
                             "key_cols": cdf_prop,
                             "n_changes": int(new_state.count()),
                             "initial": True,
+                            "change_types": ["insert"],
                         }
                     else:
                         if ptr is None:
@@ -3843,11 +3851,21 @@ class ManifestTable:
                         changes.withColumn(
                             "_commit_version", F.lit(base_ver + 1).cast("long")
                         ).write.mode("overwrite").parquet(cdf_path)
+                        # count + distinct change types in ONE pass over
+                        # the churn-sized sidecar (types let a filtered
+                        # feed read skip the whole version, r13)
+                        stat = (
+                            spark.read.parquet(cdf_path)
+                            .agg(
+                                F.count("*").alias("n"),
+                                F.collect_set("_change_type").alias("t"),
+                            )
+                            .first()
+                        )
                         cdf_entry = {
                             "key_cols": cdf_prop,
-                            "n_changes": int(
-                                spark.read.parquet(cdf_path).count()
-                            ),
+                            "n_changes": int(stat["n"]),
+                            "change_types": sorted(stat["t"]),
                         }
             schema_json = df.schema.json()
             file_stats = (
@@ -4503,6 +4521,7 @@ class ManifestTable:
             cdf_entry = {
                 "key_cols": cdf_prop,
                 "n_changes": int(spark.read.parquet(cdf_path).count()),
+                "change_types": ["insert"],
             }
         # an EVOLVED table's new batch lands under the ACTIVE spec's
         # subtree (the batch was partitioned by that spec's columns);
@@ -5629,7 +5648,11 @@ def append_files_local(
                 )
                 pq.write_table(t, os.path.join(cdf_dir, f"cdf-{i}.parquet"))
                 n_changes += n
-            cdf_entry = {"key_cols": cdf_prop, "n_changes": n_changes}
+            cdf_entry = {
+                "key_cols": cdf_prop,
+                "n_changes": n_changes,
+                "change_types": ["insert"],
+            }
         new_rels = []
         run = uuid.uuid4().hex[:8]
         # an EVOLVED table's flat parts land under the ACTIVE spec's

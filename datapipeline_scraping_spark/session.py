@@ -45,11 +45,23 @@ _RUNTIME_CONF = {
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
     "spark.sql.optimizer.runtime.bloomFilter."
     "applicationSideScanSizeThreshold": "10GB",
-    # the manifest datasource implements pushFilters (r12: commit-log
-    # file skipping on the SQL read path); Spark 4.1 HARD-ERRORS on a
-    # reader that implements it while this flag is off, so it rides
-    # the engine conf (register() also sets it for plain sessions)
-    "spark.sql.python.filterPushdown.enabled": "true",
+    # r13: the manifest/CDF readers no longer implement pushFilters —
+    # Spark 4.1 keeps one mutable read-info slot per Python source
+    # instance, so filter-dependent partitions silently corrupt
+    # multi-reference plans (see ManifestReader docstring). Predicate
+    # pruning rides the relation's `where` OPTION instead; the
+    # filterPushdown conf is no longer needed.
+    # keep bucketed scans BUCKETED (r13): Spark 4.1's
+    # DisableUnnecessaryBucketedScan rule drops the bucket layout for
+    # pure filter queries, and with it SelectedBucketsCount pruning —
+    # a `WHERE bucket_col = x` on a read_clustered table then scans
+    # every bucket. The engine's clustered tables are join/prune
+    # layout artifacts (n_buckets is sized to the cluster), so the
+    # full-scan parallelism the rule buys is worth less than
+    # one-bucket pruning on keyed lookups. Exchange-free clustered
+    # joins are unaffected (their interesting partitioning already
+    # kept the layout).
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
 }
 
 

@@ -77,7 +77,7 @@ def _log_entry(root: str, version: int) -> dict | None:
 
 
 def _change_files(
-    root: str, v_from: int, v_to: int
+    root: str, v_from: int, v_to: int, type_filter: set | None = None
 ) -> list[tuple[str, int | None]]:
     """``(path, synth_version)`` pairs for versions in ``(v_from,
     v_to]``, validating feed continuity (raise on disabled / broken
@@ -85,7 +85,14 @@ def _change_files(
     change file (markers are in the file); for an ``initial`` commit
     the pairs point at the snapshot's DATA files and carry the version
     so the reader synthesizes ``insert`` markers — the initial load's
-    feed costs zero extra bytes at commit time."""
+    feed costs zero extra bytes at commit time.
+
+    ``type_filter`` (r13, from pushed ``_change_type`` equality/IN
+    filters): versions whose commit recorded a ``change_types`` set
+    disjoint from the filter contribute NO files — a consumer asking
+    only for inserts never lists a delete-only version's sidecar.
+    Versions without the recorded set (pre-r13 commits) are kept;
+    continuity is validated for every version either way."""
     out: list[tuple[str, int | None]] = []
     for v in range(v_from + 1, v_to + 1):
         entry = _log_entry(root, v)
@@ -109,6 +116,12 @@ def _change_files(
             )
         if cdf.get("noop") or not cdf.get("n_changes"):
             continue  # compaction / empty commit: nothing to feed
+        if type_filter is not None:
+            known = cdf.get("change_types") or (
+                ["insert"] if cdf.get("initial") else None
+            )
+            if known is not None and not set(known) & type_filter:
+                continue  # no change in this version can match
         snap = os.path.join(root, entry["snapshot"])
         if cdf.get("initial"):
             files = []
@@ -174,6 +187,8 @@ class _CDFReadMixin:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if partition.value is None:  # all-pruned/all-noop placeholder
+            return
         want = self.arrow_schema
         path, synth_version = partition.value
         tbl = pq.read_table(path)
@@ -202,6 +217,28 @@ class _CDFReadMixin:
 
 
 class ManifestCDFBatchReader(_CDFReadMixin, DataSourceReader):
+    """Batch feed reader with planning-time version skipping (r13):
+    the ``starting_version`` / ``ending_version`` options narrow the
+    listed window (O(window) commit entries, not O(history)), and the
+    ``change_types`` option (comma-separated, e.g. ``'insert'`` or
+    ``'delete,update_preimage'``) skips versions whose recorded
+    change-type set cannot match — an insert-only consumer never
+    lists a delete-only version's sidecar — and filters the surviving
+    rows exactly per task, so the option IS the predicate.
+
+    Skipping is deliberately OPTION-driven, not ``pushFilters``-driven:
+    Spark 4.1 keeps one mutable read-info slot per Python data source
+    instance, so a reader whose partitions depend on pushed filters
+    silently serves the LAST branch's partition list to every scan of
+    a twice-referenced relation (see ManifestReader's docstring for
+    the measured failure). Options live in the relation identity —
+    every plan run of the same relation produces the same read-info,
+    and differently-filtered feeds are different relations."""
+
+    _KNOWN_TYPES = frozenset(
+        ("insert", "delete", "update_preimage", "update_postimage")
+    )
+
     def __init__(self, options, schema):
         self.root = options["root"]
         self.v_from = int(options.get("starting_version", 1)) - 1
@@ -209,12 +246,44 @@ class ManifestCDFBatchReader(_CDFReadMixin, DataSourceReader):
             self.root
         )
         self.arrow_schema = _arrow_schema(schema)
+        raw = options.get("change_types")
+        self.type_points: set | None = (
+            {t.strip() for t in raw.split(",") if t.strip()} if raw else None
+        )
+        if self.type_points is not None and not (
+            self.type_points <= self._KNOWN_TYPES
+        ):
+            raise ValueError(
+                f"change_types: unknown "
+                f"{sorted(self.type_points - self._KNOWN_TYPES)}; "
+                f"valid: {sorted(self._KNOWN_TYPES)}"
+            )
 
     def partitions(self):
-        return [
-            InputPartition(f)
-            for f in _change_files(self.root, self.v_from, self.v_to)
-        ]
+        files = _change_files(
+            self.root, self.v_from, self.v_to, self.type_points
+        )
+        # an all-pruned window still needs >=1 partition (API contract)
+        return [InputPartition(f) for f in files] or [InputPartition(None)]
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        want = (
+            pa.array(sorted(self.type_points))
+            if self.type_points is not None
+            else None
+        )
+        for batch in super().read(partition):
+            if want is not None:
+                # exact row filter: a version can mix change types
+                # (commit diffs), version skipping is only the coarse
+                # pass over the same option
+                batch = batch.filter(
+                    pc.is_in(batch.column("_change_type"), value_set=want)
+                )
+            yield batch
 
 
 class ManifestCDFStreamReader(_CDFReadMixin, DataSourceStreamReader):
@@ -258,7 +327,10 @@ class ManifestCDFDataSource(DataSource):
     """``format("manifest_cdf")`` — see module docstring. Options:
     ``root`` (required, the ManifestTable root), ``starting_version``
     (default 1, inclusive), ``ending_version`` (batch only, default =
-    current head)."""
+    current head), ``change_types`` (batch only, comma-separated
+    subset of insert/delete/update_preimage/update_postimage — exact
+    row predicate + planning-time version skipping via the commit
+    log's recorded change-type sets)."""
 
     @classmethod
     def name(cls) -> str:

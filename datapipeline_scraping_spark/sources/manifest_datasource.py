@@ -31,7 +31,10 @@ same rows, same logical schema, through the SQL surface.
 
 Options: ``root`` (required), ``version`` (int, optional — default
 head), ``asof`` (float unix ts, optional — Delta ``timestampAsOf``;
-mutually exclusive with ``version``). Version resolution happens ONCE
+mutually exclusive with ``version``), ``where`` (optional — an exact
+predicate over the table, conjunctions of simple comparisons; drives
+planning-time file skipping and is applied row-exactly per task, see
+:class:`ManifestReader`). Version resolution happens ONCE
 at reader construction, so a racing writer cannot redirect the scan
 mid-query (same pin the DataFrame API gives), and a GC'd version
 raises the documented errors instead of silently reading older state.
@@ -42,6 +45,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -118,6 +122,102 @@ def _partition_values(path: str, snap: str) -> dict:
     return vals
 
 
+#: where-option grammar: conjunctions of simple comparisons.
+#:   expr    := term (AND term)*
+#:   term    := col op literal | col IN ( lit, ... ) | col BETWEEN lit AND lit
+#:   op      := = | == | > | >= | < | <=
+#:   literal := number | 'string' ('' escapes a quote)
+#:   col     := identifier | `identifier`
+_WHERE_TOKEN = re.compile(
+    r"\s*(?:"
+    r"(?P<str>'(?:[^']|'')*')"
+    r"|(?P<num>-?\d+(?:\.\d+)?)"
+    r"|(?P<op><=|>=|==|=|<|>)"
+    r"|(?P<punct>[(),])"
+    r"|`(?P<qid>[^`]+)`"
+    r"|(?P<word>[A-Za-z_][A-Za-z0-9_.]*)"
+    r")"
+)
+
+
+def parse_where(s: str) -> list[tuple]:
+    """Parse the ``where`` option into a list of conditions —
+    ``("cmp", col, op, value)`` / ``("in", col, values)``. Raises
+    ``ValueError`` on anything outside the documented grammar: a
+    predicate the reader cannot apply EXACTLY must fail loudly, never
+    silently return unfiltered rows."""
+    toks: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(s):
+        m = _WHERE_TOKEN.match(s, pos)
+        if m is None or m.end() == pos:
+            if s[pos:].strip():
+                raise ValueError(f"where: cannot tokenize at {s[pos:]!r}")
+            break
+        pos = m.end()
+        if m.group("str") is not None:
+            toks.append(("lit", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("num") is not None:
+            n = m.group("num")
+            toks.append(("lit", float(n) if "." in n else int(n)))
+        elif m.group("op") is not None:
+            toks.append(("op", "=" if m.group("op") == "==" else m.group("op")))
+        elif m.group("punct") is not None:
+            toks.append(("punct", m.group("punct")))
+        elif m.group("qid") is not None:
+            toks.append(("id", m.group("qid")))
+        else:
+            w = m.group("word")
+            u = w.upper()
+            if u in ("AND", "IN", "BETWEEN", "NOT", "OR"):
+                toks.append(("kw", u))
+            elif u in ("TRUE", "FALSE"):
+                toks.append(("lit", u == "TRUE"))
+            else:
+                toks.append(("id", w))
+    out: list[tuple] = []
+    i = 0
+
+    def expect(kind, val=None):
+        nonlocal i
+        if i >= len(toks) or toks[i][0] != kind or (
+            val is not None and toks[i][1] != val
+        ):
+            raise ValueError(f"where: unexpected syntax near token {i} in {s!r}")
+        tok = toks[i]
+        i += 1
+        return tok[1]
+
+    while i < len(toks):
+        col = expect("id")
+        kind, val = toks[i] if i < len(toks) else ("", "")
+        if kind == "op":
+            i += 1
+            out.append(("cmp", col, val, expect("lit")))
+        elif kind == "kw" and val == "IN":
+            i += 1
+            expect("punct", "(")
+            vals = [expect("lit")]
+            while i < len(toks) and toks[i] == ("punct", ","):
+                i += 1
+                vals.append(expect("lit"))
+            expect("punct", ")")
+            out.append(("in", col, tuple(vals)))
+        elif kind == "kw" and val == "BETWEEN":
+            i += 1
+            lo = expect("lit")
+            expect("kw", "AND")
+            out.append(("cmp", col, ">=", lo))
+            out.append(("cmp", col, "<=", expect("lit")))
+        else:
+            raise ValueError(f"where: expected comparison after {col!r}")
+        if i < len(toks):
+            expect("kw", "AND")  # OR / NOT are not part of the grammar
+    if not out:
+        raise ValueError("where: empty predicate")
+    return out
+
+
 def _overlaps(mn, mx, lo, hi) -> bool:
     """Conservative [mn, mx] ∩ [lo, hi] test: any comparison that
     raises (mixed/incomparable types) keeps the file — skipping is an
@@ -134,22 +234,44 @@ def _overlaps(mn, mx, lo, hi) -> bool:
 
 class ManifestReader(DataSourceReader):
     """Per-task MoR read: parquet file -> rename map -> attach hive
-    partition constants -> DV anti-join -> declared-schema cast. The
-    ``_upd/`` delta files skip the anti-join (post-DV rows).
+    partition constants -> DV anti-join -> declared-schema cast -> the
+    ``where`` option's row filter. The ``_upd/`` delta files skip the
+    anti-join (post-DV rows).
 
-    FILE SKIPPING on the SQL path (r12 — Spark 4.1 ``pushFilters``):
-    single-column comparison filters are translated to per-column
-    [lo, hi] ranges at PLANNING time and applied driver-side against
-    (a) each file's hive ``col=value`` path segments and (b) the
-    commit log's per-file min/max stats (``stats_by``) — the same
-    skipping :meth:`ManifestTable.read_where` does on the DataFrame
-    path, now free on every ``SELECT ... WHERE`` through the ``USING
-    manifest`` view. No data file is opened to prune; at 100 TB the
-    difference is launching O(window) tasks instead of O(table). All
-    filters are reported back as unhandled, so Spark still applies
-    the exact predicate — skipping only ever drops files that
-    provably contain no qualifying row (evolved snapshots compose:
-    each file prunes by ITS spec's dirs, falling back to stats)."""
+    FILE SKIPPING on the SQL path (r13 redesign): the predicate comes
+    from the relation's ``where`` OPTION — conjunctions of simple
+    comparisons (see :func:`parse_where`) — applied EXACTLY (files
+    pruned at planning against hive ``col=value`` path segments, the
+    commit log's per-file min/max stats, and the clustered bucket
+    layout; surviving rows filtered in Arrow per task), so
+
+        CREATE TEMPORARY VIEW recent USING manifest
+        OPTIONS (root '...', `where` 'ts >= 1700000000')
+
+    is a predicate view that launches O(window) tasks instead of
+    O(table) at 100 TB.
+
+    WHY AN OPTION AND NOT ``pushFilters`` (r13, replacing the r12
+    design): Spark 4.1 keeps ONE mutable read-info slot per Python
+    data source instance (``PythonDataSourceV2.setReadInfo`` /
+    ``getOrCreateReadInfo`` — last pushdown wins). When one relation
+    is scanned twice in a plan with different predicates (self-join,
+    union of two filtered branches, a view referenced twice), every
+    scan executes the LAST branch's pushed-filter partition list and
+    read function, silently dropping the other branches' rows —
+    measured: ``v.filter(a).union(v.filter(b))`` returned only
+    ``b``'s rows, and an anti-join's build side came back empty, so
+    AQE eliminated the join. A reader whose ``partitions()`` depends
+    on ``pushFilters`` state is therefore UNSOUND on this Spark
+    version no matter how conservative each individual run is. The
+    ``where`` option lives in the relation identity instead: every
+    pushdown/plan run of the same relation produces the SAME
+    read-info, so the shared-slot collision is harmless by
+    construction, and differently-filtered views are different
+    relations. Pruning semantics are unchanged from r12: a file is
+    dropped only when it provably contains no qualifying row (evolved
+    snapshots compose — each file prunes by ITS spec's dirs, falling
+    back to stats; the ``_upd`` delta is always scanned)."""
 
     def __init__(self, options, schema: StructType):
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -181,70 +303,61 @@ class ManifestReader(DataSourceReader):
             ),
             None,
         )
-        #: physical column -> [lo, hi] from pushed filters (AND of all)
+        #: conditions from the `where` option, LOGICAL column names —
+        #: applied exactly (row filter) in read(); empty = no predicate
+        self.conditions: list[tuple] = (
+            parse_where(options["where"]) if "where" in options else []
+        )
+        logical = {f.name for f in schema.fields}
+        for cond in self.conditions:
+            if cond[1] not in logical:
+                raise ValueError(
+                    f"where: unknown column {cond[1]!r} "
+                    f"(have {sorted(logical)})"
+                )
+        #: physical column -> [lo, hi] envelope (AND of all conditions)
         self.ranges: dict[str, list] = {}
-        #: physical column -> exact value SET (EqualTo / In) — prunes
+        #: physical column -> exact value SET (= / IN) — prunes
         #: dir-encoded columns tighter than the range envelope
         self.point_sets: dict[str, set] = {}
-        #: canonical comparison forms, built when pushFilters finishes
-        #: (empty until then — point pruning stays off, conservative)
-        self._point_forms: dict = {}
-
-    def pushFilters(self, filters):
-        """Harvest [lo, hi] ranges per column; claim NOTHING (yield
-        every filter back) — the ranges only drive file skipping."""
-        from pyspark.sql.datasource import (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            In,
-            LessThan,
-            LessThanOrEqual,
-        )
-
-        for f in filters:
-            attr = getattr(f, "attribute", None)
-            if isinstance(attr, tuple) and len(attr) == 1:
-                col = self.cmap.get(attr[0], attr[0])  # logical -> physical
-                lo = hi = None
-                if isinstance(f, EqualTo):
-                    lo = hi = f.value
-                    pts = {f.value}
+        for cond in self.conditions:
+            col = self.cmap.get(cond[1], cond[1])  # logical -> physical
+            lo = hi = None
+            if cond[0] == "cmp":
+                op, v = cond[2], cond[3]
+                if op == "=":
+                    lo = hi = v
                     prev = self.point_sets.get(col)
                     self.point_sets[col] = (
-                        pts if prev is None else prev & pts
+                        {v} if prev is None else prev & {v}
                     )
-                elif isinstance(f, In) and f.value:
-                    pts = set(f.value)
-                    prev = self.point_sets.get(col)
-                    self.point_sets[col] = (
-                        pts if prev is None else prev & pts
-                    )
-                if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
-                    lo = f.value
-                elif isinstance(f, (LessThan, LessThanOrEqual)):
-                    hi = f.value
-                elif isinstance(f, In) and f.value:
-                    try:
-                        lo, hi = min(f.value), max(f.value)
-                    except TypeError:
-                        lo = hi = None
-                if lo is not None or hi is not None:
-                    r = self.ranges.setdefault(col, [None, None])
-                    # AND semantics: intersect with any prior range
-                    try:
-                        if lo is not None and (r[0] is None or lo > r[0]):
-                            r[0] = lo
-                        if hi is not None and (r[1] is None or hi < r[1]):
-                            r[1] = hi
-                    except TypeError:
-                        pass
-            yield f  # never handled exactly — Spark re-applies all
+                elif op in (">", ">="):
+                    lo = v
+                else:
+                    hi = v
+            else:  # ("in", col, values)
+                pts = set(cond[2])
+                prev = self.point_sets.get(col)
+                self.point_sets[col] = pts if prev is None else prev & pts
+                try:
+                    lo, hi = min(pts), max(pts)
+                except TypeError:
+                    lo = hi = None
+            if lo is not None or hi is not None:
+                r = self.ranges.setdefault(col, [None, None])
+                # AND semantics: intersect with any prior range
+                try:
+                    if lo is not None and (r[0] is None or lo > r[0]):
+                        r[0] = lo
+                    if hi is not None and (r[1] is None or hi < r[1]):
+                        r[1] = hi
+                except TypeError:
+                    pass
         # precompute each point set's comparison forms ONCE (planning
         # runs _keep_file per file — O(files), not O(files × points)):
         # lowercased strings (hive lowercases booleans) + numeric set;
         # None marks a set with an uncanonicalizable member (no prune)
-        self._point_forms = {}
+        self._point_forms: dict = {}
         for col, pts in self.point_sets.items():
             if not all(isinstance(p, (str, int, float, bool)) for p in pts):
                 self._point_forms[col] = None
@@ -410,7 +523,29 @@ class ManifestReader(DataSourceReader):
                 for f in want
             ]
             tbl = pa.Table.from_arrays(arrays, names=list(want.names))
-        yield from tbl.cast(want).to_batches(max_chunksize=1 << 16)
+        tbl = tbl.cast(want)
+        # the `where` option's EXACT row filter (SQL semantics: a null
+        # comparison excludes the row) — file pruning above is only
+        # the coarse pass over the same conditions
+        if self.conditions:
+            import pyarrow.compute as pc
+
+            ops = {
+                "=": pc.equal,
+                ">": pc.greater,
+                ">=": pc.greater_equal,
+                "<": pc.less,
+                "<=": pc.less_equal,
+            }
+            for cond in self.conditions:
+                if cond[0] == "cmp":
+                    mask = ops[cond[2]](tbl.column(cond[1]), cond[3])
+                else:
+                    mask = pc.is_in(
+                        tbl.column(cond[1]), value_set=pa.array(list(cond[2]))
+                    )
+                tbl = tbl.filter(mask)
+        yield from tbl.to_batches(max_chunksize=1 << 16)
 
 
 class ManifestDataSource(DataSource):
@@ -431,6 +566,11 @@ class ManifestDataSource(DataSource):
         return ManifestReader(self.options, schema)
 
     def writer(self, schema, overwrite: bool):
+        if "where" in self.options:
+            raise ValueError(
+                "manifest: a relation with a `where` option is a "
+                "filtered READ view — write to the unfiltered table"
+            )
         if overwrite:
             raise ValueError(
                 "manifest: mode('overwrite') replaces the whole table — "
@@ -544,10 +684,8 @@ def register(spark) -> None:
     except Exception as exc:  # pragma: no cover - version-dependent
         if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
             raise
-    # ManifestReader implements pushFilters (file skipping); Spark 4.1
-    # refuses to plan a pushFilters reader while this flag is off, so
-    # registration turns it on for any plain session using the format
-    try:
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    except Exception:  # pragma: no cover - conf locked down
-        pass
+    # NOTE (r13): the readers deliberately do NOT implement
+    # pushFilters — see ManifestReader's docstring for the Spark 4.1
+    # shared-read-info collision that makes filter-dependent
+    # partitions unsound; predicate pruning rides the `where` OPTION
+    # instead, so no filterPushdown conf is needed.

@@ -85,7 +85,12 @@ def test_initial_commit_feed_is_zero_copy(spark, tmp_path):
     tbl = ManifestTable(str(tmp_path / "t"))
     tbl.commit(_df(spark, [(i, "x") for i in range(5)]), cdf_keys=["pk"])
     entry = tbl._log_entry(1)["cdf"]
-    assert entry == {"key_cols": ["pk"], "n_changes": 5, "initial": True}
+    assert entry == {
+        "key_cols": ["pk"],
+        "n_changes": 5,
+        "initial": True,
+        "change_types": ["insert"],
+    }
     # no sidecar bytes were written for the initial load
     assert not os.path.isdir(os.path.join(tbl.snapshot_path(1), tbl.CDF_DIR))
     rows = _feed(spark, tbl.root).collect()
@@ -234,3 +239,80 @@ def test_concurrent_unconditional_writers_feed_serializes(spark, tmp_path):
     assert {tuple(r) for r in state.collect()} == {
         tuple(r) for r in tbl.read(spark).collect()
     }
+
+
+def test_cdf_options_skip_versions(spark, tmp_path):
+    """r13 (VERDICT r12 item 3): the feed's marker predicates ride
+    OPTIONS — `starting_version`/`ending_version` narrow the listed
+    window and `change_types` skips versions whose recorded
+    change-type set cannot match, then filters the surviving rows
+    exactly. (Options, not pushFilters: Spark 4.1's shared read-info
+    slot makes filter-dependent partitions unsound on multi-reference
+    plans — see ManifestCDFBatchReader's docstring.)"""
+    from datapipeline_scraping_spark.sources.cdf_datasource import (
+        ManifestCDFBatchReader,
+        _schema_for,
+    )
+
+    tbl = _mk(spark, tmp_path)  # v1 inserts / v2 diff / v3 delete
+    root = tbl.root
+    schema = _schema_for(root)
+
+    base = len(ManifestCDFBatchReader({"root": root}, schema).partitions())
+
+    # version-range narrowing lists only v3's delete sidecar
+    r = ManifestCDFBatchReader(
+        {"root": root, "starting_version": "3"}, schema
+    )
+    kept = r.partitions()
+    assert 0 < len(kept) < base
+
+    # type skipping: an insert-only consumer never lists v3 (recorded
+    # change_types=['delete']); v1 (initial) and v2 (diff) survive
+    r2 = ManifestCDFBatchReader(
+        {"root": root, "change_types": "insert"}, schema
+    )
+    kept2 = r2.partitions()
+    assert 0 < len(kept2) < base
+    v3 = tbl._log_entry(3)
+    assert (v3.get("cdf") or {}).get("change_types") == ["delete"]
+
+    # composed: delete-typed changes outside the window -> everything
+    # pruned, single placeholder task, zero rows, no error
+    r3 = ManifestCDFBatchReader(
+        {
+            "root": root,
+            "change_types": "delete",
+            "ending_version": "1",
+        },
+        schema,
+    )
+    assert len(r3.partitions()) == 1  # placeholder
+
+    # unknown change type refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="change_types"):
+        _feed(spark, root, change_types="upsert").collect()
+
+    # end-to-end through the option: the rows ARE the predicate
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["pk"])
+        for r in _feed(
+            spark, root, change_types="insert", starting_version=2
+        ).collect()
+    )
+    assert got == [(2, "insert", 42)]
+    # v2 mixes types: the row filter cuts within the surviving version
+    got2 = sorted(
+        (r["_change_type"], r["pk"])
+        for r in _feed(
+            spark, root, change_types="update_postimage"
+        ).collect()
+    )
+    assert got2 == [("update_postimage", 3)]
+    # the all-pruned shape returns zero rows, not an error
+    assert (
+        _feed(spark, root, change_types="delete", ending_version=1).count()
+        == 0
+    )

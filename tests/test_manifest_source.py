@@ -213,14 +213,16 @@ def test_sql_write_respects_renames_and_mor_guard(spark, tmp_path):
         ).write.format("manifest").option("root", root).mode("append").save()
 
 
-def test_pushed_filters_prune_files_driver_side(spark, tmp_path):
-    """Spark 4.1 pushFilters -> commit-log file skipping: a WHERE on a
+def test_where_option_prunes_files_driver_side(spark, tmp_path):
+    """r13 (replacing the r12 pushFilters design — see ManifestReader
+    docstring for the Spark 4.1 shared-read-info collision): the
+    `where` OPTION drives commit-log file skipping. A predicate on a
     partition column or a stats-covered column drops InputPartitions
-    at PLANNING time (no data file opened), while every filter is
-    reported unhandled so Spark still applies the exact predicate."""
+    at PLANNING time (no data file opened), and the same conditions
+    are applied row-exactly per task, so the option is a true
+    predicate view."""
     import json as _json
 
-    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
     from pyspark.sql.types import StructType as _St
 
     from datapipeline_scraping_spark.operators.txn import ManifestTable
@@ -241,37 +243,105 @@ def test_pushed_filters_prune_files_driver_side(spark, tmp_path):
     )
     entry = mt._log_entry(mt.version())
     schema = _St.fromJson(_json.loads(entry["schema"]))
-    opts = {"root": root}
 
-    base = len(ManifestReader(opts, schema).partitions())
+    base = len(ManifestReader({"root": root}, schema).partitions())
     # partition-dir pruning
-    r = ManifestReader(opts, schema)
-    assert len(list(r.pushFilters([EqualTo(("grp",), "g1")]))) == 1
-    kept = len(r.partitions())
-    assert 0 < kept < base
+    r = ManifestReader({"root": root, "where": "grp = 'g1'"}, schema)
+    assert 0 < len(r.partitions()) < base
     # min/max stats pruning on a non-partition column
-    r2 = ManifestReader(opts, schema)
-    list(r2.pushFilters([GreaterThanOrEqual(("id",), 250)]))
+    r2 = ManifestReader({"root": root, "where": "id >= 250"}, schema)
     assert 0 < len(r2.partitions()) < base
     # all-pruned edge: single zero-row placeholder task
-    r3 = ManifestReader(opts, schema)
-    list(r3.pushFilters([EqualTo(("grp",), "nope")]))
+    r3 = ManifestReader({"root": root, "where": "grp = 'nope'"}, schema)
     assert len(r3.partitions()) == 1
-    # end-to-end through SQL: results unchanged, exact predicate kept
+    # unknown column / bad syntax fail LOUDLY (a predicate the reader
+    # cannot apply exactly must never silently return unfiltered rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown column"):
+        ManifestReader({"root": root, "where": "nope = 1"}, schema)
+    with _pytest.raises(ValueError):
+        ManifestReader({"root": root, "where": "id > 5 OR id < 2"}, schema)
+    # end-to-end through SQL: exact rows
     register(spark)
     got = (
         spark.read.format("manifest")
         .option("root", root)
+        .option("where", "grp = 'g1' AND id >= 250")
         .load()
-        .filter("grp = 'g1' AND id >= 250")
     )
     exp = df.filter("grp = 'g1' AND id >= 250")
     assert sorted(map(tuple, got.select("id", "grp", "v").collect())) == \
         sorted(map(tuple, exp.select("id", "grp", "v").collect()))
     assert got.count() > 0
+    # a filtered view is read-only
+    with _pytest.raises(Exception, match="filtered READ view"):
+        df.limit(1).write.format("manifest").option("root", root).option(
+            "where", "id > 0"
+        ).mode("append").save()
 
 
-def test_pushed_filters_keep_mor_and_evolved_tables_exact(spark, tmp_path):
+def test_double_reference_plans_stay_exact(spark, tmp_path):
+    """REGRESSION (r13): Spark 4.1 keeps ONE mutable read-info slot
+    per Python data source instance, so a reader whose partitions
+    depend on pushFilters state serves the LAST branch's file list to
+    EVERY scan of a twice-referenced relation — r12's design returned
+    only one branch of `v.filter(a).union(v.filter(b))` and emptied
+    an anti-join's build side (AQE then eliminated the join). With
+    option-driven pruning every plan run produces the same read-info,
+    so these shapes must be exact."""
+    from datapipeline_scraping_spark.operators.txn import ManifestTable
+
+    register(spark)
+    root = str(tmp_path / "dblref")
+    mt = ManifestTable(root, retention_sec=3600)
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(300)],
+        "id long, grp string, v double",
+    )
+    mt.commit(df.repartitionByRange(4, "id"), partition_by=["grp"],
+              stats_by=["id"])
+    src = spark.read.format("manifest").option("root", root).load()
+    # union of two differently-filtered branches of ONE DataFrame
+    got = (
+        src.filter("grp = 'g1'").select("id")
+        .unionByName(src.filter("grp = 'g2'").select("id"))
+        .count()
+    )
+    assert got == 200, got
+    # anti-join whose build side is a filtered branch of the same df
+    anti = (
+        src.select("id")
+        .join(src.filter("grp = 'g2'").select("id"), "id", "left_anti")
+        .count()
+    )
+    assert anti == 200, anti
+    # the same shapes through a twice-referenced SQL view
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW dbl_ledger "
+        f"USING manifest OPTIONS (root '{root}')"
+    )
+    n = spark.sql(
+        "SELECT id FROM dbl_ledger WHERE grp='g1' "
+        "UNION ALL SELECT id FROM dbl_ledger WHERE grp='g2'"
+    ).count()
+    assert n == 200, n
+    n2 = spark.sql(
+        "SELECT a.id FROM dbl_ledger a LEFT ANTI JOIN "
+        "(SELECT id FROM dbl_ledger WHERE grp='g2') b ON a.id=b.id"
+    ).count()
+    assert n2 == 200, n2
+    # two where-option views ARE different relations: branch-safe
+    va = spark.read.format("manifest").option("root", root).option(
+        "where", "grp = 'g1'"
+    ).load()
+    vb = spark.read.format("manifest").option("root", root).option(
+        "where", "grp = 'g2'"
+    ).load()
+    assert va.select("id").unionByName(vb.select("id")).count() == 200
+
+
+def test_where_option_keeps_mor_and_evolved_tables_exact(spark, tmp_path):
     """Skipping composes with the DV/_upd finisher and with partition
     evolution: updated rows moved INTO the predicate's range surface
     through the always-scanned delta, and an evolved snapshot prunes
@@ -308,8 +378,8 @@ def test_pushed_filters_keep_mor_and_evolved_tables_exact(spark, tmp_path):
     got = (
         spark.read.format("manifest")
         .option("root", root)
+        .option("where", "v >= 100000")
         .load()
-        .filter("v >= 100000")
     )
     rows = got.collect()
     assert [r["id"] for r in rows] == [3]
@@ -318,8 +388,8 @@ def test_pushed_filters_keep_mor_and_evolved_tables_exact(spark, tmp_path):
     got2 = (
         spark.read.format("manifest")
         .option("root", root)
+        .option("where", "grp = 'g9' AND id >= 102")
         .load()
-        .filter("grp = 'g9' AND id >= 102")
     )
     assert sorted(r["id"] for r in got2.collect()) == [102, 103, 104]
 
@@ -328,16 +398,14 @@ def test_in_list_prunes_by_point_set_not_range_envelope(spark, tmp_path):
     """`IN ('g0','g2')` must keep only those partition dirs — the
     [min,max] envelope alone would keep 'g1' too."""
     import json as _json
+    import os
 
-    from pyspark.sql.datasource import In
     from pyspark.sql.types import StructType as _St
 
     from datapipeline_scraping_spark.operators.txn import ManifestTable
     from datapipeline_scraping_spark.sources.manifest_datasource import (
         ManifestReader,
     )
-
-    import os
 
     root = str(tmp_path / "inset")
     mt = ManifestTable(root, retention_sec=3600)
@@ -347,10 +415,10 @@ def test_in_list_prunes_by_point_set_not_range_envelope(spark, tmp_path):
     mt.commit(df, partition_by=["grp"])
     entry = mt._log_entry(mt.version())
     schema = _St.fromJson(_json.loads(entry["schema"]))
-    r = ManifestReader({"root": root}, schema)
-    base = len(r.partitions())
-    r2 = ManifestReader({"root": root}, schema)
-    list(r2.pushFilters([In(("grp",), ("g0", "g2"))]))
+    base = len(ManifestReader({"root": root}, schema).partitions())
+    r2 = ManifestReader(
+        {"root": root, "where": "grp IN ('g0', 'g2')"}, schema
+    )
     kept = r2.partitions()
     assert 0 < len(kept) < base
     kept_dirs = {
@@ -365,20 +433,21 @@ def test_in_list_prunes_by_point_set_not_range_envelope(spark, tmp_path):
     got = (
         spark.read.format("manifest")
         .option("root", root)
+        .option("where", "grp IN ('g0','g2')")
         .load()
-        .filter("grp IN ('g0','g2')")
     )
     assert got.count() == df.filter("grp IN ('g0','g2')").count()
 
 
-def test_pushdown_is_conservative_on_bools_and_escaped_dir_values(
+def test_where_option_is_conservative_on_bools_and_escaped_dir_values(
     spark, tmp_path
 ):
-    """Review fixes (r12): a boolean partition column's hive dir value
-    is 'true' while Python's str(True) is 'True' — point-set pruning
-    must match case-insensitively, never wrongly prune; hive
-    URL-escaped values ('a/b' -> 'a%2Fb') must compare (and surface)
-    UNESCAPED through the datasource and the txn pruners."""
+    """Review fixes (r12, re-expressed on the where option): a boolean
+    partition column's hive dir value is 'true' while Python's
+    str(True) is 'True' — point-set pruning must match
+    case-insensitively, never wrongly prune; hive URL-escaped values
+    ('a/b' -> 'a%2Fb') must compare (and surface) UNESCAPED through
+    the datasource and the txn pruners."""
     from datapipeline_scraping_spark.operators.txn import ManifestTable
 
     register(spark)
@@ -392,10 +461,10 @@ def test_pushdown_is_conservative_on_bools_and_escaped_dir_values(
     got = (
         spark.read.format("manifest")
         .option("root", root)
+        .option("where", "flag = true")
         .load()
-        .filter("flag = true")
     )
-    assert got.count() == 10, "boolean EqualTo pushdown wrongly pruned"
+    assert got.count() == 10, "boolean equality wrongly pruned"
     # special-character partition value, hive-escaped on disk
     root2 = str(tmp_path / "esc")
     mt2 = ManifestTable(root2, retention_sec=3600)
@@ -406,8 +475,8 @@ def test_pushdown_is_conservative_on_bools_and_escaped_dir_values(
     got2 = (
         spark.read.format("manifest")
         .option("root", root2)
+        .option("where", "grp = 'a/b'")
         .load()
-        .filter("grp = 'a/b'")
     )
     rows = got2.collect()
     assert [r["id"] for r in rows] == [1], rows
@@ -470,18 +539,20 @@ def test_bucket_hash_matches_spark_f_hash(spark):
 
 def test_bucket_points_prune_clustered_files(spark, tmp_path):
     """r13 (VERDICT r12 item 3): equality points on a CLUSTERED
-    snapshot's bucket column prune to exactly those buckets' files on
-    the SQL read path — the planning-time hash mirrors Spark's
-    HashPartitioning, the bucket id comes from the file name (the
-    layout contract read_clustered already depends on), and results
-    stay exact because Spark re-applies every filter."""
+    snapshot's bucket column (via the `where` option) prune to exactly
+    those buckets' files on the SQL read path — the planning-time hash
+    mirrors Spark's HashPartitioning, the bucket id comes from the
+    file name (the layout contract read_clustered already depends on),
+    and the rows stay exact through the option's row filter."""
     import json as _json
     import os
 
-    from pyspark.sql.datasource import EqualTo, In
     from pyspark.sql.types import StructType as _St
 
-    from datapipeline_scraping_spark.functions.bucket_hash import bucket_id
+    from datapipeline_scraping_spark.functions.bucket_hash import (
+        bucket_id,
+        file_bucket_id,
+    )
     from datapipeline_scraping_spark.operators.txn import ManifestTable
     from datapipeline_scraping_spark.sources.manifest_datasource import (
         ManifestReader,
@@ -495,28 +566,21 @@ def test_bucket_points_prune_clustered_files(spark, tmp_path):
     mt.commit_clustered(df, "k", 8)
     entry = mt._log_entry(mt.version())
     schema = _St.fromJson(_json.loads(entry["schema"]))
-    opts = {"root": root}
 
-    base = [p for p in ManifestReader(opts, schema).partitions()]
+    base = ManifestReader({"root": root}, schema).partitions()
     assert len(base) >= 8  # one file per bucket at minimum
 
-    r = ManifestReader(opts, schema)
-    assert len(list(r.pushFilters([EqualTo(("k",), 1234)]))) == 1
+    r = ManifestReader({"root": root, "where": "k = 1234"}, schema)
     kept = r.partitions()
     assert 0 < len(kept) < len(base)
     want_bucket = bucket_id(1234, "bigint", 8)
-    from datapipeline_scraping_spark.functions.bucket_hash import (
-        file_bucket_id,
-    )
-
     assert all(
         file_bucket_id(os.path.basename(p.value[0])) == want_bucket
         for p in kept
     )
 
     # IN-list spanning two buckets keeps exactly those buckets' files
-    r2 = ManifestReader(opts, schema)
-    list(r2.pushFilters([In(("k",), (3, 700))]))
+    r2 = ManifestReader({"root": root, "where": "k IN (3, 700)"}, schema)
     kept2 = r2.partitions()
     allowed = {bucket_id(3, "bigint", 8), bucket_id(700, "bigint", 8)}
     assert 0 < len(kept2) < len(base)
@@ -525,10 +589,9 @@ def test_bucket_points_prune_clustered_files(spark, tmp_path):
         for p in kept2
     )
 
-    # a point the hash can't cover (wrong runtime type) disables the
-    # prune instead of guessing
-    r3 = ManifestReader(opts, schema)
-    list(r3.pushFilters([In(("k",), (3, "oops"))]))
+    # a range-only predicate has no equality points: bucket pruning
+    # stays off (every bucket can hold ks >= 3) — conservative
+    r3 = ManifestReader({"root": root, "where": "k >= 3"}, schema)
     assert len(r3.partitions()) == len(base)
 
     # end-to-end through SQL: exact rows, MoR delete composes (the DV
@@ -538,8 +601,8 @@ def test_bucket_points_prune_clustered_files(spark, tmp_path):
     got = (
         spark.read.format("manifest")
         .option("root", root)
+        .option("where", "k IN (1234, 700)")
         .load()
-        .filter("k IN (1234, 700)")
         .collect()
     )
     assert [(r["k"], r["v"]) for r in got] == [(700, 700.0)]

@@ -657,7 +657,17 @@ def test_clustered_sequence_matches_model(spark, tmp_path_factory, ops):
 #: metadata-only; append lands fresh keys under it; MoR delete/update
 #: and the full-rewrite migration must stay exact across any spec mix
 _PEVO_OP = st.tuples(
-    st.sampled_from(["evolve", "append", "delete", "update", "compact"]),
+    st.sampled_from(
+        [
+            "evolve",
+            "append",
+            "delete",
+            "update",
+            "compact",
+            "sort",  # r13: declared write sort order interleaves
+            "zcompact",  # r13: OPTIMIZE ZORDER over a multi-spec table
+        ]
+    ),
     st.integers(0, 9),
     st.integers(0, 9),
 )
@@ -674,7 +684,13 @@ def test_partition_evolution_sequence_matches_model(
     subtree) is exact for arbitrary statement sequences, and the
     active spec cycles through three layouts (grp dirs, pk dirs,
     unpartitioned) so every pairing of specs coexists in one
-    snapshot."""
+    snapshot. r13 (VERDICT r12 item 5) adds the declared write sort
+    order and ZORDER compaction to the alphabet: a sort order
+    declared before an evolution whose new spec includes a sort
+    column must survive the evolution (and every DML/compaction
+    entry), sorted appends must stay exact under any spec, and
+    OPTIMIZE ZORDER over a multi-spec table must migrate + collapse
+    the spec history like the plain rewrite does."""
     from datapipeline_scraping_spark.operators.txn import (
         ManifestTable,
         compact_table,
@@ -691,12 +707,26 @@ def test_partition_evolution_sequence_matches_model(
         )
 
     specs_cycle = [["grp"], ["pk"], []]
+    sort_cycle = [["v"], ["grp", "v"], []]
     spec_i = 0
+    sort_i = -1  # -1 = never declared
     tbl.commit(df_of(model), partition_by=specs_cycle[0])
     next_key = 100
     for kind, a, b in ops:
         lo, hi = min(a, b), max(a, b)
-        if kind == "evolve":
+        if kind == "sort":
+            sort_i = (sort_i + 1) % 3
+            tbl.set_sort_order(sort_cycle[sort_i])
+        elif kind == "zcompact":
+            # zorder_key interleaves NUMERIC dimensions; pk is the
+            # only numeric column here (q194 exercises a real 2-dim
+            # zorder over the orders ledger)
+            compact_table(spark, root, target_files=2, zorder_by=["pk"])
+            entry = tbl._log_entry(tbl.version()) or {}
+            assert entry.get("specs") is None, (
+                "zorder compaction must collapse the spec history"
+            )
+        elif kind == "evolve":
             spec_i = (spec_i + 1) % 3
             tbl.evolve_partition(specs_cycle[spec_i])
         elif kind == "append":
@@ -738,6 +768,13 @@ def test_partition_evolution_sequence_matches_model(
         assert got == model, f"divergence after {kind}({lo},{hi})"
         entry = tbl._log_entry(tbl.version()) or {}
         assert list(entry.get("partition_by") or []) == specs_cycle[spec_i]
+        # the declared sort order rides every entry-producing path —
+        # evolution, append, MoR DML, and both compaction flavors
+        if sort_i >= 0:
+            assert (
+                list((entry.get("meta") or {}).get("sort_order") or [])
+                == sort_cycle[sort_i]
+            ), f"sort order lost after {kind}"
 
 
 #: pushdown probe = (kind, col_idx, a, b) over (id long, grp string,
@@ -807,7 +844,25 @@ def test_pushdown_never_drops_qualifying_rows(
                 f"{col} IN ({lit(col, lo)}, {lit(col, hi)})"
             )
     where = " AND ".join(preds)
+    # the predicate through the `where` OPTION (planning-time file
+    # skipping + exact Arrow row filter, r13) ...
     got = sorted(
+        map(
+            tuple,
+            spark.read.format("manifest")
+            .option("root", root)
+            .option("where", where)
+            .load()
+            .select("id", "grp", "v")
+            .collect(),
+        )
+    )
+    exp = sorted(
+        map(tuple, df.filter(where).select("id", "grp", "v").collect())
+    )
+    assert got == exp, f"where-option dropped rows for WHERE {where}"
+    # ... and as a plain Spark filter over the unfiltered relation
+    got2 = sorted(
         map(
             tuple,
             spark.read.format("manifest")
@@ -818,10 +873,7 @@ def test_pushdown_never_drops_qualifying_rows(
             .collect(),
         )
     )
-    exp = sorted(
-        map(tuple, df.filter(where).select("id", "grp", "v").collect())
-    )
-    assert got == exp, f"pushdown dropped rows for WHERE {where}"
+    assert got2 == exp, f"plain filter dropped rows for WHERE {where}"
 
 
 @given(ops=st.lists(_PUSH_OP, min_size=1, max_size=3))
@@ -886,8 +938,8 @@ def test_pushdown_never_drops_qualifying_rows_clustered(
             tuple,
             spark.read.format("manifest")
             .option("root", root)
+            .option("where", where)
             .load()
-            .filter(where)
             .select("id", "grp", "v")
             .collect(),
         )
@@ -898,4 +950,4 @@ def test_pushdown_never_drops_qualifying_rows_clustered(
             expected.filter(where).select("id", "grp", "v").collect(),
         )
     )
-    assert got == exp, f"clustered pushdown dropped rows for WHERE {where}"
+    assert got == exp, f"clustered where-option dropped rows for {where}"

@@ -2507,6 +2507,28 @@ def test_commit_clustered_join_plans_without_exchange(spark, tmp_path):
     assert joined.count() == 1000
 
 
+def test_read_clustered_filter_prunes_buckets(spark, tmp_path):
+    """r13 (VERDICT r12 item 3): an equality filter on the bucket
+    column through read_clustered prunes to ONE bucket's files.
+    Spark's DisableUnnecessaryBucketedScan would silently drop the
+    bucket layout (and the prune) for pure filter queries — the
+    engine conf keeps scans bucketed, and this test pins
+    SelectedBucketsCount so a conf or Spark-behavior change fails
+    loudly instead of quietly scanning every bucket."""
+    from datapipeline_scraping_spark.session import prepare
+
+    prepare(spark)
+    t = ManifestTable(str(tmp_path / "bp"))
+    df = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.commit_clustered(df, "k", 8)
+    q = t.read_clustered(spark).filter(F.col("k") == 1234)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:1500]
+    assert q.count() == 1
+
+
 def test_commit_clustered_versions_pin_and_cas(spark, tmp_path):
     t = ManifestTable(str(tmp_path / "t"))
     df1 = spark.range(0, 100).select(F.col("id").alias("k"))
