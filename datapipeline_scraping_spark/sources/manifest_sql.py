@@ -59,14 +59,15 @@ rather than mis-execute):
 - MERGE clauses: ``WHEN MATCHED [AND cond] THEN UPDATE SET *``,
   ``WHEN MATCHED [AND cond] THEN UPDATE SET col = expr[, ...]``,
   ``WHEN MATCHED [AND cond] THEN DELETE``,
-  ``WHEN NOT MATCHED [AND cond] THEN INSERT *``. At most one clause
-  per action; with two WHEN MATCHED clauses the FIRST must carry a
-  condition (Delta's rule — an unconditional first clause makes the
-  second unreachable). Clause ORDER is honoured exactly (ADVICE r11):
-  ANSI evaluates the first matching clause, so ``UPDATE`` before
-  ``DELETE`` routes the delete as ``NOT(update_cond) AND delete_cond``
-  instead of merge_into's native delete-first order. Without an
-  INSERT clause, source-only rows do NOT insert (ANSI semantics).
+  ``WHEN NOT MATCHED [AND cond] THEN INSERT *``. ANY number of WHEN
+  MATCHED clauses in declared order (r13 — VERDICT r12 item 4); ANSI
+  evaluates the FIRST clause whose condition is TRUE per matched row
+  (NULL does not fire), compiled as mutually-exclusive fired flags
+  plus one per-column CASE for mixed ``SET`` maps. Delta's rule,
+  generalized: every WHEN MATCHED clause except the last must carry a
+  condition (later clauses are unreachable otherwise). At most one
+  WHEN NOT MATCHED clause; without it, source-only rows do NOT
+  insert (ANSI semantics).
 
 Lexing is quote-aware throughout: alias rewriting, keyword splitting,
 and the ``USING (subquery)`` extraction all skip string literals —
@@ -798,11 +799,12 @@ def _run_merge(spark: SparkSession, p: dict, retries: int) -> int:
             _rewrite_aliases(text, mapping)
         )
 
-    # ---- clause collection: at most one per action, order recorded
-    upd: dict | None = None  # {"cond", "set": None|{col: text}, "pos"}
-    dele: dict | None = None  # {"cond", "pos"}
+    # ---- ordered WHEN MATCHED clauses (r13: N clauses, ANSI
+    # first-match routing — VERDICT r12 item 4 lifts the old
+    # one-clause-per-action restriction)
+    matched: list[dict] = []  # {"kind": "U"|"D", "cond", "set"}
     ins: dict | None = None  # {"cond"}
-    for pos, c in enumerate(p["clauses"]):
+    for c in p["clauses"]:
         w = _parse_when(c)
         action_u = re.sub(r"\s+", " ", w["action"].upper())
         if w["not"]:
@@ -816,86 +818,114 @@ def _run_merge(spark: SparkSession, p: dict, retries: int) -> int:
                 )
             ins = {"cond": w["cond"]}
         elif action_u == "DELETE":
-            if dele is not None:
-                raise ValueError(
-                    "at most one WHEN MATCHED ... DELETE clause is "
-                    "supported"
-                )
-            dele = {"cond": w["cond"], "pos": pos}
+            matched.append({"kind": "D", "cond": w["cond"], "set": None})
         elif action_u.startswith("UPDATE"):
             mu = re.match(r"UPDATE\s+SET\s+", w["action"], re.IGNORECASE)
             if not mu:
                 raise ValueError(
                     f"unsupported MERGE action {w['action']!r}"
                 )
-            if upd is not None:
-                raise ValueError(
-                    "at most one WHEN MATCHED ... UPDATE clause is "
-                    "supported"
-                )
             body = w["action"][mu.end() :].strip()
-            upd = {
-                "cond": w["cond"],
-                "set": (
-                    None
-                    if body == "*"
-                    else _parse_assignments(body, talias)
-                ),
-                "pos": pos,
-            }
+            matched.append(
+                {
+                    "kind": "U",
+                    "cond": w["cond"],
+                    "set": (
+                        None  # None = SET * (full source row)
+                        if body == "*"
+                        else _parse_assignments(body, talias)
+                    ),
+                }
+            )
         else:
             raise ValueError(f"unsupported MERGE action {w['action']!r}")
-    if upd is None and dele is None and ins is None:
+    if not matched and ins is None:
         raise ValueError("MERGE needs at least one WHEN clause")
-
-    # ---- honour clause ORDER exactly (ADVICE r11 medium): ANSI fires
-    # the FIRST matching clause; merge_into natively routes delete
-    # before update, so UPDATE-before-DELETE rewrites the delete
-    # condition to NOT(update_cond) AND delete_cond. With two matched
-    # clauses the first must be conditional (Delta's rule — an
-    # unconditional first clause makes the second unreachable).
-    matched_update = None
-    matched_delete = None
-    matched_set = None
-    if upd is not None and dele is not None:
-        first, second = (
-            (upd, dele) if upd["pos"] < dele["pos"] else (dele, upd)
-        )
-        if first["cond"] is None:
+    # Delta's clause-order rule, generalized: every WHEN MATCHED
+    # clause except the LAST must carry a condition (an unconditional
+    # earlier clause makes everything after it unreachable)
+    for m in matched[:-1]:
+        if m["cond"] is None:
             raise ValueError(
-                "with two WHEN MATCHED clauses the first must have a "
-                "condition (the second is unreachable otherwise)"
+                "every WHEN MATCHED clause except the last must have "
+                "a condition (later clauses are unreachable otherwise)"
             )
-        if upd["pos"] < dele["pos"]:
-            matched_update = _cond(upd["cond"])
-            not_upd = ~F.coalesce(matched_update, F.lit(False))
-            dc = _cond(dele["cond"])
-            matched_delete = not_upd & (
-                F.coalesce(dc, F.lit(False)) if dc is not None else F.lit(True)
-            )
-        else:
-            matched_delete = _cond(dele["cond"])
-            matched_update = _cond(upd["cond"])
-            if matched_update is None:
-                # UPDATE is the unconditional second clause: it fires
-                # for every match the delete did not take — exactly
-                # merge_into's native delete-first routing
-                pass
-    elif upd is not None:
-        matched_update = _cond(upd["cond"])
-    elif dele is not None:
-        matched_delete = (
-            _cond(dele["cond"]) if dele["cond"] else F.lit(True)
+
+    # first-match semantics: clause i fires iff its condition is TRUE
+    # (NULL does not fire) and no earlier clause fired. merge_into's
+    # native delete-before-update routing is subsumed — the fired
+    # flags are mutually exclusive by construction, so feeding their
+    # ORs into matched_delete/matched_update reproduces the declared
+    # order exactly (exhaustively model-checked against a pure-Python
+    # ANSI reference in tests/test_manifest_sql.py).
+    fired: list = []
+    prior = F.lit(False)
+    for m in matched:
+        cnd = _cond(m["cond"])
+        ci = (
+            F.lit(True)
+            if cnd is None
+            else F.coalesce(cnd, F.lit(False))
         )
-    if upd is not None and upd["set"] is not None:
-        matched_set = {
-            c: F.expr(_rewrite_aliases(e, mapping))
-            for c, e in upd["set"].items()
-        }
-    if upd is None:
-        # no UPDATE clause: matches are kept unless deleted — a
-        # never-true update condition expresses "keep"
-        matched_update = F.lit(False)
+        fired.append(ci & ~prior)
+        prior = prior | ci
+
+    def _any(flags):
+        out = None
+        for f in flags:
+            out = f if out is None else (out | f)
+        return out
+
+    del_fired = [f for m, f in zip(matched, fired) if m["kind"] == "D"]
+    upd_clauses = [
+        (m, f) for m, f in zip(matched, fired) if m["kind"] == "U"
+    ]
+    matched_delete = _any(del_fired)
+    # no UPDATE clause: matches are kept unless deleted — a
+    # never-true update condition expresses "keep" (merge_into's
+    # None would mean "update every match")
+    matched_update = (
+        _any([f for _m, f in upd_clauses])
+        if upd_clauses
+        else F.lit(False)
+    )
+    # per-column assignments: one CASE over the fired flags, falling
+    # through to the target value. All-SET-* collapses to None (the
+    # full-source-row fast path merge_into already implements).
+    matched_set = None
+    if upd_clauses and any(m["set"] is not None for m, _f in upd_clauses):
+        entry_now = tbl._log_entry(tbl.version() or 0) or {}
+        import json as _json
+
+        from pyspark.sql import types as _T
+
+        tcols = [
+            f.name
+            for f in _T.StructType.fromJson(
+                _json.loads(entry_now["schema"])
+            ).fields
+        ]
+        assigned: list[str] = []
+        for m, _f in upd_clauses:
+            cols = (
+                [c for c in tcols if c not in pk]  # SET * = all non-key
+                if m["set"] is None
+                else list(m["set"])
+            )
+            for c in cols:
+                if c not in assigned:
+                    assigned.append(c)
+        matched_set = {}
+        for c in assigned:
+            expr = F.col(f"t.{c}")
+            for m, f in reversed(upd_clauses):
+                if m["set"] is None:
+                    expr = F.when(f, F.col(f"s.{c}")).otherwise(expr)
+                elif c in m["set"]:
+                    expr = F.when(
+                        f, F.expr(_rewrite_aliases(m["set"][c], mapping))
+                    ).otherwise(expr)
+            matched_set[c] = expr
     # ANSI: no INSERT clause -> source-only rows do nothing
     not_matched_insert = (
         (F.lit(True) if ins["cond"] is None else _cond(ins["cond"]))

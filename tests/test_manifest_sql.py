@@ -143,22 +143,31 @@ def test_sql_unsupported_shapes_raise(spark, tbl):
         )
     with pytest.raises(ValueError, match="SET assignment"):
         sql(spark, "UPDATE sqldml SET = 5")
-    # duplicate clauses per action are rejected (ADVICE r11)
-    with pytest.raises(ValueError, match="at most one"):
+    # duplicate NOT MATCHED clauses are rejected
+    with pytest.raises(ValueError, match="at most one WHEN NOT MATCHED"):
         sql(
             spark,
             """MERGE INTO sqldml AS t USING src_bad AS s ON t.pk = s.pk
-               WHEN MATCHED AND s.n = 1 THEN UPDATE SET *
-               WHEN MATCHED THEN UPDATE SET *""",
+               WHEN NOT MATCHED AND s.n = 1 THEN INSERT *
+               WHEN NOT MATCHED THEN INSERT *""",
         )
-    # two matched clauses with an unconditional first: second is
+    # an unconditional non-final matched clause makes later clauses
     # unreachable under ANSI ordering — rejected, never mis-routed
-    with pytest.raises(ValueError, match="first must have a condition"):
+    # (r13: the rule generalizes Delta's to N clauses)
+    with pytest.raises(ValueError, match="except the last must have"):
         sql(
             spark,
             """MERGE INTO sqldml AS t USING src_bad AS s ON t.pk = s.pk
                WHEN MATCHED THEN UPDATE SET *
                WHEN MATCHED THEN DELETE""",
+        )
+    with pytest.raises(ValueError, match="except the last must have"):
+        sql(
+            spark,
+            """MERGE INTO sqldml AS t USING src_bad AS s ON t.pk = s.pk
+               WHEN MATCHED AND s.n = 1 THEN UPDATE SET *
+               WHEN MATCHED THEN DELETE
+               WHEN MATCHED AND s.n = 2 THEN UPDATE SET *""",
         )
     # colliding target/source aliases cannot be routed
     with pytest.raises(ValueError, match="aliases must differ"):
@@ -355,7 +364,7 @@ def test_merge_clause_semantics_exhaustive(spark, tmp_path):
             fired = None
             for kind, flag in clauses:
                 cond = True if flag is None else (
-                    {"du": sr[2], "dd": sr[3]}[flag] == 1
+                    {"du": sr[2], "dd": sr[3], "di": sr[4]}[flag] == 1
                 )
                 if cond:
                     fired = kind
@@ -392,7 +401,10 @@ def test_merge_clause_semantics_exhaustive(spark, tmp_path):
         "sem_src"
     )
     # legal matched-clause orders: single clauses unconditional or
-    # conditional; two clauses in either order with a conditional first
+    # conditional; two clauses in either order with a conditional
+    # first; THREE clauses in every kind pattern (r13 — VERDICT r12
+    # item 4 lifts the one-clause-per-action restriction; only the
+    # last clause may be unconditional)
     matched_combos = [
         [("U", None)],
         [("U", "du")],
@@ -402,6 +414,13 @@ def test_merge_clause_semantics_exhaustive(spark, tmp_path):
         [("U", "du"), ("D", "dd")],
         [("D", "dd"), ("U", None)],
         [("D", "dd"), ("U", "du")],
+        [("U", "du"), ("U", "dd")],
+        [("D", "du"), ("D", "dd")],
+        [("U", "du"), ("D", "dd"), ("U", None)],
+        [("U", "du"), ("D", "dd"), ("D", "di")],
+        [("D", "du"), ("U", "dd"), ("D", None)],
+        [("U", "du"), ("U", "dd"), ("D", None)],
+        [("D", "du"), ("D", "dd"), ("U", "di")],
     ]
     for ci, clauses in enumerate(matched_combos):
         for insert_cond in ("none", "all", "di"):
@@ -426,6 +445,49 @@ def test_merge_clause_semantics_exhaustive(spark, tmp_path):
                 f"clauses={clauses} insert={insert_cond}:\n"
                 f"got  {got}\nwant {want}"
             )
+
+
+def test_merge_three_clauses_with_mixed_set_maps(spark, tmp_path):
+    """r13: multiple WHEN MATCHED UPDATE clauses with DIFFERENT SET
+    maps compile to one per-column CASE over mutually-exclusive fired
+    flags — each matched row takes exactly the first matching
+    clause's assignments and keeps target values for columns that
+    clause does not set."""
+    schema = "pk long, v long, w long, du long, dd long"
+    t_rows = [(k, 10 * k, 7 * k, None, None) for k in range(1, 6)]
+    # s flags: pk1 -> du, pk2 -> dd, pk3 -> both (first wins), pk4 ->
+    # neither (unconditional DELETE fires), pk5 missing (kept)
+    s_rows = [
+        (1, 100, 900, 1, 0),
+        (2, 200, 900, 0, 1),
+        (3, 300, 900, 1, 1),
+        (4, 400, 900, 0, 0),
+        (9, 999, 900, 1, 1),  # source-only: no INSERT clause -> no-op
+    ]
+    root = str(tmp_path / "mixedset")
+    t = ManifestTable(root)
+    t.commit(spark.createDataFrame(t_rows, schema))
+    spark.createDataFrame(s_rows, schema).createOrReplaceTempView(
+        "mixed_src"
+    )
+    register_table(spark, "mixed_tbl", root, key_cols=["pk"])
+    sql(
+        spark,
+        """MERGE INTO mixed_tbl AS t USING mixed_src AS s ON t.pk = s.pk
+           WHEN MATCHED AND s.du = 1 THEN UPDATE SET v = s.v
+           WHEN MATCHED AND s.dd = 1 THEN UPDATE SET v = t.v + 1000, w = 0
+           WHEN MATCHED THEN DELETE""",
+    )
+    got = {
+        r["pk"]: (r["v"], r["w"])
+        for r in spark.sql("SELECT * FROM mixed_tbl").collect()
+    }
+    assert got == {
+        1: (100, 7),     # clause 1: v = s.v, w kept
+        2: (1020, 0),    # clause 2: v = t.v + 1000, w = 0
+        3: (300, 21),    # both flags: FIRST clause wins, w kept
+        5: (50, 35),     # unmatched target row kept
+    }, got  # pk4: unconditional DELETE (third clause) fired
 
 
 def test_sql_alter_partition_by_evolves_and_refreshes_view(
