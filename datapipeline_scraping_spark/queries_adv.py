@@ -388,7 +388,7 @@ def q73_scd2_history(spark, sf_dir):
 
 # ===========================================================================
 # MLlib-backed production paths (trained models => rows-only checks;
-# the deterministic twins q19/q52 carry the oracles)
+# the deterministic twins q19/q174 carry the oracles)
 # ===========================================================================
 
 @q(

@@ -54,68 +54,6 @@ def q51_embedding_neardup(spark, sf_dir):
 
 
 # ===========================================================================
-# IVF approximate nearest neighbor
-# ===========================================================================
-
-@q(
-    "q52_ivf_topk",
-    oracle="""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
-asg AS (
-  SELECT vec_id, v, cid FROM (
-    SELECT e.vec_id, e.v, c.cid,
-      ROW_NUMBER() OVER (
-        PARTITION BY e.vec_id
-        ORDER BY round(list_dot_product(e.v, c.cv)
-          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
-          4) DESC, c.cid) AS rn
-    FROM e CROSS JOIN cent c)
-  WHERE rn = 1
-),
-qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
-probes AS (
-  SELECT query_id, qv, cid FROM (
-    SELECT q.query_id, q.qv, c.cid,
-      ROW_NUMBER() OVER (
-        PARTITION BY q.query_id
-        ORDER BY round(list_dot_product(q.qv, c.cv)
-          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))),
-          4) DESC, c.cid) AS rn
-    FROM qs q CROSS JOIN cent c)
-  WHERE rn <= 2
-),
-scored AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id,
-    round(list_dot_product(p.qv, a.v)
-      / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))),
-      4) AS cosine
-  FROM probes p JOIN asg a ON a.cid = p.cid
-  WHERE p.query_id <> a.vec_id
-)
-SELECT query_id, neighbor_id, cosine,
-  CAST(rank AS BIGINT) AS rank
-FROM (
-  SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-  FROM scored)
-WHERE rank <= 5
-""",
-)
-def q52_ivf_topk(spark, sf_dir):
-    """IVF-bucketed approximate nearest neighbor: deterministic coarse
-    centroids (every 100th id), max-cosine list assignment, nprobe=2
-    probe, exact rerank within probed lists (see
-    operators/similarity.py::ivf_topk scale notes)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    out = SIM.ivf_topk(
-        emb, queries, "vec_id", "embedding", k=5, nprobe=2, centroid_every=100
-    )
-    return out.withColumn("rank", F.col("rank").cast("long"))
-
-
-# ===========================================================================
 # TF-IDF top terms
 # ===========================================================================
 

@@ -41,7 +41,6 @@ NESTED_LOOP_ALLOW = {
     "q21_cosine_topk": "exact ANN ground-truth kernel (documented all-pairs)",
     "q42_range_join": "non-equi interval join; broadcast side is the small range table",
     "q51_embedding_neardup": "exact GEMM block-pair kernel (documented all-pairs)",
-    "q52_ivf_topk": "centroid assignment; broadcast side is k centroids",
     "q53_tfidf_topterms": "scalar doc-count literal joined as 1-row broadcast",
     "q75_kmeans_ivf_topk": "MLlib KMeans centroid probe; k-row broadcast",
     "q94_ann_recall": "recomputes the exact ground truth to measure recall",
