@@ -634,3 +634,4 @@ from . import queries_r9c  # noqa: E402,F401
 from . import queries_r10  # noqa: E402,F401
 from . import queries_r11  # noqa: E402,F401
 from . import queries_r12  # noqa: E402,F401
+from . import queries_r13  # noqa: E402,F401
