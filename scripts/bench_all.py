@@ -200,6 +200,39 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # cold streaming-lifecycle rows (r13, VERDICT r12 item 7): the
+    # ledger memoization makes the suite fast but hides streaming cost
+    # drift — force ONE cold lifecycle per round for a sliding-window
+    # aggregation and a stream-stream join so a stateful-shuffle
+    # regression stays observable. Cold = the memo ledger removed, so
+    # the timed run pays the full AvailableNow lifecycle (stage +
+    # checkpoint + stateful shuffle + commit); the warm number for the
+    # same query sits in `queries`.
+    import shutil
+
+    from datapipeline_scraping_spark.streaming.events import (
+        SCRATCH as _SCRATCH,
+    )
+
+    cold_streaming: dict[str, float] = {}
+    skey = sf_dir.rstrip("/").replace("/", "_").lstrip("_").replace(".", "_")
+    for name, tag in (
+        ("q47_stream_sliding_window", "q47sw"),
+        ("q97_stream_stream_join", "q97sj"),
+    ):
+        if name not in REGISTRY:
+            continue
+        shutil.rmtree(
+            os.path.join(_SCRATCH, f"{tag}_{skey}"), ignore_errors=True
+        )
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).count()
+        cold_streaming[name] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# cold {name}: {cold_streaming[name]:.3f}s",
+            file=sys.stderr, flush=True,
+        )
+
     out = {
         "metric": "bench_all_total_wall_sec",
         "value": round(total, 3),
@@ -218,6 +251,10 @@ def main() -> None:
         "group_spark_calib_sec": [round(c, 4) for c in group_spark_calib],
         "calib_every": calib_every,
         "query_calib_group": query_group,
+        # one forced-cold streaming lifecycle per family (warm twin in
+        # `queries`) — keeps stateful-shuffle cost drift observable
+        # despite the memoization
+        "cold_streaming_sec": cold_streaming,
         "suspect_queries": suspect,
         "sf": sf_dir,
         "runs": n_runs,
