@@ -31,8 +31,9 @@ existing transactional writers:
   DataFrame (version / snapshot / ts / active partition spec /
   retained), Delta's table-history surface;
 - ``DESCRIBE DETAIL t`` → one-row table detail (format, location,
-  version, active spec, spec count, bucket layout, file count,
-  bytes), Delta's ``DESCRIBE DETAIL``.
+  version, active spec, spec count + full spec HISTORY, bucket
+  layout, declared write sort order, file count, bytes), Delta's
+  ``DESCRIBE DETAIL`` with the Iceberg metadata the log tracks.
 
 Everything else falls through to ``spark.sql`` untouched, so the
 router composes with the whole read surface. Table-property contracts
@@ -739,15 +740,30 @@ def sql(spark: SparkSession, statement: str, *, retries: int = 3):
                     int(ver),
                     json.dumps(list(entry.get("partition_by") or [])),
                     len(entry.get("specs") or []) or 1,
+                    # full spec HISTORY (r13 — VERDICT r12 item 8):
+                    # what the commit log knows, the SQL surface
+                    # reports; None = never evolved (single implicit
+                    # spec, partition_by is the whole story)
+                    json.dumps(entry.get("specs"))
+                    if entry.get("specs")
+                    else None,
                     json.dumps(entry.get("bucket"))
                     if entry.get("bucket")
+                    else None,
+                    # declared write sort order (set_sort_order /
+                    # Iceberg write.sort-order), None = undeclared
+                    json.dumps(
+                        (entry.get("meta") or {}).get("sort_order")
+                    )
+                    if (entry.get("meta") or {}).get("sort_order")
                     else None,
                     int(n_files),
                     int(size),
                 )
             ],
             "format string, location string, version long, "
-            "partition_by string, num_specs long, bucket string, "
+            "partition_by string, num_specs long, specs string, "
+            "bucket string, sort_order string, "
             "num_files long, size_bytes long",
         )
     return spark.sql(statement)

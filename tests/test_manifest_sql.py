@@ -608,6 +608,20 @@ def test_sql_describe_detail_surface(spark, tmp_path):
     assert d["format"] == "manifest" and d["version"] == 1
     assert d["num_files"] > 0 and d["size_bytes"] > 0
     assert d["num_specs"] == 1 and d["bucket"] is None
+    assert d["specs"] is None and d["sort_order"] is None
+    # r13 (VERDICT r12 item 8): what the commit log knows, DESCRIBE
+    # DETAIL reports — spec HISTORY after an evolution and the
+    # declared write sort order, byte-for-byte against _log_entry
+    import json as _json
+
+    assert t.set_sort_order(["v"])
+    t.evolve_partition(["v"])
+    d2 = sql(spark, "DESCRIBE DETAIL det_sql").first()
+    entry = t._log_entry(t.version()) or {}
+    assert d2["version"] == 2 and d2["num_specs"] == 2
+    assert _json.loads(d2["specs"]) == entry["specs"]
+    assert _json.loads(d2["sort_order"]) == ["v"]
+    assert _json.loads(d2["partition_by"]) == ["v"]
 
 
 def test_sql_merge_allows_ansi_legal_duplicate_inserts(spark, tmp_path):
