@@ -606,3 +606,78 @@ def test_bucket_points_prune_clustered_files(spark, tmp_path):
         .collect()
     )
     assert [(r["k"], r["v"]) for r in got] == [(700, 700.0)]
+
+
+def test_spark_shared_readinfo_canary(spark, tmp_path):
+    """CANARY for the Spark 4.1 behavior that forced the r13 where-
+    option redesign: a minimal Python data source whose partitions()
+    depends on pushFilters state returns WRONG results when one
+    relation is scanned twice with different predicates — the engine's
+    readers therefore must not implement pushFilters. If a Spark
+    upgrade fixes the shared read-info slot, THIS TEST FAILS, which is
+    the signal that planning-time pushFilters pruning is safe to
+    restore (see ManifestReader's docstring)."""
+    import pyarrow as pa
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        InputPartition,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class CanaryReader(DataSourceReader):
+        def __init__(self):
+            self.point = None
+
+        def pushFilters(self, filters):
+            for f in filters:
+                if isinstance(f, EqualTo) and f.attribute == ("part",):
+                    self.point = f.value
+                yield f
+
+        def partitions(self):
+            # filter-dependent partitions: the unsound-by-Spark shape
+            parts = [0, 1] if self.point is None else [self.point]
+            return [InputPartition(p) for p in parts]
+
+        def read(self, partition):
+            yield from pa.table(
+                {"part": pa.array([partition.value] * 5, pa.int64())}
+            ).to_batches()
+
+    class CanarySource(DataSource):
+        @classmethod
+        def name(cls):
+            return "readinfo_canary"
+
+        def schema(self):
+            return StructType([StructField("part", LongType())])
+
+        def reader(self, schema):
+            return CanaryReader()
+
+    try:
+        spark.dataSource.register(CanarySource)
+    except Exception as exc:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        src = spark.read.format("readinfo_canary").load()
+        got = (
+            src.filter("part = 0")
+            .unionByName(src.filter("part = 1"))
+            .count()
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    # correct would be 10; the shared read-info slot serves ONE
+    # branch's partition list to both scans, so one branch's exact
+    # filter kills the other branch's rows
+    assert got == 5, (
+        f"union returned {got}: Spark's per-source read-info slot no "
+        f"longer conflates differently-filtered scans — planning-time "
+        f"pushFilters pruning may be safe to restore in the manifest/"
+        f"CDF readers (and this canary should be updated)"
+    )
