@@ -202,6 +202,17 @@ def parse_where(s: str) -> list[tuple]:
                 i += 1
                 vals.append(expect("lit"))
             expect("punct", ")")
+            # one literal kind per IN list: a mixed list cannot build
+            # one Arrow value_set — fail at parse, not mid-task
+            kinds = {
+                ("b" if isinstance(v, bool) else
+                 "s" if isinstance(v, str) else "n")
+                for v in vals
+            }
+            if len(kinds) > 1:
+                raise ValueError(
+                    f"where: IN list for {col!r} mixes literal types"
+                )
             out.append(("in", col, tuple(vals)))
         elif kind == "kw" and val == "BETWEEN":
             i += 1
