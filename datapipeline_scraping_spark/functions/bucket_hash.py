@@ -17,6 +17,8 @@ clustered tables use). Everything else returns None = "don't prune".
 
 from __future__ import annotations
 
+import re
+
 _MASK = 0xFFFFFFFF
 _C1 = 0xCC9E2D51
 _C2 = 0x1B873593
@@ -123,10 +125,18 @@ def bucket_id(value, spark_type: str, n_buckets: int) -> int | None:
     return h % n_buckets if n_buckets > 0 else None
 
 
-def file_bucket_id(file_name: str) -> int | None:
-    """Bucket id from a Spark bucketed file name — mirrors
-    ``BucketingUtils.getBucketId`` (``.*_(\\d+)(?:\\..*)?$``)."""
-    import re
+#: Spark's bucket-file name convention: the bucket id rides the file
+#: name as ``..._NNNNN.c000...`` (the writer always prints %05d) and
+#: the catalog reader parses it back (``BucketingUtils.getBucketId``).
+#: ONE definition for the whole engine: operators/txn.py validates
+#: clustered snapshots against this same regex, so the SQL reader's
+#: bucket pruning and the layout guard can never disagree about what
+#: counts as a bucket file.
+BUCKET_FILE_RE = re.compile(r"_(\d{5})(?:\.|$)")
 
-    m = re.match(r".*_(\d+)(?:\..*)?$", file_name)
+
+def file_bucket_id(file_name: str) -> int | None:
+    """Bucket id from a Spark bucketed file name, None if the name
+    does not carry one."""
+    m = BUCKET_FILE_RE.search(file_name)
     return int(m.group(1)) if m else None

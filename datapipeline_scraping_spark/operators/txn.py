@@ -578,16 +578,12 @@ def _location_matches(spark: SparkSession, name: str, snap: str) -> bool:
         return False
 
 
-#: Spark's bucket-file name convention: the bucket id rides the file
-#: name as ``..._NNNNN.c000...`` and the catalog reader parses it back
-#: (``BucketingUtils.getBucketId``) — the layout contract every
-#: clustered commit/append/compaction here must preserve
-_BUCKET_FILE_RE = re.compile(r"_(\d{5})(?:\.|$)")
-
-
-def _bucket_id(filename: str) -> int | None:
-    m = _BUCKET_FILE_RE.search(filename)
-    return int(m.group(1)) if m else None
+# Spark's bucket-file name contract lives in ONE place
+# (functions/bucket_hash.py) so the layout validation here and the
+# SQL reader's bucket pruning can never disagree about what counts as
+# a bucket file — the contract every clustered commit/append/
+# compaction must preserve
+from ..functions.bucket_hash import file_bucket_id as _bucket_id  # noqa: E402
 
 
 def _write_bucketed(

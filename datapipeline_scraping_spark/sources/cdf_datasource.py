@@ -148,6 +148,27 @@ def _change_files(
     return out
 
 
+_KNOWN_CHANGE_TYPES = frozenset(
+    ("insert", "delete", "update_preimage", "update_postimage")
+)
+
+
+def _parse_change_types(options) -> set | None:
+    """The ``change_types`` option (comma-separated) as a validated
+    set, or None when absent. Unknown names refuse loudly — a typo'd
+    consumer must not silently read every change type."""
+    raw = options.get("change_types")
+    pts = (
+        {t.strip() for t in raw.split(",") if t.strip()} if raw else None
+    )
+    if pts is not None and not pts <= _KNOWN_CHANGE_TYPES:
+        raise ValueError(
+            f"change_types: unknown {sorted(pts - _KNOWN_CHANGE_TYPES)}; "
+            f"valid: {sorted(_KNOWN_CHANGE_TYPES)}"
+        )
+    return pts
+
+
 def _schema_for(root: str) -> StructType:
     """Declared feed schema: the LIVE table schema plus the change
     markers. Mid-stream widening evolution is served as-committed (the
@@ -182,6 +203,7 @@ class _CDFReadMixin:
     table's evolution contract)."""
 
     arrow_schema = None  # set by subclass __init__, pickled to workers
+    type_points = None  # change_types option, set by subclass __init__
 
     def read(self, partition):
         import pyarrow as pa
@@ -213,7 +235,22 @@ class _CDFReadMixin:
                 for f in want
             ]
             tbl = pa.Table.from_arrays(arrays, names=list(want.names))
-        yield from tbl.cast(want).to_batches(max_chunksize=1 << 16)
+        tbl = tbl.cast(want)
+        if self.type_points is not None:
+            # exact row filter for the change_types option: a version
+            # can mix change types (commit diffs); version skipping is
+            # only the coarse pass over the same option — shared by
+            # the batch AND stream paths, so read -> readStream keeps
+            # identical predicate semantics
+            import pyarrow.compute as pc
+
+            tbl = tbl.filter(
+                pc.is_in(
+                    tbl.column("_change_type"),
+                    value_set=pa.array(sorted(self.type_points)),
+                )
+            )
+        yield from tbl.to_batches(max_chunksize=1 << 16)
 
 
 class ManifestCDFBatchReader(_CDFReadMixin, DataSourceReader):
@@ -235,10 +272,6 @@ class ManifestCDFBatchReader(_CDFReadMixin, DataSourceReader):
     every plan run of the same relation produces the same read-info,
     and differently-filtered feeds are different relations."""
 
-    _KNOWN_TYPES = frozenset(
-        ("insert", "delete", "update_preimage", "update_postimage")
-    )
-
     def __init__(self, options, schema):
         self.root = options["root"]
         self.v_from = int(options.get("starting_version", 1)) - 1
@@ -246,18 +279,7 @@ class ManifestCDFBatchReader(_CDFReadMixin, DataSourceReader):
             self.root
         )
         self.arrow_schema = _arrow_schema(schema)
-        raw = options.get("change_types")
-        self.type_points: set | None = (
-            {t.strip() for t in raw.split(",") if t.strip()} if raw else None
-        )
-        if self.type_points is not None and not (
-            self.type_points <= self._KNOWN_TYPES
-        ):
-            raise ValueError(
-                f"change_types: unknown "
-                f"{sorted(self.type_points - self._KNOWN_TYPES)}; "
-                f"valid: {sorted(self._KNOWN_TYPES)}"
-            )
+        self.type_points = _parse_change_types(options)
 
     def partitions(self):
         files = _change_files(
@@ -265,25 +287,6 @@ class ManifestCDFBatchReader(_CDFReadMixin, DataSourceReader):
         )
         # an all-pruned window still needs >=1 partition (API contract)
         return [InputPartition(f) for f in files] or [InputPartition(None)]
-
-    def read(self, partition):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        want = (
-            pa.array(sorted(self.type_points))
-            if self.type_points is not None
-            else None
-        )
-        for batch in super().read(partition):
-            if want is not None:
-                # exact row filter: a version can mix change types
-                # (commit diffs), version skipping is only the coarse
-                # pass over the same option
-                batch = batch.filter(
-                    pc.is_in(batch.column("_change_type"), value_set=want)
-                )
-            yield batch
 
 
 class ManifestCDFStreamReader(_CDFReadMixin, DataSourceStreamReader):
@@ -299,6 +302,12 @@ class ManifestCDFStreamReader(_CDFReadMixin, DataSourceStreamReader):
         self.root = options["root"]
         self.start = int(options.get("starting_version", 1)) - 1
         self.arrow_schema = _arrow_schema(schema)
+        # r13: the change_types predicate applies on the STREAM path
+        # too (same option semantics as the batch reader — version
+        # skipping + exact row filter in the shared mixin); offsets
+        # still advance over skipped versions, and replays are
+        # deterministic because the filter lives in the options
+        self.type_points = _parse_change_types(options)
 
     def initialOffset(self):
         return {"version": self.start}
@@ -308,7 +317,10 @@ class ManifestCDFStreamReader(_CDFReadMixin, DataSourceStreamReader):
 
     def partitions(self, start, end):
         files = _change_files(
-            self.root, int(start["version"]), int(end["version"])
+            self.root,
+            int(start["version"]),
+            int(end["version"]),
+            self.type_points,
         )
         # an all-noop range still needs >=1 partition: Spark requires
         # a non-empty plan per batch, so feed one empty file-less task
@@ -327,7 +339,7 @@ class ManifestCDFDataSource(DataSource):
     """``format("manifest_cdf")`` — see module docstring. Options:
     ``root`` (required, the ManifestTable root), ``starting_version``
     (default 1, inclusive), ``ending_version`` (batch only, default =
-    current head), ``change_types`` (batch only, comma-separated
+    current head), ``change_types`` (batch AND stream, comma-separated
     subset of insert/delete/update_preimage/update_postimage — exact
     row predicate + planning-time version skipping via the commit
     log's recorded change-type sets)."""

@@ -319,13 +319,43 @@ class ManifestReader(DataSourceReader):
         self.conditions: list[tuple] = (
             parse_where(options["where"]) if "where" in options else []
         )
-        logical = {f.name for f in schema.fields}
+        logical = {f.name: f.dataType.simpleString() for f in schema.fields}
+        _NUM = {
+            "int",
+            "smallint",
+            "tinyint",
+            "bigint",
+            "long",
+            "float",
+            "double",
+        }
+
+        def _kind_ok(lit, styp: str) -> bool:
+            if isinstance(lit, bool):
+                return styp == "boolean"
+            if isinstance(lit, (int, float)):
+                return styp in _NUM or styp.startswith("decimal")
+            return styp == "string"
+
         for cond in self.conditions:
             if cond[1] not in logical:
                 raise ValueError(
                     f"where: unknown column {cond[1]!r} "
                     f"(have {sorted(logical)})"
                 )
+            # literal kind must match the column type AT PARSE time —
+            # 'k >= ''x''' on a bigint column would otherwise only
+            # blow up (or worse, mis-compare) inside an executor task
+            styp = logical[cond[1]]
+            lits = cond[2] if cond[0] == "in" else (cond[3],)
+            for lit in lits:
+                if not _kind_ok(lit, styp):
+                    raise ValueError(
+                        f"where: literal {lit!r} does not match "
+                        f"column {cond[1]!r} of type {styp} (supported "
+                        f"predicate column types: numeric, string, "
+                        f"boolean)"
+                    )
         #: physical column -> [lo, hi] envelope (AND of all conditions)
         self.ranges: dict[str, list] = {}
         #: physical column -> exact value SET (= / IN) — prunes

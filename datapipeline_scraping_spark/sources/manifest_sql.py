@@ -908,9 +908,15 @@ def _run_merge(spark: SparkSession, p: dict, retries: int) -> int:
     # per-column assignments: one CASE over the fired flags, falling
     # through to the target value. All-SET-* collapses to None (the
     # full-source-row fast path merge_into already implements).
-    matched_set = None
-    if upd_clauses and any(m["set"] is not None for m, _f in upd_clauses):
-        entry_now = tbl._log_entry(tbl.version() or 0) or {}
+    # Compiled PER COMMIT ATTEMPT from that attempt's base entry: a
+    # SET * expansion reads the target column list, and a concurrent
+    # ALTER ADD COLUMN landing between retries must widen the
+    # assignment list, not silently null-fill the new column.
+    def _compile_matched_set(entry_now: dict):
+        if not upd_clauses or all(
+            m["set"] is None for m, _f in upd_clauses
+        ):
+            return None
         import json as _json
 
         from pyspark.sql import types as _T
@@ -931,7 +937,7 @@ def _run_merge(spark: SparkSession, p: dict, retries: int) -> int:
             for c in cols:
                 if c not in assigned:
                     assigned.append(c)
-        matched_set = {}
+        out_set = {}
         for c in assigned:
             expr = F.col(f"t.{c}")
             for m, f in reversed(upd_clauses):
@@ -941,7 +947,8 @@ def _run_merge(spark: SparkSession, p: dict, retries: int) -> int:
                     expr = F.when(
                         f, F.expr(_rewrite_aliases(m["set"][c], mapping))
                     ).otherwise(expr)
-            matched_set[c] = expr
+            out_set[c] = expr
+        return out_set
     # ANSI: no INSERT clause -> source-only rows do nothing
     not_matched_insert = (
         (F.lit(True) if ins["cond"] is None else _cond(ins["cond"]))
@@ -955,9 +962,9 @@ def _run_merge(spark: SparkSession, p: dict, retries: int) -> int:
         # commit_clustered between retries must refuse, and the CAS
         # against base_ver guarantees the checked entry is the one
         # the commit supersedes
-        _guard_unclustered_merge(
-            spec["root"], tbl._log_entry(base_ver) or {}
-        )
+        entry_now = tbl._log_entry(base_ver) or {}
+        _guard_unclustered_merge(spec["root"], entry_now)
+        matched_set = _compile_matched_set(entry_now)
         target = tbl.read(spark)
         # ANSI/Delta: multiple source rows matching ONE TARGET row
         # must error — but duplicate source keys that match no target

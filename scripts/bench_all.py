@@ -216,6 +216,10 @@ def main() -> None:
 
     cold_streaming: dict[str, float] = {}
     skey = sf_dir.rstrip("/").replace("/", "_").lstrip("_").replace(".", "_")
+    # bracket the cold block with its own probe pair — it runs after
+    # the last per-group bracket, and an unguarded steal episode here
+    # would read as a stateful-shuffle regression in round evidence
+    cold_probes = [_spark_calib(spark)]
     for name, tag in (
         ("q47_stream_sliding_window", "q47sw"),
         ("q97_stream_stream_join", "q97sj"),
@@ -232,6 +236,8 @@ def main() -> None:
             f"# cold {name}: {cold_streaming[name]:.3f}s",
             file=sys.stderr, flush=True,
         )
+    cold_probes.append(_spark_calib(spark))
+    cold_suspect = max(cold_probes) > best_spark_calib * 1.4
 
     out = {
         "metric": "bench_all_total_wall_sec",
@@ -253,8 +259,11 @@ def main() -> None:
         "query_calib_group": query_group,
         # one forced-cold streaming lifecycle per family (warm twin in
         # `queries`) — keeps stateful-shuffle cost drift observable
-        # despite the memoization
+        # despite the memoization; suspect=true when the block's own
+        # probe brackets drifted (host noise, re-measure standalone)
         "cold_streaming_sec": cold_streaming,
+        "cold_streaming_probes_sec": [round(c, 4) for c in cold_probes],
+        "cold_streaming_suspect": cold_suspect,
         "suspect_queries": suspect,
         "sf": sf_dir,
         "runs": n_runs,

@@ -316,3 +316,54 @@ def test_cdf_options_skip_versions(spark, tmp_path):
         _feed(spark, root, change_types="delete", ending_version=1).count()
         == 0
     )
+
+
+def test_cdf_change_types_applies_on_stream_path(spark, tmp_path):
+    """r13 review fix: the change_types option filters the STREAM path
+    with the same semantics as batch (version skipping + exact row
+    filter in the shared mixin) — a consumer switching read ->
+    readStream keeps the predicate instead of silently processing
+    every change type; unknown names refuse on both paths."""
+    import os
+
+    register(spark)
+    tbl = _mk(spark, tmp_path)  # v1 inserts / v2 diff / v3 delete
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("manifest_cdf")
+        .option("root", tbl.root)
+        .option("change_types", "insert")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["pk"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # v1's ten initial inserts + v2's insert of pk 42; v2's update
+    # pair row-filtered out; v3 (delete-only) never even listed
+    assert got == sorted(
+        [(1, "insert", pk) for pk in range(10)] + [(2, "insert", 42)]
+    ), got
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="change_types"):
+        (
+            spark.readStream.format("manifest_cdf")
+            .option("root", tbl.root)
+            .option("change_types", "upsert")
+            .load()
+            .writeStream.format("noop")
+            .option(
+                "checkpointLocation", os.path.join(str(tmp_path), "ck2")
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
