@@ -523,7 +523,26 @@ class ManifestReader(DataSourceReader):
         want = self.arrow_schema
         if path is None:  # all-pruned placeholder: zero rows
             return
-        tbl = pq.read_table(path)
+        # push the where conditions into the parquet DECODE (row-group
+        # statistics pruning + dictionary filtering) for every column
+        # physically present in this file — the third skipping tier
+        # under file pruning. Conditions on dir-encoded / renamed-away
+        # / evolution-added columns are left to the final Arrow mask,
+        # which re-applies everything (idempotent), so this is purely
+        # an optimization and never a correctness filter.
+        flt = []
+        if self.conditions:
+            present = set(pq.ParquetFile(path).schema_arrow.names)
+            for cond in self.conditions:
+                pcol = self.cmap.get(cond[1], cond[1])
+                if pcol not in present:
+                    continue
+                if cond[0] == "cmp":
+                    op = "==" if cond[2] == "=" else cond[2]
+                    flt.append((pcol, op, cond[3]))
+                else:
+                    flt.append((pcol, "in", set(cond[2])))
+        tbl = pq.read_table(path, filters=flt or None)
         # dropped physical columns go FIRST (metadata-only DROP): a
         # later rename may reuse a dropped name as its logical target,
         # and the stale physical column must be gone before the rename
