@@ -130,6 +130,10 @@ def main() -> None:
     spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, schema="id long").count()
+    # discard one parallel probe: its shuffle+agg shape JIT-compiles on
+    # first execution (~1.9x the steady probe), which would otherwise
+    # mark group 0 suspect on every run
+    _spark_calib(spark)
 
     # host calibration re-runs BETWEEN query groups (VERDICT r11 item
     # 6): this VM shows ~25-minute CPU-steal EPISODES during which the
