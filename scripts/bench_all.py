@@ -130,10 +130,17 @@ def main() -> None:
     spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, schema="id long").count()
-    # discard one parallel probe: its shuffle+agg shape JIT-compiles on
-    # first execution (~1.9x the steady probe), which would otherwise
-    # mark group 0 suspect on every run
-    _spark_calib(spark)
+    # warm the parallel probe to CONVERGENCE before the first bracket:
+    # its shuffle+agg shape JIT-tiers over repeated executions (first
+    # run ~1.9x, and it keeps dropping for several more), which would
+    # otherwise mark the early groups suspect on every clean run —
+    # warm until two consecutive probes agree within 10% (bounded)
+    prev = _spark_calib(spark)
+    for _ in range(10):
+        cur = _spark_calib(spark)
+        if cur >= prev * 0.9:
+            break
+        prev = cur
 
     # host calibration re-runs BETWEEN query groups (VERDICT r11 item
     # 6): this VM shows ~25-minute CPU-steal EPISODES during which the
@@ -180,18 +187,26 @@ def main() -> None:
     group_spark_calib.append(_spark_calib(spark))
 
     # a group is suspect when EITHER bracketing probe of EITHER kind
-    # ran >=1.4x the run's best probe — steal starting mid-group
+    # ran >=1.4x the run's MEDIAN probe — steal starting mid-group
     # surfaces at the next checkpoint, steal ending mid-group at the
     # previous one; partial-CPU contention surfaces only in the
-    # parallel probe (r13)
+    # parallel probe (r13). Median, not min: the parallel probe keeps
+    # JIT-tiering slowly downward across a 20-minute run, and a
+    # min-anchored threshold read that drift as a fleet-wide episode
+    # (an episode is a SPIKE against the run's typical probe, which
+    # the median tracks and the min does not).
+    import statistics
+
     best_calib = min(group_calib)
     best_spark_calib = min(group_spark_calib)
+    med_calib = statistics.median(group_calib)
+    med_spark_calib = statistics.median(group_spark_calib)
     suspect_groups = sorted(
         gi
         for gi in range(len(group_calib) - 1)
-        if max(group_calib[gi], group_calib[gi + 1]) > best_calib * 1.4
+        if max(group_calib[gi], group_calib[gi + 1]) > med_calib * 1.4
         or max(group_spark_calib[gi], group_spark_calib[gi + 1])
-        > best_spark_calib * 1.4
+        > med_spark_calib * 1.4
     )
     suspect = sorted(
         n for n, gi in query_group.items() if gi in suspect_groups
@@ -241,7 +256,7 @@ def main() -> None:
             file=sys.stderr, flush=True,
         )
     cold_probes.append(_spark_calib(spark))
-    cold_suspect = max(cold_probes) > best_spark_calib * 1.4
+    cold_suspect = max(cold_probes) > med_spark_calib * 1.4
 
     out = {
         "metric": "bench_all_total_wall_sec",
