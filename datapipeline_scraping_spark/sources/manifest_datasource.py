@@ -124,9 +124,10 @@ def _partition_values(path: str, snap: str) -> dict:
 
 #: where-option grammar: conjunctions of simple comparisons.
 #:   expr    := term (AND term)*
-#:   term    := col op literal | col IN ( lit, ... ) | col BETWEEN lit AND lit
+#:   term    := col op literal | col IN ( lit, ... )
+#:            | col BETWEEN lit AND lit | col IS [NOT] NULL
 #:   op      := = | == | > | >= | < | <=
-#:   literal := number | 'string' ('' escapes a quote)
+#:   literal := number | 'string' ('' escapes a quote) | TRUE | FALSE
 #:   col     := identifier | `identifier`
 _WHERE_TOKEN = re.compile(
     r"\s*(?:"
@@ -169,7 +170,7 @@ def parse_where(s: str) -> list[tuple]:
         else:
             w = m.group("word")
             u = w.upper()
-            if u in ("AND", "IN", "BETWEEN", "NOT", "OR"):
+            if u in ("AND", "IN", "BETWEEN", "NOT", "OR", "IS", "NULL"):
                 toks.append(("kw", u))
             elif u in ("TRUE", "FALSE"):
                 toks.append(("lit", u == "TRUE"))
@@ -214,6 +215,14 @@ def parse_where(s: str) -> list[tuple]:
                     f"where: IN list for {col!r} mixes literal types"
                 )
             out.append(("in", col, tuple(vals)))
+        elif kind == "kw" and val == "IS":
+            i += 1
+            neg = False
+            if i < len(toks) and toks[i] == ("kw", "NOT"):
+                neg = True
+                i += 1
+            expect("kw", "NULL")
+            out.append(("null", col, neg))  # neg=True => IS NOT NULL
         elif kind == "kw" and val == "BETWEEN":
             i += 1
             lo = expect("lit")
@@ -346,6 +355,8 @@ class ManifestReader(DataSourceReader):
             # literal kind must match the column type AT PARSE time —
             # 'k >= ''x''' on a bigint column would otherwise only
             # blow up (or worse, mis-compare) inside an executor task
+            if cond[0] == "null":
+                continue  # IS [NOT] NULL carries no literal
             styp = logical[cond[1]]
             lits = cond[2] if cond[0] == "in" else (cond[3],)
             for lit in lits:
@@ -361,9 +372,16 @@ class ManifestReader(DataSourceReader):
         #: physical column -> exact value SET (= / IN) — prunes
         #: dir-encoded columns tighter than the range envelope
         self.point_sets: dict[str, set] = {}
+        #: physical column -> required nullness (True = IS NOT NULL,
+        #: False = IS NULL) — prunes hive null-partition dirs
+        self.null_conds: dict[str, bool] = {}
         for cond in self.conditions:
             col = self.cmap.get(cond[1], cond[1])  # logical -> physical
             lo = hi = None
+            if cond[0] == "null":
+                # IS NOT NULL (cond[2]=True) / IS NULL (False)
+                self.null_conds[col] = bool(cond[2])
+                continue
             if cond[0] == "cmp":
                 op, v = cond[2], cond[3]
                 if op == "=":
@@ -417,6 +435,17 @@ class ManifestReader(DataSourceReader):
     def _keep_file(self, path: str, part_vals: dict) -> bool:
         rel = os.path.relpath(path, self.snap)
         stats = self.file_stats.get(rel) or {}
+        # IS [NOT] NULL against dir-encoded columns: a file under
+        # col=__HIVE_DEFAULT_PARTITION__ holds ONLY null values of
+        # col, and one under col=value holds none — either side can
+        # prune exactly; non-dir-encoded columns fall through to the
+        # row filter (min/max stats carry no null counts)
+        for col, want_not_null in self.null_conds.items():
+            if col not in part_vals:
+                continue
+            is_null_dir = part_vals[col] is None
+            if is_null_dir == want_not_null:
+                return False
         # point-set pruning on dir-encoded columns: tighter than the
         # range envelope for IN-lists (`IN ('a','z')` keeps only those
         # two dirs, not everything between). Conservative: only prunes
@@ -489,9 +518,9 @@ class ManifestReader(DataSourceReader):
         parts = []
         for f in _data_files(self.snap):
             pv = _partition_values(f, self.snap)
-            if (self.ranges or self.point_sets) and not self._keep_file(
-                f, pv
-            ):
+            if (
+                self.ranges or self.point_sets or self.null_conds
+            ) and not self._keep_file(f, pv):
                 continue
             if allowed_buckets is not None:
                 fb = file_bucket_id(os.path.basename(f))
@@ -535,8 +564,8 @@ class ManifestReader(DataSourceReader):
             present = set(pq.ParquetFile(path).schema_arrow.names)
             for cond in self.conditions:
                 pcol = self.cmap.get(cond[1], cond[1])
-                if pcol not in present:
-                    continue
+                if pcol not in present or cond[0] == "null":
+                    continue  # nullness is checked in the final mask
                 if cond[0] == "cmp":
                     op = "==" if cond[2] == "=" else cond[2]
                     flt.append((pcol, op, cond[3]))
@@ -600,6 +629,12 @@ class ManifestReader(DataSourceReader):
             for cond in self.conditions:
                 if cond[0] == "cmp":
                     mask = ops[cond[2]](tbl.column(cond[1]), cond[3])
+                elif cond[0] == "null":
+                    mask = (
+                        pc.is_valid(tbl.column(cond[1]))
+                        if cond[2]  # IS NOT NULL
+                        else pc.is_null(tbl.column(cond[1]))
+                    )
                 else:
                     mask = pc.is_in(
                         tbl.column(cond[1]), value_set=pa.array(list(cond[2]))

@@ -681,3 +681,61 @@ def test_spark_shared_readinfo_canary(spark, tmp_path):
         f"pushFilters pruning may be safe to restore in the manifest/"
         f"CDF readers (and this canary should be updated)"
     )
+
+
+def test_where_option_is_null_prunes_hive_null_dirs(spark, tmp_path):
+    """IS [NOT] NULL in the where grammar: a file under
+    col=__HIVE_DEFAULT_PARTITION__ holds ONLY nulls of col and one
+    under col=value holds none, so either polarity prunes exactly on
+    dir-encoded columns; non-dir columns fall through to the row mask
+    (min/max stats carry no null counts)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
+    from datapipeline_scraping_spark.operators.txn import ManifestTable
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        ManifestReader,
+    )
+
+    root = str(tmp_path / "nulls")
+    mt = ManifestTable(root, retention_sec=3600)
+    df = spark.createDataFrame(
+        [
+            (i, None if i % 3 == 0 else "g%d" % (i % 2), float(i))
+            for i in range(30)
+        ],
+        "id long, grp string, v double",
+    )
+    mt.commit(df, partition_by=["grp"], stats_by=["id"])
+    schema = _St.fromJson(_json.loads(mt._log_entry(1)["schema"]))
+    base = len(ManifestReader({"root": root}, schema).partitions())
+    kept_nn = len(
+        ManifestReader(
+            {"root": root, "where": "grp IS NOT NULL"}, schema
+        ).partitions()
+    )
+    kept_n = len(
+        ManifestReader(
+            {"root": root, "where": "grp IS NULL"}, schema
+        ).partitions()
+    )
+    assert 0 < kept_nn < base and 0 < kept_n < base
+    assert kept_nn + kept_n == base  # the two polarities partition
+    register(spark)
+
+    def src(w):
+        return (
+            spark.read.format("manifest")
+            .option("root", root)
+            .option("where", w)
+            .load()
+        )
+
+    assert src("grp IS NOT NULL").count() == 20
+    assert src("grp IS NULL").count() == 10
+    assert sorted(
+        r["id"] for r in src("grp IS NULL AND id >= 21").collect()
+    ) == [21, 24, 27]
+    # non-dir-encoded column: no file pruning, row mask still exact
+    assert src("v IS NULL").count() == 0
