@@ -5191,8 +5191,19 @@ def compact_table(
                 rewritten = df.repartition(n_target)
         # cdf_mode="noop": compaction (incl. DV purge — the deletes
         # were already fed by delete_where) preserves logical content;
-        # feed readers skip the version instead of paying a diff join
-        new_ver = mt.commit(rewritten, expect_version=version, cdf_mode="noop")
+        # feed readers skip the version instead of paying a diff join.
+        # Table-property meta (declared sort order etc.) inherits like
+        # every other derived-version writer — found by the r13
+        # sequence property test: a plain compaction was silently
+        # DROPPING set_sort_order, so the very maintenance pass that
+        # defaults its rewrite to the declared order un-declared it
+        # for every later append.
+        new_ver = mt.commit(
+            rewritten,
+            expect_version=version,
+            cdf_mode="noop",
+            meta=_inherited_meta(entry),
+        )
     except FileNotFoundError as exc:
         # a racing writer committed and its GC dropped our snapshot
         # mid-rewrite: surface the documented retryable conflict, not
