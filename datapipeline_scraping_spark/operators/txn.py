@@ -174,7 +174,10 @@ def _stat_overlaps(fmin, fmax, lo, hi) -> bool:
     window's hi edge (silently dropping qualifying rows). Prefix-
     equal means "same day, sub-day resolution unknown" — keep."""
     def norm(x):
-        if isinstance(x, bool):
+        if x is None or isinstance(x, bool):
+            # None min/max (r14: a stats entry may carry ONLY null
+            # counts — [None, None, nulls, rows]) must never compare:
+            # str(None) = 'None' would order against real bounds
             return None
         if isinstance(x, (int, float)):
             return (0, float(x))
@@ -210,15 +213,20 @@ def _stat_overlaps(fmin, fmax, lo, hi) -> bool:
 def collect_file_stats(
     path: str, cols: list[str], *, only: set | None = None
 ) -> dict:
-    """Per-file [min, max] for ``cols`` read from the parquet FOOTERS
-    of every data file under ``path`` — no data scan; this is the
-    commit-time stats pass Delta runs per file for data skipping. A
-    file whose footer lacks min/max for a column simply records no
-    stat for it (readers then never skip it). Cost is one footer read
-    per file — O(files) tiny metadata reads, the same order as the
-    commit's own file listing. ``only`` restricts the walk to the
-    given RELATIVE paths (incremental compaction re-stats only its
-    newly written files; untouched files carry their old entries)."""
+    """Per-file ``[min, max, nulls, rows]`` for ``cols`` read from the
+    parquet FOOTERS of every data file under ``path`` — no data scan;
+    this is the commit-time stats pass Delta runs per file for data
+    skipping. min/max and the null count prune independently: a footer
+    lacking min/max for a column (all-null, or values too large to
+    stat) still records ``[None, None, nulls, rows]`` so IS [NOT] NULL
+    predicates can skip files on DATA columns, not just dir-encoded
+    ones (r14 — VERDICT r13 item 3); a footer lacking null counts
+    records the historical 2-element ``[min, max]`` (readers treat
+    both shapes). Cost is one footer read per file — O(files) tiny
+    metadata reads, the same order as the commit's own file listing.
+    ``only`` restricts the walk to the given RELATIVE paths
+    (incremental compaction re-stats only its newly written files;
+    untouched files carry their old entries)."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
@@ -244,18 +252,40 @@ def collect_file_stats(
                 mins: list = []
                 maxs: list = []
                 ok = True
+                nulls = 0
+                have_nulls = True
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(ci).statistics
-                    if st is None or not st.has_min_max:
-                        ok = False
+                    if st is None:
+                        ok = have_nulls = False
                         break
-                    mins.append(st.min)
-                    maxs.append(st.max)
+                    if st.has_min_max:
+                        try:
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                        except Exception:
+                            # pyarrow can't EXTRACT stats for some
+                            # physical types (decimal) even when the
+                            # footer has them — no min/max, but the
+                            # null count below still stands
+                            ok = False
+                    else:
+                        ok = False
+                    if not st.has_null_count or st.null_count is None:
+                        have_nulls = False
+                    else:
+                        nulls += st.null_count
+                lo = hi = None
                 if ok and mins:
                     lo = _stat_scalar(min(mins))
                     hi = _stat_scalar(max(maxs))
-                    if lo is not None and hi is not None:
-                        per[c] = [lo, hi]
+                    if lo is None or hi is None:
+                        lo = hi = None
+                if lo is not None or have_nulls:
+                    ent: list = [lo, hi]
+                    if have_nulls:
+                        ent += [nulls, md.num_rows]
+                    per[c] = ent
             out[os.path.relpath(fp, path)] = per
     return out
 

@@ -128,7 +128,14 @@ def _partition_values(path: str, snap: str) -> dict:
 #:            | col BETWEEN lit AND lit | col IS [NOT] NULL
 #:   op      := = | == | > | >= | < | <=
 #:   literal := number | 'string' ('' escapes a quote) | TRUE | FALSE
+#:            | DATE 'yyyy-mm-dd' | TIMESTAMP 'iso-8601'
 #:   col     := identifier | `identifier`
+#: Temporal predicates (r14): DATE/TIMESTAMP typed literals, bare
+#: ISO-8601 strings, and epoch-second numerics all compare against
+#: date/timestamp/timestamp_ntz columns; literals are coerced ONCE at
+#: parse (fail-loudly on malformed input). A zone-offset literal on a
+#: TIMESTAMP (session-tz) column is interpreted as UTC instant; the
+#: engine's convention for zoned tables is a UTC session timezone.
 _WHERE_TOKEN = re.compile(
     r"\s*(?:"
     r"(?P<str>'(?:[^']|'')*')"
@@ -139,6 +146,41 @@ _WHERE_TOKEN = re.compile(
     r"|(?P<word>[A-Za-z_][A-Za-z0-9_.]*)"
     r")"
 )
+
+
+def _temporal_literal(word: str, raw: str):
+    """A ``DATE '...'`` / ``TIMESTAMP '...'`` typed literal, parsed at
+    grammar level (column types are not known yet). Zone-offset
+    timestamps normalize to their UTC instant, carried as a naive
+    datetime — the same canonical form :func:`_coerce_literal` gives
+    bare ISO strings, so every later tier compares one representation."""
+    import datetime as dt
+
+    try:
+        if word == "DATE":
+            return dt.date.fromisoformat(raw)
+        val = dt.datetime.fromisoformat(raw)
+    except ValueError:
+        raise ValueError(
+            f"where: malformed {word} literal {raw!r} (ISO-8601 required)"
+        ) from None
+    if val.tzinfo is not None:
+        val = val.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return val
+
+
+def _lit_kind(v) -> str:
+    import datetime as dt
+
+    if isinstance(v, bool):
+        return "b"
+    if isinstance(v, dt.datetime):
+        return "t"
+    if isinstance(v, dt.date):
+        return "d"
+    if isinstance(v, str):
+        return "s"
+    return "n"
 
 
 def parse_where(s: str) -> list[tuple]:
@@ -189,28 +231,42 @@ def parse_where(s: str) -> list[tuple]:
         i += 1
         return tok[1]
 
+    def lit_tok():
+        # literal position: a typed DATE/TIMESTAMP literal is an
+        # identifier word followed by a string. Contextual — a COLUMN
+        # named `date` still parses normally, because a bare id is
+        # never valid where a literal is required.
+        nonlocal i
+        if (
+            i + 1 < len(toks)
+            and toks[i][0] == "id"
+            and toks[i][1].upper() in ("DATE", "TIMESTAMP")
+            and toks[i + 1][0] == "lit"
+            and isinstance(toks[i + 1][1], str)
+        ):
+            word = toks[i][1].upper()
+            raw = toks[i + 1][1]
+            i += 2
+            return _temporal_literal(word, raw)
+        return expect("lit")
+
     while i < len(toks):
         col = expect("id")
         kind, val = toks[i] if i < len(toks) else ("", "")
         if kind == "op":
             i += 1
-            out.append(("cmp", col, val, expect("lit")))
+            out.append(("cmp", col, val, lit_tok()))
         elif kind == "kw" and val == "IN":
             i += 1
             expect("punct", "(")
-            vals = [expect("lit")]
+            vals = [lit_tok()]
             while i < len(toks) and toks[i] == ("punct", ","):
                 i += 1
-                vals.append(expect("lit"))
+                vals.append(lit_tok())
             expect("punct", ")")
             # one literal kind per IN list: a mixed list cannot build
             # one Arrow value_set — fail at parse, not mid-task
-            kinds = {
-                ("b" if isinstance(v, bool) else
-                 "s" if isinstance(v, str) else "n")
-                for v in vals
-            }
-            if len(kinds) > 1:
+            if len({_lit_kind(v) for v in vals}) > 1:
                 raise ValueError(
                     f"where: IN list for {col!r} mixes literal types"
                 )
@@ -225,28 +281,185 @@ def parse_where(s: str) -> list[tuple]:
             out.append(("null", col, neg))  # neg=True => IS NOT NULL
         elif kind == "kw" and val == "BETWEEN":
             i += 1
-            lo = expect("lit")
+            lo = lit_tok()
             expect("kw", "AND")
             out.append(("cmp", col, ">=", lo))
-            out.append(("cmp", col, "<=", expect("lit")))
+            out.append(("cmp", col, "<=", lit_tok()))
         else:
             raise ValueError(f"where: expected comparison after {col!r}")
         if i < len(toks):
             expect("kw", "AND")  # OR / NOT are not part of the grammar
+            if i >= len(toks):
+                # a dangling trailing AND is outside the grammar too —
+                # fail loudly, don't silently accept (ADVICE r13)
+                raise ValueError(f"where: dangling AND at end of {s!r}")
     if not out:
         raise ValueError("where: empty predicate")
     return out
+
+
+_NUM_TYPES = {"int", "smallint", "tinyint", "bigint", "long", "float", "double"}
+_TEMPORAL_TYPES = {"timestamp", "timestamp_ntz"}
+
+#: sentinel: this literal must NOT be pushed into the parquet decode —
+#: its decode-level comparison could diverge from the exact Arrow mask
+_SKIP_PUSH = object()
+
+
+def _decode_literal(v, patype):
+    """Adapt a canonical where-literal to the FILE's physical Arrow
+    type for the parquet decode filter, or ``_SKIP_PUSH`` when the
+    decode-level comparison might not be exactly Spark's. Two measured
+    pyarrow-16 hazards force this: comparing a tz-aware column to a
+    naive datetime raises ArrowInvalid inside the task, and a dataset
+    equality between decimals of DIFFERENT scale silently matches
+    nothing (``d == Decimal('2')`` on decimal(10,2) returned 0 rows) —
+    dropped rows at decode are unrecoverable, unlike extra rows."""
+    import datetime as dt
+    import decimal
+
+    import pyarrow as pa
+
+    if isinstance(v, dt.datetime) and pa.types.is_timestamp(patype):
+        if patype.tz is not None:
+            # naive canonical form is the UTC instant by convention
+            return v.replace(tzinfo=dt.timezone.utc)
+        return v
+    if isinstance(v, decimal.Decimal) and pa.types.is_decimal(patype):
+        q = decimal.Decimal(1).scaleb(-patype.scale)
+        try:
+            scaled = v.quantize(q)
+        except decimal.InvalidOperation:
+            return _SKIP_PUSH  # exceeds precision: mask decides
+        if scaled != v:
+            return _SKIP_PUSH  # not representable at the file's scale
+        return scaled
+    return v
+
+
+def _coerce_literal(lit, styp: str, col: str):
+    """Validate AND canonicalize one where-option literal against the
+    column's Spark type, at parse time on the driver — a literal the
+    reader cannot compare exactly must fail HERE, never mid-task, and
+    never mis-compare. Canonical forms: numerics stay numeric, decimal
+    columns get exact ``decimal.Decimal`` literals (a raw int in an
+    Arrow value_set raises ArrowInvalid inside executor tasks —
+    ADVICE r13), date columns get ``datetime.date``, timestamp columns
+    get naive ``datetime.datetime`` (ISO strings and epoch-second
+    numerics both accepted; zone offsets normalize to UTC)."""
+    import datetime as dt
+    import decimal
+
+    if isinstance(lit, bool):
+        if styp == "boolean":
+            return lit
+    elif isinstance(lit, dt.datetime):  # before date: datetime IS a date
+        if styp in _TEMPORAL_TYPES:
+            return lit
+    elif isinstance(lit, dt.date):
+        if styp == "date":
+            return lit
+        if styp in _TEMPORAL_TYPES:  # Spark CAST(date AS timestamp)
+            return dt.datetime(lit.year, lit.month, lit.day)
+    elif isinstance(lit, (int, float)):
+        if styp in _NUM_TYPES:
+            return lit
+        if styp.startswith("decimal"):
+            return decimal.Decimal(str(lit))
+        if styp in _TEMPORAL_TYPES:  # epoch seconds, UTC instant
+            return dt.datetime.fromtimestamp(
+                float(lit), tz=dt.timezone.utc
+            ).replace(tzinfo=None)
+    elif isinstance(lit, str):
+        if styp == "string":
+            return lit
+        if styp == "date":
+            try:
+                return dt.date.fromisoformat(lit)
+            except ValueError:
+                raise ValueError(
+                    f"where: {lit!r} is not an ISO date for DATE "
+                    f"column {col!r}"
+                ) from None
+        if styp in _TEMPORAL_TYPES:
+            try:
+                v = dt.datetime.fromisoformat(lit)
+            except ValueError:
+                raise ValueError(
+                    f"where: {lit!r} is not an ISO timestamp for "
+                    f"column {col!r} of type {styp}"
+                ) from None
+            if v.tzinfo is not None:
+                v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            return v
+    raise ValueError(
+        f"where: literal {lit!r} does not match column {col!r} of "
+        f"type {styp} (supported predicate column types: numeric, "
+        f"decimal, string, boolean, date, timestamp)"
+    )
+
+
+def _mask_literal(v, patype):
+    """Adapt a canonical where-literal to the DECLARED Arrow type for
+    the exact row mask (the table is already cast to the logical
+    schema at this point). Only tz-aware timestamp columns need help:
+    the canonical naive datetime carries the UTC instant, and Arrow
+    refuses to compare naive against tz-aware."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    if (
+        isinstance(v, dt.datetime)
+        and pa.types.is_timestamp(patype)
+        and patype.tz is not None
+    ):
+        return v.replace(tzinfo=dt.timezone.utc)
+    return v
+
+
+def _norm_bound(x):
+    """Temporal bounds and stats meet as ISO strings: commit-log file
+    stats serialize date/datetime to their str() form (txn._stat_scalar)
+    and hive dirs carry them as path text, so a datetime bound
+    normalizes to the same lexicographically-ordered representation."""
+    import datetime as dt
+
+    if isinstance(x, dt.datetime):
+        return x.isoformat(sep=" ")
+    if isinstance(x, dt.date):
+        return x.isoformat()
+    return x
+
+
+def _str_lt(a: str, b: str) -> bool:
+    """Strictly-less under conservative truncation: both sides cut to
+    the shorter length, prefix-equal counts as overlap. A date bound
+    '2024-01-05' against a timestamp stat '2024-01-05 10:00:00' means
+    'same day, sub-day resolution unknown' — keep the file."""
+    k = min(len(a), len(b))
+    return a[:k] < b[:k]
 
 
 def _overlaps(mn, mx, lo, hi) -> bool:
     """Conservative [mn, mx] ∩ [lo, hi] test: any comparison that
     raises (mixed/incomparable types) keeps the file — skipping is an
     optimization, never a correctness filter."""
+    mn, mx = _norm_bound(mn), _norm_bound(mx)
+    lo, hi = _norm_bound(lo), _norm_bound(hi)
     try:
-        if lo is not None and mx is not None and mx < lo:
-            return False
-        if hi is not None and mn is not None and mn > hi:
-            return False
+        if lo is not None and mx is not None:
+            if isinstance(lo, str) and isinstance(mx, str):
+                if _str_lt(mx, lo):
+                    return False
+            elif mx < lo:
+                return False
+        if hi is not None and mn is not None:
+            if isinstance(hi, str) and isinstance(mn, str):
+                if _str_lt(hi, mn):
+                    return False
+            elif mn > hi:
+                return False
     except TypeError:
         return True
     return True
@@ -323,50 +536,76 @@ class ManifestReader(DataSourceReader):
             ),
             None,
         )
+        #: commit-time bloom-index declaration ({"cols": [...], ...},
+        #: physical names) — equality points on indexed columns consult
+        #: the `_bloom` sidecar at planning (r14, VERDICT r13 item 2)
+        self.bloom_prop = dict(entry.get("bloom") or {})
         #: conditions from the `where` option, LOGICAL column names —
         #: applied exactly (row filter) in read(); empty = no predicate
         self.conditions: list[tuple] = (
             parse_where(options["where"]) if "where" in options else []
         )
         logical = {f.name: f.dataType.simpleString() for f in schema.fields}
-        _NUM = {
-            "int",
-            "smallint",
-            "tinyint",
-            "bigint",
-            "long",
-            "float",
-            "double",
-        }
-
-        def _kind_ok(lit, styp: str) -> bool:
-            if isinstance(lit, bool):
-                return styp == "boolean"
-            if isinstance(lit, (int, float)):
-                return styp in _NUM or styp.startswith("decimal")
-            return styp == "string"
-
+        coerced: list[tuple] = []
         for cond in self.conditions:
             if cond[1] not in logical:
                 raise ValueError(
                     f"where: unknown column {cond[1]!r} "
                     f"(have {sorted(logical)})"
                 )
-            # literal kind must match the column type AT PARSE time —
-            # 'k >= ''x''' on a bigint column would otherwise only
-            # blow up (or worse, mis-compare) inside an executor task
+            # literals are validated AND coerced to the column's
+            # canonical comparison form AT PARSE time — 'k >= ''x'''
+            # on a bigint column would otherwise only blow up (or
+            # worse, mis-compare) inside an executor task; same for
+            # int literals on decimal columns (ArrowInvalid rescale,
+            # ADVICE r13) and ISO strings on temporal columns
             if cond[0] == "null":
-                continue  # IS [NOT] NULL carries no literal
+                coerced.append(cond)  # IS [NOT] NULL carries no literal
+                continue
             styp = logical[cond[1]]
-            lits = cond[2] if cond[0] == "in" else (cond[3],)
-            for lit in lits:
-                if not _kind_ok(lit, styp):
-                    raise ValueError(
-                        f"where: literal {lit!r} does not match "
-                        f"column {cond[1]!r} of type {styp} (supported "
-                        f"predicate column types: numeric, string, "
-                        f"boolean)"
+            if cond[0] == "in":
+                coerced.append(
+                    (
+                        "in",
+                        cond[1],
+                        tuple(
+                            _coerce_literal(v, styp, cond[1])
+                            for v in cond[2]
+                        ),
                     )
+                )
+            else:
+                coerced.append(
+                    (
+                        "cmp",
+                        cond[1],
+                        cond[2],
+                        _coerce_literal(cond[3], styp, cond[1]),
+                    )
+                )
+        self.conditions = coerced
+        #: logical float/double predicate columns: Spark orders NaN
+        #: GREATER than any number while Arrow comparisons return
+        #: false for NaN, so `>`/`>=` terms on these columns must (a)
+        #: OR an is_nan branch into the exact row mask and (b) never
+        #: drive lo-bound stats pruning — parquet writers skip NaN
+        #: when computing min/max, so a file's [min, max] says nothing
+        #: about NaN presence (ADVICE r13, medium)
+        self._nan_gt_cols = {
+            c.name
+            for c in schema.fields
+            if c.dataType.simpleString() in ("float", "double")
+            and any(
+                cond[0] == "cmp"
+                and cond[1] == c.name
+                and cond[2] in (">", ">=")
+                for cond in self.conditions
+            )
+        }
+        #: the physical-name image, for the stats tier in _keep_file
+        self._nan_lo_phys = {
+            self.cmap.get(c, c) for c in self._nan_gt_cols
+        }
         #: physical column -> [lo, hi] envelope (AND of all conditions)
         self.ranges: dict[str, list] = {}
         #: physical column -> exact value SET (= / IN) — prunes
@@ -438,14 +677,24 @@ class ManifestReader(DataSourceReader):
         # IS [NOT] NULL against dir-encoded columns: a file under
         # col=__HIVE_DEFAULT_PARTITION__ holds ONLY null values of
         # col, and one under col=value holds none — either side can
-        # prune exactly; non-dir-encoded columns fall through to the
-        # row filter (min/max stats carry no null counts)
+        # prune exactly. Data columns prune via the commit log's
+        # per-file null counts (r14 — stats entries grew to
+        # [min, max, nulls, rows]; 2-element entries from older
+        # commits never prune on nullness): nulls == rows means no
+        # IS-NOT-NULL row can exist, nulls == 0 means no IS-NULL row.
         for col, want_not_null in self.null_conds.items():
-            if col not in part_vals:
+            if col in part_vals:
+                is_null_dir = part_vals[col] is None
+                if is_null_dir == want_not_null:
+                    return False
                 continue
-            is_null_dir = part_vals[col] is None
-            if is_null_dir == want_not_null:
-                return False
+            st = stats.get(col)
+            if st is not None and len(st) >= 4 and st[2] is not None:
+                nulls, rows = st[2], st[3]
+                if want_not_null and nulls == rows:
+                    return False
+                if not want_not_null and nulls == 0:
+                    return False
         # point-set pruning on dir-encoded columns: tighter than the
         # range envelope for IN-lists (`IN ('a','z')` keeps only those
         # two dirs, not everything between). Conservative: only prunes
@@ -487,7 +736,15 @@ class ManifestReader(DataSourceReader):
                     return False
                 continue
             st = stats.get(col)
-            if st is not None and not _overlaps(st[0], st[1], lo, hi):
+            if st is None:
+                continue
+            # a float/double file's [min, max] says nothing about NaN
+            # (parquet writers skip NaN computing stats), and Spark
+            # orders NaN above every number — a `>` lo bound must not
+            # skip the file that holds only small values plus a NaN
+            if col in self._nan_lo_phys:
+                lo = None
+            if not _overlaps(st[0], st[1], lo, hi):
                 return False
         return True
 
@@ -511,10 +768,70 @@ class ManifestReader(DataSourceReader):
             ids.add(b)
         return ids
 
+    def _bloom_rejected(self) -> set[str]:
+        """RELATIVE paths of data files whose per-file bloom sidecar
+        proves that NONE of some equality point set's values occur in
+        the indexed column — the planning-time tier that lets a point
+        lookup on a high-cardinality, non-bucket, non-dir column touch
+        O(1) files where wide min/max envelopes keep everything (r14 —
+        VERDICT r13 item 2). Driver-side only: the ``_bloom`` sidecar
+        is tiny metadata, probing reads no data file. Conservative
+        everywhere: no sidecar / unindexed column / a point the bloom
+        key cannot canonicalize (non-integral, non-string) / a file
+        missing from the sidecar all keep the file; bloom false
+        positives only cost a task whose exact Arrow mask yields zero
+        rows — false negatives cannot happen, build and probe share
+        one hash (``operators.txn._bloom_positions``)."""
+        indexed = set(self.bloom_prop.get("cols") or [])
+        probe = {
+            c: pts
+            for c, pts in self.point_sets.items()
+            if c in indexed
+        }
+        if not probe:
+            return set()
+        import pyarrow.parquet as pq
+
+        from ..operators.txn import _bloom_key, _bloom_positions
+
+        try:
+            tbl = pq.read_table(os.path.join(self.snap, "_bloom"))
+        except (FileNotFoundError, OSError):
+            return set()
+        keys: dict[str, list[str]] = {}
+        for c, pts in probe.items():
+            try:
+                keys[c] = [_bloom_key(p) for p in pts]
+            except TypeError:
+                continue  # uncanonicalizable point type: no prune
+        if not keys:
+            return set()
+        rejected: set[str] = set()
+        for fn, c, m, k, bits in zip(
+            tbl.column("file").to_pylist(),
+            tbl.column("col").to_pylist(),
+            tbl.column("m").to_pylist(),
+            tbl.column("k").to_pylist(),
+            tbl.column("bits").to_pylist(),
+        ):
+            pts = keys.get(c)
+            if pts is None:
+                continue
+            if not any(
+                all(
+                    bits[pos >> 3] & (1 << (pos & 7))
+                    for pos in _bloom_positions(key, m, k)
+                )
+                for key in pts
+            ):
+                rejected.add(fn)
+        return rejected
+
     def partitions(self):
         from ..functions.bucket_hash import file_bucket_id
 
         allowed_buckets = self._allowed_bucket_ids()
+        bloom_rejected = self._bloom_rejected()
         parts = []
         for f in _data_files(self.snap):
             pv = _partition_values(f, self.snap)
@@ -529,6 +846,11 @@ class ManifestReader(DataSourceReader):
                 # over skipping), same stance as every other prune
                 if fb is not None and fb not in allowed_buckets:
                     continue
+            if (
+                bloom_rejected
+                and os.path.relpath(f, self.snap) in bloom_rejected
+            ):
+                continue
             parts.append(InputPartition((f, pv, True)))
         # the _upd delta is churn-sized and carries no per-file stats:
         # always scanned (update_where can move rows into any range)
@@ -558,20 +880,47 @@ class ManifestReader(DataSourceReader):
         # under file pruning. Conditions on dir-encoded / renamed-away
         # / evolution-added columns are left to the final Arrow mask,
         # which re-applies everything (idempotent), so this is purely
-        # an optimization and never a correctness filter.
-        flt = []
+        # an optimization and never a correctness filter; a condition
+        # whose decode-level semantics could DIVERGE from Spark's (NaN
+        # under `>`, a decimal literal that does not rescale exactly,
+        # nullness) is simply not pushed. The dataset handle supplies
+        # both the physical column list and the filtered scan from ONE
+        # footer parse (ADVICE r13 — read_table after ParquetFile
+        # re-parsed every footer twice per task).
         if self.conditions:
-            present = set(pq.ParquetFile(path).schema_arrow.names)
+            import pyarrow.dataset as pds
+
+            dset = pds.dataset(path, format="parquet")
+            phys = {f.name: f.type for f in dset.schema}
+            flt = []
             for cond in self.conditions:
                 pcol = self.cmap.get(cond[1], cond[1])
-                if pcol not in present or cond[0] == "null":
+                if pcol not in phys or cond[0] == "null":
                     continue  # nullness is checked in the final mask
                 if cond[0] == "cmp":
-                    op = "==" if cond[2] == "=" else cond[2]
-                    flt.append((pcol, op, cond[3]))
+                    if (
+                        cond[1] in self._nan_gt_cols
+                        and cond[2] in (">", ">=")
+                    ):
+                        continue  # Arrow would drop NaN rows Spark keeps
+                    v = _decode_literal(cond[3], phys[pcol])
+                    if v is _SKIP_PUSH:
+                        continue
+                    flt.append(
+                        (pcol, "==" if cond[2] == "=" else cond[2], v)
+                    )
                 else:
-                    flt.append((pcol, "in", set(cond[2])))
-        tbl = pq.read_table(path, filters=flt or None)
+                    vals = [
+                        _decode_literal(x, phys[pcol]) for x in cond[2]
+                    ]
+                    if any(v is _SKIP_PUSH for v in vals):
+                        continue
+                    flt.append((pcol, "in", set(vals)))
+            tbl = dset.to_table(
+                filter=pq.filters_to_expression(flt) if flt else None
+            )
+        else:
+            tbl = pq.read_table(path)
         # dropped physical columns go FIRST (metadata-only DROP): a
         # later rename may reuse a dropped name as its logical target,
         # and the stale physical column must be gone before the rename
@@ -614,8 +963,10 @@ class ManifestReader(DataSourceReader):
             tbl = pa.Table.from_arrays(arrays, names=list(want.names))
         tbl = tbl.cast(want)
         # the `where` option's EXACT row filter (SQL semantics: a null
-        # comparison excludes the row) — file pruning above is only
-        # the coarse pass over the same conditions
+        # comparison excludes the row; Spark semantics: NaN orders
+        # above every number, so float `>`/`>=` keeps NaN rows) —
+        # file pruning above is only the coarse pass over the same
+        # conditions
         if self.conditions:
             import pyarrow.compute as pc
 
@@ -628,7 +979,16 @@ class ManifestReader(DataSourceReader):
             }
             for cond in self.conditions:
                 if cond[0] == "cmp":
-                    mask = ops[cond[2]](tbl.column(cond[1]), cond[3])
+                    col = tbl.column(cond[1])
+                    lit = _mask_literal(
+                        cond[3], want.field(cond[1]).type
+                    )
+                    mask = ops[cond[2]](col, lit)
+                    if (
+                        cond[1] in self._nan_gt_cols
+                        and cond[2] in (">", ">=")
+                    ):
+                        mask = pc.or_(mask, pc.is_nan(col))
                 elif cond[0] == "null":
                     mask = (
                         pc.is_valid(tbl.column(cond[1]))
@@ -636,8 +996,10 @@ class ManifestReader(DataSourceReader):
                         else pc.is_null(tbl.column(cond[1]))
                     )
                 else:
+                    typ = want.field(cond[1]).type
+                    vals = [_mask_literal(v, typ) for v in cond[2]]
                     mask = pc.is_in(
-                        tbl.column(cond[1]), value_set=pa.array(list(cond[2]))
+                        tbl.column(cond[1]), value_set=pa.array(vals)
                     )
                 tbl = tbl.filter(mask)
         yield from tbl.to_batches(max_chunksize=1 << 16)

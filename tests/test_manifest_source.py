@@ -739,3 +739,356 @@ def test_where_option_is_null_prunes_hive_null_dirs(spark, tmp_path):
     ) == [21, 24, 27]
     # non-dir-encoded column: no file pruning, row mask still exact
     assert src("v IS NULL").count() == 0
+
+
+def test_where_temporal_literals_prune_and_stay_exact(spark, tmp_path):
+    """r14 (VERDICT r13 item 1): DATE/TIMESTAMP typed literals, bare
+    ISO strings, and epoch-second numerics in the `where` grammar —
+    coerced once at parse, pruned through hive dirs AND per-file
+    min/max stats (temporal bounds and stats meet as ISO strings with
+    conservative prefix truncation), re-applied row-exactly in Arrow.
+    Time windows are THE dominant predicate on an events ledger."""
+    import datetime as dt
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        ManifestReader,
+    )
+
+    root = str(tmp_path / "temporal")
+    mt = ManifestTable(root, retention_sec=3600)
+    base_ts = dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base_ts + dt.timedelta(hours=i), (base_ts + dt.timedelta(hours=i)).date())
+            for i in range(96)
+        ],
+        "id long, ts timestamp_ntz, d date",
+    )
+    mt.commit(
+        df.repartitionByRange(4, "ts"), partition_by=["d"], stats_by=["ts"]
+    )
+    schema = _St.fromJson(_json.loads(mt._log_entry(1)["schema"]))
+    base = len(ManifestReader({"root": root}, schema).partitions())
+
+    # typed TIMESTAMP literal: stats + dir pruning, then exact rows
+    w = "ts >= TIMESTAMP '2024-03-03 12:00:00'"
+    kept = len(ManifestReader({"root": root, "where": w}, schema).partitions())
+    assert 0 < kept < base, (kept, base)
+    register(spark)
+
+    def src(where):
+        return (
+            spark.read.format("manifest")
+            .option("root", root)
+            .option("where", where)
+            .load()
+        )
+
+    exp = sorted(r["id"] for r in df.filter("ts >= '2024-03-03 12:00:00'").collect())
+    assert sorted(r["id"] for r in src(w).collect()) == exp and exp
+
+    # typed DATE literal on the dir-encoded date column: exact dirs
+    w2 = "d = DATE '2024-03-02'"
+    kept2 = len(ManifestReader({"root": root, "where": w2}, schema).partitions())
+    assert 0 < kept2 < base
+    assert src(w2).count() == 24
+
+    # bare ISO string and epoch-second numerics are coerced too
+    assert sorted(r["id"] for r in src("ts >= '2024-03-03 12:00:00'").collect()) == exp
+    epoch = dt.datetime(2024, 3, 3, 12, tzinfo=dt.timezone.utc).timestamp()
+    assert sorted(r["id"] for r in src(f"ts >= {epoch}").collect()) == exp
+
+    # BETWEEN with temporal bounds; DATE literal promotes on a ts col
+    w3 = "ts BETWEEN DATE '2024-03-02' AND TIMESTAMP '2024-03-02 23:00:00'"
+    assert src(w3).count() == 24
+
+    # IN over dates
+    assert src("d IN (DATE '2024-03-01', DATE '2024-03-04')").count() == 48
+
+    # malformed literals and type mismatches fail AT PARSE, loudly
+    for bad in (
+        "ts >= TIMESTAMP 'not-a-time'",
+        "d = DATE '2024-13-40'",
+        "ts >= 'nonsense'",
+        "d = 5",
+        "id > 5 AND",  # dangling AND (ADVICE r13)
+    ):
+        with pytest.raises(ValueError):
+            ManifestReader({"root": root, "where": bad}, schema)
+
+
+def test_where_float_nan_matches_spark_ordering(spark, tmp_path):
+    """ADVICE r13 (medium): Spark orders NaN ABOVE every number, Arrow
+    comparisons return false for NaN — so `>`/`>=` on a float/double
+    column must OR an is_nan branch into the row mask AND must not
+    lo-prune on min/max stats (parquet writers skip NaN computing
+    stats, so a file whose stats say [0, 1] can still hold NaN rows
+    that `v > 100` keeps)."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "nan")
+    mt = ManifestTable(root, retention_sec=3600)
+    # low-valued file + NaN in the SAME rows region; high file apart
+    df = spark.createDataFrame(
+        [Row(id=1, v=1.0), Row(id=2, v=float("nan")), Row(id=3, v=0.5)],
+        "id long, v double",
+    ).repartitionByRange(1, "id").union(
+        spark.createDataFrame([(4, 500.0)], "id long, v double")
+    )
+    mt.commit(df.repartition(2, "id"), stats_by=["v"])
+    register(spark)
+
+    def ids(w):
+        return sorted(
+            r["id"]
+            for r in spark.read.format("manifest")
+            .option("root", root)
+            .option("where", w)
+            .load()
+            .collect()
+        )
+
+    full = mt.read(spark)
+    for w in ("v > 100", "v >= 0", "v < 100", "v <= 1", "v = 500",
+              "v BETWEEN 0 AND 2"):
+        assert ids(w) == sorted(
+            r["id"] for r in full.filter(w).collect()
+        ), w
+    # the NaN row specifically survives a > bound above every finite v
+    assert 2 in ids("v > 1000")
+
+
+def test_where_decimal_literals_validate_and_compare_exactly(
+    spark, tmp_path
+):
+    """ADVICE r13 (low): int/float literals on decimal columns coerce
+    to exact decimal.Decimal at parse — a raw int in an Arrow value_set
+    raised ArrowInvalid INSIDE executor tasks. Also pins the measured
+    pyarrow-16 hazard that forced scale-exact decode pushes: a dataset
+    equality between decimals of different scale silently matches
+    nothing, so `p = 2` on decimal(10,2) must still find 2.00."""
+    root = str(tmp_path / "dec")
+    mt = ManifestTable(root, retention_sec=3600)
+    df = spark.createDataFrame(
+        [(1, "2.00"), (2, "3.50"), (3, "9.99")], "id long, p string"
+    ).withColumn("p", F.col("p").cast("decimal(10,2)"))
+    mt.commit(df.repartition(3, "id"), stats_by=["p"])
+    register(spark)
+
+    def ids(w):
+        return sorted(
+            r["id"]
+            for r in spark.read.format("manifest")
+            .option("root", root)
+            .option("where", w)
+            .load()
+            .collect()
+        )
+
+    assert ids("p = 2") == [1]
+    assert ids("p IN (2, 3.5)") == [1, 2]
+    assert ids("p > 2.005") == [2, 3]
+    assert ids("p BETWEEN 2 AND 4") == [1, 2]
+    # literals unrepresentable at the column's scale match nothing —
+    # and never error mid-task
+    assert ids("p = 2.005") == []
+    assert ids("p IN (2.005, 3.5)") == [2]
+
+
+def test_where_equality_points_consult_bloom_sidecar(spark, tmp_path):
+    """r14 (VERDICT r13 item 2): = / IN points on a bloom-indexed,
+    non-bucket, non-dir column prune FILES through the `_bloom`
+    sidecar at planning — the difference between a point lookup
+    touching O(1) files and touching every file whose wide min/max
+    envelope matches. Conservative contract: bloom says 'maybe' keeps
+    the file; unindexed columns and uncanonicalizable points never
+    prune; rows stay exact either way."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        ManifestReader,
+    )
+
+    root = str(tmp_path / "bloomy")
+    mt = ManifestTable(root, retention_sec=3600)
+    # ids are SHUFFLED across files, so every file's [min, max]
+    # envelope spans the domain — min/max alone cannot skip anything
+    df = spark.createDataFrame(
+        [(i, f"u{i % 97}") for i in range(4000)], "id long, uid string"
+    )
+    mt.commit(df.repartition(8), bloom_by=["id"])
+    schema = _St.fromJson(_json.loads(mt._log_entry(1)["schema"]))
+    base = len(ManifestReader({"root": root}, schema).partitions())
+    assert base == 8
+
+    kept_eq = ManifestReader(
+        {"root": root, "where": "id = 1234"}, schema
+    ).partitions()
+    assert 0 < len(kept_eq) < base, (len(kept_eq), base)
+    kept_in = ManifestReader(
+        {"root": root, "where": "id IN (1234, 77)"}, schema
+    ).partitions()
+    assert 0 < len(kept_in) < base
+
+    # a range predicate doesn't consult the bloom (and can't prune
+    # here — every envelope spans the domain): all files kept
+    kept_rng = ManifestReader(
+        {"root": root, "where": "id >= 0"}, schema
+    ).partitions()
+    assert len(kept_rng) == base
+    # unindexed column: no bloom prune, still exact
+    kept_uid = ManifestReader(
+        {"root": root, "where": "uid = 'u5'"}, schema
+    ).partitions()
+    assert len(kept_uid) == base
+
+    register(spark)
+
+    def src(w):
+        return (
+            spark.read.format("manifest")
+            .option("root", root)
+            .option("where", w)
+            .load()
+        )
+
+    assert [r["id"] for r in src("id = 1234").collect()] == [1234]
+    assert sorted(r["id"] for r in src("id IN (1234, 77)").collect()) == [
+        77,
+        1234,
+    ]
+    assert src("uid = 'u5'").count() == df.filter("uid = 'u5'").count()
+    # bloom composes with MoR: delete the probed row, point read sees it
+    mt.delete_where(spark, "id = 1234", ["id"])
+    assert src("id = 1234").count() == 0
+
+
+def test_where_nullness_prunes_on_data_column_null_counts(
+    spark, tmp_path
+):
+    """r14 (VERDICT r13 item 3): commit-time file stats now carry
+    [min, max, nulls, rows], so IS [NOT] NULL prunes files on DATA
+    columns (all-null files for NOT NULL, null-free files for IS
+    NULL), not just dir-encoded ones — and EVERY stats-writing path
+    records them (commit, append, compaction; the q194 lesson: the
+    writer you forget is the one that drops it)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
+    from datapipeline_scraping_spark.operators.txn import compact_table
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        ManifestReader,
+    )
+
+    root = str(tmp_path / "nullstats")
+    mt = ManifestTable(root, retention_sec=3600)
+    # range-partitioned on id => one all-null file, one null-free file
+    df = spark.createDataFrame(
+        [(i, None if i < 100 else f"x{i}") for i in range(300)],
+        "id long, s string",
+    )
+    mt.commit(
+        df.repartitionByRange(3, "id"), stats_by=["id", "s"],
+        keep_snapshots=50,
+    )
+
+    def kept(w, ver=None):
+        entry = mt._log_entry(ver or mt.version())
+        schema = _St.fromJson(_json.loads(entry["schema"]))
+        opts = {"root": root, "where": w}
+        if ver:
+            opts["version"] = str(ver)
+        return len(ManifestReader(opts, schema).partitions())
+
+    base = kept("id >= 0")  # no null conds: every file
+    assert kept("s IS NULL") < base
+    assert kept("s IS NOT NULL") < base
+
+    # append writes stats through the incremental path
+    mt.append(
+        spark.createDataFrame(
+            [(300 + j, None) for j in range(50)], "id long, s string"
+        ),
+        keep_snapshots=50,
+    )
+    stats2 = (mt._log_entry(2) or {}).get("file_stats") or {}
+    new_rels = [
+        rel for rel, st in stats2.items() if "s" in st and len(st["s"]) >= 4
+    ]
+    assert new_rels, "appended files must carry null counts"
+    assert kept("s IS NOT NULL", ver=2) < kept("id >= 0", ver=2)
+
+    # compaction re-stats its rewritten files with null counts too
+    res = compact_table(spark, root, target_files=2, min_gain_files=0)
+    assert res.get("compacted"), res
+    stats3 = (mt._log_entry(mt.version()) or {}).get("file_stats") or {}
+    assert any(len(st.get("s") or []) >= 4 for st in stats3.values()), (
+        "compacted files lost null counts"
+    )
+
+    register(spark)
+    got = (
+        spark.read.format("manifest")
+        .option("root", root)
+        .option("where", "s IS NULL")
+        .load()
+        .count()
+    )
+    assert got == 150
+
+
+def test_predicate_view_helper_mints_pruned_sql_views(spark, tmp_path):
+    """r14 (VERDICT r13 item 4): `predicate_view` is the SQL-surface
+    path to predicate views — it validates the predicate against the
+    committed schema at CREATE (typos fail loudly, not mid-query),
+    escapes the OPTIONS quoting, and the minted view launches only the
+    window's files."""
+    import datetime as dt
+
+    from datapipeline_scraping_spark.sources.manifest_sql import (
+        predicate_view,
+    )
+
+    root = str(tmp_path / "pview")
+    mt = ManifestTable(root, retention_sec=3600)
+    base_ts = dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(i, base_ts + dt.timedelta(hours=i), f"it's {i}") for i in range(96)],
+        "id long, ts timestamp_ntz, note string",
+    )
+    mt.commit(df.repartitionByRange(4, "ts"), stats_by=["ts"])
+
+    predicate_view(
+        spark, "pv_recent", root, "ts >= TIMESTAMP '2024-03-03 12:00:00'"
+    )
+    got = spark.sql("SELECT id FROM pv_recent").count()
+    assert got == df.filter("ts >= '2024-03-03 12:00:00'").count() > 0
+    # fewer tasks than the unfiltered view: compare scan partitions
+    n_all = (
+        spark.read.format("manifest").option("root", root).load()
+        .rdd.getNumPartitions()
+    )
+    n_view = spark.table("pv_recent").rdd.getNumPartitions()
+    assert 0 < n_view < n_all, (n_view, n_all)
+
+    # quotes in predicate literals survive the OPTIONS escaping
+    predicate_view(spark, "pv_quoted", root, "note = 'it''s 5'")
+    assert [r["id"] for r in spark.sql(
+        "SELECT id FROM pv_quoted"
+    ).collect()] == [5]
+
+    # typos fail at CREATE, and the view is read-only
+    with pytest.raises(ValueError, match="unknown column"):
+        predicate_view(spark, "pv_bad", root, "nope = 1")
+    with pytest.raises(ValueError):
+        predicate_view(spark, "pv_bad", root, "ts >= 'garbage'")
+    with pytest.raises(Exception, match="filtered READ view"):
+        df.limit(1).write.format("manifest").option("root", root).option(
+            "where", "id > 0"
+        ).mode("append").save()

@@ -10,6 +10,7 @@ invariants — the contracts every oracle comparison leans on:
 
 from __future__ import annotations
 
+import datetime
 import random
 
 from hypothesis import HealthCheck, given, settings
@@ -778,13 +779,27 @@ def test_partition_evolution_sequence_matches_model(
 
 
 #: pushdown probe = (kind, col_idx, a, b) over (id long, grp string,
-#: v double) — id 0..59, grp g0..g2, v = id/2
+#: v double, ts timestamp_ntz) — id 0..59, grp g0..g2, v = id/2,
+#: ts = 2024-03-01 + id hours (r14: temporal literals in the grammar)
 _PUSH_OP = st.tuples(
     st.sampled_from(["eq", "ge", "le", "between", "in"]),
-    st.sampled_from(["id", "grp", "v"]),
+    st.sampled_from(["id", "grp", "v", "ts"]),
     st.integers(-5, 65),
     st.integers(-5, 65),
 )
+
+_TS0 = datetime.datetime(2024, 3, 1)
+
+
+def _push_lit(col: str, x: int) -> str:
+    if col == "grp":
+        return "'g%d'" % (abs(x) % 3)
+    if col == "v":
+        return str(x / 2.0)
+    if col == "ts":
+        t = _TS0 + datetime.timedelta(hours=x)
+        return f"TIMESTAMP '{t.isoformat(sep=' ')}'"
+    return str(x)
 
 
 @given(ops=st.lists(_PUSH_OP, min_size=1, max_size=3))
@@ -806,42 +821,43 @@ def test_pushdown_never_drops_qualifying_rows(
     root = str(tmp_path_factory.mktemp("pushprop") / "t")
     mt = ManifestTable(root, retention_sec=3600)
     df = spark.createDataFrame(
-        [(i, "g%d" % (i % 3), i / 2.0) for i in range(60)],
-        "id long, grp string, v double",
+        [
+            (
+                i,
+                "g%d" % (i % 3),
+                i / 2.0,
+                _TS0 + datetime.timedelta(hours=i),
+            )
+            for i in range(60)
+        ],
+        "id long, grp string, v double, ts timestamp_ntz",
     )
     mt.commit(
         df.filter("id < 40").repartitionByRange(3, "id"),
         partition_by=["grp"],
-        stats_by=["id", "v"],
+        stats_by=["id", "v", "ts"],
         keep_snapshots=50,
     )
     # evolve so the probe exercises BOTH dir-encoded and stats paths
     mt.evolve_partition(["id"], keep_snapshots=50)
     mt.append(df.filter("id >= 40"), keep_snapshots=50)
 
-    def lit(col, x):
-        if col == "grp":
-            return "'g%d'" % (abs(x) % 3)
-        if col == "v":
-            return str(x / 2.0)
-        return str(x)
-
     preds = []
     for kind, col, a, b in ops:
         lo, hi = min(a, b), max(a, b)
         if kind == "eq":
-            preds.append(f"{col} = {lit(col, a)}")
+            preds.append(f"{col} = {_push_lit(col, a)}")
         elif kind == "ge":
-            preds.append(f"{col} >= {lit(col, a)}")
+            preds.append(f"{col} >= {_push_lit(col, a)}")
         elif kind == "le":
-            preds.append(f"{col} <= {lit(col, a)}")
+            preds.append(f"{col} <= {_push_lit(col, a)}")
         elif kind == "between":
             preds.append(
-                f"{col} BETWEEN {lit(col, lo)} AND {lit(col, hi)}"
+                f"{col} BETWEEN {_push_lit(col, lo)} AND {_push_lit(col, hi)}"
             )
         else:
             preds.append(
-                f"{col} IN ({lit(col, lo)}, {lit(col, hi)})"
+                f"{col} IN ({_push_lit(col, lo)}, {_push_lit(col, hi)})"
             )
     where = " AND ".join(preds)
     # the predicate through the `where` OPTION (planning-time file
@@ -853,12 +869,12 @@ def test_pushdown_never_drops_qualifying_rows(
             .option("root", root)
             .option("where", where)
             .load()
-            .select("id", "grp", "v")
+            .select("id", "grp", "v", "ts")
             .collect(),
         )
     )
     exp = sorted(
-        map(tuple, df.filter(where).select("id", "grp", "v").collect())
+        map(tuple, df.filter(where).select("id", "grp", "v", "ts").collect())
     )
     assert got == exp, f"where-option dropped rows for WHERE {where}"
     # ... and as a plain Spark filter over the unfiltered relation
@@ -869,7 +885,7 @@ def test_pushdown_never_drops_qualifying_rows(
             .option("root", root)
             .load()
             .filter(where)
-            .select("id", "grp", "v")
+            .select("id", "grp", "v", "ts")
             .collect(),
         )
     )
@@ -895,8 +911,16 @@ def test_pushdown_never_drops_qualifying_rows_clustered(
     root = str(tmp_path_factory.mktemp("pushclus") / "t")
     mt = ManifestTable(root, retention_sec=3600)
     df = spark.createDataFrame(
-        [(i, "g%d" % (i % 3), i / 2.0) for i in range(60)],
-        "id long, grp string, v double",
+        [
+            (
+                i,
+                "g%d" % (i % 3),
+                i / 2.0,
+                _TS0 + datetime.timedelta(hours=i),
+            )
+            for i in range(60)
+        ],
+        "id long, grp string, v double, ts timestamp_ntz",
     )
     mt.commit_clustered(df, "id", 4)
     # MoR churn on top of the buckets: a delete and an update whose
@@ -912,26 +936,23 @@ def test_pushdown_never_drops_qualifying_rows_clustered(
         ),
     )
 
-    def lit(col, x):
-        if col == "grp":
-            return "'g%d'" % (abs(x) % 3)
-        if col == "v":
-            return str(x / 2.0)
-        return str(x)
-
     preds = []
     for kind, col, a, b in ops:
         lo, hi = min(a, b), max(a, b)
         if kind == "eq":
-            preds.append(f"{col} = {lit(col, a)}")
+            preds.append(f"{col} = {_push_lit(col, a)}")
         elif kind == "ge":
-            preds.append(f"{col} >= {lit(col, a)}")
+            preds.append(f"{col} >= {_push_lit(col, a)}")
         elif kind == "le":
-            preds.append(f"{col} <= {lit(col, a)}")
+            preds.append(f"{col} <= {_push_lit(col, a)}")
         elif kind == "between":
-            preds.append(f"{col} BETWEEN {lit(col, lo)} AND {lit(col, hi)}")
+            preds.append(
+                f"{col} BETWEEN {_push_lit(col, lo)} AND {_push_lit(col, hi)}"
+            )
         else:
-            preds.append(f"{col} IN ({lit(col, lo)}, {lit(col, hi)})")
+            preds.append(
+                f"{col} IN ({_push_lit(col, lo)}, {_push_lit(col, hi)})"
+            )
     where = " AND ".join(preds)
     got = sorted(
         map(
@@ -940,14 +961,14 @@ def test_pushdown_never_drops_qualifying_rows_clustered(
             .option("root", root)
             .option("where", where)
             .load()
-            .select("id", "grp", "v")
+            .select("id", "grp", "v", "ts")
             .collect(),
         )
     )
     exp = sorted(
         map(
             tuple,
-            expected.filter(where).select("id", "grp", "v").collect(),
+            expected.filter(where).select("id", "grp", "v", "ts").collect(),
         )
     )
     assert got == exp, f"clustered where-option dropped rows for {where}"
