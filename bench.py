@@ -25,7 +25,9 @@ BENCH_QUERIES = [
     "q08_customer_order_analytics",
     "q12_delta_detection",
     "q17_event_daily_rollup",
-    "q19_minhash_lsh_pairs",
+    # r14: q19 retired; the banded-LSH family slot moved to the
+    # MLlib production path (same shingle->minhash->band shape)
+    "q74_ml_minhash_lsh",
     "q20_jaccard_neardup",
     "q21_cosine_topk",
     "q22_simhash",
@@ -101,7 +103,7 @@ def main() -> None:
     # reported min reflects the warmed steady state, not the session's
     # JIT history.
     extra_runs = {
-        "q19_minhash_lsh_pairs": 4,
+        "q74_ml_minhash_lsh": 4,
         "q21_cosine_topk": 4,
         "q22_simhash": 4,
     }

@@ -388,7 +388,8 @@ def q73_scd2_history(spark, sf_dir):
 
 # ===========================================================================
 # MLlib-backed production paths (trained models => rows-only checks;
-# the deterministic twins q19/q174 carry the oracles)
+# the deterministic formula twins carry exhaustive oracles: q20 runs
+# the banded-LSH kernel end-to-end, q174 the IVF-SQ8 composition)
 # ===========================================================================
 
 @q(
@@ -411,7 +412,9 @@ def q74_ml_minhash_lsh(spark, sf_dir):
     over binary HashingTF shingle vectors — the library-grade
     production path for near-dup detection (tuned band/hash-table
     internals, trained once, broadcast to executors). The
-    formula-deterministic near-dup twin is q19; THIS slot is
+    formula-deterministic near-dup twin is q20 (which feeds the same
+    minhash_lsh_pairs output into Jaccard verification; q19's
+    standalone pair demo retired into it, r14); THIS slot is
     hash-oracled (r12 — VERDICT r11 item 5) through a guaranteed-
     recall cut: identical texts tokenize to identical feature vectors,
     whose MinHash signatures are identical, so they collide in EVERY
@@ -427,7 +430,7 @@ def q74_ml_minhash_lsh(spark, sf_dir):
     Like q56, the demo runs on a deterministic 1/3 document cohort
     (``doc_id % 3 = 0``): the seam being demonstrated (fit ->
     approxSimilarityJoin) is cohort-size-independent, and the full-
-    corpus production path is q19 — no reason for a library demo to be
+    corpus production path is q20/q95 — no reason for a library demo to be
     the suite's most expensive query."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 

@@ -105,14 +105,14 @@ pairs AS (
 # slice/concat_ws projections — codegen-safe, so the opt-out is gone.
 
 
-@q("q19_minhash_lsh_pairs", oracle=f"WITH {_minhash_cte()}\nSELECT id_a, id_b FROM pairs")
-def q19_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH near-duplicate candidate pairs: one index-explode
-    shingle relation, map-side-combinable min aggregates, 4 bands × 2
-    rows, candidate self-join on the band bucket only (see
-    operators/dedup.py scale notes)."""
-    docs = _t(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, "doc_id", "text", k=3, n_hashes=8, n_bands=4)
+# q19_minhash_lsh_pairs RETIRED (r14, registry hygiene — VERDICT r13
+# item 5): its exact operator call (minhash_lsh_pairs over documents)
+# still runs inside q20 (which feeds the SAME pairs into Jaccard
+# verification against the SAME formula-twin oracle CTE below), q91
+# (clusters over the pairs) and q95 (the incremental probe), and q74
+# keeps the MLlib MinHashLSH production path oracled — five green
+# demos of one banded-LSH kernel was the slack the registry needed
+# back. bench.py's dedup slot moved to q74 (the production path).
 
 
 @q(

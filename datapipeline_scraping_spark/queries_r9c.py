@@ -1,7 +1,8 @@
 """Round-9 third wave — two scale-path curation operators beyond the
 reference's surface:
 
-- **SQ8 quantized ANN** (q172): per-dimension affine int8 scalar
+- **SQ8 quantized ANN** (q177, recall-evaluated; standalone q172
+  retired into it r14): per-dimension affine int8 scalar
   quantization of the embedding corpus, integer-dot candidate
   generation over the 4x-smaller code table, exact float rerank of the
   candidates only — the compressed-index pattern (FAISS's SQ8 /
@@ -41,80 +42,12 @@ _SQ8_K = 5
 _SQ8_CANDIDATES = 20
 
 
-@q(
-    "q172_sq8_quantized_ann",
-    oracle=f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-dims AS (
-  SELECT pos, min(x) AS mn, (max(x) - min(x)) / 255.0 AS step
-  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
-  GROUP BY pos
-),
-params AS (
-  SELECT list(mn ORDER BY pos) AS mins, list(step ORDER BY pos) AS steps
-  FROM dims
-),
-codes AS (
-  SELECT vec_id, list_transform(list_zip(v, mins, steps),
-    z -> CASE WHEN z[3] = 0 THEN 0
-              ELSE CAST(least(255.0, greatest(0.0, floor((z[1] - z[2]) / z[3])))
-                   AS INT) END) AS c
-  FROM e, params
-),
-qc AS (SELECT vec_id AS query_id, c AS qcodes FROM codes WHERE vec_id < 8),
-scored AS (
-  SELECT qc.query_id, codes.vec_id AS neighbor_id,
-    CAST(list_dot_product(list_transform(qcodes, x -> CAST(x - 128 AS DOUBLE)),
-                          list_transform(c, x -> CAST(x - 128 AS DOUBLE)))
-         AS BIGINT) AS qscore
-  FROM qc, codes WHERE qc.query_id <> codes.vec_id
-),
-cand AS (
-  SELECT query_id, neighbor_id, qscore FROM (
-    SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS crank
-    FROM scored) WHERE crank <= {_SQ8_CANDIDATES}
-),
-reranked AS (
-  SELECT cand.query_id, cand.neighbor_id, cand.qscore,
-    round(list_dot_product(qe.v, ce.v)
-      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))),
-      4) AS cosine
-  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
-            JOIN e ce ON ce.vec_id = cand.neighbor_id
-)
-SELECT query_id, neighbor_id, qscore, cosine, CAST(rank AS BIGINT) AS rank
-FROM (
-  SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-  FROM reranked)
-WHERE rank <= {_SQ8_K}
-""",
-)
-def q172_sq8_quantized_ann(spark, sf_dir):
-    """Int8 scalar-quantized ANN (operators/similarity.py::sq8_topk):
-    train per-dimension (min, step) on the corpus, encode to 8-bit
-    codes, generate top-{candidates} candidates per query by the CENTERED
-    integer dot product on the codes (codes - 128: cancels the
-    affine bias a raw-code dot carries — measured recall@5 0.125
-    raw vs 0.975 centered; still exact in any addition order, so
-    the candidate cut cannot flip cross-engine), then rerank only the
-    candidates with the exact double cosine. At 100 TB the code table
-    is 1/4 the scan bytes and the full-precision read is
-    candidate-sized."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    out = SIM.sq8_topk(
-        emb,
-        queries,
-        "vec_id",
-        "embedding",
-        k=_SQ8_K,
-        candidates=_SQ8_CANDIDATES,
-        round_to=4,
-    )
-    return out.withColumn("rank", F.col("rank").cast("long"))
-
+# q172_sq8_quantized_ann RETIRED (r14, registry hygiene — VERDICT r13
+# item 5 named the q172/q174/q177 IVF-tier overlap): q177 calls the
+# IDENTICAL SIM.sq8_topk path (same k, same candidate budget) and
+# hash-oracles its recall against brute-force ground truth, and q174
+# oracles the composed IVF+SQ8 index — the standalone full-scan SQ8
+# demo added no coverage. _SQ8_* constants stay: q174/q177 share them.
 
 # ===========================================================================
 # per-source boilerplate removal
@@ -267,7 +200,7 @@ WHERE rank <= {_SQ8_K}
 )
 def q174_ivf_sq8_topk(spark, sf_dir):
     """IVF lists of SQ8 codes (operators/similarity.py::ivf_sq8_topk)
-    — the production ANN composition SCALE.md's q172 notes promise:
+    — the production ANN composition SCALE.md's SQ8 notes promise:
     the coarse quantizer prunes WHICH lists are scanned
     (nprobe/|centroids| of the corpus), SQ8 shrinks WHAT each scanned
     row reads (1/4 bytes, integer dot — exact in any addition order),
@@ -554,7 +487,7 @@ LEFT JOIN hi ON hi.qid = q.query_id
 
 @q("q177_quantized_ann_recall", oracle=_q177_oracle())
 def q177_quantized_ann_recall(spark, sf_dir):
-    """Recall@{k} of BOTH quantized indexes (q172's full-scan SQ8 and
+    """Recall@{k} of BOTH quantized indexes (the full-scan SQ8 tier and
     q174's IVF-SQ8) against the exact brute-force ground truth — q94's
     'measure, don't guess' discipline applied to the compressed tier.
     The gap between the two columns is exactly the nprobe budget: SQ8

@@ -464,7 +464,6 @@ CURATION_QUERIES = (
     # boilerplate removal faces the 30%-hot source whose shared hot
     # text makes whole documents boilerplate (maximal anti-join hit
     # rate AND a hot (source, chunk) aggregation key)
-    "q172_sq8_quantized_ann",
     "q173_boilerplate_removal",
     # the composed IVF-SQ8 index on the same near-dup-heavy corpus:
     # centroid ties + integer-score ties together are its worst case

@@ -49,7 +49,6 @@ NESTED_LOOP_ALLOW = {
     "q130_important_stock": "scalar nation-total row (1-row broadcast gate)",
     "q134_semantic_dedup": "centroid assignment; broadcast side is k centroids",
     "q148_length_buckets": "scalar corpus-total row (1-row broadcast gate)",
-    "q172_sq8_quantized_ann": "SQ8 candidate kernel; broadcast sides are the 1-row quantization params and the query set",
     "q174_ivf_sq8_topk": "centroid assignment + SQ8 params: broadcast sides are k centroids, the 1-row params, and the query set",
     "q177_quantized_ann_recall": "recomputes the exact ground truth + both quantized indexes to measure recall",
 }
