@@ -437,6 +437,17 @@ TXN_QUERIES = (
     # never a rewrite; the union read's per-spec pruning is asserted
     # in-query at both scales
     "q192_partition_evolution",
+    # r14: predicate views — the time-window view must keep launching
+    # O(window) tasks as the ledger grows 10x with the SAME 30-day
+    # span (its in-query assert pins kept < total at both scales);
+    # the bloom point lookup must keep pruning to the probed keys'
+    # files while every min/max envelope still spans the domain; the
+    # null-count IS NOT NULL view must keep skipping the all-null
+    # files (all three assert their reductions IN-QUERY, so a scale
+    # where pruning stopped working fails the run, not just the ratio)
+    "q196_temporal_predicate_view",
+    "q197_bloom_point_lookup",
+    "q198_nullcount_skipping",
 )
 
 CURATION_QUERIES = (
@@ -678,6 +689,70 @@ def cdf_catchup_evidence(spark) -> dict[str, dict[str, float]]:
     return out
 
 
+def predicate_view_evidence(spark) -> dict:
+    """r14 (VERDICT r13 item 7): measure — don't just assert — that a
+    predicate view's task count and wall time track the PREDICATE, not
+    the table. Over the ledgers q196/q197 build (roots keyed by
+    sf_dir; run AFTER the txn passes so they exist): tasks launched
+    (InputPartitions) and wall for the 7-of-30-day time-window view
+    and the bloom point lookup, at 1x and 10x. The 10x events ledger
+    keeps its 30-day span, so the window's share of files — and the
+    scan's task count — must stay the window's fraction while total
+    bytes grow 10x."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
+    from datapipeline_scraping_spark.queries_r14 import (
+        _Q196_HI, _Q196_LO, _Q197_KEYS, _key,
+    )
+    from datapipeline_scraping_spark.operators.txn import ManifestTable
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        ManifestReader, register,
+    )
+
+    register(spark)
+    in_list = ", ".join(str(k) for k in _Q197_KEYS)
+    out: dict = {}
+    for tag, sf in (("1x", SF1), ("10x", OUT10C)):
+        row = {}
+        for fam, prefix, where in (
+            (
+                "window",
+                "tpv",
+                f"ts >= TIMESTAMP '{_Q196_LO}' AND ts < TIMESTAMP '{_Q196_HI}'",
+            ),
+            ("point", "bloomq", f"l_orderkey IN ({in_list})"),
+        ):
+            root = os.path.join(SCRATCH, f"{prefix}_{_key(sf)}")
+            mt = ManifestTable(root)
+            entry = mt._log_entry(mt.version()) or {}
+            schema = _St.fromJson(_json.loads(entry["schema"]))
+            total = len(ManifestReader({"root": root}, schema).partitions())
+            kept = len(
+                ManifestReader(
+                    {"root": root, "where": where}, schema
+                ).partitions()
+            )
+            t0 = time.perf_counter()
+            n = (
+                spark.read.format("manifest")
+                .option("root", root)
+                .option("where", where)
+                .load()
+                .count()
+            )
+            wall = round(time.perf_counter() - t0, 2)
+            row[fam] = {
+                "files_total": total,
+                "files_kept": kept,
+                "wall_sec": wall,
+                "rows": n,
+            }
+        out[tag] = row
+    return out
+
+
 def streaming_state_evidence(spark) -> list[dict]:
     """Replay the 10x events through the q97 interval join in 10
     time-ordered micro-batches and record the join state size per
@@ -830,6 +905,8 @@ def main() -> None:
     )
     x10 = bench_list(TXN_QUERIES, OUT10C)
     spark.catalog.clearCache()
+
+    pview = predicate_view_evidence(spark)
 
     skew_excerpt, skew_wall, skew_rows = skew_split_evidence(spark, docs10)
     probe = incremental_probe_evidence(spark, docs1, docs10)
@@ -1051,6 +1128,28 @@ def main() -> None:
         )
     lines += [
         "",
+        "## Predicate views: tasks launched track the predicate (r14)",
+        "",
+        "The `where`-option view's InputPartition count and wall time for",
+        "a 7-of-30-day time window (q196's date-partitioned events",
+        "ledger; the 10x ledger keeps the SAME 30-day span) and a",
+        "bloom-sidecar point lookup (q197's unclustered lineitem ledger,",
+        "every min/max envelope spans the key domain). The O(window)/",
+        "O(probed-keys) claim measured, not asserted: the kept-file",
+        "fraction must hold as the table grows 10x.",
+        "",
+        "| view | scale | files kept/total | wall sec | rows |",
+        "| --- | --- | --- | --- | --- |",
+    ]
+    for fam in ("window", "point"):
+        for tag in ("1x", "10x"):
+            r = pview[tag][fam]
+            lines.append(
+                f"| {fam} | {tag} | {r['files_kept']}/{r['files_total']} "
+                f"| {r['wall_sec']} | {r['rows']:,} |"
+            )
+    lines += [
+        "",
         "Raw JSON: see `scale_evidence.json` next to this file.",
         "",
     ]
@@ -1061,7 +1160,8 @@ def main() -> None:
             {"sizes": sizes, "t1x": t1, "t10x": t10,
              "curation_1x": c1, "curation_10x": c10,
              "txn_1x": x1, "txn_10x": x10, "probe": probe, "cdf": cdf,
-             "state": state, "skew_wall": skew_wall, "skew_rows": skew_rows},
+             "state": state, "skew_wall": skew_wall, "skew_rows": skew_rows,
+             "predicate_views": pview},
             f, indent=1,
         )
     print(f"wrote {REPORT}")

@@ -1092,3 +1092,50 @@ def test_predicate_view_helper_mints_pruned_sql_views(spark, tmp_path):
         df.limit(1).write.format("manifest").option("root", root).option(
             "where", "id > 0"
         ).mode("append").save()
+
+
+def test_where_temporal_on_zoned_timestamp_column(spark, tmp_path):
+    """TimestampType (session-tz) columns arrive in Arrow as
+    timestamp[us, tz=UTC]; the canonical naive literal carries the UTC
+    instant and both the decode filter and the row mask re-attach the
+    zone — cmp, IN, and epoch-numeric BETWEEN all stay Spark-exact
+    (Arrow refuses naive-vs-aware comparisons, so a missed adaptation
+    raises rather than mis-filters; this pins that it neither raises
+    nor drops)."""
+    import datetime as dt
+
+    root = str(tmp_path / "tz")
+    mt = ManifestTable(root, retention_sec=3600)
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 3, 1) + dt.timedelta(hours=i)) for i in range(48)],
+        "id long, ts timestamp",
+    )
+    mt.commit(df.repartitionByRange(3, "ts"), stats_by=["ts"])
+    register(spark)
+
+    def ids(w):
+        return sorted(
+            r["id"]
+            for r in spark.read.format("manifest")
+            .option("root", root)
+            .option("where", w)
+            .load()
+            .collect()
+        )
+
+    for w in (
+        "ts >= TIMESTAMP '2024-03-02 00:00:00'",
+        "ts IN (TIMESTAMP '2024-03-01 05:00:00', "
+        "TIMESTAMP '2024-03-02 07:00:00')",
+    ):
+        assert ids(w) == sorted(r["id"] for r in df.filter(w).collect()), w
+    epoch_lo = dt.datetime(2024, 3, 1, 12, tzinfo=dt.timezone.utc).timestamp()
+    epoch_hi = dt.datetime(2024, 3, 2, 0, tzinfo=dt.timezone.utc).timestamp()
+    got = ids(f"ts BETWEEN {epoch_lo} AND {epoch_hi}")
+    exp = sorted(
+        r["id"]
+        for r in df.filter(
+            "ts BETWEEN '2024-03-01 12:00:00' AND '2024-03-02 00:00:00'"
+        ).collect()
+    )
+    assert got == exp and got

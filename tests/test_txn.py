@@ -262,13 +262,16 @@ def test_compact_table_loses_race_cleanly(spark, tmp_path):
         ManifestTable as MT,
         compact_table,
     )
-    from datapipeline_scraping_spark.operators import txn as txn_mod
+    # patch the symbol where compact_table RESOLVES it: since the r14
+    # package split, compact.py binds _snapshot_files from .stats at
+    # import, so the injection seam is the compact module's global
+    from datapipeline_scraping_spark.operators.txn import compact as compact_mod
 
     root = str(tmp_path / "t")
     tbl = MT(root)
     tbl.commit(spark.range(500).repartition(10))
 
-    orig_files = txn_mod._snapshot_files
+    orig_files = compact_mod._snapshot_files
 
     def racing_files(path):
         stats = orig_files(path)
@@ -277,11 +280,11 @@ def test_compact_table_loses_race_cleanly(spark, tmp_path):
         return stats
 
     try:
-        txn_mod._snapshot_files = racing_files
+        compact_mod._snapshot_files = racing_files
         with pytest.raises(ConcurrentWriteError):
             compact_table(spark, root, target_file_bytes=1 << 30)
     finally:
-        txn_mod._snapshot_files = orig_files
+        compact_mod._snapshot_files = orig_files
     assert tbl.read(spark).count() == 600  # the racing writer's data won
 
 
