@@ -738,6 +738,11 @@ class ManifestReader(DataSourceReader):
             st = stats.get(col)
             if st is None:
                 continue
+            # an ALL-NULL file (nulls == rows, r14 stats) cannot hold a
+            # row satisfying ANY comparison — SQL null comparisons
+            # exclude the row — even when min/max are absent
+            if len(st) >= 4 and st[2] is not None and st[2] == st[3]:
+                return False
             # a float/double file's [min, max] says nothing about NaN
             # (parquet writers skip NaN computing stats), and Spark
             # orders NaN above every number — a `>` lo bound must not

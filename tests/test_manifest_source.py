@@ -1009,6 +1009,9 @@ def test_where_nullness_prunes_on_data_column_null_counts(
     base = kept("id >= 0")  # no null conds: every file
     assert kept("s IS NULL") < base
     assert kept("s IS NOT NULL") < base
+    # an all-null file cannot satisfy ANY comparison (SQL null
+    # semantics) — cmp predicates prune it even without min/max
+    assert kept("s >= 'x'") < base
 
     # append writes stats through the incremental path
     mt.append(
