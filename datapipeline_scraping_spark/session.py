@@ -43,6 +43,15 @@ _RUNTIME_CONF = {
     # and restores it after q141's per-query -1 override
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+    # r14: Spark still DEFAULTS zoned-timestamp parquet writes to the
+    # deprecated INT96 physical type, which carries NO column
+    # statistics — every ledger committed with a TIMESTAMP column
+    # silently lost min/max (and null-count) file skipping, measured
+    # when q196's pruning assert tripped on the 10x corpus (whose
+    # synth casts events.ts to zoned). TIMESTAMP_MICROS restores
+    # footer stats and cross-engine interop; readers of existing
+    # INT96 files are unaffected (they simply keep pruning nothing).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.optimizer.runtime.bloomFilter."
     "applicationSideScanSizeThreshold": "10GB",
     # r13: the manifest/CDF readers no longer implement pushFilters —

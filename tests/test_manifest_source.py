@@ -1104,9 +1104,22 @@ def test_where_temporal_on_zoned_timestamp_column(spark, tmp_path):
     zone — cmp, IN, and epoch-numeric BETWEEN all stay Spark-exact
     (Arrow refuses naive-vs-aware comparisons, so a missed adaptation
     raises rather than mis-filters; this pins that it neither raises
-    nor drops)."""
+    nor drops). Also pins the r14 INT96 regression: Spark DEFAULTS
+    zoned-timestamp parquet writes to deprecated INT96, which carries
+    NO statistics — the engine session forces TIMESTAMP_MICROS
+    (session._RUNTIME_CONF), so committed zoned columns MUST carry
+    min/max file stats and the window predicate MUST skip files."""
     import datetime as dt
+    import json as _json
 
+    from pyspark.sql.types import StructType as _St
+
+    from datapipeline_scraping_spark.session import prepare
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        ManifestReader,
+    )
+
+    prepare(spark)
     root = str(tmp_path / "tz")
     mt = ManifestTable(root, retention_sec=3600)
     df = spark.createDataFrame(
@@ -1114,6 +1127,19 @@ def test_where_temporal_on_zoned_timestamp_column(spark, tmp_path):
         "id long, ts timestamp",
     )
     mt.commit(df.repartitionByRange(3, "ts"), stats_by=["ts"])
+    stats = (mt._log_entry(1) or {}).get("file_stats") or {}
+    assert any("ts" in st for st in stats.values()), (
+        "zoned timestamp column lost its file stats — INT96 write?"
+    )
+    schema = _St.fromJson(_json.loads(mt._log_entry(1)["schema"]))
+    base = len(ManifestReader({"root": root}, schema).partitions())
+    kept = len(
+        ManifestReader(
+            {"root": root, "where": "ts >= TIMESTAMP '2024-03-02 00:00:00'"},
+            schema,
+        ).partitions()
+    )
+    assert 0 < kept < base, (kept, base)
     register(spark)
 
     def ids(w):
