@@ -139,13 +139,14 @@ WHERE l_orderkey IN ({", ".join(str(k) for k in _Q197_KEYS)})
 def q197_bloom_point_lookup(spark, sf_dir):
     """Point lookup on a high-cardinality UNCLUSTERED column through
     the bloom sidecar (r14 — VERDICT r13 item 2): the ledger is
-    committed with rows shuffled across files, so every file's
-    [min, max] orderkey envelope spans the whole domain and min/max
-    skipping keeps everything — the per-(file, column) bloom index is
-    what turns ``l_orderkey IN (...)`` into an O(1)-file scan. The
-    probe is driver-side sidecar metadata (~1.2 bytes/key), no cluster
-    job; bloom 'maybe' keeps the file, and the exact Arrow mask still
-    decides every row.
+    committed hash-distributed on the key (each orderkey's line items
+    land in ONE file — the natural shape of keyed ingest) but with NO
+    bucket metadata, so every file's [min, max] orderkey envelope
+    spans the whole domain and min/max skipping keeps everything —
+    the per-(file, column) bloom index is what turns ``l_orderkey IN
+    (...)`` into an O(probed keys)-file scan. The probe is driver-side
+    sidecar metadata (~1.2 bytes/key), no cluster job; bloom 'maybe'
+    keeps the file, and the exact Arrow mask still decides every row.
 
     In-query asserts pin the mechanism: the equality points keep
     strictly fewer files than the ledger holds, while a range
@@ -160,7 +161,7 @@ def q197_bloom_point_lookup(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
-    root = os.path.join(SCRATCH, f"bloomq_{_key(sf_dir)}")
+    root = os.path.join(SCRATCH, f"bloomq2_{_key(sf_dir)}")
     mt = ManifestTable(root)
     built = (mt.version() or 0) == 1 and bool(
         (mt._log_entry(1) or {}).get("bloom")
@@ -168,12 +169,17 @@ def q197_bloom_point_lookup(spark, sf_dir):
     if not built:
         shutil.rmtree(root, ignore_errors=True)
         mt = ManifestTable(root)
-        # repartition WITHOUT keys: domain-spanning files by design
-        mt.commit(li.repartition(8), bloom_by=["l_orderkey"])
+        # hash-repartition ON the key (co-located line items, like any
+        # keyed ingest) but commit WITHOUT bucket metadata: min/max
+        # envelopes span the domain, so only the bloom can skip
+        mt.commit(li.repartition(8, "l_orderkey"), bloom_by=["l_orderkey"])
     in_list = ", ".join(str(k) for k in _Q197_KEYS)
     base = len(_reader(root).partitions())
     kept = len(_reader(root, f"l_orderkey IN ({in_list})").partitions())
-    assert 0 < kept < base, (kept, base)
+    # two probed keys live in at most two files (plus bloom false
+    # positives at fpp=1e-2 — none expected at 8 files)
+    assert 0 < kept <= len(_Q197_KEYS), (kept, base)
+    assert kept < base, (kept, base)
     # a range predicate cannot consult the bloom and the envelopes
     # span the domain: every file stays — the reduction above is
     # attributable to the bloom sidecar alone

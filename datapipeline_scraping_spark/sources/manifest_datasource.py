@@ -126,7 +126,7 @@ def _partition_values(path: str, snap: str) -> dict:
 #:   expr    := term (AND term)*
 #:   term    := col op literal | col IN ( lit, ... )
 #:            | col BETWEEN lit AND lit | col IS [NOT] NULL
-#:   op      := = | == | > | >= | < | <=
+#:   op      := = | == | != | <> | > | >= | < | <=
 #:   literal := number | 'string' ('' escapes a quote) | TRUE | FALSE
 #:            | DATE 'yyyy-mm-dd' | TIMESTAMP 'iso-8601'
 #:   col     := identifier | `identifier`
@@ -140,7 +140,7 @@ _WHERE_TOKEN = re.compile(
     r"\s*(?:"
     r"(?P<str>'(?:[^']|'')*')"
     r"|(?P<num>-?\d+(?:\.\d+)?)"
-    r"|(?P<op><=|>=|==|=|<|>)"
+    r"|(?P<op><=|>=|==|!=|<>|=|<|>)"
     r"|(?P<punct>[(),])"
     r"|`(?P<qid>[^`]+)`"
     r"|(?P<word>[A-Za-z_][A-Za-z0-9_.]*)"
@@ -204,7 +204,9 @@ def parse_where(s: str) -> list[tuple]:
             n = m.group("num")
             toks.append(("lit", float(n) if "." in n else int(n)))
         elif m.group("op") is not None:
-            toks.append(("op", "=" if m.group("op") == "==" else m.group("op")))
+            op = m.group("op")
+            op = {"==": "=", "<>": "!="}.get(op, op)
+            toks.append(("op", op))
         elif m.group("punct") is not None:
             toks.append(("punct", m.group("punct")))
         elif m.group("qid") is not None:
@@ -397,6 +399,23 @@ def _coerce_literal(lit, styp: str, col: str):
         f"type {styp} (supported predicate column types: numeric, "
         f"decimal, string, boolean, date, timestamp)"
     )
+
+
+def _canonical_forms(vals) -> "tuple[set, set] | None":
+    """(lowercased string forms, numeric forms) of a literal set for
+    matching hive dir values — hive lowercases booleans, numerics may
+    render with/without a decimal point. None marks a set with an
+    uncanonicalizable member (date/datetime/Decimal): no dir pruning,
+    the range envelope / row mask still apply."""
+    if not all(isinstance(p, (str, int, float, bool)) for p in vals):
+        return None
+    nums = set()
+    for p in vals:
+        try:
+            nums.add(float(p))
+        except (TypeError, ValueError):
+            pass
+    return {str(p).lower() for p in vals}, nums
 
 
 def _mask_literal(v, patype):
@@ -614,6 +633,10 @@ class ManifestReader(DataSourceReader):
         #: physical column -> required nullness (True = IS NOT NULL,
         #: False = IS NULL) — prunes hive null-partition dirs
         self.null_conds: dict[str, bool] = {}
+        #: physical column -> EXCLUDED values (``!=``): prunes a file
+        #: only when it provably holds ONE value and that value is
+        #: excluded (a dir-encoded partition, or numeric min == max)
+        self.neq_sets: dict[str, set] = {}
         for cond in self.conditions:
             col = self.cmap.get(cond[1], cond[1])  # logical -> physical
             lo = hi = None
@@ -629,6 +652,9 @@ class ManifestReader(DataSourceReader):
                     self.point_sets[col] = (
                         {v} if prev is None else prev & {v}
                     )
+                elif op == "!=":
+                    self.neq_sets.setdefault(col, set()).add(v)
+                    continue  # no range contribution
                 elif op in (">", ">="):
                     lo = v
                 else:
@@ -657,19 +683,21 @@ class ManifestReader(DataSourceReader):
         # None marks a set with an uncanonicalizable member (no prune)
         self._point_forms: dict = {}
         for col, pts in self.point_sets.items():
-            if not all(isinstance(p, (str, int, float, bool)) for p in pts):
-                self._point_forms[col] = None
-                continue
-            nums = set()
-            for p in pts:
-                try:
-                    nums.add(float(p))
-                except (TypeError, ValueError):
-                    pass
-            self._point_forms[col] = (
-                {str(p).lower() for p in pts},
-                nums,
-            )
+            self._point_forms[col] = _canonical_forms(pts)
+        #: same canonical forms for the EXCLUDED (!=) values
+        self._neq_forms: dict = {
+            col: _canonical_forms(vals)
+            for col, vals in self.neq_sets.items()
+        }
+        #: every float/double predicate column (physical): NaN escapes
+        #: min/max stats entirely, so single-value (min == max) file
+        #: pruning for != is unsound there — a file stating [5, 5] can
+        #: still hold NaN rows that `v != 5` keeps
+        self._float_phys = {
+            self.cmap.get(f.name, f.name)
+            for f in schema.fields
+            if f.dataType.simpleString() in ("float", "double")
+        }
 
     def _keep_file(self, path: str, part_vals: dict) -> bool:
         rel = os.path.relpath(path, self.snap)
@@ -717,6 +745,41 @@ class ManifestReader(DataSourceReader):
             except (TypeError, ValueError):
                 pass
             return False
+        # != pruning: drop a file only when it PROVABLY holds one
+        # single excluded value — a dir-encoded partition equal to an
+        # excluded literal, or a numeric column whose min == max (NaN
+        # never enters stats, so float/double columns are exempt from
+        # the stats form) — or when the column is all-null (null != x
+        # is null: excluded)
+        for col, forms in self._neq_forms.items():
+            raw = part_vals.get(col)
+            if raw is not None and forms is not None:
+                str_forms, num_forms = forms
+                if raw.lower() in str_forms:
+                    return False
+                try:
+                    if float(raw) in num_forms:
+                        return False
+                except (TypeError, ValueError):
+                    pass
+            st = stats.get(col) if col not in part_vals else None
+            if st is None:
+                continue
+            if len(st) >= 4 and st[2] is not None and st[2] == st[3]:
+                return False  # all-null: no row satisfies !=
+            if (
+                st[0] is not None
+                and st[0] == st[1]
+                and isinstance(st[0], (int, float))
+                and not isinstance(st[0], bool)
+                and col not in self._float_phys
+            ):
+                for v in self.neq_sets[col]:
+                    try:
+                        if float(v) == float(st[0]):
+                            return False
+                    except (TypeError, ValueError):
+                        pass
         for col, (lo, hi) in self.ranges.items():
             if col in part_vals:
                 raw = part_vals[col]
@@ -841,7 +904,10 @@ class ManifestReader(DataSourceReader):
         for f in _data_files(self.snap):
             pv = _partition_values(f, self.snap)
             if (
-                self.ranges or self.point_sets or self.null_conds
+                self.ranges
+                or self.point_sets
+                or self.null_conds
+                or self.neq_sets
             ) and not self._keep_file(f, pv):
                 continue
             if allowed_buckets is not None:
@@ -977,6 +1043,7 @@ class ManifestReader(DataSourceReader):
 
             ops = {
                 "=": pc.equal,
+                "!=": pc.not_equal,
                 ">": pc.greater,
                 ">=": pc.greater_equal,
                 "<": pc.less,

@@ -722,7 +722,7 @@ def predicate_view_evidence(spark) -> dict:
                 "tpv",
                 f"ts >= TIMESTAMP '{_Q196_LO}' AND ts < TIMESTAMP '{_Q196_HI}'",
             ),
-            ("point", "bloomq", f"l_orderkey IN ({in_list})"),
+            ("point", "bloomq2", f"l_orderkey IN ({in_list})"),
         ):
             root = os.path.join(SCRATCH, f"{prefix}_{_key(sf)}")
             mt = ManifestTable(root)

@@ -1168,3 +1168,63 @@ def test_where_temporal_on_zoned_timestamp_column(spark, tmp_path):
         ).collect()
     )
     assert got == exp and got
+
+
+def test_where_not_equal_prunes_single_value_files_and_stays_exact(
+    spark, tmp_path
+):
+    """r14: `!=` / `<>` join the grammar. Pruning is deliberately
+    narrow — only a file that PROVABLY holds one excluded value goes:
+    a dir-encoded partition equal to the literal, a non-float numeric
+    column whose min == max, or an all-null column (null != x is
+    null). float/double columns are exempt from the stats form (NaN
+    never enters min/max but satisfies != against any finite literal —
+    Spark orders NaN as a real value, Arrow comparisons agree here)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        ManifestReader,
+    )
+
+    root = str(tmp_path / "neq")
+    mt = ManifestTable(root, retention_sec=3600)
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                "g%d" % (i % 3),
+                float("nan") if i == 7 else float(i),
+            )
+            for i in range(30)
+        ],
+        "id long, grp string, w double",
+    )
+    mt.commit(df, partition_by=["grp"], stats_by=["id", "w"])
+    schema = _St.fromJson(_json.loads(mt._log_entry(1)["schema"]))
+    base = len(ManifestReader({"root": root}, schema).partitions())
+    kept = len(
+        ManifestReader({"root": root, "where": "grp != 'g1'"}, schema)
+        .partitions()
+    )
+    assert 0 < kept < base, (kept, base)
+    register(spark)
+
+    def ids(w):
+        return sorted(
+            r["id"]
+            for r in spark.read.format("manifest")
+            .option("root", root)
+            .option("where", w)
+            .load()
+            .collect()
+        )
+
+    for w in ("grp != 'g1'", "id != 4 AND id <> 5", "w != 7.0",
+              "grp <> 'g0' AND id >= 10"):
+        assert ids(w) == sorted(
+            r["id"] for r in df.filter(w).collect()
+        ), w
+    # the NaN row survives != against any finite literal
+    assert 7 in ids("w != 7.0") and 7 in ids("w != 123.0")

@@ -782,7 +782,7 @@ def test_partition_evolution_sequence_matches_model(
 #: v double, ts timestamp_ntz) — id 0..59, grp g0..g2, v = id/2,
 #: ts = 2024-03-01 + id hours (r14: temporal literals in the grammar)
 _PUSH_OP = st.tuples(
-    st.sampled_from(["eq", "ge", "le", "between", "in"]),
+    st.sampled_from(["eq", "ne", "ge", "le", "between", "in"]),
     st.sampled_from(["id", "grp", "v", "ts"]),
     st.integers(-5, 65),
     st.integers(-5, 65),
@@ -847,6 +847,8 @@ def test_pushdown_never_drops_qualifying_rows(
         lo, hi = min(a, b), max(a, b)
         if kind == "eq":
             preds.append(f"{col} = {_push_lit(col, a)}")
+        elif kind == "ne":
+            preds.append(f"{col} != {_push_lit(col, a)}")
         elif kind == "ge":
             preds.append(f"{col} >= {_push_lit(col, a)}")
         elif kind == "le":
@@ -941,6 +943,8 @@ def test_pushdown_never_drops_qualifying_rows_clustered(
         lo, hi = min(a, b), max(a, b)
         if kind == "eq":
             preds.append(f"{col} = {_push_lit(col, a)}")
+        elif kind == "ne":
+            preds.append(f"{col} != {_push_lit(col, a)}")
         elif kind == "ge":
             preds.append(f"{col} >= {_push_lit(col, a)}")
         elif kind == "le":
