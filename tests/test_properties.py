@@ -976,3 +976,79 @@ def test_pushdown_never_drops_qualifying_rows_clustered(
         )
     )
     assert got == exp, f"clustered where-option dropped rows for {where}"
+
+
+@given(
+    parts=st.lists(
+        st.sampled_from(
+            list("abcdef_ ()<>=!,'0123456789.`") + [
+                " AND ", " IN ", " BETWEEN ", " IS ", " NOT ", " NULL ",
+                " OR ", "DATE ", "TIMESTAMP ", "'2024-01-05'", "''",
+            ]
+        ),
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_where_grammar_fails_closed(parts):
+    s = "".join(parts)
+    """Fuzz the where-option grammar: ANY input either parses to a
+    condition list or raises ValueError — never a different exception
+    and never a silent empty accept. The fail-loudly contract is what
+    lets the reader promise 'a predicate I cannot apply exactly never
+    silently returns unfiltered rows'."""
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        parse_where,
+    )
+
+    try:
+        out = parse_where(s)
+    except ValueError:
+        return
+    assert isinstance(out, list) and out
+    for cond in out:
+        assert cond[0] in ("cmp", "in", "null"), cond
+
+
+@given(
+    col=st.sampled_from(["i", "s", "d", "t", "p", "b", "f"]),
+    op=st.sampled_from(["=", "!=", ">", ">=", "<", "<="]),
+    lit=st.sampled_from(
+        [
+            "5", "2.5", "'x'", "TRUE", "'2024-01-05'",
+            "DATE '2024-01-05'", "TIMESTAMP '2024-01-05 10:00:00'",
+            "'not-a-date'", "-3",
+        ]
+    ),
+)
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_where_validation_fails_closed_per_type(spark, col, op, lit):
+    """Every (column type × operator × literal kind) combination either
+    coerces to a canonical condition or raises ValueError AT PARSE on
+    the driver — executor tasks never see an unvalidated literal."""
+    from pyspark.sql.types import StructType
+
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        parse_where,
+    )
+
+    schema = StructType.fromDDL(
+        "i bigint, s string, d date, t timestamp_ntz, "
+        "p decimal(10,2), b boolean, f double"
+    )
+    conds = None
+    try:
+        conds = parse_where(f"{col} {op} {lit}")
+        # validation/coercion without touching any table — the same
+        # helper ManifestReader.__init__ runs per literal
+        from datapipeline_scraping_spark.sources.manifest_datasource import (
+            _coerce_literal,
+        )
+
+        logical = {f.name: f.dataType.simpleString() for f in schema.fields}
+        for c in conds:
+            assert c[1] in logical
+            _coerce_literal(c[3], logical[c[1]], c[1])
+    except ValueError:
+        return
