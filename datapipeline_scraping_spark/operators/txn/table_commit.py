@@ -204,6 +204,29 @@ class _CommitMixin:
             else:
                 bloom_cols = list(want_bloom_by)
                 fpp = float(bloom_fpp)
+                # the sidecar is built from CAST(col AS STRING) and
+                # probed with Python str() — those agree ONLY for
+                # integral and string columns (float/timestamp/decimal
+                # render differently: "5.0" vs "5"), and a build/probe
+                # divergence is a guaranteed-false-negative prune that
+                # silently DROPS matching rows. Refuse at declaration
+                # so the unsound sidecar never exists (ADVICE r14).
+                types = {
+                    f.name: f.dataType.simpleString()
+                    for f in df.schema.fields
+                }
+                bad = [
+                    c
+                    for c in bloom_cols
+                    if types.get(c)
+                    not in ("int", "smallint", "tinyint", "bigint", "long", "string")
+                ]
+                if bad:
+                    raise ValueError(
+                        f"bloom_by supports integral and string columns "
+                        f"only (str() must match CAST AS STRING); got "
+                        f"{ {c: types.get(c, 'missing') for c in bad} }"
+                    )
             if want_check is None:
                 checks = dict(prev.get("checks") or {}) if prev else {}
             else:

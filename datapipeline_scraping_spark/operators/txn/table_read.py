@@ -401,6 +401,23 @@ class _ReadMixin:
         bloom_prop = entry.get("bloom") or {}
         if phys not in (bloom_prop.get("cols") or []):
             return files, total, False
+        # type gate (ADVICE r14): the sidecar keys are CAST(col AS
+        # STRING); only integral/string columns probe soundly with
+        # str(value). Legacy sidecars over other types (committed
+        # before bloom_by validated column types) must not prune —
+        # a "5" probe against "5.0" build keys is a false negative.
+        sj = entry.get("schema")
+        if sj:
+            from pyspark.sql.types import StructType as _St
+
+            styps = {
+                f.name: f.dataType.simpleString()
+                for f in _St.fromJson(json.loads(sj)).fields
+            }
+            if styps.get(col) not in (
+                "int", "smallint", "tinyint", "bigint", "long", "string"
+            ):
+                return files, total, False
         side = os.path.join(snap, self.BLOOM_DIR)
         try:
             tbl = pq.read_table(side)

@@ -302,6 +302,10 @@ def parse_where(s: str) -> list[tuple]:
 
 _NUM_TYPES = {"int", "smallint", "tinyint", "bigint", "long", "float", "double"}
 _TEMPORAL_TYPES = {"timestamp", "timestamp_ntz"}
+#: column types whose Python str() form equals Spark's CAST(col AS
+#: STRING) — the only types the bloom sidecar may be built over or
+#: probed for (see operators.txn.stats._bloom_key)
+_BLOOMABLE_TYPES = {"int", "smallint", "tinyint", "bigint", "long", "string"}
 
 #: sentinel: this literal must NOT be pushed into the parquet decode —
 #: its decode-level comparison could diverge from the exact Arrow mask
@@ -684,10 +688,16 @@ class ManifestReader(DataSourceReader):
         self._point_forms: dict = {}
         for col, pts in self.point_sets.items():
             self._point_forms[col] = _canonical_forms(pts)
-        #: same canonical forms for the EXCLUDED (!=) values
-        self._neq_forms: dict = {
-            col: _canonical_forms(vals)
-            for col, vals in self.neq_sets.items()
+        #: physical column -> Spark simpleString type. The EXCLUSION
+        #: (`!=`) and bloom tiers key their soundness off the COLUMN's
+        #: type, not the literal's (ADVICE r14): for keep-side equality
+        #: a loose canonical match only keeps extra files, but for
+        #: exclusion a loose match PRUNES files whose rows satisfy the
+        #: predicate, and a bloom probe whose string form diverges from
+        #: the sidecar's CAST-AS-STRING build keys is a guaranteed
+        #: false negative.
+        self._phys_types: dict[str, str] = {
+            self.cmap.get(n, n): t for n, t in logical.items()
         }
         #: every float/double predicate column (physical): NaN escapes
         #: min/max stats entirely, so single-value (min == max) file
@@ -750,17 +760,55 @@ class ManifestReader(DataSourceReader):
         # excluded literal, or a numeric column whose min == max (NaN
         # never enters stats, so float/double columns are exempt from
         # the stats form) — or when the column is all-null (null != x
-        # is null: excluded)
-        for col, forms in self._neq_forms.items():
+        # is null: excluded). The dir match is EXACT and TYPE-FAITHFUL
+        # (ADVICE r14, high): reusing the keep-side canonical forms
+        # here lowercased strings and added float aliases, so on a
+        # string partition column `s != 'G1'` pruned the dir s=g1 and
+        # `s != '5'` pruned s=5.0 — rows that DO satisfy the predicate
+        # under Spark's case-sensitive string comparison. Each column
+        # type matches only its own faithful rendering; any type
+        # without one (timestamp dirs, uncoercible raws) never prunes.
+        for col, excl in self.neq_sets.items():
             raw = part_vals.get(col)
-            if raw is not None and forms is not None:
-                str_forms, num_forms = forms
-                if raw.lower() in str_forms:
-                    return False
+            if raw is not None:
+                styp = self._phys_types.get(col, "")
                 try:
-                    if float(raw) in num_forms:
-                        return False
-                except (TypeError, ValueError):
+                    if styp == "string":
+                        if raw in excl:  # exact, case-sensitive
+                            return False
+                    elif styp == "boolean":
+                        # hive lowercases booleans into dir names
+                        if raw.lower() in {
+                            str(v).lower()
+                            for v in excl
+                            if isinstance(v, bool)
+                        }:
+                            return False
+                    elif styp in _NUM_TYPES:
+                        # Python's cross-type numeric == is exact
+                        # (no float rounding for big ints)
+                        v_raw = (
+                            float(raw) if "." in raw or "e" in raw.lower()
+                            else int(raw)
+                        )
+                        if any(v_raw == v for v in excl):
+                            return False
+                    elif styp.startswith("decimal"):
+                        import decimal
+
+                        if any(decimal.Decimal(raw) == v for v in excl):
+                            return False
+                    elif styp == "date":
+                        if any(
+                            raw == getattr(v, "isoformat", lambda: None)()
+                            for v in excl
+                        ):
+                            return False
+                except (
+                    TypeError,
+                    ValueError,
+                    ArithmeticError,
+                ):  # unparseable raw: cannot prove equality — keep
                     pass
             st = stats.get(col) if col not in part_vals else None
             if st is None:
@@ -776,9 +824,12 @@ class ManifestReader(DataSourceReader):
             ):
                 for v in self.neq_sets[col]:
                     try:
-                        if float(v) == float(st[0]):
+                        # exact cross-type equality (int/float/Decimal
+                        # compare exactly in Python — no float() cast
+                        # that could collide distinct big ints)
+                        if not isinstance(v, (bool, str)) and v == st[0]:
                             return False
-                    except (TypeError, ValueError):
+                    except TypeError:
                         pass
         for col, (lo, hi) in self.ranges.items():
             if col in part_vals:
@@ -849,12 +900,23 @@ class ManifestReader(DataSourceReader):
         missing from the sidecar all keep the file; bloom false
         positives only cost a task whose exact Arrow mask yields zero
         rows — false negatives cannot happen, build and probe share
-        one hash (``operators.txn._bloom_positions``)."""
+        one hash (``operators.txn._bloom_positions``). The probe is
+        additionally gated on the COLUMN's type, not just the
+        literal's (ADVICE r14, medium): the sidecar is built from
+        Spark ``CAST(col AS STRING)`` keys, and only integral and
+        string columns render identically under Python ``str()`` — an
+        integer literal probing a legacy bloom over a double column
+        would hash "5" against keys like "5.0", a guaranteed false
+        negative that prunes files HOLDING matching rows. Commit-time
+        validation now refuses such sidecars (``bloom_by`` on
+        non-integral/non-string columns), and this gate protects
+        tables committed before that check existed."""
         indexed = set(self.bloom_prop.get("cols") or [])
         probe = {
             c: pts
             for c, pts in self.point_sets.items()
             if c in indexed
+            and self._phys_types.get(c) in _BLOOMABLE_TYPES
         }
         if not probe:
             return set()

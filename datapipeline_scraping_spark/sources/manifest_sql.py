@@ -196,6 +196,18 @@ def predicate_view(
             f"table root {root!r} contains quote/escape characters — "
             f"not representable in the view's OPTIONS clause"
         )
+    if any(ch in where for ch in ("\\", "\n", "\r")):
+        # the where option is interpolated into a single-quoted SQL
+        # literal, and Spark processes backslash escapes inside those
+        # ('a\tb' reaches the view with \t collapsed to a tab) — the
+        # predicate validated below and the one the view runs must be
+        # GUARANTEED identical, so reject rather than re-escape
+        # (ADVICE r14). Quotes are safe: they render doubled.
+        raise ValueError(
+            f"where {where!r} contains backslash/newline characters — "
+            f"Spark's escape processing inside the OPTIONS literal "
+            f"would alter the predicate the view actually runs"
+        )
     if version is not None and asof is not None:
         raise ValueError("version and asof are mutually exclusive")
     opts = {"root": root, "where": where}

@@ -1091,6 +1091,12 @@ def test_predicate_view_helper_mints_pruned_sql_views(spark, tmp_path):
         predicate_view(spark, "pv_bad", root, "nope = 1")
     with pytest.raises(ValueError):
         predicate_view(spark, "pv_bad", root, "ts >= 'garbage'")
+    # ADVICE r14 (low): a backslash in the predicate would be escape-
+    # processed inside the minted view's OPTIONS literal ('a\tb' -> a
+    # tab), silently running a DIFFERENT predicate than the one
+    # validated here — rejected, never re-interpreted
+    with pytest.raises(ValueError, match="backslash"):
+        predicate_view(spark, "pv_bad", root, "note = 'a\\tb'")
     with pytest.raises(Exception, match="filtered READ view"):
         df.limit(1).write.format("manifest").option("root", root).option(
             "where", "id > 0"
@@ -1228,3 +1234,142 @@ def test_where_not_equal_prunes_single_value_files_and_stays_exact(
         ), w
     # the NaN row survives != against any finite literal
     assert 7 in ids("w != 7.0") and 7 in ids("w != 123.0")
+
+
+def test_neq_dir_prune_is_exact_and_type_faithful(spark, tmp_path):
+    """ADVICE r14 (high): the `!=` dir prune must match the excluded
+    literal against the hive dir value EXACTLY under the column's own
+    type — the keep-side canonical forms (lowercased strings, float
+    aliases) invert their conservatism on the exclusion side. Before
+    the fix, on a string partition column `s != 'G1'` pruned the dir
+    s=g1 and `s != '5'` pruned s=5.0 — silently dropping rows that DO
+    satisfy the predicate under Spark's case-sensitive comparison."""
+    root = str(tmp_path / "neqcase")
+    mt = ManifestTable(root, retention_sec=3600)
+    df = spark.createDataFrame(
+        [(1, "G1"), (2, "g1"), (3, "5.0"), (4, "x")],
+        "id long, s string",
+    )
+    mt.commit(df, partition_by=["s"])
+    register(spark)
+
+    def ids(w):
+        return sorted(
+            r["id"]
+            for r in spark.read.format("manifest")
+            .option("root", root)
+            .option("where", w)
+            .load()
+            .collect()
+        )
+
+    # case-sensitive: s=g1 rows SATISFY s != 'G1'
+    assert ids("s != 'G1'") == [2, 3, 4]
+    # no float aliasing: s='5.0' rows SATISFY s != '5'
+    assert ids("s != '5'") == [1, 2, 3, 4]
+    # the faithful match still prunes: the exact dir goes
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        ManifestReader,
+    )
+    import json as _json
+    from pyspark.sql.types import StructType as _St
+
+    schema = _St.fromJson(_json.loads(mt._log_entry(1)["schema"]))
+    base = len(ManifestReader({"root": root}, schema).partitions())
+    kept = len(
+        ManifestReader(
+            {"root": root, "where": "s != 'G1'"}, schema
+        ).partitions()
+    )
+    assert kept == base - 1, (kept, base)
+    # numeric dir exclusion stays exact on an int partition column
+    root2 = str(tmp_path / "neqnum")
+    mt2 = ManifestTable(root2, retention_sec=3600)
+    df2 = spark.createDataFrame(
+        [(i, i % 3) for i in range(9)], "id long, b int"
+    )
+    mt2.commit(df2, partition_by=["b"])
+    assert sorted(
+        r["id"]
+        for r in spark.read.format("manifest")
+        .option("root", root2)
+        .option("where", "b != 1")
+        .load()
+        .collect()
+    ) == sorted(r["id"] for r in df2.filter("b != 1").collect())
+
+
+def test_bloom_probe_gated_on_column_type(spark, tmp_path):
+    """ADVICE r14 (medium): the bloom sidecar is built from
+    CAST(col AS STRING) keys; probing with Python str(literal) is
+    sound ONLY for integral/string columns ("5" vs "5.0" on a double
+    is a guaranteed false negative = silent row loss). commit()
+    refuses bloom_by on other types; the planning probe additionally
+    type-gates so a LEGACY sidecar over a double column never
+    prunes."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "bloomtype")
+    mt = ManifestTable(root, retention_sec=3600)
+    df = spark.createDataFrame(
+        [(i, "k%d" % i, float(i)) for i in range(16)],
+        "id long, k string, w double",
+    )
+    # declaration-time refusal: double column
+    with pytest.raises(ValueError, match="integral and string"):
+        mt.commit(df, bloom_by=["w"])
+    mt.commit(df.repartition(4), bloom_by=["k"])
+    # simulate a legacy table whose sidecar was built over the double
+    # column before the declaration check existed: doctor the log
+    # entry and plant an all-zero bloom (claims "w holds NOTHING"),
+    # the worst-case false-negative sidecar
+    log = os.path.join(root, "_log", "%08d.json" % 1)
+    with open(log) as fh:
+        entry = _json.load(fh)
+    entry["bloom"]["cols"] = list(entry["bloom"]["cols"]) + ["w"]
+    with open(log, "w") as fh:
+        _json.dump(entry, fh)
+    snap = os.path.join(root, entry["snapshot"])
+    rels = []
+    for d, dirs, fs in os.walk(snap):
+        dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+        rels.extend(
+            os.path.relpath(os.path.join(d, f), snap)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    assert rels
+    fake = pa.table(
+        {
+            "file": rels,
+            "col": ["w"] * len(rels),
+            "m": [64] * len(rels),
+            "k": [2] * len(rels),
+            "n": [1] * len(rels),
+            "bits": [bytes(8)] * len(rels),
+        }
+    )
+    pq.write_table(
+        fake, os.path.join(snap, "_bloom", "legacy-double.parquet")
+    )
+    register(spark)
+    # the equality point on the double column must NOT consult the
+    # (unsound) sidecar: the matching row comes back
+    got = (
+        spark.read.format("manifest")
+        .option("root", root)
+        .option("where", "w = 5")
+        .load()
+        .collect()
+    )
+    assert [r["id"] for r in got] == [5]
+    # DataFrame-API probe agrees: the double column reports unindexed
+    _kept, _total, indexed = mt.bloom_pruned_files("w", 5)
+    assert indexed is False
+    # the string column's bloom still prunes (sound types unaffected)
+    kept, total, indexed = mt.bloom_pruned_files("k", "k5")
+    assert indexed is True and len(kept) < total
