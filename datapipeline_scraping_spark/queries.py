@@ -636,3 +636,4 @@ from . import queries_r11  # noqa: E402,F401
 from . import queries_r12  # noqa: E402,F401
 from . import queries_r13  # noqa: E402,F401
 from . import queries_r14  # noqa: E402,F401
+from . import queries_r15  # noqa: E402,F401

@@ -1,0 +1,121 @@
+"""Round-15 registry queries — the capability closures of VERDICT
+r14: OR-of-conjuncts (DNF) in the ``where``-option grammar, where
+file skipping composes as the UNION of per-disjunct kept sets (q199),
+and LIKE-prefix predicates pruned against string min/max envelopes
+(q200).
+
+Reference anchor: the reference's scrape windows are date-driven
+(P16 — ``configs/colombia.yml:74-78``) and its link extraction
+filters hrefs by suffix/substring (P4 — ``configs/colombia.yml:
+39-43``); at 100 TB "this week OR that backfill window" and
+"url LIKE 'https://host/path/%'" are the two predicate shapes a
+conjunction-only grammar forced users to work around (one view per
+disjunct + UNION, or a full scan).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from .functions.numeric import exact_sum, sql_exact_sum
+from .queries import _t, q
+from .queries_r14 import _key, _reader
+from .streaming.events import SCRATCH
+
+_Q199_A_LO = "2024-01-03 00:00:00"
+_Q199_A_HI = "2024-01-06 00:00:00"
+_Q199_B_LO = "2024-01-25 00:00:00"
+_Q199_B_HI = "2024-01-28 00:00:00"
+
+_Q199_WHERE = (
+    f"(ts >= TIMESTAMP '{_Q199_A_LO}' AND ts < TIMESTAMP '{_Q199_A_HI}') "
+    f"OR (ts >= TIMESTAMP '{_Q199_B_LO}' AND ts < TIMESTAMP '{_Q199_B_HI}')"
+)
+
+
+@q(
+    "q199_dnf_predicate_view",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS day,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  {sql_exact_sum('value', 18, 2)} AS total_value
+FROM events
+WHERE (ts >= TIMESTAMP '{_Q199_A_LO}' AND ts < TIMESTAMP '{_Q199_A_HI}')
+   OR (ts >= TIMESTAMP '{_Q199_B_LO}' AND ts < TIMESTAMP '{_Q199_B_HI}')
+GROUP BY 1
+""",
+)
+def q199_dnf_predicate_view(spark, sf_dir):
+    """A DISJUNCTION of time windows over the date-partitioned events
+    ledger through one SQL predicate view (r15 — VERDICT r14 item 1):
+    the ``where`` grammar is now DNF, ``expr := conj (OR conj)*`` with
+    SQL precedence, and planning-time file skipping composes as the
+    UNION of per-disjunct kept sets across all four tiers (hive dirs,
+    min/max stats, blooms, null counts). "This window OR that backfill
+    window" — the most common non-conjunctive predicate on a real
+    ledger — previously required minting one view per disjunct and
+    UNIONing them; now it is one relation, one scan, O(window1 +
+    window2) tasks.
+
+    In-query asserts pin the composition: each 3-day window keeps
+    exactly its own files, the disjunction keeps exactly their union
+    (disjoint windows: the sum), and the minted view launches that
+    task count. Rows are re-filtered exactly per task with the
+    Kleene-OR of per-conjunct masks (SQL three-valued semantics).
+    Shares the q196 ledger build (same table, same scratch root)."""
+    from .operators.txn import ManifestTable
+    from .sources.manifest_sql import predicate_view
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    root = os.path.join(SCRATCH, f"tpv_{_key(sf_dir)}")
+    mt = ManifestTable(root)
+    built = (mt.version() or 0) == 1 and (
+        (mt._log_entry(1) or {}).get("meta") or {}
+    ).get("tpv_done")
+    if not built:
+        shutil.rmtree(root, ignore_errors=True)
+        mt = ManifestTable(root)
+        mt.commit(
+            ev.withColumn("d", F.col("ts").cast("date")),
+            partition_by=["d"],
+            stats_by=["ts"],
+        )
+        assert mt.annotate(1, tpv_done=True)
+    base = len(_reader(root).partitions())
+    kept_a = len(
+        _reader(
+            root,
+            f"ts >= TIMESTAMP '{_Q199_A_LO}' AND "
+            f"ts < TIMESTAMP '{_Q199_A_HI}'",
+        ).partitions()
+    )
+    kept_b = len(
+        _reader(
+            root,
+            f"ts >= TIMESTAMP '{_Q199_B_LO}' AND "
+            f"ts < TIMESTAMP '{_Q199_B_HI}'",
+        ).partitions()
+    )
+    kept = len(_reader(root, _Q199_WHERE).partitions())
+    # the disjunction keeps exactly the union of the two windows'
+    # files — disjoint windows on a day-partitioned ledger: the sum
+    assert 0 < kept_a < base and 0 < kept_b < base, (kept_a, kept_b, base)
+    assert kept == kept_a + kept_b, (kept, kept_a, kept_b)
+    name = f"dnf_view_{_key(sf_dir)}"
+    predicate_view(spark, name, root, _Q199_WHERE)
+    view = spark.table(name)
+    assert view.rdd.getNumPartitions() == kept, (
+        view.rdd.getNumPartitions(),
+        kept,
+    )
+    return view.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        exact_sum("value", 18, 2).alias("total_value"),
+    )

@@ -32,8 +32,9 @@ same rows, same logical schema, through the SQL surface.
 Options: ``root`` (required), ``version`` (int, optional — default
 head), ``asof`` (float unix ts, optional — Delta ``timestampAsOf``;
 mutually exclusive with ``version``), ``where`` (optional — an exact
-predicate over the table, conjunctions of simple comparisons; drives
-planning-time file skipping and is applied row-exactly per task, see
+predicate over the table in disjunctive normal form, OR of
+conjunctions of simple comparisons; drives planning-time file
+skipping and is applied row-exactly per task, see
 :class:`ManifestReader`). Version resolution happens ONCE
 at reader construction, so a racing writer cannot redirect the scan
 mid-query (same pin the DataFrame API gives), and a GC'd version
@@ -122,14 +123,19 @@ def _partition_values(path: str, snap: str) -> dict:
     return vals
 
 
-#: where-option grammar: conjunctions of simple comparisons.
-#:   expr    := term (AND term)*
+#: where-option grammar: DNF — OR of conjunctions of comparisons (r15).
+#:   expr    := disjunct (OR disjunct)*
+#:   disjunct:= conj | '(' conj ')'
+#:   conj    := term (AND term)*
 #:   term    := col op literal | col IN ( lit, ... )
 #:            | col BETWEEN lit AND lit | col IS [NOT] NULL
 #:   op      := = | == | != | <> | > | >= | < | <=
 #:   literal := number | 'string' ('' escapes a quote) | TRUE | FALSE
 #:            | DATE 'yyyy-mm-dd' | TIMESTAMP 'iso-8601'
 #:   col     := identifier | `identifier`
+#: AND binds tighter than OR (SQL precedence); parentheses may wrap a
+#: whole conjunction only — arbitrary nesting is outside the grammar
+#: and fails loudly like everything else.
 #: Temporal predicates (r14): DATE/TIMESTAMP typed literals, bare
 #: ISO-8601 strings, and epoch-second numerics all compare against
 #: date/timestamp/timestamp_ntz columns; literals are coerced ONCE at
@@ -183,12 +189,18 @@ def _lit_kind(v) -> str:
     return "n"
 
 
-def parse_where(s: str) -> list[tuple]:
-    """Parse the ``where`` option into a list of conditions —
-    ``("cmp", col, op, value)`` / ``("in", col, values)``. Raises
-    ``ValueError`` on anything outside the documented grammar: a
-    predicate the reader cannot apply EXACTLY must fail loudly, never
-    silently return unfiltered rows."""
+def parse_where(s: str) -> list[list[tuple]]:
+    """Parse the ``where`` option into DISJUNCTS — a list of
+    conjunctions, each a list of conditions ``("cmp", col, op, value)``
+    / ``("in", col, values)`` / ``("null", col, not_null)``; the
+    predicate is the OR of the conjunctions (r15, VERDICT r14 item 1 —
+    "this window OR that backfill window" is the most common
+    non-conjunctive shape on a real ledger, and until now it required
+    minting one view per disjunct and UNIONing them). AND binds
+    tighter than OR, the SQL precedence. Raises ``ValueError`` on
+    anything outside the documented grammar: a predicate the reader
+    cannot apply EXACTLY must fail loudly, never silently return
+    unfiltered rows."""
     toks: list[tuple[str, object]] = []
     pos = 0
     while pos < len(s):
@@ -220,7 +232,7 @@ def parse_where(s: str) -> list[tuple]:
                 toks.append(("lit", u == "TRUE"))
             else:
                 toks.append(("id", w))
-    out: list[tuple] = []
+    out: list[list[tuple]] = []
     i = 0
 
     def expect(kind, val=None):
@@ -252,12 +264,20 @@ def parse_where(s: str) -> list[tuple]:
             return _temporal_literal(word, raw)
         return expect("lit")
 
-    while i < len(toks):
+    def at_conj_end() -> bool:
+        return (
+            i >= len(toks)
+            or toks[i] == ("kw", "OR")
+            or toks[i] == ("punct", ")")
+        )
+
+    def parse_term(conj: list) -> None:
+        nonlocal i
         col = expect("id")
         kind, val = toks[i] if i < len(toks) else ("", "")
         if kind == "op":
             i += 1
-            out.append(("cmp", col, val, lit_tok()))
+            conj.append(("cmp", col, val, lit_tok()))
         elif kind == "kw" and val == "IN":
             i += 1
             expect("punct", "(")
@@ -272,7 +292,7 @@ def parse_where(s: str) -> list[tuple]:
                 raise ValueError(
                     f"where: IN list for {col!r} mixes literal types"
                 )
-            out.append(("in", col, tuple(vals)))
+            conj.append(("in", col, tuple(vals)))
         elif kind == "kw" and val == "IS":
             i += 1
             neg = False
@@ -280,22 +300,42 @@ def parse_where(s: str) -> list[tuple]:
                 neg = True
                 i += 1
             expect("kw", "NULL")
-            out.append(("null", col, neg))  # neg=True => IS NOT NULL
+            conj.append(("null", col, neg))  # neg=True => IS NOT NULL
         elif kind == "kw" and val == "BETWEEN":
             i += 1
             lo = lit_tok()
             expect("kw", "AND")
-            out.append(("cmp", col, ">=", lo))
-            out.append(("cmp", col, "<=", lit_tok()))
+            conj.append(("cmp", col, ">=", lo))
+            conj.append(("cmp", col, "<=", lit_tok()))
         else:
             raise ValueError(f"where: expected comparison after {col!r}")
-        if i < len(toks):
-            expect("kw", "AND")  # OR / NOT are not part of the grammar
-            if i >= len(toks):
-                # a dangling trailing AND is outside the grammar too —
+
+    def parse_conj() -> list[tuple]:
+        conj: list[tuple] = []
+        while True:
+            parse_term(conj)
+            if at_conj_end():
+                return conj
+            expect("kw", "AND")
+            if at_conj_end():
+                # a dangling trailing AND is outside the grammar —
                 # fail loudly, don't silently accept (ADVICE r13)
-                raise ValueError(f"where: dangling AND at end of {s!r}")
-    if not out:
+                raise ValueError(f"where: dangling AND in {s!r}")
+
+    while True:
+        if i < len(toks) and toks[i] == ("punct", "("):
+            i += 1
+            conj = parse_conj()
+            expect("punct", ")")
+        else:
+            conj = parse_conj()
+        out.append(conj)
+        if i >= len(toks):
+            break
+        expect("kw", "OR")
+        if i >= len(toks):
+            raise ValueError(f"where: dangling OR at end of {s!r}")
+    if not out or not all(out):
         raise ValueError("where: empty predicate")
     return out
 
@@ -488,6 +528,343 @@ def _overlaps(mn, mx, lo, hi) -> bool:
     return True
 
 
+class _Conjunct:
+    """Planning/apply state of ONE conjunction of the where option's
+    DNF (r15): the range envelopes, equality point sets, nullness and
+    exclusion sets a single-conjunct reader carried before the grammar
+    gained OR, now one instance per disjunct. Composition in
+    :class:`ManifestReader`: the kept-file set is the UNION of
+    per-conjunct kept sets across every skipping tier, and the exact
+    row mask is the Kleene-OR of per-conjunct Kleene-AND masks (SQL
+    three-valued semantics — a row is kept iff the predicate is
+    TRUE)."""
+
+    def __init__(self, conds: list[tuple], cmap: dict, logical: dict):
+        #: coerced conditions, LOGICAL column names
+        self.conds = conds
+        #: logical float/double columns under `>`/`>=` in THIS
+        #: conjunct: Spark orders NaN GREATER than any number while
+        #: Arrow comparisons return false for NaN, so these terms must
+        #: (a) OR an is_nan branch into the exact row mask and (b)
+        #: never drive lo-bound stats pruning — parquet writers skip
+        #: NaN computing min/max, so a file's [min, max] says nothing
+        #: about NaN presence (ADVICE r13)
+        self._nan_gt_cols = {
+            name
+            for name, t in logical.items()
+            if t in ("float", "double")
+            and any(
+                cond[0] == "cmp"
+                and cond[1] == name
+                and cond[2] in (">", ">=")
+                for cond in conds
+            )
+        }
+        #: the physical-name image, for the stats tier in keep_file
+        self._nan_lo_phys = {cmap.get(c, c) for c in self._nan_gt_cols}
+        #: physical column -> [lo, hi] envelope (AND within the conjunct)
+        self.ranges: dict[str, list] = {}
+        #: physical column -> exact value SET (= / IN) — prunes
+        #: dir-encoded columns tighter than the range envelope
+        self.point_sets: dict[str, set] = {}
+        #: physical column -> required nullness (True = IS NOT NULL,
+        #: False = IS NULL) — prunes hive null-partition dirs
+        self.null_conds: dict[str, bool] = {}
+        #: physical column -> EXCLUDED values (``!=``): prunes a file
+        #: only when it provably holds ONE value and that value is
+        #: excluded (a dir-encoded partition, or numeric min == max)
+        self.neq_sets: dict[str, set] = {}
+        for cond in conds:
+            col = cmap.get(cond[1], cond[1])  # logical -> physical
+            lo = hi = None
+            if cond[0] == "null":
+                # IS NOT NULL (cond[2]=True) / IS NULL (False)
+                self.null_conds[col] = bool(cond[2])
+                continue
+            if cond[0] == "cmp":
+                op, v = cond[2], cond[3]
+                if op == "=":
+                    lo = hi = v
+                    prev = self.point_sets.get(col)
+                    self.point_sets[col] = (
+                        {v} if prev is None else prev & {v}
+                    )
+                elif op == "!=":
+                    self.neq_sets.setdefault(col, set()).add(v)
+                    continue  # no range contribution
+                elif op in (">", ">="):
+                    lo = v
+                else:
+                    hi = v
+            else:  # ("in", col, values)
+                pts = set(cond[2])
+                prev = self.point_sets.get(col)
+                self.point_sets[col] = pts if prev is None else prev & pts
+                try:
+                    lo, hi = min(pts), max(pts)
+                except TypeError:
+                    lo = hi = None
+            if lo is not None or hi is not None:
+                r = self.ranges.setdefault(col, [None, None])
+                # AND semantics: intersect with any prior range
+                try:
+                    if lo is not None and (r[0] is None or lo > r[0]):
+                        r[0] = lo
+                    if hi is not None and (r[1] is None or hi < r[1]):
+                        r[1] = hi
+                except TypeError:
+                    pass
+        # precompute each point set's comparison forms ONCE (planning
+        # runs keep_file per file — O(files), not O(files × points)):
+        # lowercased strings (hive lowercases booleans) + numeric set;
+        # None marks a set with an uncanonicalizable member (no prune)
+        self._point_forms: dict = {}
+        for col, pts in self.point_sets.items():
+            self._point_forms[col] = _canonical_forms(pts)
+
+    def keep_file(
+        self,
+        part_vals: dict,
+        stats: dict,
+        phys_types: dict,
+        float_phys: set,
+    ) -> bool:
+        """Could a row satisfying THIS conjunct exist in the file?
+        Conservative across every tier — any doubt keeps the file;
+        skipping is an optimization, never a correctness filter."""
+        # IS [NOT] NULL against dir-encoded columns: a file under
+        # col=__HIVE_DEFAULT_PARTITION__ holds ONLY null values of
+        # col, and one under col=value holds none — either side can
+        # prune exactly. Data columns prune via the commit log's
+        # per-file null counts (r14 — stats entries grew to
+        # [min, max, nulls, rows]; 2-element entries from older
+        # commits never prune on nullness): nulls == rows means no
+        # IS-NOT-NULL row can exist, nulls == 0 means no IS-NULL row.
+        for col, want_not_null in self.null_conds.items():
+            if col in part_vals:
+                is_null_dir = part_vals[col] is None
+                if is_null_dir == want_not_null:
+                    return False
+                continue
+            st = stats.get(col)
+            if st is not None and len(st) >= 4 and st[2] is not None:
+                nulls, rows = st[2], st[3]
+                if want_not_null and nulls == rows:
+                    return False
+                if not want_not_null and nulls == 0:
+                    return False
+        # point-set pruning on dir-encoded columns: tighter than the
+        # range envelope for IN-lists (`IN ('a','z')` keeps only those
+        # two dirs, not everything between). Conservative: only prunes
+        # when every point has a canonical dir form (str/int/float/
+        # bool — _point_forms), matched case-insensitively so
+        # Python's str(True)='True' meets hive's 'true'; any column
+        # whose points can't be canonicalized keeps all files.
+        for col, forms in self._point_forms.items():
+            raw = part_vals.get(col)
+            if raw is None:  # not dir-encoded here / hive null: keep
+                continue
+            if forms is None:  # uncanonicalizable point type: keep
+                continue
+            str_forms, num_forms = forms
+            if raw.lower() in str_forms:
+                continue
+            try:
+                if float(raw) in num_forms:
+                    continue
+            except (TypeError, ValueError):
+                pass
+            return False
+        # != pruning: drop a file only when it PROVABLY holds one
+        # single excluded value — a dir-encoded partition equal to an
+        # excluded literal, or a numeric column whose min == max (NaN
+        # never enters stats, so float/double columns are exempt from
+        # the stats form) — or when the column is all-null (null != x
+        # is null: excluded). The dir match is EXACT and TYPE-FAITHFUL
+        # (ADVICE r14, high): reusing the keep-side canonical forms
+        # here lowercased strings and added float aliases, so on a
+        # string partition column `s != 'G1'` pruned the dir s=g1 and
+        # `s != '5'` pruned s=5.0 — rows that DO satisfy the predicate
+        # under Spark's case-sensitive string comparison. Each column
+        # type matches only its own faithful rendering; any type
+        # without one (timestamp dirs, uncoercible raws) never prunes.
+        for col, excl in self.neq_sets.items():
+            raw = part_vals.get(col)
+            if raw is not None:
+                styp = phys_types.get(col, "")
+                try:
+                    if styp == "string":
+                        if raw in excl:  # exact, case-sensitive
+                            return False
+                    elif styp == "boolean":
+                        # hive lowercases booleans into dir names
+                        if raw.lower() in {
+                            str(v).lower()
+                            for v in excl
+                            if isinstance(v, bool)
+                        }:
+                            return False
+                    elif styp in _NUM_TYPES:
+                        # Python's cross-type numeric == is exact
+                        # (no float rounding for big ints)
+                        v_raw = (
+                            float(raw)
+                            if "." in raw or "e" in raw.lower()
+                            else int(raw)
+                        )
+                        if any(v_raw == v for v in excl):
+                            return False
+                    elif styp.startswith("decimal"):
+                        import decimal
+
+                        if any(decimal.Decimal(raw) == v for v in excl):
+                            return False
+                    elif styp == "date":
+                        if any(
+                            raw == getattr(v, "isoformat", lambda: None)()
+                            for v in excl
+                        ):
+                            return False
+                except (
+                    TypeError,
+                    ValueError,
+                    ArithmeticError,
+                ):  # unparseable raw: cannot prove equality — keep
+                    pass
+            st = stats.get(col) if col not in part_vals else None
+            if st is None:
+                continue
+            if len(st) >= 4 and st[2] is not None and st[2] == st[3]:
+                return False  # all-null: no row satisfies !=
+            if (
+                st[0] is not None
+                and st[0] == st[1]
+                and isinstance(st[0], (int, float))
+                and not isinstance(st[0], bool)
+                and col not in float_phys
+            ):
+                for v in self.neq_sets[col]:
+                    try:
+                        # exact cross-type equality (int/float/Decimal
+                        # compare exactly in Python — no float() cast
+                        # that could collide distinct big ints)
+                        if not isinstance(v, (bool, str)) and v == st[0]:
+                            return False
+                    except TypeError:
+                        pass
+        for col, (lo, hi) in self.ranges.items():
+            if col in part_vals:
+                raw = part_vals[col]
+                if raw is None:  # hive null partition: never prune
+                    continue
+                v = raw
+                # dir values are strings; compare numerically when the
+                # bound is numeric (mirrors txn._partition_pruned_files)
+                if isinstance(lo, (int, float)) or isinstance(
+                    hi, (int, float)
+                ):
+                    try:
+                        v = float(raw)
+                    except (TypeError, ValueError):
+                        pass
+                if not _overlaps(v, v, lo, hi):
+                    return False
+                continue
+            st = stats.get(col)
+            if st is None:
+                continue
+            # an ALL-NULL file (nulls == rows, r14 stats) cannot hold a
+            # row satisfying ANY comparison — SQL null comparisons
+            # exclude the row — even when min/max are absent
+            if len(st) >= 4 and st[2] is not None and st[2] == st[3]:
+                return False
+            # a float/double file's [min, max] says nothing about NaN
+            # (parquet writers skip NaN computing stats), and Spark
+            # orders NaN above every number — a `>` lo bound must not
+            # skip the file that holds only small values plus a NaN
+            if col in self._nan_lo_phys:
+                lo = None
+            if not _overlaps(st[0], st[1], lo, hi):
+                return False
+        return True
+
+    def decode_terms(self, phys: dict, cmap: dict) -> list:
+        """The parquet-decode filter terms of THIS conjunct against a
+        file's physical schema (row-group stats pruning + dictionary
+        filtering). Dropping an unpushable term only WEAKENS the
+        conjunct (AND of fewer terms keeps a superset), so this is
+        purely an optimization — the final Arrow mask re-applies
+        everything. A term whose decode-level semantics could DIVERGE
+        from Spark's (NaN under `>`, a decimal literal that does not
+        rescale exactly, nullness) is simply not pushed."""
+        flt = []
+        for cond in self.conds:
+            pcol = cmap.get(cond[1], cond[1])
+            if pcol not in phys or cond[0] == "null":
+                continue  # nullness is checked in the final mask
+            if cond[0] == "cmp":
+                if (
+                    cond[1] in self._nan_gt_cols
+                    and cond[2] in (">", ">=")
+                ):
+                    continue  # Arrow would drop NaN rows Spark keeps
+                v = _decode_literal(cond[3], phys[pcol])
+                if v is _SKIP_PUSH:
+                    continue
+                flt.append(
+                    (pcol, "==" if cond[2] == "=" else cond[2], v)
+                )
+            else:
+                vals = [_decode_literal(x, phys[pcol]) for x in cond[2]]
+                if any(v is _SKIP_PUSH for v in vals):
+                    continue
+                flt.append((pcol, "in", set(vals)))
+        return flt
+
+    def mask(self, tbl, want):
+        """This conjunct's exact row mask over the declared-schema
+        table: Kleene-AND of term masks (SQL semantics — a null
+        comparison is null, and null AND false is false; the caller's
+        filter drops non-TRUE rows). Spark's NaN ordering is honoured:
+        float `>`/`>=` keeps NaN rows."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ops = {
+            "=": pc.equal,
+            "!=": pc.not_equal,
+            ">": pc.greater,
+            ">=": pc.greater_equal,
+            "<": pc.less,
+            "<=": pc.less_equal,
+        }
+        out = None
+        for cond in self.conds:
+            if cond[0] == "cmp":
+                col = tbl.column(cond[1])
+                lit = _mask_literal(cond[3], want.field(cond[1]).type)
+                m = ops[cond[2]](col, lit)
+                if (
+                    cond[1] in self._nan_gt_cols
+                    and cond[2] in (">", ">=")
+                ):
+                    m = pc.or_(m, pc.is_nan(col))
+            elif cond[0] == "null":
+                m = (
+                    pc.is_valid(tbl.column(cond[1]))
+                    if cond[2]  # IS NOT NULL
+                    else pc.is_null(tbl.column(cond[1]))
+                )
+            else:
+                typ = want.field(cond[1]).type
+                vals = [_mask_literal(v, typ) for v in cond[2]]
+                m = pc.is_in(
+                    tbl.column(cond[1]), value_set=pa.array(vals)
+                )
+            out = m if out is None else pc.and_kleene(out, m)
+        return out
+
+
 class ManifestReader(DataSourceReader):
     """Per-task MoR read: parquet file -> rename map -> attach hive
     partition constants -> DV anti-join -> declared-schema cast -> the
@@ -495,8 +872,8 @@ class ManifestReader(DataSourceReader):
     anti-join (post-DV rows).
 
     FILE SKIPPING on the SQL path (r13 redesign): the predicate comes
-    from the relation's ``where`` OPTION — conjunctions of simple
-    comparisons (see :func:`parse_where`) — applied EXACTLY (files
+    from the relation's ``where`` OPTION — OR-of-conjunctions of
+    simple comparisons (see :func:`parse_where`) — applied EXACTLY (files
     pruned at planning against hive ``col=value`` path segments, the
     commit log's per-file min/max stats, and the clustered bucket
     layout; surviving rows filtered in Arrow per task), so
@@ -563,131 +940,7 @@ class ManifestReader(DataSourceReader):
         #: physical names) — equality points on indexed columns consult
         #: the `_bloom` sidecar at planning (r14, VERDICT r13 item 2)
         self.bloom_prop = dict(entry.get("bloom") or {})
-        #: conditions from the `where` option, LOGICAL column names —
-        #: applied exactly (row filter) in read(); empty = no predicate
-        self.conditions: list[tuple] = (
-            parse_where(options["where"]) if "where" in options else []
-        )
         logical = {f.name: f.dataType.simpleString() for f in schema.fields}
-        coerced: list[tuple] = []
-        for cond in self.conditions:
-            if cond[1] not in logical:
-                raise ValueError(
-                    f"where: unknown column {cond[1]!r} "
-                    f"(have {sorted(logical)})"
-                )
-            # literals are validated AND coerced to the column's
-            # canonical comparison form AT PARSE time — 'k >= ''x'''
-            # on a bigint column would otherwise only blow up (or
-            # worse, mis-compare) inside an executor task; same for
-            # int literals on decimal columns (ArrowInvalid rescale,
-            # ADVICE r13) and ISO strings on temporal columns
-            if cond[0] == "null":
-                coerced.append(cond)  # IS [NOT] NULL carries no literal
-                continue
-            styp = logical[cond[1]]
-            if cond[0] == "in":
-                coerced.append(
-                    (
-                        "in",
-                        cond[1],
-                        tuple(
-                            _coerce_literal(v, styp, cond[1])
-                            for v in cond[2]
-                        ),
-                    )
-                )
-            else:
-                coerced.append(
-                    (
-                        "cmp",
-                        cond[1],
-                        cond[2],
-                        _coerce_literal(cond[3], styp, cond[1]),
-                    )
-                )
-        self.conditions = coerced
-        #: logical float/double predicate columns: Spark orders NaN
-        #: GREATER than any number while Arrow comparisons return
-        #: false for NaN, so `>`/`>=` terms on these columns must (a)
-        #: OR an is_nan branch into the exact row mask and (b) never
-        #: drive lo-bound stats pruning — parquet writers skip NaN
-        #: when computing min/max, so a file's [min, max] says nothing
-        #: about NaN presence (ADVICE r13, medium)
-        self._nan_gt_cols = {
-            c.name
-            for c in schema.fields
-            if c.dataType.simpleString() in ("float", "double")
-            and any(
-                cond[0] == "cmp"
-                and cond[1] == c.name
-                and cond[2] in (">", ">=")
-                for cond in self.conditions
-            )
-        }
-        #: the physical-name image, for the stats tier in _keep_file
-        self._nan_lo_phys = {
-            self.cmap.get(c, c) for c in self._nan_gt_cols
-        }
-        #: physical column -> [lo, hi] envelope (AND of all conditions)
-        self.ranges: dict[str, list] = {}
-        #: physical column -> exact value SET (= / IN) — prunes
-        #: dir-encoded columns tighter than the range envelope
-        self.point_sets: dict[str, set] = {}
-        #: physical column -> required nullness (True = IS NOT NULL,
-        #: False = IS NULL) — prunes hive null-partition dirs
-        self.null_conds: dict[str, bool] = {}
-        #: physical column -> EXCLUDED values (``!=``): prunes a file
-        #: only when it provably holds ONE value and that value is
-        #: excluded (a dir-encoded partition, or numeric min == max)
-        self.neq_sets: dict[str, set] = {}
-        for cond in self.conditions:
-            col = self.cmap.get(cond[1], cond[1])  # logical -> physical
-            lo = hi = None
-            if cond[0] == "null":
-                # IS NOT NULL (cond[2]=True) / IS NULL (False)
-                self.null_conds[col] = bool(cond[2])
-                continue
-            if cond[0] == "cmp":
-                op, v = cond[2], cond[3]
-                if op == "=":
-                    lo = hi = v
-                    prev = self.point_sets.get(col)
-                    self.point_sets[col] = (
-                        {v} if prev is None else prev & {v}
-                    )
-                elif op == "!=":
-                    self.neq_sets.setdefault(col, set()).add(v)
-                    continue  # no range contribution
-                elif op in (">", ">="):
-                    lo = v
-                else:
-                    hi = v
-            else:  # ("in", col, values)
-                pts = set(cond[2])
-                prev = self.point_sets.get(col)
-                self.point_sets[col] = pts if prev is None else prev & pts
-                try:
-                    lo, hi = min(pts), max(pts)
-                except TypeError:
-                    lo = hi = None
-            if lo is not None or hi is not None:
-                r = self.ranges.setdefault(col, [None, None])
-                # AND semantics: intersect with any prior range
-                try:
-                    if lo is not None and (r[0] is None or lo > r[0]):
-                        r[0] = lo
-                    if hi is not None and (r[1] is None or hi < r[1]):
-                        r[1] = hi
-                except TypeError:
-                    pass
-        # precompute each point set's comparison forms ONCE (planning
-        # runs _keep_file per file — O(files), not O(files × points)):
-        # lowercased strings (hive lowercases booleans) + numeric set;
-        # None marks a set with an uncanonicalizable member (no prune)
-        self._point_forms: dict = {}
-        for col, pts in self.point_sets.items():
-            self._point_forms[col] = _canonical_forms(pts)
         #: physical column -> Spark simpleString type. The EXCLUSION
         #: (`!=`) and bloom tiers key their soundness off the COLUMN's
         #: type, not the literal's (ADVICE r14): for keep-side equality
@@ -699,173 +952,75 @@ class ManifestReader(DataSourceReader):
         self._phys_types: dict[str, str] = {
             self.cmap.get(n, n): t for n, t in logical.items()
         }
-        #: every float/double predicate column (physical): NaN escapes
-        #: min/max stats entirely, so single-value (min == max) file
-        #: pruning for != is unsound there — a file stating [5, 5] can
-        #: still hold NaN rows that `v != 5` keeps
+        #: every float/double column (physical): NaN escapes min/max
+        #: stats entirely, so single-value (min == max) file pruning
+        #: for != is unsound there — a file stating [5, 5] can still
+        #: hold NaN rows that `v != 5` keeps
         self._float_phys = {
-            self.cmap.get(f.name, f.name)
-            for f in schema.fields
-            if f.dataType.simpleString() in ("float", "double")
+            self.cmap.get(n, n)
+            for n, t in logical.items()
+            if t in ("float", "double")
         }
+        #: the where option's DNF — one _Conjunct per disjunct, each
+        #: carrying its own envelopes/points/nullness/exclusions; the
+        #: predicate is their OR, so a file survives planning if ANY
+        #: conjunct might match a row in it and the exact row mask is
+        #: the Kleene-OR of per-conjunct masks. Empty = no predicate.
+        self.disjuncts: list[_Conjunct] = []
+        for conj in (
+            parse_where(options["where"]) if "where" in options else []
+        ):
+            coerced: list[tuple] = []
+            for cond in conj:
+                if cond[1] not in logical:
+                    raise ValueError(
+                        f"where: unknown column {cond[1]!r} "
+                        f"(have {sorted(logical)})"
+                    )
+                # literals are validated AND coerced to the column's
+                # canonical comparison form AT PARSE time — 'k >= ''x'''
+                # on a bigint column would otherwise only blow up (or
+                # worse, mis-compare) inside an executor task; same for
+                # int literals on decimal columns (ArrowInvalid rescale,
+                # ADVICE r13) and ISO strings on temporal columns
+                if cond[0] == "null":
+                    coerced.append(cond)  # IS [NOT] NULL: no literal
+                    continue
+                styp = logical[cond[1]]
+                if cond[0] == "in":
+                    coerced.append(
+                        (
+                            "in",
+                            cond[1],
+                            tuple(
+                                _coerce_literal(v, styp, cond[1])
+                                for v in cond[2]
+                            ),
+                        )
+                    )
+                else:
+                    coerced.append(
+                        (
+                            "cmp",
+                            cond[1],
+                            cond[2],
+                            _coerce_literal(cond[3], styp, cond[1]),
+                        )
+                    )
+            self.disjuncts.append(_Conjunct(coerced, self.cmap, logical))
 
     def _keep_file(self, path: str, part_vals: dict) -> bool:
+        """OR composition over the DNF (r15): keep the file when ANY
+        conjunct might match a row in it — the kept-file set is the
+        union of per-conjunct kept sets across every skipping tier."""
         rel = os.path.relpath(path, self.snap)
         stats = self.file_stats.get(rel) or {}
-        # IS [NOT] NULL against dir-encoded columns: a file under
-        # col=__HIVE_DEFAULT_PARTITION__ holds ONLY null values of
-        # col, and one under col=value holds none — either side can
-        # prune exactly. Data columns prune via the commit log's
-        # per-file null counts (r14 — stats entries grew to
-        # [min, max, nulls, rows]; 2-element entries from older
-        # commits never prune on nullness): nulls == rows means no
-        # IS-NOT-NULL row can exist, nulls == 0 means no IS-NULL row.
-        for col, want_not_null in self.null_conds.items():
-            if col in part_vals:
-                is_null_dir = part_vals[col] is None
-                if is_null_dir == want_not_null:
-                    return False
-                continue
-            st = stats.get(col)
-            if st is not None and len(st) >= 4 and st[2] is not None:
-                nulls, rows = st[2], st[3]
-                if want_not_null and nulls == rows:
-                    return False
-                if not want_not_null and nulls == 0:
-                    return False
-        # point-set pruning on dir-encoded columns: tighter than the
-        # range envelope for IN-lists (`IN ('a','z')` keeps only those
-        # two dirs, not everything between). Conservative: only prunes
-        # when every point has a canonical dir form (str/int/float/
-        # bool — _point_forms), matched case-insensitively so
-        # Python's str(True)='True' meets hive's 'true'; any column
-        # whose points can't be canonicalized keeps all files.
-        for col, forms in self._point_forms.items():
-            raw = part_vals.get(col)
-            if raw is None:  # not dir-encoded here / hive null: keep
-                continue
-            if forms is None:  # uncanonicalizable point type: keep
-                continue
-            str_forms, num_forms = forms
-            if raw.lower() in str_forms:
-                continue
-            try:
-                if float(raw) in num_forms:
-                    continue
-            except (TypeError, ValueError):
-                pass
-            return False
-        # != pruning: drop a file only when it PROVABLY holds one
-        # single excluded value — a dir-encoded partition equal to an
-        # excluded literal, or a numeric column whose min == max (NaN
-        # never enters stats, so float/double columns are exempt from
-        # the stats form) — or when the column is all-null (null != x
-        # is null: excluded). The dir match is EXACT and TYPE-FAITHFUL
-        # (ADVICE r14, high): reusing the keep-side canonical forms
-        # here lowercased strings and added float aliases, so on a
-        # string partition column `s != 'G1'` pruned the dir s=g1 and
-        # `s != '5'` pruned s=5.0 — rows that DO satisfy the predicate
-        # under Spark's case-sensitive string comparison. Each column
-        # type matches only its own faithful rendering; any type
-        # without one (timestamp dirs, uncoercible raws) never prunes.
-        for col, excl in self.neq_sets.items():
-            raw = part_vals.get(col)
-            if raw is not None:
-                styp = self._phys_types.get(col, "")
-                try:
-                    if styp == "string":
-                        if raw in excl:  # exact, case-sensitive
-                            return False
-                    elif styp == "boolean":
-                        # hive lowercases booleans into dir names
-                        if raw.lower() in {
-                            str(v).lower()
-                            for v in excl
-                            if isinstance(v, bool)
-                        }:
-                            return False
-                    elif styp in _NUM_TYPES:
-                        # Python's cross-type numeric == is exact
-                        # (no float rounding for big ints)
-                        v_raw = (
-                            float(raw) if "." in raw or "e" in raw.lower()
-                            else int(raw)
-                        )
-                        if any(v_raw == v for v in excl):
-                            return False
-                    elif styp.startswith("decimal"):
-                        import decimal
-
-                        if any(decimal.Decimal(raw) == v for v in excl):
-                            return False
-                    elif styp == "date":
-                        if any(
-                            raw == getattr(v, "isoformat", lambda: None)()
-                            for v in excl
-                        ):
-                            return False
-                except (
-                    TypeError,
-                    ValueError,
-                    ArithmeticError,
-                ):  # unparseable raw: cannot prove equality — keep
-                    pass
-            st = stats.get(col) if col not in part_vals else None
-            if st is None:
-                continue
-            if len(st) >= 4 and st[2] is not None and st[2] == st[3]:
-                return False  # all-null: no row satisfies !=
-            if (
-                st[0] is not None
-                and st[0] == st[1]
-                and isinstance(st[0], (int, float))
-                and not isinstance(st[0], bool)
-                and col not in self._float_phys
-            ):
-                for v in self.neq_sets[col]:
-                    try:
-                        # exact cross-type equality (int/float/Decimal
-                        # compare exactly in Python — no float() cast
-                        # that could collide distinct big ints)
-                        if not isinstance(v, (bool, str)) and v == st[0]:
-                            return False
-                    except TypeError:
-                        pass
-        for col, (lo, hi) in self.ranges.items():
-            if col in part_vals:
-                raw = part_vals[col]
-                if raw is None:  # hive null partition: never prune
-                    continue
-                v = raw
-                # dir values are strings; compare numerically when the
-                # bound is numeric (mirrors txn._partition_pruned_files)
-                if isinstance(lo, (int, float)) or isinstance(
-                    hi, (int, float)
-                ):
-                    try:
-                        v = float(raw)
-                    except (TypeError, ValueError):
-                        pass
-                if not _overlaps(v, v, lo, hi):
-                    return False
-                continue
-            st = stats.get(col)
-            if st is None:
-                continue
-            # an ALL-NULL file (nulls == rows, r14 stats) cannot hold a
-            # row satisfying ANY comparison — SQL null comparisons
-            # exclude the row — even when min/max are absent
-            if len(st) >= 4 and st[2] is not None and st[2] == st[3]:
-                return False
-            # a float/double file's [min, max] says nothing about NaN
-            # (parquet writers skip NaN computing stats), and Spark
-            # orders NaN above every number — a `>` lo bound must not
-            # skip the file that holds only small values plus a NaN
-            if col in self._nan_lo_phys:
-                lo = None
-            if not _overlaps(st[0], st[1], lo, hi):
-                return False
-        return True
+        return any(
+            c.keep_file(
+                part_vals, stats, self._phys_types, self._float_phys
+            )
+            for c in self.disjuncts
+        )
 
     def _allowed_bucket_ids(self) -> set[int] | None:
         """Bucket ids that can satisfy the pushed equality points on a
@@ -876,15 +1031,27 @@ class ManifestReader(DataSourceReader):
 
         col = self.bucket.get("col")
         n = int(self.bucket.get("n") or 0)
-        pts = self.point_sets.get(col) if col else None
-        if not pts or n <= 0 or self.bucket_type is None:
+        if (
+            not col
+            or n <= 0
+            or self.bucket_type is None
+            or not self.disjuncts
+        ):
             return None
+        # DNF composition: the allowed set is the UNION of per-conjunct
+        # bucket sets; a conjunct that does not pin the bucket column
+        # (or pins it to an unhashable point) can match ANY bucket —
+        # no pruning at all
         ids: set[int] = set()
-        for p in pts:
-            b = bucket_id(p, self.bucket_type, n)
-            if b is None:
-                return None  # one unhashable point disables the prune
-            ids.add(b)
+        for conj in self.disjuncts:
+            pts = conj.point_sets.get(col)
+            if not pts:
+                return None
+            for p in pts:
+                b = bucket_id(p, self.bucket_type, n)
+                if b is None:
+                    return None  # one unhashable point: no prune
+                ids.add(b)
         return ids
 
     def _bloom_rejected(self) -> set[str]:
@@ -910,52 +1077,66 @@ class ManifestReader(DataSourceReader):
         negative that prunes files HOLDING matching rows. Commit-time
         validation now refuses such sidecars (``bloom_by`` on
         non-integral/non-string columns), and this gate protects
-        tables committed before that check existed."""
+        tables committed before that check existed. DNF composition
+        (r15): a file is rejected only when EVERY conjunct's bloom
+        evidence rejects it — the intersection of per-conjunct
+        rejections — and a conjunct with no probeable point rejects
+        nothing, vetoing the whole prune."""
         indexed = set(self.bloom_prop.get("cols") or [])
-        probe = {
-            c: pts
-            for c, pts in self.point_sets.items()
-            if c in indexed
-            and self._phys_types.get(c) in _BLOOMABLE_TYPES
-        }
-        if not probe:
+        per_conj: list[dict[str, list[str]]] = []
+        from ..operators.txn import _bloom_key, _bloom_positions
+
+        for conj in self.disjuncts:
+            keys: dict[str, list[str]] = {}
+            for c, pts in conj.point_sets.items():
+                if (
+                    c not in indexed
+                    or self._phys_types.get(c) not in _BLOOMABLE_TYPES
+                ):
+                    continue
+                try:
+                    keys[c] = [_bloom_key(p) for p in pts]
+                except TypeError:
+                    continue  # uncanonicalizable point type: no prune
+            if not keys:
+                return set()  # this conjunct can match any file
+            per_conj.append(keys)
+        if not per_conj:
             return set()
         import pyarrow.parquet as pq
-
-        from ..operators.txn import _bloom_key, _bloom_positions
 
         try:
             tbl = pq.read_table(os.path.join(self.snap, "_bloom"))
         except (FileNotFoundError, OSError):
             return set()
-        keys: dict[str, list[str]] = {}
-        for c, pts in probe.items():
-            try:
-                keys[c] = [_bloom_key(p) for p in pts]
-            except TypeError:
-                continue  # uncanonicalizable point type: no prune
-        if not keys:
-            return set()
-        rejected: set[str] = set()
-        for fn, c, m, k, bits in zip(
-            tbl.column("file").to_pylist(),
-            tbl.column("col").to_pylist(),
-            tbl.column("m").to_pylist(),
-            tbl.column("k").to_pylist(),
-            tbl.column("bits").to_pylist(),
-        ):
-            pts = keys.get(c)
-            if pts is None:
-                continue
-            if not any(
-                all(
-                    bits[pos >> 3] & (1 << (pos & 7))
-                    for pos in _bloom_positions(key, m, k)
-                )
-                for key in pts
-            ):
-                rejected.add(fn)
-        return rejected
+        rows = list(
+            zip(
+                tbl.column("file").to_pylist(),
+                tbl.column("col").to_pylist(),
+                tbl.column("m").to_pylist(),
+                tbl.column("k").to_pylist(),
+                tbl.column("bits").to_pylist(),
+            )
+        )
+        rejected: set[str] | None = None
+        for keys in per_conj:
+            rej: set[str] = set()
+            for fn, c, m, k, bits in rows:
+                pts = keys.get(c)
+                if pts is None:
+                    continue
+                if not any(
+                    all(
+                        bits[pos >> 3] & (1 << (pos & 7))
+                        for pos in _bloom_positions(key, m, k)
+                    )
+                    for key in pts
+                ):
+                    rej.add(fn)
+            rejected = rej if rejected is None else rejected & rej
+            if not rejected:
+                return set()
+        return rejected or set()
 
     def partitions(self):
         from ..functions.bucket_hash import file_bucket_id
@@ -965,12 +1146,7 @@ class ManifestReader(DataSourceReader):
         parts = []
         for f in _data_files(self.snap):
             pv = _partition_values(f, self.snap)
-            if (
-                self.ranges
-                or self.point_sets
-                or self.null_conds
-                or self.neq_sets
-            ) and not self._keep_file(f, pv):
+            if self.disjuncts and not self._keep_file(f, pv):
                 continue
             if allowed_buckets is not None:
                 fb = file_bucket_id(os.path.basename(f))
@@ -1019,38 +1195,23 @@ class ManifestReader(DataSourceReader):
         # nullness) is simply not pushed. The dataset handle supplies
         # both the physical column list and the filtered scan from ONE
         # footer parse (ADVICE r13 — read_table after ParquetFile
-        # re-parsed every footer twice per task).
-        if self.conditions:
+        # re-parsed every footer twice per task). DNF (r15): pyarrow's
+        # filters accept OR-of-ANDs as a list of lists; dropping an
+        # unpushable TERM only weakens its conjunct, but a conjunct
+        # with NO pushable term weakens to TRUE and makes the whole
+        # disjunction vacuous — push nothing in that case.
+        if self.disjuncts:
             import pyarrow.dataset as pds
 
             dset = pds.dataset(path, format="parquet")
             phys = {f.name: f.type for f in dset.schema}
-            flt = []
-            for cond in self.conditions:
-                pcol = self.cmap.get(cond[1], cond[1])
-                if pcol not in phys or cond[0] == "null":
-                    continue  # nullness is checked in the final mask
-                if cond[0] == "cmp":
-                    if (
-                        cond[1] in self._nan_gt_cols
-                        and cond[2] in (">", ">=")
-                    ):
-                        continue  # Arrow would drop NaN rows Spark keeps
-                    v = _decode_literal(cond[3], phys[pcol])
-                    if v is _SKIP_PUSH:
-                        continue
-                    flt.append(
-                        (pcol, "==" if cond[2] == "=" else cond[2], v)
-                    )
-                else:
-                    vals = [
-                        _decode_literal(x, phys[pcol]) for x in cond[2]
-                    ]
-                    if any(v is _SKIP_PUSH for v in vals):
-                        continue
-                    flt.append((pcol, "in", set(vals)))
+            dnf = [
+                c.decode_terms(phys, self.cmap) for c in self.disjuncts
+            ]
             tbl = dset.to_table(
-                filter=pq.filters_to_expression(flt) if flt else None
+                filter=pq.filters_to_expression(dnf)
+                if all(dnf)
+                else None
             )
         else:
             tbl = pq.read_table(path)
@@ -1099,42 +1260,17 @@ class ManifestReader(DataSourceReader):
         # comparison excludes the row; Spark semantics: NaN orders
         # above every number, so float `>`/`>=` keeps NaN rows) —
         # file pruning above is only the coarse pass over the same
-        # conditions
-        if self.conditions:
+        # conditions. DNF (r15): Kleene-OR of per-conjunct Kleene-AND
+        # masks, so `a = 1 OR b = 2` keeps a row whose b is null but
+        # whose a is 1 (true OR null = true), exactly as SQL does.
+        if self.disjuncts:
             import pyarrow.compute as pc
 
-            ops = {
-                "=": pc.equal,
-                "!=": pc.not_equal,
-                ">": pc.greater,
-                ">=": pc.greater_equal,
-                "<": pc.less,
-                "<=": pc.less_equal,
-            }
-            for cond in self.conditions:
-                if cond[0] == "cmp":
-                    col = tbl.column(cond[1])
-                    lit = _mask_literal(
-                        cond[3], want.field(cond[1]).type
-                    )
-                    mask = ops[cond[2]](col, lit)
-                    if (
-                        cond[1] in self._nan_gt_cols
-                        and cond[2] in (">", ">=")
-                    ):
-                        mask = pc.or_(mask, pc.is_nan(col))
-                elif cond[0] == "null":
-                    mask = (
-                        pc.is_valid(tbl.column(cond[1]))
-                        if cond[2]  # IS NOT NULL
-                        else pc.is_null(tbl.column(cond[1]))
-                    )
-                else:
-                    typ = want.field(cond[1]).type
-                    vals = [_mask_literal(v, typ) for v in cond[2]]
-                    mask = pc.is_in(
-                        tbl.column(cond[1]), value_set=pa.array(vals)
-                    )
+            mask = None
+            for conj in self.disjuncts:
+                m = conj.mask(tbl, want)
+                mask = m if mask is None else pc.or_kleene(mask, m)
+            if mask is not None:
                 tbl = tbl.filter(mask)
         yield from tbl.to_batches(max_chunksize=1 << 16)
 

@@ -260,8 +260,13 @@ def test_where_option_prunes_files_driver_side(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown column"):
         ManifestReader({"root": root, "where": "nope = 1"}, schema)
-    with _pytest.raises(ValueError):
-        ManifestReader({"root": root, "where": "id > 5 OR id < 2"}, schema)
+    with _pytest.raises(ValueError):  # NOT outside IS NOT NULL: no grammar
+        ManifestReader({"root": root, "where": "NOT id = 5"}, schema)
+    # r15: OR joined the grammar — a disjunction plans (and prunes)
+    r4 = ManifestReader(
+        {"root": root, "where": "grp = 'g1' OR grp = 'nope'"}, schema
+    )
+    assert len(r4.partitions()) == len(r.partitions())
     # end-to-end through SQL: exact rows
     register(spark)
     got = (
@@ -1373,3 +1378,136 @@ def test_bloom_probe_gated_on_column_type(spark, tmp_path):
     # the string column's bloom still prunes (sound types unaffected)
     kept, total, indexed = mt.bloom_pruned_files("k", "k5")
     assert indexed is True and len(kept) < total
+
+
+def test_where_dnf_union_pruning_and_kleene_or(spark, tmp_path):
+    """r15 (VERDICT r14 item 1): OR-of-conjuncts in the where grammar.
+    File skipping for a DNF is the UNION of per-disjunct kept sets —
+    'this window OR that backfill window' launches O(window1+window2)
+    tasks, not O(table) and not a parse error — and the row mask is
+    the Kleene-OR of per-conjunct masks (true OR null = true, the SQL
+    semantics a null-propagating OR would get wrong)."""
+    import datetime as dt
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        ManifestReader,
+    )
+
+    root = str(tmp_path / "dnf")
+    mt = ManifestTable(root, retention_sec=3600)
+    t0 = dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                t0 + dt.timedelta(days=i),
+                None if i % 7 == 0 else float(i),
+                "g%d" % (i % 3),
+            )
+            for i in range(30)
+        ],
+        "id long, ts timestamp_ntz, v double, grp string",
+    )
+    # one file per day: per-disjunct windows are file-countable
+    mt.commit(df.repartitionByRange(30, "ts"), stats_by=["ts", "id"])
+    schema = _St.fromJson(_json.loads(mt._log_entry(1)["schema"]))
+    base = len(ManifestReader({"root": root}, schema).partitions())
+    assert base == 30
+
+    def parts(w):
+        return len(
+            ManifestReader({"root": root, "where": w}, schema).partitions()
+        )
+
+    w1 = "ts >= TIMESTAMP '2024-03-27 00:00:00'"            # last 4 days
+    w2 = (
+        "ts BETWEEN TIMESTAMP '2024-03-05 00:00:00' "
+        "AND TIMESTAMP '2024-03-07 23:59:59'"
+    )                                                        # 3-day backfill
+    n1, n2 = parts(w1), parts(w2)
+    assert n1 == 4 and n2 == 3, (n1, n2)
+    # the disjunction keeps exactly the union of the two windows
+    assert parts(f"{w1} OR {w2}") == n1 + n2
+    register(spark)
+
+    def rows(w):
+        return sorted(
+            r["id"]
+            for r in spark.read.format("manifest")
+            .option("root", root)
+            .option("where", w)
+            .load()
+            .collect()
+        )
+
+    # exactness across the union (every 7th v is NULL: exercises the
+    # Kleene path inside each window too)
+    w = f"{w1} OR {w2}"
+    assert rows(w) == sorted(r["id"] for r in df.filter(w).collect())
+    # Kleene OR: id=14 has v NULL but grp='g2' — `v > 100 OR grp='g2'`
+    # must keep it (true OR null = true); a null-propagating OR drops it
+    wk = "v > 100.0 OR grp = 'g2'"
+    got = rows(wk)
+    assert 14 in got
+    assert got == sorted(r["id"] for r in df.filter(wk).collect())
+    # parenthesized conjuncts: the documented disjunct form
+    wp = "(grp = 'g0' AND id <= 6) OR (grp = 'g1' AND id >= 25)"
+    assert rows(wp) == sorted(r["id"] for r in df.filter(wp).collect())
+    # predicate_view mints DNF views too
+    from datapipeline_scraping_spark.sources.manifest_sql import (
+        predicate_view,
+    )
+
+    predicate_view(spark, "pv_dnf", root, w)
+    assert spark.table("pv_dnf").count() == len(rows(w))
+
+
+def test_where_dnf_bloom_intersection(spark, tmp_path):
+    """DNF x bloom (r15): a file is bloom-rejected only when EVERY
+    disjunct rejects it — `pk = a OR pk = b` keeps the union of the
+    two point lookups' files, and a disjunct with no probeable point
+    vetoes the bloom prune entirely."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        ManifestReader,
+    )
+
+    root = str(tmp_path / "dnfbloom")
+    mt = ManifestTable(root, retention_sec=3600)
+    df = spark.createDataFrame(
+        [(i, "pay-%06d" % (i * 37), float(i)) for i in range(4000)],
+        "id long, key string, v double",
+    )
+    mt.commit(df.repartition(8, "key"), bloom_by=["key"])
+    schema = _St.fromJson(_json.loads(mt._log_entry(1)["schema"]))
+
+    def parts(w):
+        return len(
+            ManifestReader({"root": root, "where": w}, schema).partitions()
+        )
+
+    base = len(ManifestReader({"root": root}, schema).partitions())
+    p1 = parts("key = 'pay-000037'")
+    p2 = parts("key = 'pay-003700'")
+    both = parts("key = 'pay-000037' OR key = 'pay-003700'")
+    assert p1 < base and p2 < base
+    assert max(p1, p2) <= both <= p1 + p2
+    # a range-only disjunct cannot probe the bloom: the OR keeps all
+    # files the range side might touch (veto semantics)
+    assert parts("key = 'pay-000037' OR v >= 0.0") == base
+    register(spark)
+    got = sorted(
+        r["id"]
+        for r in spark.read.format("manifest")
+        .option("root", root)
+        .option("where", "key = 'pay-000037' OR key = 'pay-003700'")
+        .load()
+        .collect()
+    )
+    assert got == [1, 100]

@@ -802,16 +802,39 @@ def _push_lit(col: str, x: int) -> str:
     return str(x)
 
 
-@given(ops=st.lists(_PUSH_OP, min_size=1, max_size=3))
+def _push_pred(kind: str, col: str, a: int, b: int) -> str:
+    lo, hi = min(a, b), max(a, b)
+    if kind == "eq":
+        return f"{col} = {_push_lit(col, a)}"
+    if kind == "ne":
+        return f"{col} != {_push_lit(col, a)}"
+    if kind == "ge":
+        return f"{col} >= {_push_lit(col, a)}"
+    if kind == "le":
+        return f"{col} <= {_push_lit(col, a)}"
+    if kind == "between":
+        return f"{col} BETWEEN {_push_lit(col, lo)} AND {_push_lit(col, hi)}"
+    return f"{col} IN ({_push_lit(col, lo)}, {_push_lit(col, hi)})"
+
+
+@given(
+    conjs=st.lists(
+        st.lists(_PUSH_OP, min_size=1, max_size=3),
+        min_size=1,
+        max_size=3,
+    )
+)
 @settings(**_SETTINGS)
 def test_pushdown_never_drops_qualifying_rows(
-    spark, tmp_path_factory, ops
+    spark, tmp_path_factory, conjs
 ):
-    """Any conjunction of pushed comparison filters through the
-    ``manifest`` datasource returns EXACTLY the rows the same
-    predicate returns on the full in-memory frame — file skipping is
-    an optimization, never a correctness filter (random probes over a
-    partitioned + stats-covered + evolved table)."""
+    """Any DNF (OR of conjunctions, r15 — previously conjunctions
+    only) of pushed comparison filters through the ``manifest``
+    datasource returns EXACTLY the rows the same predicate returns on
+    the full in-memory frame — file skipping is an optimization,
+    never a correctness filter (random probes over a partitioned +
+    stats-covered + evolved table). AND-binds-tighter precedence is
+    Spark's own, so the same string drives both sides."""
     from datapipeline_scraping_spark.operators.txn import ManifestTable
     from datapipeline_scraping_spark.sources.manifest_datasource import (
         register,
@@ -842,26 +865,9 @@ def test_pushdown_never_drops_qualifying_rows(
     mt.evolve_partition(["id"], keep_snapshots=50)
     mt.append(df.filter("id >= 40"), keep_snapshots=50)
 
-    preds = []
-    for kind, col, a, b in ops:
-        lo, hi = min(a, b), max(a, b)
-        if kind == "eq":
-            preds.append(f"{col} = {_push_lit(col, a)}")
-        elif kind == "ne":
-            preds.append(f"{col} != {_push_lit(col, a)}")
-        elif kind == "ge":
-            preds.append(f"{col} >= {_push_lit(col, a)}")
-        elif kind == "le":
-            preds.append(f"{col} <= {_push_lit(col, a)}")
-        elif kind == "between":
-            preds.append(
-                f"{col} BETWEEN {_push_lit(col, lo)} AND {_push_lit(col, hi)}"
-            )
-        else:
-            preds.append(
-                f"{col} IN ({_push_lit(col, lo)}, {_push_lit(col, hi)})"
-            )
-    where = " AND ".join(preds)
+    where = " OR ".join(
+        " AND ".join(_push_pred(*op) for op in conj) for conj in conjs
+    )
     # the predicate through the `where` OPTION (planning-time file
     # skipping + exact Arrow row filter, r13) ...
     got = sorted(
@@ -894,16 +900,25 @@ def test_pushdown_never_drops_qualifying_rows(
     assert got2 == exp, f"plain filter dropped rows for WHERE {where}"
 
 
-@given(ops=st.lists(_PUSH_OP, min_size=1, max_size=3))
+@given(
+    conjs=st.lists(
+        st.lists(_PUSH_OP, min_size=1, max_size=3),
+        min_size=1,
+        max_size=2,
+    )
+)
 @settings(**_SETTINGS)
 def test_pushdown_never_drops_qualifying_rows_clustered(
-    spark, tmp_path_factory, ops
+    spark, tmp_path_factory, conjs
 ):
-    """The pushdown property over a CLUSTERED table (r13): bucket
-    pruning from equality points must compose with the DV anti-join
-    and the always-scanned ``_upd`` delta — any random conjunction of
-    pushed filters through the SQL path returns exactly what the same
-    predicate returns on the equivalent in-memory frame."""
+    """The pushdown property over a CLUSTERED table (r13; DNF r15):
+    bucket pruning from equality points must compose with the DV
+    anti-join and the always-scanned ``_upd`` delta — any random DNF
+    of pushed filters through the SQL path returns exactly what the
+    same predicate returns on the equivalent in-memory frame. The
+    bucket prune composes across disjuncts as a UNION of allowed
+    bucket sets (vetoed entirely by any conjunct not pinning the
+    bucket column)."""
     from datapipeline_scraping_spark.operators.txn import ManifestTable
     from datapipeline_scraping_spark.sources.manifest_datasource import (
         register,
@@ -938,26 +953,9 @@ def test_pushdown_never_drops_qualifying_rows_clustered(
         ),
     )
 
-    preds = []
-    for kind, col, a, b in ops:
-        lo, hi = min(a, b), max(a, b)
-        if kind == "eq":
-            preds.append(f"{col} = {_push_lit(col, a)}")
-        elif kind == "ne":
-            preds.append(f"{col} != {_push_lit(col, a)}")
-        elif kind == "ge":
-            preds.append(f"{col} >= {_push_lit(col, a)}")
-        elif kind == "le":
-            preds.append(f"{col} <= {_push_lit(col, a)}")
-        elif kind == "between":
-            preds.append(
-                f"{col} BETWEEN {_push_lit(col, lo)} AND {_push_lit(col, hi)}"
-            )
-        else:
-            preds.append(
-                f"{col} IN ({_push_lit(col, lo)}, {_push_lit(col, hi)})"
-            )
-    where = " AND ".join(preds)
+    where = " OR ".join(
+        " AND ".join(_push_pred(*op) for op in conj) for conj in conjs
+    )
     got = sorted(
         map(
             tuple,
@@ -1005,9 +1003,13 @@ def test_where_grammar_fails_closed(parts):
         out = parse_where(s)
     except ValueError:
         return
+    # r15: the parse yields DISJUNCTS — a non-empty list of non-empty
+    # conjunctions of conditions
     assert isinstance(out, list) and out
-    for cond in out:
-        assert cond[0] in ("cmp", "in", "null"), cond
+    for conj in out:
+        assert isinstance(conj, list) and conj
+        for cond in conj:
+            assert cond[0] in ("cmp", "in", "null"), cond
 
 
 @given(
@@ -1047,8 +1049,9 @@ def test_where_validation_fails_closed_per_type(spark, col, op, lit):
         )
 
         logical = {f.name: f.dataType.simpleString() for f in schema.fields}
-        for c in conds:
-            assert c[1] in logical
-            _coerce_literal(c[3], logical[c[1]], c[1])
+        for conj in conds:
+            for c in conj:
+                assert c[1] in logical
+                _coerce_literal(c[3], logical[c[1]], c[1])
     except ValueError:
         return
