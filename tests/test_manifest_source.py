@@ -1511,3 +1511,90 @@ def test_where_dnf_bloom_intersection(spark, tmp_path):
         .collect()
     )
     assert got == [1, 100]
+
+
+def test_where_like_prefix_prunes_and_row_filters_exactly(spark, tmp_path):
+    """r15 (VERDICT r14 item 3): LIKE joins the grammar. A pattern's
+    literal PREFIX before the first wildcard prunes files against the
+    string min/max envelopes (the prefix interval, under the same
+    conservative truncated comparison every string bound uses);
+    %inner% shapes row-filter exactly but keep every file. Null in,
+    null out (SQL); non-string columns are rejected at parse."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        ManifestReader,
+    )
+
+    root = str(tmp_path / "like")
+    mt = ManifestTable(root, retention_sec=3600)
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                None
+                if i % 17 == 0
+                else "https://src%d.example.com/p/%04d" % (i % 8, i),
+            )
+            for i in range(400)
+        ],
+        "id long, url string",
+    )
+    # sort-committed on the string column: tight per-file envelopes
+    mt.commit(
+        df.repartitionByRange(8, "url").sortWithinPartitions("url"),
+        stats_by=["url"],
+    )
+    schema = _St.fromJson(_json.loads(mt._log_entry(1)["schema"]))
+    base = len(ManifestReader({"root": root}, schema).partitions())
+
+    def parts(w):
+        return len(
+            ManifestReader({"root": root, "where": w}, schema).partitions()
+        )
+
+    # prefix pattern prunes to the prefix interval's files
+    kept = parts("url LIKE 'https://src3.example.com/%'")
+    assert 0 < kept < base, (kept, base)
+    # a leading wildcard has no prefix: row filter only, no pruning
+    assert parts("url LIKE '%src3%'") == base
+    register(spark)
+
+    def rows(w):
+        return sorted(
+            r["id"]
+            for r in spark.read.format("manifest")
+            .option("root", root)
+            .option("where", w)
+            .load()
+            .collect()
+        )
+
+    for w in (
+        "url LIKE 'https://src3.example.com/%'",
+        "url LIKE '%/p/01%'",
+        "url LIKE 'https://src_.example.com/p/00__'",
+        "url LIKE 'https://src3.example.com/%' OR "
+        "url LIKE 'https://src5.example.com/%'",
+        "url LIKE 'https://src3%' AND id >= 100",
+    ):
+        assert rows(w) == sorted(
+            r["id"] for r in df.filter(w).collect()
+        ), w
+    # nulls never match (SQL LIKE semantics)
+    assert 0 not in rows("url LIKE '%'") and 17 not in rows("url LIKE '%'")
+    # non-string column: loud parse-time rejection
+    with pytest.raises(ValueError, match="string columns only"):
+        ManifestReader(
+            {"root": root, "where": "id LIKE '5%'"}, schema
+        )
+    # DNF x LIKE pruning: the OR of two prefixes keeps the union
+    k3 = parts("url LIKE 'https://src3.example.com/%'")
+    k5 = parts("url LIKE 'https://src5.example.com/%'")
+    both = parts(
+        "url LIKE 'https://src3.example.com/%' OR "
+        "url LIKE 'https://src5.example.com/%'"
+    )
+    assert max(k3, k5) <= both <= min(k3 + k5, base)

@@ -982,6 +982,7 @@ def test_pushdown_never_drops_qualifying_rows_clustered(
             list("abcdef_ ()<>=!,'0123456789.`") + [
                 " AND ", " IN ", " BETWEEN ", " IS ", " NOT ", " NULL ",
                 " OR ", "DATE ", "TIMESTAMP ", "'2024-01-05'", "''",
+                " LIKE ", "'ab%'", "%", "_",
             ]
         ),
         max_size=40,
@@ -1009,7 +1010,7 @@ def test_where_grammar_fails_closed(parts):
     for conj in out:
         assert isinstance(conj, list) and conj
         for cond in conj:
-            assert cond[0] in ("cmp", "in", "null"), cond
+            assert cond[0] in ("cmp", "in", "null", "like"), cond
 
 
 @given(
