@@ -409,7 +409,16 @@ class _CommitMixin:
                         snap,
                         partition_by,
                         schema_json,
-                        meta=meta,
+                        # table-PROPERTY meta (declared sort order)
+                        # inherits from the superseded entry exactly
+                        # like stats_by/bloom_by/checks/cdf_keys do,
+                        # caller's meta winning per key — centralized
+                        # here after the r15 writer x sidecar matrix
+                        # found merge_write and publish_from's rebase
+                        # fold (both plain-commit callers) silently
+                        # dropping set_sort_order; operational keys
+                        # (epoch, predicates, provenance) never carry
+                        meta={**_inherited_meta(prev), **(meta or {})},
                         stats_cols=stats_cols,
                         file_stats=file_stats,
                         checks=checks,

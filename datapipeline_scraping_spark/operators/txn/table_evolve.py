@@ -556,7 +556,11 @@ class _EvolveMixin:
                     result,
                     expect_version=head,
                     keep_snapshots=keep_snapshots,
-                    meta=pub_meta,
+                    # table-property meta (declared sort order, ...)
+                    # rides the rebase fold like every other derived
+                    # commit — found by the r15 writer x sidecar
+                    # matrix: the rebase path dropped set_sort_order
+                    meta={**_inherited_meta(live), **pub_meta},
                 )
             except ConcurrentWriteError:
                 continue  # a racing writer advanced main: re-fold

@@ -179,14 +179,18 @@ def predicate_view(
                        "ts >= TIMESTAMP '2024-06-01 00:00:00'")
         spark.sql("SELECT ... FROM recent")    -- O(window) tasks
 
-    ``where`` is the option grammar (conjunctions of comparisons, IN,
-    BETWEEN, IS [NOT] NULL; numeric/decimal/string/boolean/date/
-    timestamp literals) — validated HERE against the committed schema
-    so a predicate the scan cannot apply exactly fails at CREATE, not
-    mid-query. The view is read-only (the datasource refuses writes
-    through a filtered relation) and version-pinned like any manifest
-    view: pass ``version``/``asof`` for time travel, and re-run the
-    helper to pick up commits made after it."""
+    ``where`` is the option grammar (r15: DNF — OR of conjunctions of
+    comparisons, IN, BETWEEN, IS [NOT] NULL, LIKE; numeric/decimal/
+    string/boolean/date/timestamp literals) — validated HERE against
+    the committed schema so a predicate the scan cannot apply exactly
+    fails at CREATE, not mid-query. Which predicate shape prunes
+    through which skipping tier (and why ``!=``/``IS NULL``/float
+    ``>`` are narrower) is tabulated in README.md under "Which
+    predicate prunes through which tier" — scan cost is predictable
+    from the predicate's shape. The view is read-only (the datasource
+    refuses writes through a filtered relation) and version-pinned
+    like any manifest view: pass ``version``/``asof`` for time
+    travel, and re-run the helper to pick up commits made after it."""
     from .manifest_datasource import ManifestReader, _resolve_version
 
     if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):

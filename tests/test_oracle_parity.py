@@ -26,6 +26,12 @@ import __spark_entry__ as entry_mod
 from datapipeline_scraping_spark.queries import REGISTRY
 from tests.conftest import SF_SMOKE
 
+#: full-registry differential = the dominant cost of the suite
+#: (~25-40 min); the smoke tier (`pytest -m "not slow"`) skips it,
+#: the full run stays the pre-evidence gate (r15 — VERDICT r14
+#: item 5)
+pytestmark = pytest.mark.slow
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
