@@ -448,6 +448,13 @@ TXN_QUERIES = (
     "q196_temporal_predicate_view",
     "q197_bloom_point_lookup",
     "q198_nullcount_skipping",
+    # r15: the DNF view must keep launching the UNION of its two
+    # windows' tasks at 10x (kept == kept_a + kept_b asserted
+    # in-query), and the LIKE-prefix view must keep touching only the
+    # prefix interval's files on the url-sorted ledger while the
+    # %inner% control keeps everything
+    "q199_dnf_predicate_view",
+    "q200_like_prefix_skipping",
 )
 
 CURATION_QUERIES = (
@@ -706,6 +713,9 @@ def predicate_view_evidence(spark) -> dict:
     from datapipeline_scraping_spark.queries_r14 import (
         _Q196_HI, _Q196_LO, _Q197_KEYS, _key,
     )
+    from datapipeline_scraping_spark.queries_r15 import (
+        _Q199_WHERE, _Q200_PREFIX,
+    )
     from datapipeline_scraping_spark.operators.txn import ManifestTable
     from datapipeline_scraping_spark.sources.manifest_datasource import (
         ManifestReader, register,
@@ -723,6 +733,14 @@ def predicate_view_evidence(spark) -> dict:
                 f"ts >= TIMESTAMP '{_Q196_LO}' AND ts < TIMESTAMP '{_Q196_HI}'",
             ),
             ("point", "bloomq2", f"l_orderkey IN ({in_list})"),
+            # r15 (VERDICT r14 item 8): the q198 "backlog scan" shape —
+            # IS NULL over a mostly-filled column touches only the
+            # unfilled tail's files at both scales
+            ("nullscan", "nullsk", "status_audit IS NULL"),
+            # r15: DNF union-of-windows and LIKE host-prefix — the two
+            # new grammar shapes' kept-file fractions at 1x vs 10x
+            ("dnf_union", "tpv", _Q199_WHERE),
+            ("like_prefix", "likeurl", f"url LIKE '{_Q200_PREFIX}%'"),
         ):
             root = os.path.join(SCRATCH, f"{prefix}_{_key(sf)}")
             mt = ManifestTable(root)
