@@ -1146,20 +1146,24 @@ def main() -> None:
         )
     lines += [
         "",
-        "## Predicate views: tasks launched track the predicate (r14)",
+        "## Predicate views: tasks launched track the predicate (r14/r15)",
         "",
         "The `where`-option view's InputPartition count and wall time for",
         "a 7-of-30-day time window (q196's date-partitioned events",
-        "ledger; the 10x ledger keeps the SAME 30-day span) and a",
+        "ledger; the 10x ledger keeps the SAME 30-day span), a",
         "bloom-sidecar point lookup (q197's unclustered lineitem ledger,",
-        "every min/max envelope spans the key domain). The O(window)/",
-        "O(probed-keys) claim measured, not asserted: the kept-file",
-        "fraction must hold as the table grows 10x.",
+        "every min/max envelope spans the key domain), the IS NULL",
+        "backlog scan (q198's unfilled-tail files only), the DNF",
+        "union-of-two-windows (q199 — kept = sum of the disjoint",
+        "windows' kept sets), and the LIKE host-prefix interval on the",
+        "url-sorted ledger (q200). The O(predicate) claim measured, not",
+        "asserted: each kept-file fraction must hold as the table grows",
+        "10x.",
         "",
         "| view | scale | files kept/total | wall sec | rows |",
         "| --- | --- | --- | --- | --- |",
     ]
-    for fam in ("window", "point"):
+    for fam in ("window", "point", "nullscan", "dnf_union", "like_prefix"):
         for tag in ("1x", "10x"):
             r = pview[tag][fam]
             lines.append(
