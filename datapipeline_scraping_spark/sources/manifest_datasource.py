@@ -127,16 +127,20 @@ def _partition_values(path: str, snap: str) -> dict:
 #:   expr    := disjunct (OR disjunct)*
 #:   disjunct:= conj | '(' conj ')'
 #:   conj    := term (AND term)*
-#:   term    := col op literal | col IN ( lit, ... )
+#:   term    := col op literal | col [NOT] IN ( lit, ... )
 #:            | col BETWEEN lit AND lit | col IS [NOT] NULL
-#:            | col LIKE 'pattern'
+#:            | col [NOT] LIKE 'pattern'
 #:   op      := = | == | != | <> | > | >= | < | <=
 #:   literal := number | 'string' ('' escapes a quote) | TRUE | FALSE
 #:            | DATE 'yyyy-mm-dd' | TIMESTAMP 'iso-8601'
 #:   col     := identifier | `identifier`
-#: AND binds tighter than OR (SQL precedence); parentheses may wrap a
-#: whole conjunction only — arbitrary nesting is outside the grammar
-#: and fails loudly like everything else. LIKE (r15, VERDICT r14 item
+#: AND binds tighter than OR (SQL precedence); parentheses may wrap
+#: the WHOLE expression or a whole conjunction — arbitrary nesting is
+#: outside the grammar and fails loudly like everything else. NOT IN
+#: desugars to a conjunction of != terms (same null semantics: a null
+#: never satisfies either form); NOT LIKE row-filters exactly but
+#: never prunes; NOT BETWEEN is rejected (its expansion is a
+#: disjunction — write the two comparisons with OR). LIKE (r15, VERDICT r14 item
 #: 3) takes SQL wildcards % (any run) and _ (one char) on STRING
 #: columns; backslashes are rejected at parse (escape sequences are
 #: where engines' LIKE dialects diverge — fail closed). A pattern's
@@ -272,6 +276,29 @@ def parse_where(s: str) -> list[list[tuple]]:
             return _temporal_literal(word, raw)
         return expect("lit")
 
+    # parentheses around the WHOLE expression strip off (users write
+    # `(A OR B)` as naturally as `A OR B`): the opening paren must
+    # match exactly the final token — `(a) OR (b)` does not qualify
+    # and parses as parenthesized conjuncts instead
+    while (
+        len(toks) >= 2
+        and toks[0] == ("punct", "(")
+        and toks[-1] == ("punct", ")")
+    ):
+        depth = 0
+        matched_last = False
+        for j, t in enumerate(toks):
+            if t == ("punct", "("):
+                depth += 1
+            elif t == ("punct", ")"):
+                depth -= 1
+                if depth == 0:
+                    matched_last = j == len(toks) - 1
+                    break
+        if not matched_last:
+            break
+        toks = toks[1:-1]
+
     def at_conj_end() -> bool:
         return (
             i >= len(toks)
@@ -282,6 +309,21 @@ def parse_where(s: str) -> list[list[tuple]]:
     def parse_term(conj: list) -> None:
         nonlocal i
         col = expect("id")
+        neg = False
+        if i < len(toks) and toks[i] == ("kw", "NOT"):
+            # col NOT IN (...) / col NOT LIKE '...' (r15). NOT BETWEEN
+            # stays out: its expansion is a DISJUNCTION (col < lo OR
+            # col > hi), which cannot live inside one conjunct — the
+            # error below names the rewrite.
+            neg = True
+            i += 1
+            kind, val = toks[i] if i < len(toks) else ("", "")
+            if not (kind == "kw" and val in ("IN", "LIKE")):
+                raise ValueError(
+                    f"where: NOT after {col!r} supports NOT IN and "
+                    f"NOT LIKE only (NOT BETWEEN lo AND hi = "
+                    f"`{col} < lo OR {col} > hi`)"
+                )
         kind, val = toks[i] if i < len(toks) else ("", "")
         if kind == "op":
             i += 1
@@ -300,7 +342,15 @@ def parse_where(s: str) -> list[list[tuple]]:
                 raise ValueError(
                     f"where: IN list for {col!r} mixes literal types"
                 )
-            conj.append(("in", col, tuple(vals)))
+            if neg:
+                # NOT IN desugars to a conjunction of != terms — the
+                # null semantics agree (null NOT IN (...) is null,
+                # null != x is null: excluded either way), and the
+                # exclusion tier's single-value file pruning applies
+                # per excluded value
+                conj.extend(("cmp", col, "!=", v) for v in vals)
+            else:
+                conj.append(("in", col, tuple(vals)))
         elif kind == "kw" and val == "IS":
             i += 1
             neg = False
@@ -332,7 +382,7 @@ def parse_where(s: str) -> list[list[tuple]]:
                     f"where: LIKE pattern {pat!r} contains a backslash "
                     f"— escape sequences are not part of the grammar"
                 )
-            conj.append(("like", col, pat))
+            conj.append(("nlike" if neg else "like", col, pat))
         else:
             raise ValueError(f"where: expected comparison after {col!r}")
 
@@ -488,6 +538,24 @@ def _canonical_forms(vals) -> "tuple[set, set] | None":
     return {str(p).lower() for p in vals}, nums
 
 
+def _like_prefix_upper(prefix: str) -> "str | None":
+    """The smallest practical string U with ``every string starting
+    with prefix < U``: increment the last incrementable codepoint
+    (skipping the surrogate range, which cannot encode). None when no
+    position can be incremented (all U+10FFFF — no upper bound).
+    Codepoint order equals UTF-8 byte order, so the bound holds for
+    parquet's byte-wise string stats too."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c >= 0x10FFFF:
+            continue
+        nxt = c + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000
+        return prefix[:i] + chr(nxt)
+    return None
+
+
 def _mask_literal(v, patype):
     """Adapt a canonical where-literal to the DECLARED Arrow type for
     the exact row mask (the table is already cast to the logical
@@ -607,6 +675,8 @@ class _Conjunct:
                 # IS NOT NULL (cond[2]=True) / IS NULL (False)
                 self.null_conds[col] = bool(cond[2])
                 continue
+            if cond[0] == "nlike":
+                continue  # exclusion-shaped: row filter only, no prune
             if cond[0] == "like":
                 # the pattern's literal PREFIX before the first
                 # wildcard prunes as the range [prefix, prefix]: every
@@ -848,8 +918,23 @@ class _Conjunct:
         flt = []
         for cond in self.conds:
             pcol = cmap.get(cond[1], cond[1])
-            if pcol not in phys or cond[0] in ("null", "like"):
-                continue  # nullness/LIKE are checked in the final mask
+            if pcol not in phys or cond[0] == "null":
+                continue  # nullness is checked in the final mask
+            if cond[0] == "nlike":
+                continue  # exclusion-shaped: mask only
+            if cond[0] == "like":
+                # a prefix-bearing pattern pushes its prefix INTERVAL
+                # into the decode ([prefix, next-prefix) — exact
+                # bounds for "starts with prefix", a superset of the
+                # matches) so row-group stats prune inside big files;
+                # the pattern tail stays mask-only
+                prefix = re.split(r"[%_]", cond[2], maxsplit=1)[0]
+                if prefix:
+                    flt.append((pcol, ">=", prefix))
+                    upper = _like_prefix_upper(prefix)
+                    if upper is not None:
+                        flt.append((pcol, "<", upper))
+                continue
             if cond[0] == "cmp":
                 if (
                     cond[1] in self._nan_gt_cols
@@ -903,11 +988,15 @@ class _Conjunct:
                     if cond[2]  # IS NOT NULL
                     else pc.is_null(tbl.column(cond[1]))
                 )
-            elif cond[0] == "like":
+            elif cond[0] in ("like", "nlike"):
                 # SQL LIKE semantics (% any run, _ one char; null in,
                 # null out) — backslash escapes were rejected at
-                # parse, the one place LIKE dialects diverge
+                # parse, the one place LIKE dialects diverge. NOT
+                # LIKE inverts with null preserved (pc.invert), so a
+                # null still never satisfies either polarity.
                 m = pc.match_like(tbl.column(cond[1]), cond[2])
+                if cond[0] == "nlike":
+                    m = pc.invert(m)
             else:
                 typ = want.field(cond[1]).type
                 vals = [_mask_literal(v, typ) for v in cond[2]]
@@ -1040,10 +1129,11 @@ class ManifestReader(DataSourceReader):
                     coerced.append(cond)  # IS [NOT] NULL: no literal
                     continue
                 styp = logical[cond[1]]
-                if cond[0] == "like":
-                    # LIKE is a string-column predicate; on any other
-                    # type Spark would implicitly cast, a semantics the
-                    # Arrow mask cannot reproduce faithfully
+                if cond[0] in ("like", "nlike"):
+                    # [NOT] LIKE is a string-column predicate; on any
+                    # other type Spark would implicitly cast, a
+                    # semantics the Arrow mask cannot reproduce
+                    # faithfully
                     if styp != "string":
                         raise ValueError(
                             f"where: LIKE on column {cond[1]!r} of type "

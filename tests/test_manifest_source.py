@@ -1598,3 +1598,78 @@ def test_where_like_prefix_prunes_and_row_filters_exactly(spark, tmp_path):
         "url LIKE 'https://src5.example.com/%'"
     )
     assert max(k3, k5) <= both <= min(k3 + k5, base)
+
+
+def test_where_not_in_not_like_and_whole_expr_parens(spark, tmp_path):
+    """r15 tail: NOT IN desugars to a != conjunction (dir-encoded
+    single-value files prune, type-faithfully), NOT LIKE row-filters
+    exactly (null never satisfies either polarity), and parentheses
+    may wrap the WHOLE expression — `(A OR B)` parses the way users
+    write it. NOT BETWEEN is rejected naming its OR rewrite."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        ManifestReader,
+    )
+
+    root = str(tmp_path / "notin")
+    mt = ManifestTable(root, retention_sec=3600)
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                "p%d" % (i % 5),
+                None if i % 11 == 0 else "u-%03d" % i,
+            )
+            for i in range(100)
+        ],
+        "id long, prio string, tag string",
+    )
+    # one file per dir (each prio key lives in exactly one task), so
+    # the exclusion arithmetic below is exact
+    mt.commit(
+        df.repartition("prio"), partition_by=["prio"], stats_by=["id"]
+    )
+    schema = _St.fromJson(_json.loads(mt._log_entry(1)["schema"]))
+    base = len(ManifestReader({"root": root}, schema).partitions())
+    assert base == 5
+
+    def parts(w):
+        return len(
+            ManifestReader({"root": root, "where": w}, schema).partitions()
+        )
+
+    # NOT IN prunes the excluded dirs (2 of 5 priorities)
+    assert parts("prio NOT IN ('p1', 'p3')") == 3
+    register(spark)
+
+    def ids(w):
+        return sorted(
+            r["id"]
+            for r in spark.read.format("manifest")
+            .option("root", root)
+            .option("where", w)
+            .load()
+            .collect()
+        )
+
+    for w in (
+        "prio NOT IN ('p1', 'p3')",
+        "tag NOT LIKE 'u-0%'",
+        "prio NOT IN ('p0') AND tag NOT LIKE '%7'",
+        "(id < 10 OR id >= 90)",
+        "((prio = 'p2') OR (prio = 'p4' AND id > 50))",
+        "id NOT IN (4, 5, 6) OR prio = 'p1'",
+    ):
+        assert ids(w) == sorted(
+            r["id"] for r in df.filter(w).collect()
+        ), w
+    # null tag rows satisfy NEITHER LIKE polarity (SQL)
+    got = set(ids("tag NOT LIKE 'zzz%'"))
+    assert 0 not in got and 11 not in got and 1 in got
+    with pytest.raises(ValueError, match="NOT BETWEEN"):
+        ManifestReader(
+            {"root": root, "where": "id NOT BETWEEN 1 AND 2"}, schema
+        )

@@ -1010,7 +1010,7 @@ def test_where_grammar_fails_closed(parts):
     for conj in out:
         assert isinstance(conj, list) and conj
         for cond in conj:
-            assert cond[0] in ("cmp", "in", "null", "like"), cond
+            assert cond[0] in ("cmp", "in", "null", "like", "nlike"), cond
 
 
 @given(
