@@ -333,6 +333,7 @@ def test_register_table_rejects_quoted_roots(spark, tmp_path):
         register_table(spark, "evil", str(tmp_path) + "/a'b")
 
 
+@pytest.mark.slow  # >60s (r15 tiering; measured 75-343s)
 def test_merge_clause_semantics_exhaustive(spark, tmp_path):
     """Every supported clause-order/condition combination against a
     pure-Python ANSI MERGE reference (first matching clause wins;

@@ -14,6 +14,8 @@ from __future__ import annotations
 import hashlib
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datapipeline_scraping_spark.operators.similarity import (
@@ -76,6 +78,7 @@ def test_sq8_codes_match_pure_python(spark):
     assert got[0][3] == 255
 
 
+@pytest.mark.slow  # >60s (r15 tiering; measured 75-163s)
 def test_sq8_topk_exact_on_separable_corpus(spark):
     # three tight clusters along different axes: quantized candidate
     # generation must place same-cluster vectors first, and the exact
@@ -104,6 +107,7 @@ def test_sq8_topk_exact_on_separable_corpus(spark):
         assert all(r["cosine"] > 0.99 for r in mine)
 
 
+@pytest.mark.slow  # >60s (r15 tiering; measured 75-163s)
 def test_sq8_topk_matches_bruteforce_cosine_ranks(spark):
     # with candidates == corpus size the SQ8 path degenerates to the
     # exact brute force: final ranking must equal cosine_topk's.
@@ -238,6 +242,7 @@ def test_ivf_sq8_topk_probes_own_cluster(spark):
         assert r["cosine"] > 0.99
 
 
+@pytest.mark.slow  # >60s (r15 tiering; measured 75-163s)
 def test_ivf_sq8_topk_degenerates_to_bruteforce(spark):
     from datapipeline_scraping_spark.operators.similarity import (
         cosine_topk,

@@ -3398,6 +3398,7 @@ def test_epoch_sink_routes_clustered_appends(spark, tmp_path):
     assert (tbl._log_entry(3) or {}).get("meta", {}).get("epoch") == 2
 
 
+@pytest.mark.slow  # >60s (r15 tiering; measured 75-343s)
 def test_clustered_writers_crash_sweep_never_tear_table(spark, tmp_path):
     """Crash-point sweep over append_clustered and compact_clustered:
     kill each writer at EVERY Python-level filesystem mutation (rename
