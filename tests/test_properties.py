@@ -782,11 +782,18 @@ def test_partition_evolution_sequence_matches_model(
 #: v double, ts timestamp_ntz) — id 0..59, grp g0..g2, v = id/2,
 #: ts = 2024-03-01 + id hours (r14: temporal literals in the grammar)
 _PUSH_OP = st.tuples(
-    st.sampled_from(["eq", "ne", "ge", "le", "between", "in"]),
+    st.sampled_from(
+        ["eq", "ne", "ge", "le", "between", "in",
+         "nin", "like", "nlike"]  # r15: NOT IN / [NOT] LIKE
+    ),
     st.sampled_from(["id", "grp", "v", "ts"]),
     st.integers(-5, 65),
     st.integers(-5, 65),
 )
+
+#: LIKE patterns over the grp domain (g0..g2): prefix-prunable,
+#: leading-wildcard, single-char, and never-matching shapes
+_LIKE_PATS = ["g%", "g_", "%1", "%g0%", "zz%", "g0"]
 
 _TS0 = datetime.datetime(2024, 3, 1)
 
@@ -814,6 +821,12 @@ def _push_pred(kind: str, col: str, a: int, b: int) -> str:
         return f"{col} <= {_push_lit(col, a)}"
     if kind == "between":
         return f"{col} BETWEEN {_push_lit(col, lo)} AND {_push_lit(col, hi)}"
+    if kind == "nin":
+        return f"{col} NOT IN ({_push_lit(col, lo)}, {_push_lit(col, hi)})"
+    if kind in ("like", "nlike"):
+        # LIKE is string-only: always probe the grp column
+        pat = _LIKE_PATS[abs(a) % len(_LIKE_PATS)]
+        return f"grp {'NOT ' if kind == 'nlike' else ''}LIKE '{pat}'"
     return f"{col} IN ({_push_lit(col, lo)}, {_push_lit(col, hi)})"
 
 
