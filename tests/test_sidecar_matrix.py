@@ -66,6 +66,16 @@ def base_root(spark, tmp_path_factory) -> str:
     return root
 
 
+def _bloom_must_cover(snap: str, rel: str, col: str) -> bool:
+    """A file with ZERO non-null values of the indexed column has
+    nothing to index — the builder's groupBy emits no row for it, and
+    the probe keeps files absent from the sidecar (never prune on
+    absent evidence), so exempting it is contract-faithful, not a
+    hole. Everything else must be covered."""
+    t = pq.read_table(os.path.join(snap, rel), columns=[col])
+    return (t.num_rows - t.column(col).null_count) > 0
+
+
 def _data_files(snap: str) -> list[str]:
     out = []
     for d, dirs, fs in os.walk(snap):
@@ -113,9 +123,9 @@ def _assert_tiers(mt: ManifestTable, op: str) -> None:
     )
     for rel in data:
         for c in BLOOM_COLS:
-            assert (rel, c) in covered, (
-                f"{op}: bloom sidecar does not cover ({rel}, {c})"
-            )
+            assert (rel, c) in covered or not _bloom_must_cover(
+                snap, rel, c
+            ), f"{op}: bloom sidecar does not cover ({rel}, {c})"
     # tier 3: declared sort order
     assert list((e.get("meta") or {}).get("sort_order") or []) == SORT_ORDER, (
         f"{op}: sort order lost"
@@ -313,3 +323,61 @@ def test_matrix_clustered_layout_survives_its_writers(spark, tmp_path):
     assert sorted(
         r["pk"] for r in mt.read_clustered(spark).collect()
     ) == list(range(240))
+
+
+def test_matrix_group_commit_append_member(spark, base_root, tmp_path):
+    """The group-commit writer (atomic corpus+index pair). Two
+    contracts: (a) a table with a change feed or CHECKs REFUSES group
+    membership loudly (documented non-composition — a refusal is not
+    a tier drop); (b) on a group-compatible table, every tier the
+    group path CAN carry (stats coverage, bloom coverage, sort order,
+    column map) survives a group append exactly like a standalone
+    append."""
+    from datapipeline_scraping_spark.operators.txn import TransactionGroup
+
+    mt = _clone(base_root, tmp_path, "t")
+    other = ManifestTable(str(tmp_path / "idx"), retention_sec=3600)
+    other.commit(spark.range(3).selectExpr("id as g", "id * 2 as n"))
+    grp = TransactionGroup(mt, other)
+    batch = _mk_df(spark, 400, 430).withColumnRenamed("v", "label")
+    new_idx = spark.range(4).selectExpr("id as g", "id * 3 as n")
+    with pytest.raises(ValueError, match="group commits"):
+        grp.commit({mt.root: ("append", batch), other.root: new_idx})
+
+    root2 = str(tmp_path / "plainbase")
+    m2 = ManifestTable(root2, retention_sec=3600)
+    m2.commit(
+        _mk_df(spark, 0, 200).repartition(4),
+        stats_by=STATS_COLS,
+        bloom_by=BLOOM_COLS,
+        keep_snapshots=50,
+    )
+    assert m2.set_sort_order(SORT_ORDER)
+    m2.rename_column("v", "label", keep_snapshots=50)
+    grp2 = TransactionGroup(m2, other)
+    grp2.commit({m2.root: ("append", batch), other.root: new_idx})
+    e = m2._log_entry(m2.version()) or {}
+    snap = m2.snapshot_path()
+    data = _data_files(snap)
+    assert list(e.get("stats_cols") or []) == STATS_COLS
+    fs = e.get("file_stats") or {}
+    for rel in data:
+        for c in STATS_COLS:
+            st = (fs.get(rel) or {}).get(c)
+            assert st is not None and len(st) >= 4, (
+                f"group append lost stats for ({rel}, {c}): {st}"
+            )
+    assert list((e.get("bloom") or {}).get("cols") or []) == BLOOM_COLS
+    btbl = pq.read_table(os.path.join(snap, "_bloom"))
+    covered = set(
+        zip(btbl.column("file").to_pylist(), btbl.column("col").to_pylist())
+    )
+    for rel in data:
+        assert (rel, "k") in covered or not _bloom_must_cover(
+            snap, rel, "k"
+        ), f"group append: bloom sidecar does not cover ({rel}, k)"
+    assert (
+        list((e.get("meta") or {}).get("sort_order") or []) == SORT_ORDER
+    ), "group append lost the sort order"
+    assert (e.get("column_map") or {}).get("label") == "v"
+    assert m2.read(spark).count() == 230
