@@ -1069,3 +1069,39 @@ def test_where_validation_fails_closed_per_type(spark, col, op, lit):
                 _coerce_literal(c[3], logical[c[1]], c[1])
     except ValueError:
         return
+
+
+@given(
+    prefix=st.text(
+        alphabet=st.characters(
+            min_codepoint=1,
+            max_codepoint=0x10FFFF,
+            exclude_categories=("Cs",),  # lone surrogates can't encode
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    tail=st.text(max_size=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_like_prefix_upper_bounds_every_extension(prefix, tail):
+    """The LIKE decode-push bound (r15): for ANY prefix with an upper
+    bound U, every string starting with the prefix sorts strictly
+    below U — by codepoint AND by UTF-8 bytes (what parquet stats
+    compare) — and at or above the prefix itself. A wrong bound here
+    silently drops matching rows at decode, the one unrecoverable
+    direction."""
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        _like_prefix_upper,
+    )
+
+    upper = _like_prefix_upper(prefix)
+    s = prefix + tail
+    assert s >= prefix
+    assert prefix.encode() <= s.encode()
+    if upper is None:
+        # only an all-U+10FFFF prefix has no bound
+        assert set(prefix) == {"\U0010FFFF"}
+        return
+    assert prefix < upper and s < upper
+    assert s.encode() < upper.encode()
