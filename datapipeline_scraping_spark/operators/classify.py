@@ -117,6 +117,7 @@ def classify(
     id_col: str,
     text_cols: tuple[str, str],
     backend: Callable | None = None,
+    payload_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Full C1 -> C2 -> C3 composition.
 
@@ -124,7 +125,20 @@ def classify(
     2. rows left at '' go through the batch backend (``mapInPandas``,
        Arrow-batched — the expensive path sees only the remainder);
     3. closed-domain validation.
-    """
+
+    ``payload_cols`` (r16, guide §4: project before the opaque Python
+    stage): the non-(id/text/sector) columns the caller needs in the
+    output. ``mapInPandas`` is opaque to Catalyst — column pruning
+    cannot reach through it, so every column listed here rides the
+    repartition exchange AND crosses the JVM↔Python boundary twice.
+    Default ``None`` keeps the historical full-schema pass-through;
+    callers that only consume (id, sector) pass ``()`` and the Python
+    path carries exactly id + text_cols + sector (the text columns stay
+    because the backend seam is an LLM client that reads them)."""
+    if payload_cols is not None:
+        keep = [id_col, *text_cols]
+        keep += [c for c in payload_cols if c not in keep]
+        df = df.select(*keep)
     text = F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols])
     ruled = df.withColumn("sector", rule_expr(text, cfg))
 
@@ -134,7 +148,15 @@ def classify(
     if backend is None:
         backend = make_stub_backend(cfg, id_col)
 
-    schema = unresolved.schema
+    # columns the backend's OUTPUT must carry back to the JVM: with an
+    # explicit payload_cols the text columns are dropped on the return
+    # leg (the backend reads them, nothing downstream does), halving
+    # the Python->JVM Arrow traffic for wide text rows
+    if payload_cols is not None:
+        out_cols = [id_col] + [c for c in payload_cols if c != id_col] + ["sector"]
+    else:
+        out_cols = [*df.columns, "sector"]
+    out_schema = unresolved.select(*out_cols).schema
 
     def apply_backend(batches: Iterator) -> Iterator:
         for pdf in batches:
@@ -149,7 +171,7 @@ def classify(
                 import pandas as pd
 
                 pdf["sector"] = pd.concat(out).values if out else pdf["sector"]
-            yield pdf
+            yield pdf[out_cols]
 
     # repartition before the pandas stage: a single-file source would
     # otherwise funnel every row through one Python worker (mirrors
@@ -157,9 +179,9 @@ def classify(
     backed = unresolved.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     ).mapInPandas(
-        apply_backend, schema=schema
+        apply_backend, schema=out_schema
     )
-    merged = resolved.unionByName(backed)
+    merged = resolved.select(*out_cols).unionByName(backed)
     return merged.withColumn("sector", validate_domain(F.col("sector"), cfg))
 
 

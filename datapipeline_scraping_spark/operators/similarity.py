@@ -54,12 +54,20 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cosine, rank); self-matches
     excluded; ties broken by neighbor id for determinism."""
+    # norms are hoisted BELOW the join (r16, guide §1.2 per-task work):
+    # array HOFs evaluate interpreted (no codegen), and norm() inside
+    # the pair projection would re-fold each vector once per PAIR —
+    # |Q|·|C| folds — instead of once per row. Same doubles, same
+    # result: norm(v) is a deterministic function of the array, and
+    # the cosine expression multiplies the identical values.
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -68,7 +76,7 @@ def cosine_topk(
             "neighbor_id",
             F.round(
                 dot(F.col("qv"), F.col("cv"))
-                / (norm(F.col("qv")) * norm(F.col("cv"))),
+                / (F.col("qn") * F.col("cn")),
                 round_to,
             ).alias("cosine"),
         )
@@ -297,14 +305,25 @@ def ivf_assign(
     (rounded before argmax, centroid-id tiebreak => deterministic).
     The centroid table is broadcast — it is small by construction —
     so assignment is a map-only stage at any corpus size."""
-    c = centroids.select(F.col("cid"), F.col("cv"))
-    scored = vectors.join(F.broadcast(c)).select(
+    # norms hoisted below the broadcast join (r16, guide §1.2): HOF
+    # folds run interpreted, and assignment scores |corpus|×|centroids|
+    # pairs — computing each side's norm once per ROW instead of once
+    # per pair removes two folds from the hot loop. Identical doubles
+    # (same arrays, same multiply order), so the rounded argmax — and
+    # the assignment — is unchanged. The helper columns are dropped on
+    # return: the output schema is part of the operator contract.
+    c = centroids.select(
+        F.col("cid"), F.col("cv")
+    ).withColumn("__cn", norm(F.col("cv")))
+    scored = vectors.withColumn("__vn", norm(F.col(vec_col))).join(
+        F.broadcast(c)
+    ).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("cid"),
         F.round(
             dot(F.col(vec_col), F.col("cv"))
-            / (norm(F.col(vec_col)) * norm(F.col("cv"))),
+            / (F.col("__vn") * F.col("__cn")),
             round_to,
         ).alias("csim"),
     )
@@ -346,15 +365,20 @@ def ivf_topk(
     corp = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
     assigned = ivf_assign(corp, cent, id_col, "v", round_to=round_to)
 
+    # norms hoisted below the joins (r16, guide §1.2): interpreted HOF
+    # folds run once per ROW, not once per (query, centroid) or
+    # (query, probed-list-row) pair — identical doubles, identical
+    # rounded scores and ranking (see cosine_topk).
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
-    qscored = qv.join(F.broadcast(cent)).select(
+    ).withColumn("__qn", norm(F.col("qv")))
+    qscored = qv.join(F.broadcast(cent.withColumn("__cn", norm(F.col("cv"))))).select(
         "query_id",
         "qv",
+        "__qn",
         "cid",
         F.round(
-            dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv"))),
+            dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")),
             round_to,
         ).alias("csim"),
     )
@@ -362,17 +386,17 @@ def ivf_topk(
     probes = (
         qscored.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "__qn", "cid")
     )
 
     scored = (
-        probes.join(assigned, on="cid")
+        probes.join(assigned.withColumn("__vn", norm(F.col("v"))), on="cid")
         .filter(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.round(
-                dot(F.col("qv"), F.col("v")) / (norm(F.col("qv")) * norm(F.col("v"))),
+                dot(F.col("qv"), F.col("v")) / (F.col("__qn") * F.col("__vn")),
                 round_to,
             ).alias("cosine"),
         )
@@ -397,14 +421,21 @@ def lsh_cosine_topk(
     """Approximate top-k: score only same-SRP-bucket pairs. The join
     shuffles on the bucket key; each bucket holds ~|corpus|/2^planes
     vectors, so scored pairs shrink accordingly (recall < 1)."""
+    # norms hoisted below the bucket join (r16): once per row, not once
+    # per same-bucket pair — identical doubles, identical ranking (see
+    # cosine_topk / cosine_neardup_pairs for the argument).
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(vec_col).alias("qv"),
-    ).withColumn("bucket", srp_bucket(F.col("qv"), n_planes, dim))
+    ).withColumn("bucket", srp_bucket(F.col("qv"), n_planes, dim)).withColumn(
+        "qn", norm(F.col("qv"))
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(vec_col).alias("cv"),
-    ).withColumn("bucket", srp_bucket(F.col("cv"), n_planes, dim))
+    ).withColumn("bucket", srp_bucket(F.col("cv"), n_planes, dim)).withColumn(
+        "cn", norm(F.col("cv"))
+    )
     scored = (
         q.join(c, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -413,7 +444,7 @@ def lsh_cosine_topk(
             "neighbor_id",
             F.round(
                 dot(F.col("qv"), F.col("cv"))
-                / (norm(F.col("qv")) * norm(F.col("cv"))),
+                / (F.col("qn") * F.col("cn")),
                 round_to,
             ).alias("cosine"),
         )
@@ -551,12 +582,13 @@ def sq8_topk(
         .drop("crank")
     )
     # exact rerank: full-precision vectors are read only for candidates
+    # (norms hoisted per row below the joins — r16, see cosine_topk)
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
+    ).withColumn("__qn", norm(F.col("qv")))
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    )
+    ).withColumn("__cn", norm(F.col("cv")))
     reranked = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
@@ -566,7 +598,7 @@ def sq8_topk(
             "qscore",
             F.round(
                 dot(F.col("qv"), F.col("cv"))
-                / (norm(F.col("qv")) * norm(F.col("cv"))),
+                / (F.col("__qn") * F.col("__cn")),
                 round_to,
             ).alias("cosine"),
         )
@@ -627,14 +659,17 @@ def ivf_sq8_topk(
         queries, id_col, vec_col, params, out_id="query_id", out_col="qcodes"
     )
 
+    # norms hoisted below the joins (r16, guide §1.2): once per row,
+    # not once per (query, centroid) / (candidate) pair — identical
+    # doubles, identical rounded scores (see cosine_topk).
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
-    qscored = qv.join(F.broadcast(cent)).select(
+    ).withColumn("__qn", norm(F.col("qv")))
+    qscored = qv.join(F.broadcast(cent.withColumn("__cn", norm(F.col("cv"))))).select(
         "query_id",
         "cid",
         F.round(
-            dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv"))),
+            dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")),
             round_to,
         ).alias("csim"),
     )
@@ -667,7 +702,7 @@ def ivf_sq8_topk(
     )
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    )
+    ).withColumn("__cn", norm(F.col("cv")))
     reranked = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
@@ -677,7 +712,7 @@ def ivf_sq8_topk(
             "qscore",
             F.round(
                 dot(F.col("qv"), F.col("cv"))
-                / (norm(F.col("qv")) * norm(F.col("cv"))),
+                / (F.col("__qn") * F.col("__cn")),
                 round_to,
             ).alias("cosine"),
         )
@@ -717,12 +752,19 @@ def semantic_decontaminate(
     q35 candidate discipline applied asymmetrically. Bucket bits come
     from exact integer-scaled projections (SRP_SCALE), so candidate
     membership — and therefore the flagged set — is oracle-stable."""
+    # norms hoisted below the bucket join (r16): once per row, not once
+    # per same-bucket pair — identical doubles, identical flags (see
+    # cosine_topk for the argument).
     t = train.select(
         F.col(id_col).alias("train_id"), as_double(vec_col).alias("tv")
-    ).withColumn("bucket", srp_bucket(F.col("tv"), n_planes, dim))
+    ).withColumn("bucket", srp_bucket(F.col("tv"), n_planes, dim)).withColumn(
+        "tn", norm(F.col("tv"))
+    )
     e = evalset.select(
         F.col(id_col).alias("eval_id"), as_double(vec_col).alias("ev")
-    ).withColumn("bucket", srp_bucket(F.col("ev"), n_planes, dim))
+    ).withColumn("bucket", srp_bucket(F.col("ev"), n_planes, dim)).withColumn(
+        "en", norm(F.col("ev"))
+    )
     scored = (
         t.join(F.broadcast(e), on="bucket")
         .select(
@@ -730,7 +772,7 @@ def semantic_decontaminate(
             "eval_id",
             F.round(
                 dot(F.col("tv"), F.col("ev"))
-                / (norm(F.col("tv")) * norm(F.col("ev"))),
+                / (F.col("tn") * F.col("en")),
                 round_to,
             ).alias("cosine"),
         )

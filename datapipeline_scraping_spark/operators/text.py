@@ -123,24 +123,28 @@ def tfidf_topk(
     may differ in the last ulp; a rational idf removes libm entirely
     while preserving the ranking).
 
-    Scale: one explode, two key-partitioned aggregations (doc-term TF,
-    term DF), one broadcast-size scalar (N), one join on the term —
-    every stage map-side combinable; no all-pairs, no driver state."""
+    Scale: ONE explode, one (doc, term) aggregation, then the term
+    document-frequency as a window count over the TF table itself —
+    the TF rows are unique per (doc, term), so ``count(*) over
+    (partition by term)`` IS the number of distinct docs containing
+    the term. r16 rewrite (guide §2.3/§2.4): the previous form
+    exploded the corpus TWICE (once for TF, once under a distinct for
+    DF) and paid a distinct aggregation over the full token relation
+    plus a term join to attach DF; the window form removes the second
+    explode, the distinct's exchange, and the join outright (plan:
+    4 Exchange → 3, 2 Generate → 1). One broadcast-size scalar (N);
+    every remaining stage map-side combinable; no all-pairs, no
+    driver state."""
     from pyspark.sql import Window
 
     toks = df.select(
         F.col(id_col), F.explode(ws_tokens(text_col)).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = (
-        toks.select(id_col, "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
     n_docs = df.agg(F.countDistinct(id_col).alias("n"))
+    w_term = Window.partitionBy("term")
     scored = (
-        tf.join(dfreq, on="term")
+        tf.withColumn("df", F.count("*").over(w_term))
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),

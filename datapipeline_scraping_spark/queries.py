@@ -501,7 +501,11 @@ def q12_delta_detection(spark, sf_dir):
         ).alias("row_hash"),
     )
     changed, _bypass = delta_split(incoming, state, "o_orderkey")
-    state_keys = state.select("o_orderkey").distinct()
+    # no distinct: `state` is one row per o_orderkey by construction
+    # (orders is unique on its key; the filter only removes rows), so
+    # the membership probe needs no dedup — dropping it removes a
+    # HashAggregate+Exchange pair from the plan (r16, guide §2.4)
+    state_keys = state.select("o_orderkey")
     return (
         changed.join(state_keys.withColumn("__seen", F.lit(1)), "o_orderkey", "left")
         .select(

@@ -433,7 +433,13 @@ def q27_classify_backend(spark, sf_dir):
     mapInPandas batch backend (deterministic stub — the reference's
     own test strategy, ``tests/test_classifier.py:103-105``)."""
     docs = _t(spark, sf_dir, "documents")
-    out = C.classify(docs, _BACKEND_CFG, "doc_id", ("text", "source"))
+    # payload_cols=(): only (doc_id, sector) crosses back from the
+    # Python backend — mapInPandas is opaque to column pruning, so
+    # without this the full text/lang/source/n_chars row rode the
+    # repartition exchange and both Arrow legs (r16, guide §4)
+    out = C.classify(
+        docs, _BACKEND_CFG, "doc_id", ("text", "source"), payload_cols=()
+    )
     return out.select("doc_id", "sector")
 
 

@@ -556,6 +556,27 @@ def _like_prefix_upper(prefix: str) -> "str | None":
     return None
 
 
+def _like_re2(pattern: str) -> str:
+    """Translate a SQL LIKE pattern to an anchored RE2 regex with the
+    exact Spark dialect: ``%`` -> ``.*``, ``_`` -> ``.``, everything
+    else literal, compiled DOTALL (``(?s)``) so both wildcards match a
+    newline — Spark's LIKE does, Arrow's ``match_like`` translation of
+    ``_`` does not (ADVICE r15). Backslash escapes were rejected at
+    parse, so every non-wildcard character is a literal."""
+    parts = ["(?s)^"]
+    for ch in pattern:
+        if ch == "%":
+            parts.append(".*")
+        elif ch == "_":
+            parts.append(".")
+        elif ch in "\\^$.|?*+()[]{}":
+            parts.append("\\" + ch)
+        else:
+            parts.append(ch)
+    parts.append("$")
+    return "".join(parts)
+
+
 def _mask_literal(v, patype):
     """Adapt a canonical where-literal to the DECLARED Arrow type for
     the exact row mask (the table is already cast to the logical
@@ -994,7 +1015,15 @@ class _Conjunct:
                 # parse, the one place LIKE dialects diverge. NOT
                 # LIKE inverts with null preserved (pc.invert), so a
                 # null still never satisfies either polarity.
-                m = pc.match_like(tbl.column(cond[1]), cond[2])
+                # Translated to an anchored (?s) RE2 by hand rather
+                # than pc.match_like: Arrow's own translation maps `_`
+                # to a non-DOTALL `.` which does NOT match a newline,
+                # while Spark compiles LIKE with DOTALL and keeps
+                # 'a\nb' for 'a_b' — match_like would silently drop
+                # rows Spark keeps (ADVICE r15).
+                m = pc.match_substring_regex(
+                    tbl.column(cond[1]), _like_re2(cond[2])
+                )
                 if cond[0] == "nlike":
                     m = pc.invert(m)
             else:

@@ -1600,6 +1600,56 @@ def test_where_like_prefix_prunes_and_row_filters_exactly(spark, tmp_path):
     assert max(k3, k5) <= both <= min(k3 + k5, base)
 
 
+def test_where_like_matches_newline_like_spark(spark, tmp_path):
+    """ADVICE r15: Spark compiles LIKE with DOTALL, so `_` matches a
+    newline ('a\\nb' LIKE 'a_b' is TRUE), while Arrow's own
+    ``match_like`` maps `_` to a non-DOTALL `.` in some versions and
+    silently drops those rows. The mask translates the pattern to an
+    anchored (?s) RE2 itself; this pins the dialect row-for-row
+    against Spark's filter on newline-bearing strings."""
+    root = str(tmp_path / "nl")
+    mt = ManifestTable(root, retention_sec=3600)
+    df = spark.createDataFrame(
+        [
+            (0, "a\nb"),
+            (1, "axb"),
+            (2, "ab"),
+            (3, None),
+            (4, "a\n\nb"),
+            (5, "line1\nline2"),
+            (6, "trail\n"),
+        ],
+        "id long, s string",
+    )
+    mt.commit(df)
+    register(spark)
+
+    def rows(w):
+        return sorted(
+            r["id"]
+            for r in spark.read.format("manifest")
+            .option("root", root)
+            .option("where", w)
+            .load()
+            .collect()
+        )
+
+    for w in (
+        "s LIKE 'a_b'",
+        "s LIKE 'a%b'",
+        "s LIKE '%line2'",
+        "s LIKE 'trail_'",
+        "s LIKE '%'",
+        "s NOT LIKE 'a_b'",
+        "s LIKE 'line_%'",
+    ):
+        assert rows(w) == sorted(
+            r["id"] for r in df.filter(w).collect()
+        ), w
+    # the headline divergence: `_` spans the newline exactly as Spark's
+    assert 0 in rows("s LIKE 'a_b'")
+
+
 def test_where_not_in_not_like_and_whole_expr_parens(spark, tmp_path):
     """r15 tail: NOT IN desugars to a != conjunction (dir-encoded
     single-value files prune, type-faithfully), NOT LIKE row-filters
