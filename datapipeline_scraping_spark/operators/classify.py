@@ -175,10 +175,11 @@ def classify(
 
     # repartition before the pandas stage: a single-file source would
     # otherwise funnel every row through one Python worker (mirrors
-    # the reference's batched-parallel LLM calls)
-    backed = unresolved.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    ).mapInPandas(
+    # the reference's batched-parallel LLM calls); scale-adaptive
+    # (r16) — a 100 TB input is already parallel, skip the shuffle
+    from .dedup import spread_small_input
+
+    backed = spread_small_input(unresolved, id_col).mapInPandas(
         apply_backend, schema=out_schema
     )
     merged = resolved.select(*out_cols).unionByName(backed)

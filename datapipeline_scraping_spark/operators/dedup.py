@@ -27,6 +27,44 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def spread_small_input(df: DataFrame, key) -> DataFrame:
+    """Hash-repartition ``df`` by ``key`` ONLY when its optimizer-
+    estimated size is too small to parallelize the scan (guide §2.3/
+    §2.4, r16): the explode/md5 operators below historically always
+    repartitioned so a one-file local corpus would not funnel the
+    hashing through a single task — but that constant-on shuffle moves
+    the ENTIRE text payload, which at 100 TB is a full corpus shuffle
+    bought for nothing (the scan is already thousands of tasks, and
+    the downstream per-doc aggregations are map-side combinable, so
+    they shuffle signature-sized partials either way).
+
+    Decision rule: estimated bytes >= defaultParallelism ×
+    ``spark.sql.files.maxPartitionBytes`` means the file source
+    already splits into >= one task per core — skip the shuffle.
+    Below that — or when the estimate is UNKNOWN (non-file sources
+    report the Long.MaxValue sentinel; anything >= 2^60 is a default,
+    not a measurement) — repartition with an explicit count (AQE
+    would coalesce a column-only repartition of a small input back to
+    one task). The estimate comes from the optimized logical plan's
+    stats (file sizes for scans) — a driver-side probe, no job.
+    Results are partitioning-independent either way; only the plan
+    changes."""
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        # JVM accessor: the conf string form varies ("134217728" vs
+        # "128MB") across who built the session
+        max_pb = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+    except Exception:
+        est, max_pb = 0, 128 * 1024 * 1024  # unknown => keep the old behavior
+    if n_part * max_pb <= est < 1 << 60:  # positively known big input
+        return df
+    return df.repartition(n_part, F.col(key) if isinstance(key, str) else key)
+
+
 # --------------------------------------------------------------------------
 # exact / first-wins
 # --------------------------------------------------------------------------
@@ -161,10 +199,9 @@ def shingle_relation(
     OOMs, but recomputing (no persist) is the better trade when the
     two consumers run in separate jobs anyway.
 
-    The input is repartitioned by id first: a small corpus often
-    arrives as one parquet file = one task, which would serialize the
-    md5 work; at 100 TB the scan is already many-partitioned and the
-    repartition collapses into the existing exchange.
+    A too-small input is repartitioned by id first (a one-file corpus
+    = one task would serialize the md5 work); a large input skips the
+    shuffle entirely — see :func:`spread_small_input` (r16).
 
     Codegen note: the naive ``explode(transform(sequence, i ->
     concat_ws(slice(toks, i, k))))`` nests higher-order functions,
@@ -175,14 +212,13 @@ def shingle_relation(
     FIRST (one plain generator) and builds each shingle with flat
     ``slice``/``concat_ws`` projections — no nested HOF, so it stays
     inside whole-stage codegen and needs no per-query conf opt-out."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism
     toks = F.split(F.col(text_col), " ")
     n = F.greatest(F.lit(1), F.size(F.col("__toks")) - F.lit(k - 1))
     return (
-        df.select(F.col(id_col), F.col(text_col))
-        # explicit partition count: AQE would coalesce a column-only
-        # repartition of a small corpus back to one task
-        .repartition(n_part, F.col(id_col))
+        # scale-adaptive (r16): repartition only when the input is too
+        # small for the file source to parallelize — see
+        # spread_small_input; a 100 TB scan skips the text shuffle
+        spread_small_input(df.select(F.col(id_col), F.col(text_col)), id_col)
         .select(F.col(id_col), toks.alias("__toks"))
         .select(
             F.col(id_col),
@@ -430,8 +466,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     Implemented as one explode + ``bits`` parallel conditional sums —
     a single map-side-combinable aggregation, no per-bit explode."""
     toks = (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        # scale-adaptive repartition (r16): see spread_small_input
+        spread_small_input(df.select(F.col(id_col), F.col(text_col)), id_col)
         .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .withColumn("h", _hex32(F.col("tok")))
     )
@@ -465,11 +501,10 @@ def positional_shingles(
     start index, flat slice/concat_ws — nested HOFs miscompile on
     Spark 4.1), same explicit repartition so a one-file corpus does
     not serialize the explode onto a single task."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism
     toks = F.split(F.col(text_col), " ")
     return (
-        df.select(F.col(id_col), toks.alias("__toks"))
-        .repartition(n_part, F.col(id_col))
+        # scale-adaptive repartition (r16): see spread_small_input
+        spread_small_input(df.select(F.col(id_col), toks.alias("__toks")), id_col)
         .filter(F.size(F.col("__toks")) >= k)
         .select(
             F.col(id_col),

@@ -172,6 +172,49 @@ def test_minhash_finds_planted_neardups(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_spread_small_input_is_scale_adaptive(spark, tmp_path):
+    """r16: the explode/md5 operators repartition a too-small input so
+    one file does not serialize the hashing, but SKIP the shuffle when
+    the optimizer's size estimate says the scan already parallelizes —
+    at 100 TB the old constant-on repartition was a full corpus
+    shuffle. Unknown-size sources (non-file: the estimate is the
+    Long.MaxValue sentinel) keep the safe repartition. Results are
+    partitioning-independent; this pins the PLAN."""
+    from datapipeline_scraping_spark.operators.dedup import (
+        shingle_relation,
+        spread_small_input,
+    )
+
+    local = spark.createDataFrame(
+        [(i, "w x y z " * 5) for i in range(100)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "docs")
+    local.write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    def has_shuffle(df):
+        return "Exchange hashpartitioning(doc_id" in (
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # small file input (est << cores x maxPartitionBytes): shuffle
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        assert has_shuffle(spread_small_input(docs, "doc_id"))
+        # unknown-size source (ExistingRDD sentinel): keep the shuffle
+        assert has_shuffle(spread_small_input(local, "doc_id"))
+        # 'large' input (shrink the per-task budget so est >= cores x
+        # maxPartitionBytes): the shuffle disappears, rows unchanged
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16")
+        sh = shingle_relation(docs, "doc_id", "text", k=3)
+        assert not has_shuffle(sh)
+        # "w x y z " * 5 splits to 21 tokens (trailing '') -> 19 shingles
+        assert sh.count() == 100 * 19
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+
+
 def test_merge_into_routes_all_four_ways(spark):
     from datapipeline_scraping_spark.operators.merge import merge_into
 
