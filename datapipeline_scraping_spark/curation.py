@@ -185,15 +185,15 @@ def run_funnel(spark, sf_dir, checkpoint_root=None, _fail_before=None):
         mwl = F.round(
             (F.length("text") - (nt - 1)) / nt.cast("double"), 4
         )
-        n_part = spark.sparkContext.defaultParallelism
-        base = (
+        # scale-adaptive repartition (r16): one small parquet file
+        # would serialize the explode, but at corpus scale the scan is
+        # already parallel — see operators/dedup.py::spread_small_input
+        base = D.spread_small_input(
             qdocs.select(
                 "doc_id", nt.alias("n"), mwl.alias("mwl"),
                 F.split(F.col("text"), " ").alias("t"),
-            )
-            # explicit partition count, as in shingle_relation: a small
-            # corpus is often one parquet file = one explode task
-            .repartition(n_part, F.col("doc_id"))
+            ),
+            "doc_id",
         )
         grams = base.select(
             "doc_id", "n", "mwl",

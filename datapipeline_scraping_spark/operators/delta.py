@@ -31,14 +31,25 @@ def delta_split(
     hash_col: str = "row_hash",
     *,
     broadcast_state: bool = False,
+    state_unique: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``incoming`` into ``(changed, bypass)`` against ``state``.
 
     ``changed`` = new keys or keys whose hash differs (reference
     ``dags/scraping_etl.py:59-69``); ``bypass`` = unchanged rows that
     skip the expensive downstream stages (H3).
+
+    ``state_unique=True`` (r16, guide §2.4): the caller guarantees
+    ``state`` has one row per (key, hash) — e.g. it is keyed by a
+    primary key — so the defensive dropDuplicates (a HashAggregate +
+    Exchange over the whole state) is skipped. Semi/anti joins are
+    insensitive to probe-side multiplicity, so this cannot change
+    results even if the promise is broken; it only existed to shrink
+    a duplicate-heavy probe side before the shuffle.
     """
-    probe = state.select(key, hash_col).dropDuplicates([key, hash_col])
+    probe = state.select(key, hash_col)
+    if not state_unique:
+        probe = probe.dropDuplicates([key, hash_col])
     if broadcast_state:
         probe = F.broadcast(probe)
     changed = incoming.join(probe, on=[key, hash_col], how="left_anti")

@@ -23,6 +23,7 @@ from __future__ import annotations
 from html.parser import HTMLParser
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 # block-level tags that implicitly terminate an unclosed <h1>, the way
@@ -113,6 +114,10 @@ def parse_html_details(df: DataFrame, html_col: str, id_col: str) -> DataFrame:
             )
 
     id_type = df.schema[id_col].dataType.simpleString()
+    # project to (id, html) first (r16, guide §4.1): mapInPandas is
+    # opaque to column pruning — any extra caller columns would cross
+    # the Arrow boundary and be dropped by the output schema anyway
+    df = df.select(F.col(id_col), F.col(html_col))
     return df.mapInPandas(
         run,
         schema=(

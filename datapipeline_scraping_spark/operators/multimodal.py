@@ -179,7 +179,13 @@ def extract_media_meta(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": ids, "n_bytes": nb, "width": ws, "height": hs}
             )
 
-    return blobs.mapInPandas(extract, schema=_META_SCHEMA)
+    # project to (id, blob) first (r16, guide §4.1): mapInPandas is
+    # opaque to column pruning, so without this every other column
+    # (e.g. the media_meta struct) crosses the Arrow boundary and is
+    # then discarded by the fixed output schema anyway
+    return blobs.select(F.col(id_col), F.col("blob")).mapInPandas(
+        extract, schema=_META_SCHEMA
+    )
 
 
 def extract_features(

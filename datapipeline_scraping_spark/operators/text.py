@@ -188,12 +188,19 @@ def bm25_search(
     Scale: tf for the query terms only (filter BEFORE the groupBy —
     the explode output shrinks to matching tokens immediately), df is
     |terms| rows, N/avgdl one broadcast row; one shuffle on doc id.
-    Ranking is a global top-k (single-reducer on top rows only)."""
+    Ranking is a global top-k (single-reducer on top rows only).
+
+    r16 (guide §2.3/§2.4): ``dl`` is ``size(split(text))`` — a ROW-
+    LOCAL projection, identical to counting the exploded rows (explode
+    emits one row per array element), so the old explode + groupBy +
+    shuffle that produced per-doc lengths is gone (plan: one full-
+    corpus Generate + HashAggregate + Exchange removed; the remaining
+    explode is immediately filtered to the query terms)."""
     from pyspark.sql import Window
 
     terms = [t for t in query_terms]
     toks = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("term"))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    dl = df.select(F.col(id_col), F.size(ws_tokens(text_col)).cast("long").alias("dl"))
     qtoks = toks.filter(F.col("term").isin(terms))
     tf = qtoks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = (
@@ -394,29 +401,39 @@ def boilerplate_strip(
         )
         .select(group_col, "chunk")
     )
-    kept = (
-        chunks.join(boiler, [group_col, "chunk"], "left_anti")
-        .groupBy(id_col, group_col)
-        .agg(
-            F.count("*").alias("n_kept"),
+    # r16 (guide §2.4): ONE aggregation replaces the old left_anti join
+    # + kept-groupBy + total-groupBy + final join — chunks are flagged
+    # with a left join against the (small) boiler set and both counters
+    # come out of the same pass: n_chunks = count(*), n_kept = count of
+    # unflagged, clean_text from a conditional collect_list (which
+    # skips the NULLs the boiler rows produce). Identical output: the
+    # same chunks survive, reassembled in the same pos order, and a
+    # fully-boilerplate doc yields an empty collect -> md5('') exactly
+    # like the old left-join NULL -> coalesce('') path. Plan: the third
+    # chunk explode and two Exchanges are gone.
+    # boiler rows are unique per (group, chunk) by construction (they
+    # come from a groupBy), so the left join cannot duplicate chunks;
+    # the planner picks broadcast when the boiler set fits (it is the
+    # per-host nav/footer vocabulary — usually tiny, not guaranteed)
+    flagged = chunks.join(
+        boiler.withColumn("__b", F.lit(1)), [group_col, "chunk"], "left"
+    )
+    return flagged.groupBy(id_col, group_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.count(F.when(F.col("__b").isNull(), 1)).cast("long").alias("n_kept"),
+        F.md5(
             F.array_join(
                 F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "chunk"))),
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("__b").isNull(), F.struct("pos", "chunk")
+                            )
+                        )
+                    ),
                     lambda x: x["chunk"],
                 ),
                 " ",
-            ).alias("clean_text"),
-        )
-    )
-    total = chunks.groupBy(id_col, group_col).agg(
-        F.count("*").alias("n_chunks")
-    )
-    return total.join(
-        kept.select(id_col, "n_kept", "clean_text"), id_col, "left"
-    ).select(
-        id_col,
-        group_col,
-        F.col("n_chunks").cast("long").alias("n_chunks"),
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias("clean_hash"),
-    )
+            )
+        ).alias("clean_hash"),
+    ).select(id_col, group_col, "n_chunks", "n_kept", "clean_hash")
