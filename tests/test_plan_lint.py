@@ -81,7 +81,11 @@ ROW_PYTHON_ALLOW = {
 # (fact side must not shuffle for the dim join).
 MUST_BROADCAST = [
     "q12_delta_detection",
-    "q53_tfidf_topterms",
+    # q53 removed (r16): the TF-IDF rewrite computes document frequency
+    # as a window count over the TF table — the term join this entry
+    # pinned as a broadcast no longer EXISTS (stronger than
+    # broadcasting it); the remaining 1-row doc-count attach stays
+    # pinned via NESTED_LOOP_ALLOW.
     "q63_incremental_ledger",
     "q67_salted_join",
     "q68_sql_interface",
