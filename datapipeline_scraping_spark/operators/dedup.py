@@ -403,14 +403,6 @@ def jaccard_verify(
         .union(pairs.select("id_b"))
         .distinct()
     )
-    # shuffle_hash hint on the ids side (r16, guide §3.1): the planner
-    # picks sort-merge for this semi join (cand_ids' size estimate is
-    # opaque after the LSH union+distinct), which SORTS the huge
-    # exploded shingle relation; a shuffled-hash join builds the
-    # per-partition hash from the ids-only side (8 bytes/row, shards
-    # with the shuffle — safe at any scale) and skips both sorts.
-    # Strategy-only hint: results identical.
-    cand_ids = cand_ids.hint("shuffle_hash")
     if shingle_rel is not None:
         # already-exploded (and typically persisted) relation: filter
         # the cached rows to candidates — no second explode
