@@ -63,6 +63,51 @@ def host_calibration() -> float:
     return best
 
 
+def host_calibration_parallel(n_threads: int) -> float:
+    """The same md5 workload on ``n_threads`` OS threads at once (md5
+    releases the GIL for >2 KiB buffers, so the threads genuinely run
+    in parallel), wall-clock best of 3. Motivation (r16 verdict item
+    3): the single-thread probe provably cannot see multi-core CPU
+    steal — in r16 it got FASTER (0.235 -> 0.217) while every parallel
+    query slowed 20-50 %. A reader normalizes parallel-stage drift
+    against this number the way single-stage drift is normalized
+    against host_calib_sec."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    blob = bytes(range(256)) * 4
+    # per-thread chunk sized so total work ~= 3x the single-thread
+    # probe regardless of thread count (bounded wall time on any host)
+    per_thread = max(1, (131072 * 3) // max(1, n_threads))
+
+    def one() -> None:
+        h = hashlib.md5()
+        for _ in range(per_thread):
+            h.update(blob)
+
+    best = float("inf")
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            list(pool.map(lambda _i: one(), range(n_threads)))
+            best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def read_steal_ticks() -> int | None:
+    """Cumulative host steal ticks from /proc/stat (column 8 of the
+    aggregate cpu line), or None when unreadable. The delta across the
+    bench run is the direct CPU-steal bracket the r16 verdict asked
+    for: sustained multi-core steal inflates every parallel stage while
+    leaving the single-thread calibration flat."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) if parts and parts[0] == "cpu" else None
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -73,6 +118,7 @@ def main() -> None:
     from datapipeline_scraping_spark.queries import REGISTRY
     from datapipeline_scraping_spark.session import build_spark
 
+    steal_t0 = read_steal_ticks()
     spark = build_spark(app_name="dps-bench")
     # warm the JVM + parquet footers with a trivial action, and pre-spawn
     # the Python worker pool (pandas/pyarrow import storm) so the first
@@ -146,19 +192,27 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "rejected_samples": rejected,
-                "host_calib_sec": round(host_calibration(), 4),
-                "sf": sf,
-            }
-        )
-    )
+    steal_t1 = read_steal_ticks()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    out = {
+        "metric": "bench_total_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "rejected_samples": rejected,
+        "host_calib_sec": round(host_calibration(), 4),
+        # additive fields (r17, verdict item 3): multi-core calibration
+        # + a /proc/stat steal bracket so a reader can attribute
+        # round-over-round drift without a same-host re-run
+        "host_calib_parallel_sec": round(host_calibration_parallel(cpus), 4),
+        "steal_ticks_delta": (
+            steal_t1 - steal_t0
+            if steal_t0 is not None and steal_t1 is not None
+            else None
+        ),
+        "sf": sf,
+    }
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -152,10 +152,17 @@ def classify(
     # explicit payload_cols the text columns are dropped on the return
     # leg (the backend reads them, nothing downstream does), halving
     # the Python->JVM Arrow traffic for wide text rows
+    # "sector" is always appended last, so filter it from the carried
+    # columns — an input that already has a sector column (withColumn
+    # replaced it in place) must not yield a duplicated output column
     if payload_cols is not None:
-        out_cols = [id_col] + [c for c in payload_cols if c != id_col] + ["sector"]
+        out_cols = (
+            [id_col]
+            + [c for c in payload_cols if c not in (id_col, "sector")]
+            + ["sector"]
+        )
     else:
-        out_cols = [*df.columns, "sector"]
+        out_cols = [c for c in df.columns if c != "sector"] + ["sector"]
     out_schema = unresolved.select(*out_cols).schema
 
     def apply_backend(batches: Iterator) -> Iterator:

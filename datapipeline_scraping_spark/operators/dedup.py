@@ -51,14 +51,26 @@ def spread_small_input(df: DataFrame, key) -> DataFrame:
     changes."""
     spark = df.sparkSession
     n_part = spark.sparkContext.defaultParallelism
+    # narrow except (r17, ADVICE): a broken JVM accessor should fall
+    # back to the safe always-shuffle path for THAT reason only — a
+    # blanket except would silently revert the optimization on any
+    # Spark upgrade. Py4J signals missing methods as Py4JError OR
+    # AttributeError depending on which hop fails.
+    try:
+        from py4j.protocol import Py4JError
+    except ImportError:  # pragma: no cover - py4j ships with pyspark
+        Py4JError = RuntimeError
     try:
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         # JVM accessor: the conf string form varies ("134217728" vs
-        # "128MB") across who built the session
+        # "128MB") across who built the session. Read it fresh each
+        # time — it is runtime-settable, so a memo would go stale (and
+        # the lookup is a single py4j hop; the stats() probe above is
+        # the expensive part of this function).
         max_pb = int(
             spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
         )
-    except Exception:
+    except (Py4JError, AttributeError, TypeError, ValueError):
         est, max_pb = 0, 128 * 1024 * 1024  # unknown => keep the old behavior
     if n_part * max_pb <= est < 1 << 60:  # positively known big input
         return df

@@ -159,31 +159,53 @@ def extract_media_meta(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
 
     def extract(batches: Iterator) -> Iterator:
-        import pandas as pd
+        # r17 (guide §4.2): the batch stays in Arrow end to end —
+        # lengths and the fake dimensions come from one vectorized
+        # pass (pyarrow binary_length + numpy modular arithmetic), and
+        # only rows whose first bytes carry a known image magic enter
+        # the per-row Python decode. Before, every row of every batch
+        # paid a Python loop iteration + decode_image call; now the
+        # loop runs over the image subset only (zero rows for a text
+        # corpus). Same output, bit for bit: decode_image returns
+        # non-None only for magic-bearing blobs, so the fake values
+        # the vectorized pass precomputes survive exactly where the
+        # old loop fell back to them.
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        for pdf in batches:
-            ids, nb, ws, hs = [], [], [], []
-            for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
-                b = bytes(blob)
-                meta = decode_image(b)
-                n = len(b)
-                ids.append(int(doc_id))
-                nb.append(n)
-                if meta is not None:
-                    ws.append(meta["width"])
-                    hs.append(meta["height"])
-                else:
-                    ws.append(n % 640)
-                    hs.append((n * 7) % 480)
-            yield pd.DataFrame(
-                {"doc_id": ids, "n_bytes": nb, "width": ws, "height": hs}
+        for batch in batches:
+            ids = pc.cast(batch.column(0), pa.int64())  # (id, blob) order
+            blob = batch.column(1)
+            n64 = pc.cast(pc.binary_length(blob), pa.int64())
+            n = n64.to_numpy(zero_copy_only=False)
+            w = n % 640
+            h = (n * 7) % 480
+            is_img = pc.or_(
+                pc.or_(
+                    pc.starts_with(blob, pattern=_PNG_MAGIC),
+                    pc.starts_with(blob, pattern=_JPEG_MAGIC),
+                ),
+                pc.or_(
+                    pc.starts_with(blob, pattern=b"GIF87a"),
+                    pc.starts_with(blob, pattern=b"GIF89a"),
+                ),
+            )
+            for i in np.nonzero(is_img.to_numpy(zero_copy_only=False))[0]:
+                meta = decode_image(blob[i].as_py())
+                if meta is not None:  # corrupt header: keep the fake
+                    w[i] = meta["width"]
+                    h[i] = meta["height"]
+            yield pa.record_batch(
+                [ids, n64, pa.array(w.astype(np.int64)), pa.array(h.astype(np.int64))],
+                names=["doc_id", "n_bytes", "width", "height"],
             )
 
-    # project to (id, blob) first (r16, guide §4.1): mapInPandas is
+    # project to (id, blob) first (r16, guide §4.1): mapInArrow is
     # opaque to column pruning, so without this every other column
     # (e.g. the media_meta struct) crosses the Arrow boundary and is
     # then discarded by the fixed output schema anyway
-    return blobs.select(F.col(id_col), F.col("blob")).mapInPandas(
+    return blobs.select(F.col(id_col), F.col("blob")).mapInArrow(
         extract, schema=_META_SCHEMA
     )
 

@@ -124,27 +124,41 @@ def tfidf_topk(
     while preserving the ranking).
 
     Scale: ONE explode, one (doc, term) aggregation, then the term
-    document-frequency as a window count over the TF table itself —
-    the TF rows are unique per (doc, term), so ``count(*) over
-    (partition by term)`` IS the number of distinct docs containing
-    the term. r16 rewrite (guide §2.3/§2.4): the previous form
-    exploded the corpus TWICE (once for TF, once under a distinct for
-    DF) and paid a distinct aggregation over the full token relation
-    plus a term join to attach DF; the window form removes the second
-    explode, the distinct's exchange, and the join outright (plan:
-    4 Exchange → 3, 2 Generate → 1). One broadcast-size scalar (N);
-    every remaining stage map-side combinable; no all-pairs, no
-    driver state."""
+    document-frequency as ``tf.groupBy(term).count()`` — the TF rows
+    are unique per (doc, term), so the count IS the number of distinct
+    docs containing the term — attached back with a broadcast join.
+    r16 kept the single explode but computed DF as ``count(*) over
+    (partition by term)``; r17 (guide §2.5) removes that window: a
+    window partitioned by bare ``term`` shuffles the ENTIRE TF
+    relation on term and concentrates every row of a Zipfian hot term
+    ("the") into one un-splittable window partition — AQE cannot
+    skew-split windows. The groupBy is map-side combinable (reducers
+    see one partial row per term per mapper, skew-proof) and the
+    term-keyed result is vocabulary-sized, not corpus-sized; the
+    planner broadcasts it (no hard hint: a corpus whose vocabulary
+    outgrows the broadcast cap falls back to a shuffle join, which —
+    unlike a window — AQE can skew-split at runtime). One
+    broadcast-size scalar (N); every remaining stage map-side
+    combinable; no all-pairs, no driver state."""
     from pyspark.sql import Window
 
     toks = df.select(
         F.col(id_col), F.explode(ws_tokens(text_col)).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # the tf > 0 guard is a tautology (tf is a count(*), always >= 1)
+    # whose purpose is plan shape: it keeps the tf column alive in the
+    # DF subtree so the (doc,term) exchange below it stays canonically
+    # identical to the TF side's and exchange reuse executes the
+    # explode + (doc,term) aggregation ONCE for both consumers (with
+    # bare count(*), column pruning rewrites this subtree to a
+    # keys-only distinct aggregate and the shared stage is recomputed)
+    dfreq = (
+        tf.where(F.col("tf") > 0).groupBy("term").agg(F.count("*").alias("df"))
+    )
     n_docs = df.agg(F.countDistinct(id_col).alias("n"))
-    w_term = Window.partitionBy("term")
     scored = (
-        tf.withColumn("df", F.count("*").over(w_term))
+        tf.join(dfreq, on="term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
@@ -200,7 +214,12 @@ def bm25_search(
 
     terms = [t for t in query_terms]
     toks = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("term"))
-    dl = df.select(F.col(id_col), F.size(ws_tokens(text_col)).cast("long").alias("dl"))
+    # null-text docs were absent from the old exploded groupBy; filter
+    # them here too so dl never depends on spark.sql.legacy.sizeOfNull
+    # (legacy true would turn size(NULL) into -1 and shift avgdl)
+    dl = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.size(ws_tokens(text_col)).cast("long").alias("dl")
+    )
     qtoks = toks.filter(F.col("term").isin(terms))
     tf = qtoks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = (

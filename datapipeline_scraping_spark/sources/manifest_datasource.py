@@ -1036,6 +1036,46 @@ class _Conjunct:
         return out
 
 
+# One deletion-vector parse per Python worker per snapshot (guide
+# §4.5, r17): ManifestReader.read() runs once PER TASK, and before
+# this memo every task of an MoR scan re-read and re-concatenated the
+# whole ``_dv/`` sidecar — N data files × M DV files parses. The memo
+# lives at module level so a reused Python worker
+# (spark.python.worker.reuse, default on) keeps it across tasks; the
+# PID guard drops it in forked children. Keyed on every DV file's
+# (path, mtime_ns, size): snapshot dirs are immutable by the commit
+# contract, but a PATH can be reused across table rebuilds in one
+# process (tests do this), and the stat pair makes staleness
+# impossible — a changed file is a different key. DVs are churn-sized
+# by contract; the cache keeps a handful and clears wholesale rather
+# than growing without bound.
+_DV_MEMO: dict = {"pid": None, "tables": {}}
+_DV_MEMO_MAX = 8
+
+
+def _dv_table(dv_files):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pid = os.getpid()
+    if _DV_MEMO["pid"] != pid:
+        _DV_MEMO["pid"] = pid
+        _DV_MEMO["tables"] = {}
+    key = tuple(
+        (f, st.st_mtime_ns, st.st_size)
+        for f in dv_files
+        for st in (os.stat(f),)
+    )
+    tables = _DV_MEMO["tables"]
+    got = tables.get(key)
+    if got is None:
+        got = pa.concat_tables([pq.read_table(f) for f in dv_files])
+        if len(tables) >= _DV_MEMO_MAX:
+            tables.clear()
+        tables[key] = got
+    return got
+
+
 class ManifestReader(DataSourceReader):
     """Per-task MoR read: parquet file -> rename map -> attach hive
     partition constants -> DV anti-join -> declared-schema cast -> the
@@ -1419,14 +1459,15 @@ class ManifestReader(DataSourceReader):
             arr = pa.array([raw] * tbl.num_rows, type=pa.string()).cast(typ)
             tbl = tbl.append_column(col, arr)
         # deletion vector: per-task Arrow anti-join on the key columns
+        # (the DV table itself is parsed once per worker per snapshot
+        # and memoized — see _dv_table)
         if apply_dv and self.dv_files and all(
             k in tbl.schema.names for k in self.dv_keys
         ):
-            dv = pa.concat_tables(
-                [pq.read_table(f) for f in self.dv_files]
-            )
             tbl = tbl.join(
-                dv, keys=self.dv_keys, join_type="left anti"
+                _dv_table(tuple(self.dv_files)),
+                keys=self.dv_keys,
+                join_type="left anti",
             )
         # align + cast to the declared logical schema (null-fill
         # columns added by later schema evolution)

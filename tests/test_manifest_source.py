@@ -1723,3 +1723,38 @@ def test_where_not_in_not_like_and_whole_expr_parens(spark, tmp_path):
         ManifestReader(
             {"root": root, "where": "id NOT BETWEEN 1 AND 2"}, schema
         )
+
+
+def test_dv_table_memo_is_per_content_not_per_path(tmp_path):
+    """r17 (guide §4.5): the per-worker DV memo must (a) parse a given
+    DV file set once — every further task of the same snapshot gets
+    the SAME Arrow table object back — and (b) key on file content
+    identity (mtime/size), not path, so a table rebuilt at the same
+    root in one process can never be served a stale vector."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapipeline_scraping_spark.sources.manifest_datasource import (
+        _dv_table,
+    )
+
+    dv_dir = tmp_path / "_dv"
+    dv_dir.mkdir()
+    f = str(dv_dir / "dv-0.parquet")
+    pq.write_table(pa.table({"id": [1, 2, 3]}), f)
+
+    t1 = _dv_table((f,))
+    t2 = _dv_table((f,))
+    assert t1 is t2  # one parse per worker per snapshot
+    assert t1.column("id").to_pylist() == [1, 2, 3]
+
+    # same path, new content (a rebuilt table): must re-parse.
+    # mtime_ns resolution is ns on this fs, but don't rely on it —
+    # the rewritten file also differs in size.
+    time.sleep(0.01)
+    pq.write_table(pa.table({"id": [7, 8, 9, 10]}), f)
+    t3 = _dv_table((f,))
+    assert t3 is not t1
+    assert t3.column("id").to_pylist() == [7, 8, 9, 10]

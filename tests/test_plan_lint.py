@@ -81,11 +81,11 @@ ROW_PYTHON_ALLOW = {
 # (fact side must not shuffle for the dim join).
 MUST_BROADCAST = [
     "q12_delta_detection",
-    # q53 removed (r16): the TF-IDF rewrite computes document frequency
-    # as a window count over the TF table — the term join this entry
-    # pinned as a broadcast no longer EXISTS (stronger than
-    # broadcasting it); the remaining 1-row doc-count attach stays
-    # pinned via NESTED_LOOP_ALLOW.
+    # q53 re-pinned (r17): document frequency is a map-side-combinable
+    # groupBy over the (doc,term)-unique TF table, attached back via a
+    # planner-chosen broadcast join (the r16 window form concentrated
+    # hot terms in one un-splittable window partition).
+    "q53_tfidf_topterms",
     "q63_incremental_ledger",
     "q67_salted_join",
     "q68_sql_interface",
