@@ -308,32 +308,48 @@ def q117_rarity_quality(spark, sf_dir):
     operators/text.py::tfidf_topk's rational idf). Monotonicity, the
     only property a filter threshold needs, is preserved.
 
-    Plan shape: one explode, one token-keyed count (partial-agg'd),
-    one equi-join tokens->vocab, one doc-keyed aggregation. Linear in
-    corpus tokens; the vocab side is Zipf-bounded (~1e7 rows at
-    100 TB) so AQE converts the probe to a broadcast join when it
-    fits, else it stays a keyed shuffle with map-side combine on both
-    aggregations. No Python anywhere. Reference anchor: north-star
-    curation surface (reference has no LM filter; closest is the
-    regex quality gate at src/parsers/detail_parser.py:64-85)."""
+    Plan shape (r17, guide §2.3/§2.4 — the same single-pass TF
+    factoring as operators/text.py::tfidf_topk): ONE explode into a
+    per-doc TF relation; the corpus vocabulary is ``sum(tf) by tok``
+    over that same relation (the tautological ``tf > 0`` guard keeps
+    the two subtrees canonically identical below the (doc, tok)
+    exchange, so exchange reuse executes the explode + aggregation
+    once); the probe side of the tokens->vocab join carries one row
+    per (doc, tok) instead of one per occurrence, and every occurrence
+    statistic is recovered exactly by weighting with the integer tf
+    (sum(tf·c), sum(tf where c=1), ... — same longs, same single
+    double division as before). The r16 form exploded the corpus
+    TWICE (once for the vocab, once for the probe). Vocab is
+    Zipf-bounded (~1e7 rows at 100 TB) so AQE converts the probe to a
+    broadcast join when it fits, else it stays a keyed shuffle with
+    map-side combine on both aggregations — and unlike a window, a
+    skewed join key can be AQE-split. No Python anywhere. Reference
+    anchor: north-star curation surface (reference has no LM filter;
+    closest is the regex quality gate at
+    src/parsers/detail_parser.py:64-85)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    n = F.count("*")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    vocab = (
+        tf.where(F.col("tf") > 0).groupBy("tok").agg(F.sum("tf").alias("c"))
+    )
+    n = F.sum("tf")
     return (
-        toks.join(vocab, "tok")
+        tf.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
             n.cast("long").alias("n_tokens"),
-            F.sum("c").cast("long").alias("sum_count"),
-            F.round(F.sum("c") / n.cast("double"), 4).alias("mean_tok_count"),
-            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            F.sum(F.col("tf") * F.col("c")).cast("long").alias("sum_count"),
+            F.round(
+                F.sum(F.col("tf") * F.col("c")) / n.cast("double"), 4
+            ).alias("mean_tok_count"),
+            F.sum(F.when(F.col("c") == 1, F.col("tf")).otherwise(0))
             .cast("long")
             .alias("n_hapax"),
             F.round(
-                F.sum(F.when(F.col("c") <= 2, 1).otherwise(0))
+                F.sum(F.when(F.col("c") <= 2, F.col("tf")).otherwise(0))
                 / n.cast("double"),
                 4,
             ).alias("rare_frac"),

@@ -898,3 +898,31 @@ def test_fold_queue_edges():
     assert len(tasks) == n and all(s == "done" for *_, s, _ in tasks)
     # FIFO drain: completion order == task order
     assert [t for _, t, *_ in tasks] == list(range(n))
+
+
+def test_tfidf_df_subtree_reuses_tf_exchange(spark):
+    """r17 (guide §2.4/§2.5): tfidf_topk computes document frequency
+    from the (doc,term)-unique TF table via a map-side-combinable
+    groupBy — not a term-partitioned window (un-splittable hot-term
+    skew) and not a second explode. The tautological tf > 0 guard
+    keeps the DF subtree canonically identical to the TF side, so the
+    adaptive plan must materialize the (doc,term) exchange ONCE and
+    read it back via ReusedExchange."""
+    import re
+
+    from datapipeline_scraping_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b d"), (3, "a d e f")],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, "doc_id", "text", top=2)
+    rows = {(r["doc_id"], r["term"]): (r["tf"], r["df"]) for r in out.collect()}
+    # df counts distinct docs containing the term (a: docs 1,3 -> 2)
+    assert rows[(1, "a")] == (2, 2)
+    assert rows[(2, "b")][1] == 2  # b in docs 1 and 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final
+    # exactly one explode executes (the reused stage covers the other)
+    assert len(re.findall(r"\bGenerate\b", final)) == 1, final
