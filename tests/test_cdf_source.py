@@ -49,6 +49,7 @@ def _mk(spark, tmp_path):
     return tbl
 
 
+@pytest.mark.slow  # r17 tiering: measured 37s; full (evidence) tier only
 def test_materialized_feed_rows(spark, tmp_path):
     tbl = _mk(spark, tmp_path)
     got = {
@@ -114,6 +115,7 @@ def test_partitioned_initial_falls_back_to_sidecar(spark, tmp_path):
     }
 
 
+@pytest.mark.slow  # r17 tiering: measured 13s; full (evidence) tier only
 def test_feed_matches_lazy_diff_per_version(spark, tmp_path):
     tbl = _mk(spark, tmp_path)
     for v in (2, 3):
@@ -130,6 +132,7 @@ def test_feed_matches_lazy_diff_per_version(spark, tmp_path):
         assert fed == lazy, f"version {v}"
 
 
+@pytest.mark.slow  # r17 tiering: measured 13s; full (evidence) tier only
 def test_feed_replays_state(spark, tmp_path):
     """Folding the feed version-by-version reconstructs every state —
     the apply-soundness contract extended to the materialized feed."""
@@ -144,6 +147,7 @@ def test_feed_replays_state(spark, tmp_path):
         assert {tuple(r) for r in state.collect()} == want, f"version {v}"
 
 
+@pytest.mark.slow  # r17 tiering: measured 15s; full (evidence) tier only
 def test_noop_and_continuity_guards(spark, tmp_path):
     tbl = _mk(spark, tmp_path)
     # compaction is a logical no-op: marked, skipped, still continuous
@@ -174,6 +178,7 @@ def test_delete_where_feeds_only_visible_preimages(spark, tmp_path):
     assert {r["_change_type"] for r in v3} == {"delete"}
 
 
+@pytest.mark.slow  # r17 tiering: measured 20s; full (evidence) tier only
 def test_stream_exactly_once_across_commits(spark, tmp_path):
     tbl = _mk(spark, tmp_path)
     register(spark)
@@ -205,6 +210,7 @@ def test_stream_exactly_once_across_commits(spark, tmp_path):
     assert run() == 20
 
 
+@pytest.mark.slow  # r17 tiering: measured 16s; full (evidence) tier only
 def test_concurrent_unconditional_writers_feed_serializes(spark, tmp_path):
     """Two racing unconditional commits both enabled for CDF: the
     restage-on-advance guard must make each version's feed exact
@@ -241,6 +247,7 @@ def test_concurrent_unconditional_writers_feed_serializes(spark, tmp_path):
     }
 
 
+@pytest.mark.slow  # r17 tiering: measured 9s; full (evidence) tier only
 def test_cdf_options_skip_versions(spark, tmp_path):
     """r13 (VERDICT r12 item 3): the feed's marker predicates ride
     OPTIONS — `starting_version`/`ending_version` narrow the listed
@@ -318,6 +325,7 @@ def test_cdf_options_skip_versions(spark, tmp_path):
     )
 
 
+@pytest.mark.slow  # r17 tiering: measured 10s; full (evidence) tier only
 def test_cdf_change_types_applies_on_stream_path(spark, tmp_path):
     """r13 review fix: the change_types option filters the STREAM path
     with the same semantics as batch (version skipping + exact row

@@ -170,6 +170,7 @@ def test_llm_backend_applies_mapping_by_id(spark):
     assert out == {i: ("a_cat" if i % 2 == 0 else "b_cat") for i in range(10)}
 
 
+@pytest.mark.slow  # r17 tiering: measured 14s; full (evidence) tier only
 def test_llm_backend_malformed_response_falls_back(spark):
     from datapipeline_scraping_spark.operators.classify import (
         ClassifierConfig,

@@ -24,6 +24,7 @@ def _rows(df):
     )
 
 
+@pytest.mark.slow  # r17 tiering: measured 11s; full (evidence) tier only
 def test_in_memory_and_checkpointed_modes_agree(spark, tmp_path):
     mem = _rows(run_funnel(spark, SF))
     dur = _rows(run_funnel(spark, SF, checkpoint_root=str(tmp_path / "ck")))

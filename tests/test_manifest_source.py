@@ -46,6 +46,7 @@ def test_head_and_version_reads_match_api(spark, tmp_path):
     _parity(spark, tbl, version=2)
 
 
+@pytest.mark.slow  # r17 tiering: measured 11s; full (evidence) tier only
 def test_mor_composition_through_sql(spark, tmp_path):
     """DELETE + UPDATE + RENAME sidecars all apply in the per-task
     Arrow read, exercised through a pure-SQL temp view."""
@@ -113,6 +114,7 @@ def test_schema_evolution_nullfills_old_version(spark, tmp_path):
     assert old.columns == ["pk", "v"]
 
 
+@pytest.mark.slow  # r17 tiering: measured 16s; full (evidence) tier only
 def test_sql_write_appends_through_datasource(spark, tmp_path):
     """r10: the write half of the SQL surface — df.write append and
     SQL INSERT INTO both land as add-file commits with every append
@@ -188,6 +190,7 @@ def test_sql_write_appends_through_datasource(spark, tmp_path):
         ).save()
 
 
+@pytest.mark.slow  # r17 tiering: measured 14s; full (evidence) tier only
 def test_sql_write_respects_renames_and_mor_guard(spark, tmp_path):
     """Writes through the SQL surface keep metadata-only renames
     metadata (parts carry PHYSICAL names) and refuse appending keys a
@@ -286,6 +289,7 @@ def test_where_option_prunes_files_driver_side(spark, tmp_path):
         ).mode("append").save()
 
 
+@pytest.mark.slow  # r17 tiering: measured 10s; full (evidence) tier only
 def test_double_reference_plans_stay_exact(spark, tmp_path):
     """REGRESSION (r13): Spark 4.1 keeps ONE mutable read-info slot
     per Python data source instance, so a reader whose partitions
@@ -1181,6 +1185,7 @@ def test_where_temporal_on_zoned_timestamp_column(spark, tmp_path):
     assert got == exp and got
 
 
+@pytest.mark.slow  # r17 tiering: measured 17s; full (evidence) tier only
 def test_where_not_equal_prunes_single_value_files_and_stays_exact(
     spark, tmp_path
 ):
@@ -1380,6 +1385,7 @@ def test_bloom_probe_gated_on_column_type(spark, tmp_path):
     assert indexed is True and len(kept) < total
 
 
+@pytest.mark.slow  # r17 tiering: measured 13s; full (evidence) tier only
 def test_where_dnf_union_pruning_and_kleene_or(spark, tmp_path):
     """r15 (VERDICT r14 item 1): OR-of-conjuncts in the where grammar.
     File skipping for a DNF is the UNION of per-disjunct kept sets —
@@ -1513,6 +1519,7 @@ def test_where_dnf_bloom_intersection(spark, tmp_path):
     assert got == [1, 100]
 
 
+@pytest.mark.slow  # r17 tiering: measured 16s; full (evidence) tier only
 def test_where_like_prefix_prunes_and_row_filters_exactly(spark, tmp_path):
     """r15 (VERDICT r14 item 3): LIKE joins the grammar. A pattern's
     literal PREFIX before the first wildcard prunes files against the
@@ -1600,6 +1607,7 @@ def test_where_like_prefix_prunes_and_row_filters_exactly(spark, tmp_path):
     assert max(k3, k5) <= both <= min(k3 + k5, base)
 
 
+@pytest.mark.slow  # r17 tiering: measured 21s; full (evidence) tier only
 def test_where_like_matches_newline_like_spark(spark, tmp_path):
     """ADVICE r15: Spark compiles LIKE with DOTALL, so `_` matches a
     newline ('a\\nb' LIKE 'a_b' is TRUE), while Arrow's own
@@ -1650,6 +1658,7 @@ def test_where_like_matches_newline_like_spark(spark, tmp_path):
     assert 0 in rows("s LIKE 'a_b'")
 
 
+@pytest.mark.slow  # r17 tiering: measured 16s; full (evidence) tier only
 def test_where_not_in_not_like_and_whole_expr_parens(spark, tmp_path):
     """r15 tail: NOT IN desugars to a != conjunction (dir-encoded
     single-value files prune, type-faithfully), NOT LIKE row-filters

@@ -58,6 +58,7 @@ def test_sql_delete_routes_deletion_vector(spark, tbl):
     assert _state(spark) == {}
 
 
+@pytest.mark.slow  # r17 tiering: measured 10s; full (evidence) tier only
 def test_sql_merge_upsert_and_clauses(spark, tbl):
     _df(spark, [(2, "B2", 200), (9, "new", 900)]).createOrReplaceTempView(
         "src_batch"
@@ -185,6 +186,7 @@ def test_sql_unsupported_shapes_raise(spark, tbl):
         )
 
 
+@pytest.mark.slow  # r17 tiering: measured 11s; full (evidence) tier only
 def test_sql_merge_clause_order_is_ansi(spark, tbl):
     """ADVICE r11 (medium): 'WHEN MATCHED AND c THEN UPDATE SET *
     WHEN MATCHED THEN DELETE' must UPDATE rows satisfying c and delete

@@ -4,6 +4,7 @@ plumbing."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from datapipeline_scraping_spark.operators.delta import delta_split, ledger_records
@@ -758,6 +759,7 @@ def test_first_wins_agg_equals_window_strategy(spark):
     assert agg[0] == (1, 1, 99, "a")
 
 
+@pytest.mark.slow  # r17 tiering: measured 11s; full (evidence) tier only
 def test_first_wins_agg_equals_window_strategy_with_nulls(spark):
     """NULL order values rank FIRST under struct min_by exactly as the
     window's NULLS FIRST — measured parity pinned here (ADVICE r7

@@ -13,6 +13,7 @@ from __future__ import annotations
 import datetime
 import random
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -36,6 +37,7 @@ _text = st.text(
 
 @given(rows=st.lists(st.tuples(_text, _text, _text), min_size=1, max_size=12))
 @settings(**_SETTINGS)
+@pytest.mark.slow  # r17 tiering: measured 13s; full (evidence) tier only
 def test_checksum_ignores_row_and_field_order(spark, rows):
     df = spark.createDataFrame(rows, "a string, b string, c string")
     h1 = df.select(row_checksum(["a", "b"]).alias("h")).collect()
@@ -53,6 +55,7 @@ def test_checksum_ignores_row_and_field_order(spark, rows):
     seed=st.integers(0, 2**16),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow  # r17 tiering: measured 14s; full (evidence) tier only
 def test_first_wins_is_physical_order_independent(spark, rows, seed):
     shuffled = list(rows)
     random.Random(seed).shuffle(shuffled)
@@ -71,6 +74,7 @@ def test_first_wins_is_physical_order_independent(spark, rows, seed):
     n_salt=st.integers(1, 5),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow  # r17 tiering: measured 24s; full (evidence) tier only
 def test_salted_join_equals_plain_join(spark, left, right, n_salt):
     # unique right keys (build side of an upsert-style dim join)
     right = list({k: v for k, v in right}.items())
@@ -93,6 +97,7 @@ def test_salted_join_equals_plain_join(spark, left, right, n_salt):
     n_chunks=st.integers(1, 6),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow  # r17 tiering: measured 19s; full (evidence) tier only
 def test_two_pass_prefix_sum_equals_one_pass(spark, rows, n_chunks):
     """The two-pass (scan) prefix sum is bit-identical to the one-pass
     keyed window for ANY key distribution, weight signs included, and
@@ -225,6 +230,7 @@ def test_evolve_schema_lattice(shared, extra_new):
     ),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow  # r17 tiering: measured 15s; full (evidence) tier only
 def test_cdf_applies_v1_to_v2(spark, tmp_path_factory, v1, v2):
     """APPLY-soundness of the change data feed: for ANY two keyed
     states, (v1 - deleted/update_pre keys) + insert/update_post rows
@@ -283,6 +289,7 @@ _DML_OP = st.tuples(
 
 @given(ops=st.lists(_DML_OP, min_size=1, max_size=5))
 @settings(**_SETTINGS)
+@pytest.mark.slow  # r17 tiering: measured 26s; full (evidence) tier only
 def test_dml_sequence_matches_model(spark, tmp_path_factory, ops):
     """Any interleaving of MoR DELETE / MoR UPDATE / compaction /
     full-rewrite commits equals a plain Python dict model — the
@@ -347,6 +354,7 @@ _CDML_OP = st.tuples(
 
 @given(ops=st.lists(_CDML_OP, min_size=1, max_size=4))
 @settings(**_SETTINGS)
+@pytest.mark.slow  # r17 tiering: measured 21s; full (evidence) tier only
 def test_clustered_dml_sequence_matches_model(spark, tmp_path_factory, ops):
     """Any interleaving of MoR DELETE / MoR UPDATE / bucket-preserving
     append / per-bucket compaction on a CLUSTERED snapshot equals a
@@ -431,6 +439,7 @@ _vec = st.lists(
 
 @given(vecs=st.lists(_vec, min_size=2, max_size=10))
 @settings(**_SETTINGS)
+@pytest.mark.slow  # r17 tiering: measured 14s; full (evidence) tier only
 def test_sq8_codes_match_model_on_random_vectors(spark, tmp_path_factory, vecs):
     """SQ8 encoding equals the pure-Python affine model for arbitrary
     float32 vectors (array-HOF rule: a Spark HOF miscompilation cannot
@@ -483,6 +492,7 @@ _bp_doc = st.lists(_bp_word, min_size=1, max_size=6)
     chunk=st.integers(2, 3),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow  # r17 tiering: measured 19s; full (evidence) tier only
 def test_boilerplate_strip_matches_model(spark, tmp_path_factory, docs, chunk):
     """boilerplate_strip equals a pure-Python model for arbitrary tiny
     corpora: chunking grid, per-source df threshold, drop-all-copies,
@@ -551,6 +561,7 @@ _INGEST_OP = st.tuples(
 
 @given(ops=st.lists(_INGEST_OP, min_size=1, max_size=5))
 @settings(**_SETTINGS)
+@pytest.mark.slow  # r17 tiering: measured 23s; full (evidence) tier only
 def test_ingest_sequence_matches_model(spark, tmp_path_factory, ops):
     """Any interleaving of zero-rewrite APPENDs, MoR DELETE/UPDATE and
     bin-packing compaction equals a plain dict model. The interesting
@@ -619,6 +630,7 @@ _CLUSTER_OP = st.sampled_from(["cappend", "ccompact", "recluster"])
 
 @given(ops=st.lists(_CLUSTER_OP, min_size=1, max_size=4))
 @settings(**_SETTINGS)
+@pytest.mark.slow  # r17 tiering: measured 37s; full (evidence) tier only
 def test_clustered_sequence_matches_model(spark, tmp_path_factory, ops):
     """Any interleaving of bucket-preserving appends, per-bucket
     compaction and full re-clustering keeps BOTH read paths exact (the
@@ -676,6 +688,7 @@ _PEVO_OP = st.tuples(
 
 @given(ops=st.lists(_PEVO_OP, min_size=1, max_size=5))
 @settings(**_SETTINGS)
+@pytest.mark.slow  # r17 tiering: measured 26s; full (evidence) tier only
 def test_partition_evolution_sequence_matches_model(
     spark, tmp_path_factory, ops
 ):
@@ -838,6 +851,7 @@ def _push_pred(kind: str, col: str, a: int, b: int) -> str:
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow  # r17 tiering: measured 47s; full (evidence) tier only
 def test_pushdown_never_drops_qualifying_rows(
     spark, tmp_path_factory, conjs
 ):
@@ -921,6 +935,7 @@ def test_pushdown_never_drops_qualifying_rows(
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow  # r17 tiering: measured 26s; full (evidence) tier only
 def test_pushdown_never_drops_qualifying_rows_clustered(
     spark, tmp_path_factory, conjs
 ):

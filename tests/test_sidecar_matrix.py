@@ -240,6 +240,7 @@ def test_matrix_delete_where_and_compact_folds_mor(
     assert mt.read(spark).count() == n_after_delete
 
 
+@pytest.mark.slow  # r17 tiering: measured 14s; full (evidence) tier only
 def test_matrix_compact_small_files(spark, base_root, tmp_path):
     mt = _clone(base_root, tmp_path, "t")
     mt.append(
@@ -251,6 +252,7 @@ def test_matrix_compact_small_files(spark, base_root, tmp_path):
     assert mt.read(spark).count() == 210
 
 
+@pytest.mark.slow  # r17 tiering: measured 11s; full (evidence) tier only
 def test_matrix_restore(spark, base_root, tmp_path):
     mt = _clone(base_root, tmp_path, "t")
     v_rich = mt.version()
@@ -263,6 +265,7 @@ def test_matrix_restore(spark, base_root, tmp_path):
     assert mt.read(spark).count() == 200
 
 
+@pytest.mark.slow  # r17 tiering: measured 21s; full (evidence) tier only
 def test_matrix_publish_from(spark, base_root, tmp_path):
     mt = _clone(base_root, tmp_path, "t")
     branch = mt.clone_to(str(tmp_path / "wap"), retention_sec=3600)
@@ -275,6 +278,7 @@ def test_matrix_publish_from(spark, base_root, tmp_path):
     assert mt.read(spark).count() == 220
 
 
+@pytest.mark.slow  # r17 tiering: measured 13s; full (evidence) tier only
 def test_matrix_evolve_partition_then_append(spark, base_root, tmp_path):
     mt = _clone(base_root, tmp_path, "t")
     mt.evolve_partition(["b"], keep_snapshots=50)
@@ -295,6 +299,7 @@ def test_matrix_alter_columns(spark, base_root, tmp_path):
     _assert_tiers(mt, "drop_column")
 
 
+@pytest.mark.slow  # r17 tiering: measured 11s; full (evidence) tier only
 def test_matrix_clustered_layout_survives_its_writers(spark, tmp_path):
     """Clustered tables carry a different tier set (bucket spec +
     per-bucket sort instead of stats/bloom declarations): the spec and

@@ -103,6 +103,7 @@ def test_fresh_lock_times_out(spark, tmp_path):
         tbl._acquire_lock(timeout=0.2)
 
 
+@pytest.mark.slow  # r17 tiering: measured 10s; full (evidence) tier only
 def test_gc_retention(spark, tmp_path):
     # retention_sec=0 opts back into pure count-based GC (scratch-table
     # mode); the default 24 h retention contract is tested separately
@@ -451,6 +452,7 @@ def test_compact_table_stats_measure_committed_snapshot(spark, tmp_path):
     assert mt.read(spark).count() == 1000
 
 
+@pytest.mark.slow  # r17 tiering: measured 24s; full (evidence) tier only
 def test_commit_crash_at_every_filesystem_step_never_tears_table(spark, tmp_path):
     """Crash-point sweep: kill the commit at EVERY filesystem mutation
     it performs (rename, pointer replace, lock unlink, ...) and assert
@@ -766,6 +768,7 @@ def test_compact_partitioned_table_bounds_files(spark, tmp_path):
     assert tbl.read(spark).count() == 20000
 
 
+@pytest.mark.slow  # r17 tiering: measured 22s; full (evidence) tier only
 def test_concurrent_commits_keep_history_and_time_travel_consistent(
     spark, tmp_path
 ):
@@ -1073,6 +1076,7 @@ def test_read_range_composes_partition_and_stats_pruning(spark, tmp_path):
     )
 
 
+@pytest.mark.slow  # r17 tiering: measured 10s; full (evidence) tier only
 def test_apply_diff_equals_full_rebuild(spark, tmp_path):
     """VERDICT r8 item 3 (the distributed half of the property test):
     maintaining a derived table by applying the CDF with recomputed
@@ -1526,6 +1530,7 @@ def test_rename_column_breaks_change_feed(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # r17 tiering: measured 10s; full (evidence) tier only
 def test_update_where_is_metadata_only_and_chains(spark, tmp_path):
     import glob
 
@@ -2086,6 +2091,7 @@ def test_operational_meta_not_reattributed(spark, tmp_path):
     assert "epoch" not in ec and ec.get("owner") == "pipeline-a"
 
 
+@pytest.mark.slow  # r17 tiering: measured 12s; full (evidence) tier only
 def test_bloom_point_lookup_prunes_and_stays_exact(spark, tmp_path):
     """r10: per-file bloom index — point probes prune files min/max
     stats cannot (unsorted high-cardinality keys), absent keys read
@@ -2471,6 +2477,7 @@ def test_publish_rejects_foreign_table_and_noops_untouched_branch(
     assert main.version() == 1
 
 
+@pytest.mark.slow  # r17 tiering: measured 10s; full (evidence) tier only
 def test_publish_with_live_cdf_takes_rebase_and_feeds_changes(
     spark, tmp_path
 ):
@@ -2596,6 +2603,7 @@ def _fake_group_state(spark, tmp_path, swap_first=False):
     return a, b, members
 
 
+@pytest.mark.slow  # r17 tiering: measured 11s; full (evidence) tier only
 def test_recover_group_rolls_forward_after_first_swap(spark, tmp_path):
     from datapipeline_scraping_spark.operators.txn import recover_group
 
@@ -2605,6 +2613,7 @@ def test_recover_group_rolls_forward_after_first_swap(spark, tmp_path):
     assert {r["v"] for r in b.read(spark).collect()} == {"b2"}
 
 
+@pytest.mark.slow  # r17 tiering: measured 10s; full (evidence) tier only
 def test_recover_group_version_reuse_is_not_swap_proof(spark, tmp_path):
     """ADVICE r10 (medium): an INDEPENDENT writer committing version 2
     on member A after stale-lock expiry must not convince recovery
